@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes end-to-end through the noop sink — full plan
+execution (scan → shuffle → agg) without driver-side collection, so
+timings measure the engine, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from fsc_etl_spark.plans import analytics
+from fsc_etl_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q5_region_volume",
+    "star_assembly",
+    "pivot_event_types",
+    "window_topk_per_group",
+    "window_running_sum",
+    "rollup_returnflag",
+    "sessionize_events",
+    "hourly_event_rollup",
+    "cdc_snapshot_diff",
+    "merge_upsert_state",
+    "surrogate_key_assign",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    fn = analytics.QUERIES[name]
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="fsc_etl_spark_bench")
+
+    # One warmup pass of the cheapest query amortizes JVM/codegen
+    # startup out of the per-query numbers.
+    run_query(spark, "q1_pricing_summary", sf_dir)
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        timings[name] = round(run_query(spark, name, sf_dir), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Scans (SURVEY.md §2.1 S5-S7).
+
+The reference's scans are header-only CSV reads immediately projected
+(``/root/reference/main.py:75-79``), a Delta read-back
+(``main.py:260-263``), and JDBC reads with query pushdown
+(``main.py:252-271``). Here every scan takes an explicit schema and the
+column projection happens at scan time so Catalyst prunes columns and —
+for parquet — pushes predicates into the file reader.
+
+At 100 TB the relevant properties are:
+- parquet scans get predicate pushdown + column pruning for free when
+  the plan stays declarative (verify via ``df.explain``: PushedFilters,
+  ReadSchema);
+- CSV scans cannot push predicates, so the explicit ``columns=``
+  projection right at the scan is the only pruning available — keep it;
+- JDBC scans ship the ``query=`` text to the external engine verbatim
+  (full pushdown), mirroring the reference's Synapse max-key probe.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fsc_etl_spark import schemas
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Header CSV scan with an explicit (usually all-string) schema.
+
+    Mirrors S5 (``main.py:75-79``) but never infers: the schema is
+    declared, and the projection is applied at the scan.
+    """
+    df = spark.read.csv(path, header=True, schema=schema)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def read_parquet_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Scan one synthetic table (TESTDATA.md) by name from an sf dir.
+
+    ``events.ts`` arrives as nanosecond longs (see schemas.EVENTS) and
+    is converted here to a microsecond timestamp with exact integer
+    division — double math would lose precision past 2^53.
+    """
+    df = spark.read.schema(schemas.TABLES[name]).parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: Sequence[str] | None = None) -> dict[str, DataFrame]:
+    """Load several synthetic tables as a dict of DataFrames."""
+    return {n: read_parquet_table(spark, sf_dir, n) for n in (names or schemas.TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: Sequence[str] | None = None) -> None:
+    """Register the synthetic tables as temp views for spark.sql use."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_jdbc_query(spark: SparkSession, url: str, query: str, properties: dict[str, str] | None = None) -> DataFrame:
+    """JDBC scan with full query pushdown (S7, ``main.py:252-271``).
+
+    The query text executes inside the external engine; only the result
+    set crosses the wire. Env-gated: requires a JDBC driver jar on the
+    classpath, so callers should guard with try/except AnalysisException.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -1,0 +1,121 @@
+"""Oracle-comparison harness mirroring the driver's correctness gate.
+
+The driver runs each ``__spark_entry__.queries()[name]`` against
+``oracle_sql()[name]`` via DuckDB and compares row-count + schema +
+order-insensitive value hash (BASELINE.md §b). This module implements
+the same comparison locally so tests catch mismatches (value drift,
+column-name drift, type drift) before a round is judged.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from decimal import Decimal
+from typing import Any
+
+import duckdb
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Connection with the synthetic tables registered as views, the
+    same way the driver pre-registers them."""
+    con = duckdb.connect()
+    for name in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _norm_value(v: Any) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # repr is the shortest round-trip form — identical doubles give
+        # identical strings; near-equal doubles intentionally differ.
+        return repr(v)
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_value(x) for x in v) + "]"
+    return str(v)
+
+
+def _norm_rows(columns: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(tuple(_norm_value(r[i]) for i in order) for r in rows)
+
+
+class OracleMismatch(AssertionError):
+    pass
+
+
+def compare_with_oracle(
+    spark_df: DataFrame,
+    con: duckdb.DuckDBPyConnection,
+    sql: str,
+    name: str = "query",
+    max_diff_shown: int = 5,
+) -> None:
+    """Raise OracleMismatch unless the Spark result and the DuckDB
+    result agree on row count, column-name set, and (order-insensitive)
+    values."""
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    s_cols = list(spark_df.columns)
+    rel = con.execute(sql)
+    d_cols = [c[0] for c in rel.description]
+    d_rows = rel.fetchall()
+
+    if sorted(s_cols) != sorted(d_cols):
+        raise OracleMismatch(f"{name}: column mismatch spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+    if len(s_rows) != len(d_rows):
+        raise OracleMismatch(f"{name}: row count spark={len(s_rows)} duckdb={len(d_rows)}")
+
+    ns, nd = _norm_rows(s_cols, s_rows), _norm_rows(d_cols, d_rows)
+    if ns != nd:
+        only_s = [r for r in ns if r not in set(nd)][:max_diff_shown]
+        only_d = [r for r in nd if r not in set(ns)][:max_diff_shown]
+        raise OracleMismatch(
+            f"{name}: value mismatch ({len(only_s)}+ spark-only / {len(only_d)}+ duckdb-only shown)\n"
+            f"  spark-only:  {only_s}\n  duckdb-only: {only_d}\n  cols: {sorted(s_cols)}"
+        )
+
+
+def check_query(spark: SparkSession, sf_dir: str, name: str) -> None:
+    """Run one registered query against its oracle at ``sf_dir``."""
+    import __spark_entry__ as entrymod
+
+    qfn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    df = qfn(spark, sf_dir)
+    if sql is None:
+        assert df.count() >= 0  # rows-only check, like the driver
+        return
+    con = duckdb_connection(sf_dir)
+    try:
+        compare_with_oracle(df, con, sql, name=name)
+    finally:
+        con.close()
