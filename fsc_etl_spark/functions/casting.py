@@ -42,16 +42,21 @@ class CastSpec:
     date_format: str = DATE_FORMAT_DEFAULT
 
     def expr(self) -> Column:
+        # try_cast / try_to_date, not plain cast: Spark 4 defaults to
+        # ANSI mode where cast-on-malformed THROWS; the reference's
+        # semantics (transform_functions.py:40-43 under non-ANSI 3.x)
+        # are silent-null. try_* reproduces that independent of the
+        # session's spark.sql.ansi.enabled setting.
         c = F.col(self.column)
         tag = self.type_tag
         if tag == "Decimal2":
-            return F.round(c.cast("double"), 2)
+            return F.round(c.try_cast("double"), 2)
         if tag == "Decimal1":
-            return F.round(c.cast("double"), 1)
+            return F.round(c.try_cast("double"), 1)
         if tag == "Integer":
-            return c.cast("int")
+            return c.try_cast("int")
         if tag == "Date":
-            return F.to_date(c, self.date_format)
+            return F.try_to_date(c, self.date_format)
         if tag == "String":
             return c.cast("string")
         raise ValueError(f"unknown cast tag {tag!r} for column {self.column!r}")
