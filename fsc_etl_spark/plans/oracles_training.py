@@ -1,0 +1,202 @@
+"""DuckDB oracles for plans.training_data.
+
+Shared SQL fragments mirror functions/text.py building blocks exactly:
+- tokens:   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')
+- shingles: 1-based inclusive list slices over a lateral range join
+- hashes:   md5 (identical across engines), hex→int via '0x' cast
+"""
+
+from __future__ import annotations
+
+from fsc_etl_spark.functions.text import LANG_ORDER, LANG_STOPWORDS
+
+TRAINING_ORACLES: dict[str, str] = {}
+
+_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+
+def _in_list(words: list[str]) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+
+
+TRAINING_ORACLES["text_token_stats"] = f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+TRAINING_ORACLES["text_quality"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter({_TOKS}, x -> x IN ({_in_list(LANG_STOPWORDS["en"])}))) AS BIGINT) AS n_stop,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_punct, n_stop,
+       ROUND(
+         (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.5 ELSE 0.0 END)
+         + (CASE WHEN n_punct / GREATEST(n_chars, 1) <= 0.1 THEN 0.25 ELSE 0.0 END)
+         + (CASE WHEN n_stop / GREATEST(n_tokens, 1) > 0 THEN 0.25 ELSE 0.0 END), 2) AS quality
+FROM s
+"""
+
+_VOTES = ",\n".join(
+    f"         CAST(len(list_filter({_TOKS}, x -> x IN ({_in_list(LANG_STOPWORDS[lang])}))) AS BIGINT) AS v_{lang}"
+    for lang in LANG_ORDER
+)
+_MAXV = "GREATEST(" + ", ".join(f"v_{lang}" for lang in LANG_ORDER) + ")"
+_LANG_CASE = (
+    "CASE "
+    + " ".join(f"WHEN v_{lang} = {_MAXV} AND {_MAXV} > 0 THEN '{lang}'" for lang in LANG_ORDER)
+    + " ELSE 'und' END"
+)
+
+TRAINING_ORACLES["lang_id_heuristic"] = f"""
+WITH v AS (
+  SELECT doc_id, lang,
+{_VOTES}
+  FROM documents
+)
+SELECT doc_id, lang, {_LANG_CASE} AS lang_pred FROM v
+"""
+
+TRAINING_ORACLES["doc_fingerprint"] = """
+SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+"""
+
+TRAINING_ORACLES["dedup_exact_groups"] = """
+SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+# Word 3-gram shingles: starts 1..len-2 via SCALAR range() (DuckDB's
+# range table function can't take correlated columns; the scalar form
+# returns a list, stop-exclusive; list slices are 1-based inclusive).
+# DISTINCT matches the Spark side's dropDuplicates.
+_SHINGLES = f"""
+  words AS (SELECT doc_id, {_TOKS.replace("trim(text)", "trim(lower(text))")} AS w FROM documents),
+  sh AS (
+    SELECT DISTINCT doc_id, sh FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> array_to_string(w[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)], ' '))) AS sh
+      FROM words WHERE len(w) >= 3
+    )
+  )
+"""
+
+
+def _minhash_cols(k: int) -> str:
+    return ",\n".join(f"       MIN(md5('s{i}:' || sh)) AS mh{i}" for i in range(k))
+
+
+TRAINING_ORACLES["minhash_signature"] = f"""
+WITH {_SHINGLES}
+SELECT doc_id,
+{_minhash_cols(4)}
+FROM sh GROUP BY doc_id
+"""
+
+TRAINING_ORACLES["lsh_near_dup_candidates"] = f"""
+WITH {_SHINGLES},
+sigs AS (
+  SELECT doc_id,
+{_minhash_cols(8)}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_sig FROM sigs
+  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sigs
+  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sigs
+  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sigs
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+WHERE a.doc_id < b.doc_id
+"""
+
+TRAINING_ORACLES["ngram_jaccard_pairs"] = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM toks a JOIN toks b ON a.tok = b.tok
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= 0.8
+"""
+
+_H = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
+_VOTE_COLS = ",\n".join(
+    f"         SUM(((({_H}) >> {i}) & 1) * 2 - 1) AS v{i}" for i in range(32)
+)
+_SIG = " + ".join(f"CASE WHEN v{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END" for i in range(32))
+
+TRAINING_ORACLES["simhash_signature"] = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+votes AS (
+  SELECT doc_id,
+{_VOTE_COLS}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIG} AS BIGINT) AS simhash FROM votes
+"""
+
+_DV = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+TRAINING_ORACLES["embed_cosine_topk"] = f"""
+WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+  FROM e, q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 5
+"""
+
+TRAINING_ORACLES["embed_nn_within_label"] = f"""
+WITH e AS (SELECT vec_id, label, {_DV} AS v FROM embeddings),
+pairs AS (
+  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT label, id_a, id_b, cos,
+         ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rn
+  FROM pairs
+)
+SELECT label, id_a, id_b AS nn_id, cos AS nn_cos FROM ranked WHERE rn = 1
+"""
+
+# checksum mirrors the Arrow-UDF stub: sum of UTF-8 bytes mod 2^31.
+# Documents are ASCII, so codepoints == bytes.
+TRAINING_ORACLES["multimodal_features"] = """
+SELECT doc_id AS media_id,
+       'image' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+                i -> ord(substr(text, CAST(i AS INTEGER), 1)))), 0) % 2147483648 AS BIGINT) AS checksum
+FROM documents
+"""

@@ -1,0 +1,144 @@
+"""Training-data pipeline queries over documents/embeddings.
+
+The dedup / similarity / text-analysis / multimodal surface the
+driver's north star asks for (BASELINE.json), each as a
+(spark, sf_dir) -> DataFrame callable with — wherever SQL can express
+it — a DuckDB oracle twin in plans/oracles_training.py. md5 is the
+shared hash primitive specifically because both engines implement it
+identically, making even MinHash/SimHash signatures oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fsc_etl_spark.functions.text import (
+    char_count,
+    fingerprint_md5,
+    lang_id,
+    punct_count,
+    quality_score,
+    stopword_count,
+    token_count,
+    LANG_STOPWORDS,
+)
+from fsc_etl_spark.operators.dedup import (
+    exact_dedup_stats,
+    jaccard_token_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash32,
+)
+from fsc_etl_spark.operators.multimodal import documents_as_media, extract_features
+from fsc_etl_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucketed_topk,
+    nearest_neighbor_within_group,
+)
+from fsc_etl_spark.sources.readers import read_parquet_table as t
+
+# Fixed random-hyperplane set for the LSH ANN path — seeded, embedded
+# in the plan as literals so runs are reproducible without a library
+# dependency at execution time.
+import numpy as _np
+
+_rng = _np.random.default_rng(42)
+LSH_HYPERPLANES: list[list[float]] = _rng.standard_normal((6, 64)).tolist()
+
+
+def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        char_count(F.col("text")).alias("n_chars"),
+    )
+
+
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        punct_count(F.col("text")).alias("n_punct"),
+        stopword_count(F.col("text"), LANG_STOPWORDS["en"]).alias("n_stop"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def lang_id_heuristic(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    return docs.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+
+
+def dedup_exact_groups(spark: SparkSession, sf: str) -> DataFrame:
+    return exact_dedup_stats(t(spark, sf, "documents"))
+
+
+def minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
+    return minhash_signatures(t(spark, sf, "documents"), k=4, shingle_n=3)
+
+
+def lsh_near_dup_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    sigs = minhash_signatures(t(spark, sf, "documents"), k=8, shingle_n=3)
+    return lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return jaccard_token_pairs(t(spark, sf, "documents"), threshold=0.8)
+
+
+def simhash_signature(spark: SparkSession, sf: str) -> DataFrame:
+    return simhash32(t(spark, sf, "documents"))
+
+
+def embed_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, k=5)
+
+
+def embed_nn_within_label(spark: SparkSession, sf: str) -> DataFrame:
+    return nearest_neighbor_within_group(t(spark, sf, "embeddings"))
+
+
+def embed_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate ANN via random-hyperplane buckets — the 100 TB
+    scale path. No SQL oracle (bucket recall is approximate by
+    design); the driver records a rows-only check, and tests assert
+    recall against the exact result."""
+    emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_bucketed_topk(emb, queries, k=5, hyperplanes=LSH_HYPERPLANES)
+
+
+def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-column decode plumbing through mapInPandas (Arrow
+    batches); features dropped here so the oracle can mirror the
+    scalar outputs in pure SQL."""
+    media = documents_as_media(t(spark, sf, "documents"))
+    return extract_features(media).select("media_id", "kind", "byte_len", "checksum")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "lang_id_heuristic": lang_id_heuristic,
+    "doc_fingerprint": doc_fingerprint,
+    "dedup_exact_groups": dedup_exact_groups,
+    "minhash_signature": minhash_signature,
+    "lsh_near_dup_candidates": lsh_near_dup_candidates,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "simhash_signature": simhash_signature,
+    "embed_cosine_topk": embed_cosine_topk,
+    "embed_nn_within_label": embed_nn_within_label,
+    "embed_lsh_topk": embed_lsh_topk,
+    "multimodal_features": multimodal_features,
+}

@@ -1,0 +1,122 @@
+"""Behavioral tests for dedup/similarity operators — planted
+duplicates and known geometry, beyond the oracle equivalence the
+contract test already covers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fsc_etl_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_stats,
+    jaccard_token_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash32,
+)
+from fsc_etl_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucketed_topk,
+    nearest_neighbor_within_group,
+)
+from fsc_etl_spark.plans.training_data import LSH_HYPERPLANES
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),      # exact dup of 1
+        (3, "The Quick Brown Fox jumps over the lazy dog  "),    # case/space dup of 1
+        (4, "the quick brown fox jumps over the sleepy dog"),    # near-dup (1 token)
+        (5, "completely different content about spark engines"),
+        (6, "tiny"),                                             # too short for 3-gram shingles
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    stats = {r["keep_id"]: r["dup_count"] for r in exact_dedup_stats(docs).collect()}
+    assert stats[1] == 3  # docs 1,2,3 share a canonical fingerprint
+    kept = {r["doc_id"] for r in exact_dedup(docs).collect()}
+    assert kept == {1, 4, 5, 6}
+
+
+def test_minhash_lsh_finds_near_dup_pair(docs):
+    sigs = minhash_signatures(docs, k=8, shingle_n=3)
+    # doc 6 has no 3-gram shingle and drops out
+    assert {r["doc_id"] for r in sigs.collect()} == {1, 2, 3, 4, 5}
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs, 4, 2).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs  # identical shingle sets always collide
+    assert (1, 4) in pairs  # 1-token edit shares most shingles -> some band agrees
+    assert (1, 5) not in pairs
+
+
+def test_jaccard_exact_similarity(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_token_pairs(docs, 0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 4) in pairs and pairs[(1, 4)] < 1.0
+    assert (1, 5) not in pairs
+
+
+def test_jaccard_max_df_drops_common_tokens(docs):
+    # 'the' appears in docs 1-4; max_df=3 removes it from the index.
+    unfiltered = jaccard_token_pairs(docs, 0.1).count()
+    filtered = jaccard_token_pairs(docs, 0.1, max_df=3).count()
+    assert filtered <= unfiltered
+
+
+def test_simhash_near_dups_have_close_hashes(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash32(docs).collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert sh[1] == sh[2]                       # same token set
+    assert hamming(sh[1], sh[4]) < hamming(sh[1], sh[5])
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # 3 tight clusters + normalization; nearest neighbors are known.
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for label, center in enumerate(rng.standard_normal((3, 16))):
+        for i in range(6):
+            v = center + 0.01 * rng.standard_normal(16)
+            v = v / np.linalg.norm(v)
+            rows.append((label * 10 + i, [float(x) for x in v], label))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_prefers_same_cluster(emb):
+    queries = emb.filter(F.col("vec_id") == 0)
+    top = cosine_topk(emb, queries, k=3).collect()
+    assert [r["query_id"] for r in top] == [0, 0, 0]
+    assert all(r["vec_id"] < 10 for r in top)  # same cluster (label 0 → ids 0-5)
+    assert all(r["cos"] > 0.99 for r in top)
+
+
+def test_lsh_topk_recall_against_exact(emb):
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    planes = rng.standard_normal((4, 16)).tolist()
+    queries = emb.filter(F.col("vec_id").isin(0, 10, 20))
+    exact = cosine_topk(emb, queries, k=3)
+    approx = lsh_bucketed_topk(emb, queries, k=3, hyperplanes=planes)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    #
+
+    # Tight clusters land in the same bucket: recall should be perfect
+    # here; >= 2/3 guards against an unlucky plane through a cluster.
+    assert len(a & e) / len(e) >= 2 / 3
+
+
+def test_nn_within_label_symmetric_clusters(emb):
+    nn = {r["id_a"]: r["nn_id"] for r in nearest_neighbor_within_group(emb).collect()}
+    assert len(nn) == 18
+    for vid, nnid in nn.items():
+        assert vid // 10 == nnid // 10  # neighbor stays in the cluster
