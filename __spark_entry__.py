@@ -15,9 +15,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from fsc_etl_spark.plans import analytics, training_data
+from fsc_etl_spark.plans import analytics, streaming_queries, training_data
 from fsc_etl_spark.plans.oracles import ORACLES
 from fsc_etl_spark.plans.oracles_training import TRAINING_ORACLES
+from fsc_etl_spark.plans.streaming_queries import STREAMING_ORACLES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,10 +31,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(analytics.QUERIES)
     out.update(training_data.QUERIES)
+    out.update(streaming_queries.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each queries() entry (keys without an
     oracle get the driver's weaker rows-only check)."""
-    return {**ORACLES, **TRAINING_ORACLES}
+    return {**ORACLES, **TRAINING_ORACLES, **STREAMING_ORACLES}

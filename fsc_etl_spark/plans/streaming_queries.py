@@ -1,0 +1,144 @@
+"""Streaming queries for the driver gate (SURVEY.md §2.11).
+
+Each callable runs a REAL Structured Streaming query (file source →
+state store → sink) to completion with ``Trigger.AvailableNow`` and
+returns the final result as a DataFrame, so the driver's DuckDB
+oracle can verify streaming semantics against batch SQL. The
+streaming engine is genuinely exercised — micro-batch planner,
+streaming aggregation state store, session-window merge, pandas
+stateful operator, foreachBatch merge sink — while the bounded input
+makes results deterministic.
+
+Determinism notes: the sf fixture is a single parquet file, so each
+pass is one micro-batch; multi-batch behavior (watermarks, state
+carry-over across checkpoint restarts) is covered by
+tests/test_streaming.py with staged inputs rather than here.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fsc_etl_spark.operators.merge import ParquetMergeTarget
+from fsc_etl_spark.streaming import (
+    run_to_memory,
+    session_aggregate,
+    stream_events,
+    streaming_merge_to_target,
+    tumbling_aggregate,
+    user_running_stats,
+)
+
+
+def streaming_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming twin of the batch ``hourly_event_rollup`` — same
+    output schema, same oracle shape."""
+    ev = stream_events(spark, sf).withColumn(
+        "value_dec", F.col("value").cast("decimal(18,6)")
+    )
+    agg = tumbling_aggregate(
+        ev,
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_dec").cast("double").alias("sum_value"),
+        ],
+        duration="1 hour",
+        group_cols=("event_type",),
+    )
+    return run_to_memory(agg, output_mode="complete").select(
+        "window_start", "event_type", "n", "sum_value"
+    )
+
+
+def streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Native ``session_window`` sessions (30-minute gap) per user."""
+    ev = stream_events(spark, sf)
+    agg = session_aggregate(
+        ev, aggs=[F.count(F.lit(1)).alias("n")], gap="30 minutes"
+    )
+    return run_to_memory(agg, output_mode="complete").select(
+        "session_start", "session_end", "user_id", "n"
+    )
+
+
+def streaming_user_state(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-user
+    cumulative count + max. The emissions are monotone, so the final
+    per-user state is the group-wise max over all emissions —
+    batch-equivalent regardless of micro-batch split."""
+    ev = stream_events(spark, sf).select("user_id", "ts", "value")
+    emitted = run_to_memory(user_running_stats(ev), output_mode="update")
+    return emitted.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value")
+    )
+
+
+def streaming_upsert_latest(spark: SparkSession, sf: str) -> DataFrame:
+    """foreachBatch MERGE sink: latest event per user, last-writer-wins
+    on (ts, event_id) — the streaming form of the reference's daily
+    MERGE incrementality (/root/reference/main.py:191-199)."""
+    ev = stream_events(spark, sf).select("user_id", "event_id", "ts", "value")
+    target = ParquetMergeTarget(spark, tempfile.mkdtemp(prefix="fsc_stream_tgt_"))
+    final = streaming_merge_to_target(
+        ev, target, on=["user_id"], order_cols=["ts", "event_id"]
+    )
+    return final.select("user_id", "event_id", "ts", "value")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "streaming_hourly_rollup": streaming_hourly_rollup,
+    "streaming_sessionize": streaming_sessionize,
+    "streaming_user_state": streaming_user_state,
+    "streaming_upsert_latest": streaming_upsert_latest,
+}
+
+
+STREAMING_ORACLES: dict[str, str] = {}
+
+STREAMING_ORACLES["streaming_hourly_rollup"] = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+# Session boundary semantics: Spark's session_window is half-open
+# [start, last+gap), so an event exactly `gap` after its predecessor
+# opens a NEW session — hence `>=` in the gap test below.
+STREAMING_ORACLES["streaming_sessionize"] = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS newflag
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         SUM(newflag) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+       user_id, COUNT(*) AS n
+FROM s GROUP BY user_id, sid
+"""
+
+STREAMING_ORACLES["streaming_user_state"] = """
+SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+FROM events GROUP BY user_id
+"""
+
+STREAMING_ORACLES["streaming_upsert_latest"] = """
+SELECT user_id, event_id, ts, value FROM (
+  SELECT user_id, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""

@@ -1,0 +1,185 @@
+"""Structured Streaming semantics that the single-batch oracle gate
+can't see: watermark late-data drop, state carry-over across
+checkpointed restarts, and session-window merging across batches.
+
+Inputs are staged as parquet files appended to a temp dir between
+AvailableNow passes — each pass resumes from the same checkpoint, so
+the engine's state store and watermark persistence are genuinely
+exercised.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fsc_etl_spark.streaming.pipeline import tumbling_aggregate
+from fsc_etl_spark.streaming.sources import stream_parquet_dir
+from fsc_etl_spark.streaming.stateful import user_running_stats
+
+EVENTS_MINI = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+T0 = dt.datetime(2024, 5, 1, 0, 0, 0)
+
+
+def _write_batch(spark, input_dir: str, rows: list[tuple], name: str) -> None:
+    """Stage one input file the way a producer would: write, then move
+    a single finished parquet file into the watched directory (the file
+    source lists top-level files only)."""
+    df = spark.createDataFrame(
+        [Row(user_id=u, ts=ts, value=v) for u, ts, v in rows], EVENTS_MINI
+    )
+    staging = os.path.join(input_dir, os.pardir, f"stage_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    os.replace(os.path.join(staging, part), os.path.join(input_dir, f"{name}.parquet"))
+
+
+def _dirs() -> tuple[str, str, str]:
+    base = tempfile.mkdtemp(prefix="fsc_stream_test_")
+    in_dir, ckpt, out = (os.path.join(base, d) for d in ("in", "ckpt", "out"))
+    os.makedirs(in_dir)
+    return in_dir, ckpt, out
+
+
+def _run_windowed_pass(spark, in_dir: str, ckpt: str, out: str) -> None:
+    stream = stream_parquet_dir(spark, in_dir, EVENTS_MINI)
+    agg = tumbling_aggregate(
+        stream,
+        aggs=[F.count(F.lit(1)).alias("n")],
+        duration="1 hour",
+        group_cols=("user_id",),
+        watermark="10 minutes",
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_watermark_drops_late_data(spark):
+    in_dir, ckpt, out = _dirs()
+
+    # Pass 1: events in hours 0 and 1, plus one at hour 3 that pushes
+    # the watermark to 02:50 — hours 0-1 finalize and emit.
+    _write_batch(
+        spark,
+        in_dir,
+        [
+            (1, T0 + dt.timedelta(minutes=5), 1.0),
+            (1, T0 + dt.timedelta(minutes=40), 1.0),
+            (1, T0 + dt.timedelta(hours=1, minutes=10), 1.0),
+            (1, T0 + dt.timedelta(hours=3), 1.0),
+        ],
+        "b1",
+    )
+    _run_windowed_pass(spark, in_dir, ckpt, out)
+    res1 = {
+        (r["window_start"], r["user_id"]): r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert res1[(T0, 1)] == 2
+    assert res1[(T0 + dt.timedelta(hours=1), 1)] == 1
+    assert (T0 + dt.timedelta(hours=3), 1) not in res1  # not yet finalized
+
+    # Pass 2: one LATE event in hour 0 (behind the persisted watermark
+    # -> dropped) and one at hour 5 (advances watermark, finalizes h3).
+    _write_batch(
+        spark,
+        in_dir,
+        [
+            (1, T0 + dt.timedelta(minutes=30), 99.0),  # late, must be dropped
+            (1, T0 + dt.timedelta(hours=5), 1.0),
+        ],
+        "b2",
+    )
+    _run_windowed_pass(spark, in_dir, ckpt, out)
+    res2 = {
+        (r["window_start"], r["user_id"]): r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # hour-0 window was emitted once with n=2 and never re-emitted:
+    assert res2[(T0, 1)] == 2
+    assert res2[(T0 + dt.timedelta(hours=3), 1)] == 1
+
+
+def test_stateful_operator_survives_restart(spark):
+    in_dir, ckpt, _ = _dirs()
+    sink: list[tuple] = []
+
+    def _run_pass():
+        stream = stream_parquet_dir(spark, in_dir, EVENTS_MINI)
+        stats = user_running_stats(stream)
+
+        def _collect(batch_df, _epoch):
+            sink.extend(
+                (r["user_id"], r["n_events"], r["max_value"])
+                for r in batch_df.collect()
+            )
+
+        q = (
+            stats.writeStream.foreachBatch(_collect)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_batch(
+        spark,
+        in_dir,
+        [(7, T0, 1.5), (7, T0 + dt.timedelta(minutes=1), 3.5), (8, T0, 2.0)],
+        "b1",
+    )
+    _run_pass()
+    assert (7, 2, 3.5) in sink and (8, 1, 2.0) in sink
+
+    # Restart from the same checkpoint with two more events for user 7:
+    # counts continue from the persisted state (2 -> 4), max updates.
+    _write_batch(
+        spark,
+        in_dir,
+        [(7, T0 + dt.timedelta(minutes=2), 9.0), (7, T0 + dt.timedelta(minutes=3), 0.5)],
+        "b2",
+    )
+    _run_pass()
+    assert (7, 4, 9.0) in sink
+    # user 8 had no new events -> not re-emitted in the second pass
+    assert sink.count((8, 1, 2.0)) == 1
+
+
+def test_session_windows_merge_across_batches(spark):
+    """Two events 10 min apart arriving in DIFFERENT micro-batches must
+    merge into one session in the state store."""
+    from fsc_etl_spark.streaming.pipeline import run_to_memory, session_aggregate
+
+    in_dir, ckpt, _ = _dirs()
+    _write_batch(spark, in_dir, [(1, T0, 1.0)], "b1")
+    _write_batch(spark, in_dir, [(1, T0 + dt.timedelta(minutes=10), 1.0)], "b2")
+
+    stream = stream_parquet_dir(spark, in_dir, EVENTS_MINI, max_files_per_trigger=1)
+    agg = session_aggregate(stream, aggs=[F.count(F.lit(1)).alias("n")], gap="30 minutes")
+    res = run_to_memory(agg, output_mode="complete").collect()
+    assert len(res) == 1
+    row = res[0]
+    assert row["n"] == 2
+    assert row["session_start"] == T0
+    assert row["session_end"] == T0 + dt.timedelta(minutes=40)
