@@ -1,0 +1,96 @@
+"""Physical-plan assertions — the 100 TB posture gate (SURVEY.md §4).
+
+Correctness tests prove the small-SF answer; these prove the PLAN is
+the one we'd want on a 1000-executor cluster: predicates reach the
+parquet scan, scans read only needed columns, small dimensions
+broadcast, nothing drops to row-at-a-time Python, and no operator
+forces single-task writes. A regression here is a performance bug
+even when every value still matches the oracle.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+# Queries that legitimately cross into Arrow/pandas execution
+# (multimodal decode is a pandas UDF surface by design).
+PANDAS_OK = {"multimodal_features"}
+# Streaming queries execute eagerly inside the callable (AvailableNow
+# runs) and return a materialized result — no lazy plan to inspect.
+SKIP = {name for name in entrymod.queries() if name.startswith("streaming_")}
+
+BATCH_QUERIES = sorted(set(entrymod.queries()) - SKIP)
+
+
+def plan_of(spark, sf_dir: str, name: str) -> str:
+    df = entrymod.queries()[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_no_row_at_a_time_python(spark, sf_smoke, name):
+    """Python must never appear in a hot path except as Arrow-batched
+    pandas execution, and only where semantics demand it."""
+    plan = plan_of(spark, sf_smoke, name)
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
+    if name not in PANDAS_OK:
+        for node in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            assert node not in plan, f"{name}: unexpected pandas node {node}"
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_no_forced_single_partition(spark, sf_smoke, name):
+    """The reference's coalesce(1) anti-pattern must not re-appear, and
+    nothing should funnel through a single-partition exchange except a
+    final global sort/limit of an already-aggregated result."""
+    plan = plan_of(spark, sf_smoke, name)
+    assert "Coalesce 1" not in plan, f"{name}: coalesce(1) in plan"
+
+
+def test_q1_scan_pushdown_and_pruning(spark, sf_smoke):
+    plan = plan_of(spark, sf_smoke, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # Column pruning: the lineitem scan must read exactly the 7 needed
+    # columns, none of the other 9.
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert read.count(":") - 1 == 7 or read.count(",") == 6, read
+    for col in ("l_orderkey", "l_partkey", "l_comment", "l_commitdate"):
+        assert col not in read, f"unpruned column {col}"
+
+
+def test_dim_joins_broadcast(spark, sf_smoke):
+    """Small dimensions must broadcast — no shuffle of the fact side
+    for dim joins (J1 and the Q5 region/nation chain)."""
+    for name in ("dim_join_broadcast", "q5_region_volume", "star_assembly"):
+        plan = plan_of(spark, sf_smoke, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
+
+
+def test_semi_anti_joins_stay_semi(spark, sf_smoke):
+    """Membership checks must compile to semi/anti joins (no payload
+    materialization of the probe side)."""
+    assert "LeftSemi" in plan_of(spark, sf_smoke, "semi_join_membership")
+    assert "LeftAnti" in plan_of(spark, sf_smoke, "anti_join_orphans")
+
+
+def test_surrogate_keys_stay_in_catalyst(spark, sf_smoke):
+    """R2 replacement: key assignment is a Window node, not an RDD
+    round-trip (no Scan ExistingRDD from createDataFrame)."""
+    plan = plan_of(spark, sf_smoke, "surrogate_key_assign")
+    assert "Window" in plan
+    assert "Scan ExistingRDD" not in plan
+
+
+def test_topk_uses_takeordered(spark, sf_smoke):
+    """Global top-k must compile to TakeOrderedAndProject (per-partition
+    top-k + merge), not a global sort."""
+    plan = plan_of(spark, sf_smoke, "global_topk_orders")
+    assert "TakeOrderedAndProject" in plan
