@@ -15,7 +15,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from fsc_etl_spark.plans import analytics, streaming_queries, training_data
+from fsc_etl_spark.plans import analytics, analytics_ext, streaming_queries, training_data
+from fsc_etl_spark.plans.analytics_ext import EXT_ORACLES
 from fsc_etl_spark.plans.oracles import ORACLES
 from fsc_etl_spark.plans.oracles_training import TRAINING_ORACLES
 from fsc_etl_spark.plans.streaming_queries import STREAMING_ORACLES
@@ -30,6 +31,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §2.12."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(analytics.QUERIES)
+    out.update(analytics_ext.QUERIES)
     out.update(training_data.QUERIES)
     out.update(streaming_queries.QUERIES)
     return out
@@ -38,4 +40,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each queries() entry (keys without an
     oracle get the driver's weaker rows-only check)."""
-    return {**ORACLES, **TRAINING_ORACLES, **STREAMING_ORACLES}
+    return {**ORACLES, **EXT_ORACLES, **TRAINING_ORACLES, **STREAMING_ORACLES}

@@ -1,0 +1,206 @@
+"""Gap-list operators (SURVEY.md §2.12) the reference lacks: multi-dim
+aggregation (cube / grouping sets), set operations beyond subtract,
+JSON extraction, as-of and range joins, approximate aggregates.
+
+Same determinism rules as plans/analytics.py: exact-decimal
+accumulation for any summed double, explicit aliases matching the
+oracle column names, deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fsc_etl_spark.operators.joins import asof_join, range_join
+from fsc_etl_spark.sources.readers import read_parquet_table as t
+
+
+def _dec(col: str, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+def cube_order_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping combinations in one
+    pass — Catalyst expands then hash-aggregates; at scale this is one
+    shuffle, not 4 scans."""
+    orders = t(spark, sf, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_total"),
+    )
+
+
+def grouping_sets_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (spark.sql), with
+    GROUPING() disambiguating aggregate NULLs from data NULLs."""
+    t(spark, sf, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+def intersect_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT: customers ordering in both 1995 and 1996."""
+    orders = t(spark, sf, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+def except_all_priorities(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference) — the bag semantics subtract
+    (SO1) can't express: priority occurrences minus those of
+    finished orders, keeping multiplicity."""
+    orders = t(spark, sf, "orders")
+    allp = orders.select("o_orderpriority")
+    fin = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return allp.exceptAll(fin).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def json_event_props(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON extraction from the events payload column — stays in
+    codegen via get_json_object (no UDF, no full parse)."""
+    ev = t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+def asof_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Backward as-of join: each click is matched to the user's most
+    recent purchase at-or-before it (see operators/joins.asof_join for
+    the one-shuffle union-scan shape)."""
+    ev = t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_event_id"), "ts"
+    )
+    out = asof_join(
+        clicks, purchases, on=["user_id"], left_ts="click_ts", right_ts="ts"
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "click_ts",
+        F.col("purchase_event_id_asof").alias("purchase_event_id"),
+        F.col("ts_asof").alias("purchase_ts"),
+    )
+
+
+def range_join_recent_views(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval join: views in the 30 minutes up to each purchase,
+    per user."""
+    ev = t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    joined = range_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="view_ts",
+        lower="INTERVAL 30 MINUTES",
+        how="left",
+    )
+    return joined.groupBy("user_id", "event_id").agg(
+        F.count("view_id").alias("n_views")
+    )
+
+
+def approx_user_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate aggregates — HLL++ distinct count and quantile
+    sketch. No SQL oracle (sketch internals are engine-specific; DuckDB
+    records a rows-only check); tests/test_analytics_ext.py bounds the
+    error against exact values instead."""
+    ev = t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_quantiles"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cube_order_stats": cube_order_stats,
+    "grouping_sets_priority": grouping_sets_priority,
+    "intersect_customers": intersect_customers,
+    "except_all_priorities": except_all_priorities,
+    "json_event_props": json_event_props,
+    "asof_click_purchase": asof_click_purchase,
+    "range_join_recent_views": range_join_recent_views,
+    "approx_user_stats": approx_user_stats,
+}
+
+
+EXT_ORACLES: dict[str, str] = {}
+
+EXT_ORACLES["cube_order_stats"] = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+EXT_ORACLES["grouping_sets_priority"] = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+EXT_ORACLES["intersect_customers"] = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
+
+EXT_ORACLES["except_all_priorities"] = """
+WITH d AS (
+  SELECT o_orderpriority FROM orders
+  EXCEPT ALL
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+)
+SELECT o_orderpriority, COUNT(*) AS n FROM d GROUP BY o_orderpriority
+"""
+
+EXT_ORACLES["json_event_props"] = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events
+"""
+
+EXT_ORACLES["asof_click_purchase"] = """
+SELECT c.user_id, c.event_id, c.ts AS click_ts,
+       p.event_id AS purchase_event_id, p.ts AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+EXT_ORACLES["range_join_recent_views"] = """
+SELECT p.user_id, p.event_id, COUNT(v.event_id) AS n_views
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON v.user_id = p.user_id
+ AND v.ts > p.ts - INTERVAL 30 MINUTE
+ AND v.ts <= p.ts
+GROUP BY p.user_id, p.event_id
+"""

@@ -1,0 +1,130 @@
+"""Edge-case and accuracy tests for the §2.12 gap operators — the
+oracle gate covers happy-path parity; these cover what SQL comparison
+can't: approximate-aggregate error bounds and as-of/range join
+boundary semantics on crafted inputs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fsc_etl_spark.operators.joins import asof_join, range_join
+from fsc_etl_spark.plans.analytics_ext import approx_user_stats
+from fsc_etl_spark.sources.readers import read_parquet_table
+
+T0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+
+LEFT_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("lid", T.LongType()),
+        T.StructField("lts", T.TimestampType()),
+    ]
+)
+RIGHT_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("rid", T.LongType()),
+        T.StructField("rts", T.TimestampType()),
+    ]
+)
+
+
+def _mins(m: int) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=m)
+
+
+def test_asof_join_boundaries(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k=1, lid=1, lts=_mins(10)),  # right rows at 0 and 10 -> picks 10 (<=)
+            Row(k=1, lid=2, lts=_mins(5)),   # only right row at 0 qualifies
+            Row(k=2, lid=3, lts=_mins(1)),   # right row is LATER -> null
+            Row(k=3, lid=4, lts=_mins(1)),   # key has no right rows -> null
+        ],
+        LEFT_SCHEMA,
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rid=100, rts=_mins(0)),
+            Row(k=1, rid=101, rts=_mins(10)),
+            Row(k=2, rid=200, rts=_mins(2)),
+        ],
+        RIGHT_SCHEMA,
+    )
+    out = {
+        r["lid"]: (r["rid_asof"], r["rts_asof"])
+        for r in asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts").collect()
+    }
+    assert out[1] == (101, _mins(10))  # equal ts matches
+    assert out[2] == (100, _mins(0))
+    assert out[3] == (None, None)  # no earlier right row
+    assert out[4] == (None, None)  # no right rows at all
+
+
+def test_asof_payload_fields_come_from_same_row(spark):
+    """A right payload column that is null in the LATEST row must stay
+    null — not be backfilled from an older row (struct semantics)."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("rts", T.TimestampType()),
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.StringType()),
+        ]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, rts=_mins(0), a="old_a", b="old_b"), Row(k=1, rts=_mins(5), a=None, b="new_b")],
+        schema,
+    )
+    left = spark.createDataFrame([Row(k=1, lid=1, lts=_mins(9))], LEFT_SCHEMA)
+    row = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts").collect()[0]
+    assert row["b_asof"] == "new_b"
+    assert row["a_asof"] is None  # NOT "old_a"
+
+
+def test_range_join_window_boundaries(spark):
+    left = spark.createDataFrame([Row(k=1, lid=1, lts=_mins(60))], LEFT_SCHEMA)
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rid=1, rts=_mins(29)),  # 31 min before: outside (> lower)
+            Row(k=1, rid=2, rts=_mins(30)),  # exactly 30 min before: inside (strict >)
+            Row(k=1, rid=3, rts=_mins(60)),  # same instant: inside (<=)
+            Row(k=1, rid=4, rts=_mins(61)),  # after: outside
+            Row(k=2, rid=5, rts=_mins(45)),  # other key
+        ],
+        RIGHT_SCHEMA,
+    )
+    out = range_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts", lower="INTERVAL 30 MINUTES"
+    )
+    got = sorted(r["rid"] for r in out.collect())
+    # boundary at exactly -30min: rts > lts - 30min is strict, so rid=2
+    # (exactly 30 before) is EXCLUDED; same-instant rid=3 included.
+    assert got == [3]
+
+
+def test_approx_aggregates_error_bounds(spark, sf_smoke):
+    ev = read_parquet_table(spark, sf_smoke, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    approx = {r["event_type"]: r for r in approx_user_stats(spark, sf_smoke).collect()}
+    assert set(approx) == set(exact)
+    for et, row in approx.items():
+        users, p50 = exact[et]["users"], exact[et]["p50"]
+        assert abs(row["approx_users"] - users) <= max(2, 0.05 * users)
+        lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+        q50, q95 = row["value_quantiles"]
+        assert abs(q50 - p50) <= 0.05 * (hi - lo)
+        assert q50 <= q95 <= hi
