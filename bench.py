@@ -14,10 +14,12 @@ import json
 import os
 import time
 
-from fsc_etl_spark.plans import analytics
+import __spark_entry__ as entrymod
 from fsc_etl_spark.session import get_spark
 
 BENCH_QUERIES = [
+    # core analytics (original headline set — keep names/order stable
+    # across rounds for BENCH_r{N} comparability)
     "q1_pricing_summary",
     "q5_region_volume",
     "star_assembly",
@@ -30,11 +32,29 @@ BENCH_QUERIES = [
     "cdc_snapshot_diff",
     "merge_upsert_state",
     "surrogate_key_assign",
+    # §2.12 gap operators
+    "cube_order_stats",
+    "json_event_props",
+    "asof_click_purchase",
+    "range_join_recent_views",
+    # training-data pipeline (dedup / similarity / text / multimodal)
+    "text_token_stats",
+    "doc_fingerprint",
+    "dedup_exact_groups",
+    "minhash_signature",
+    "lsh_near_dup_candidates",
+    "ngram_jaccard_pairs",
+    "simhash_signature",
+    "embed_cosine_topk",
+    "embed_lsh_topk",
+    "multimodal_features",
 ]
+
+ALL_QUERIES = entrymod.queries()
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
-    fn = analytics.QUERIES[name]
+    fn = ALL_QUERIES[name]
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0

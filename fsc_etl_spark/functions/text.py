@@ -94,16 +94,39 @@ def fingerprint_md5(col: Column) -> Column:
     return F.md5(F.lower(F.trim(col)))
 
 
-def word_shingles(col: Column, n: int) -> Column:
-    """Word n-gram shingles as an array<string> (space-joined).
+def shingles_from_tokens(toks: Column, n: int) -> Column:
+    """Word n-gram shingles (space-joined) from a MATERIALIZED token
+    array column.
 
-    Built with sequence+transform+slice — pure Catalyst, and mirrored
-    in SQL with a lateral range join over word positions.
+    ``toks`` must be a bound attribute (produced by a prior
+    projection), not a nested expression: non-lambda expressions
+    inside a higher-order-function body are re-evaluated per element,
+    so shingling over ``split(text)`` inline costs O(L²) regex work
+    per document — materializing first makes each shingle O(n)
+    element_at lookups.
     """
-    toks = tokens(col)
     count = F.size(toks) - F.lit(n - 1)
     # sequence(1, 0) would generate a DESCENDING [1, 0] — guard short
     # docs to an empty shingle set instead.
+    positions = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        positions,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+
+
+def word_shingles(col: Column, n: int) -> Column:
+    """Word n-gram shingles as an array<string> (space-joined).
+
+    Convenience single-expression form (one tokenization per shingle
+    via slice); hot paths should materialize ``tokens(col)`` in a
+    projection and use :func:`shingles_from_tokens` (see its
+    docstring for why).
+    """
+    toks = tokens(col)
+    count = F.size(toks) - F.lit(n - 1)
     positions = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
         F.array().cast("array<int>")
     )

@@ -22,8 +22,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from fsc_etl_spark.functions.text import fingerprint_md5, tokens, word_shingles
+from fsc_etl_spark.functions.text import fingerprint_md5, shingles_from_tokens, tokens
 
 
 def exact_dedup_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -67,8 +68,12 @@ def minhash_signatures(
     union them back explicitly.
     """
     text = F.lower(F.col(text_col)) if canonicalize else F.col(text_col)
-    sh = docs.select(
-        F.col(id_col), F.explode(word_shingles(text, shingle_n)).alias("sh")
+    # Materialize the token array BEFORE shingling: higher-order-
+    # function bodies re-evaluate non-lambda subexpressions per
+    # element, so shingling over split(text) inline is O(L²) per doc.
+    toked = docs.select(F.col(id_col), tokens(text).alias("__tk"))
+    sh = toked.select(
+        F.col(id_col), F.explode(shingles_from_tokens(F.col("__tk"), shingle_n)).alias("sh")
     ).dropDuplicates([id_col, "sh"])
     return sh.groupBy(id_col).agg(
         *[_salted_min(F.col("sh"), i).alias(f"mh{i}") for i in range(k)]
@@ -120,35 +125,128 @@ def jaccard_token_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
-    """Exact token-set Jaccard over an inverted-index self-join.
+    """EXACT token-set Jaccard similarity join, adaptive strategy.
 
-    |A∩B| from the posting-list join, |A|,|B| from per-doc distinct
-    counts; jaccard = inter / (|A|+|B|-inter). ``max_df`` drops tokens
-    appearing in more than that many docs — at scale the high-df head
-    is what makes the self-join quadratic, and near-dup signal lives
-    in the low-df tail anyway.
+    Two exact physical strategies behind one logical operator (the
+    engine's own small-scale AQE: one cheap vocabulary probe picks the
+    plan, the way Catalyst's AQE picks join strategies from runtime
+    stats):
+
+    - ``bitmap`` (vocabulary ≤ 62 tokens): each doc's token set packs
+      into ONE bigint; Jaccard = popcount arithmetic on a size-filtered
+      self-join. When the output is inherently dense (tiny vocabulary
+      ⇒ Ω(n²) qualifying pairs), per-pair cost is a couple of codegen'd
+      bit ops — orders of magnitude under a posting-list join.
+    - ``prefix`` (general vocabulary): PPJoin-style prefix filtering
+      (Xiao et al., WWW'08 — public algorithm). Tokens ordered by
+      ascending document frequency; each doc indexes only its first
+      ``|X| - ceil(t·|X|) + 1`` tokens (two docs with J ≥ t must share
+      a prefix token); candidates pass the length filter
+      ``t·|A| ≤ |B| ≤ |A|/t`` and are verified exactly against the
+      full posting lists. Cost scales with near-dup density, not
+      corpus² — this is the 100 TB path for real text, where the
+      frequency-sorted prefix is rare tokens with short posting lists.
+
+    ``max_df`` remains an optional LOSSY accelerator (drops tokens
+    above a df cap up front, changing the sets similarity is measured
+    over).
     """
     toks = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")).distinct()
     if max_df is not None:
         rare = toks.groupBy("tok").count().filter(F.col("count") <= max_df).select("tok")
         toks = toks.join(rare, "tok", "left_semi")
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
-    a = toks.select(F.col(id_col).alias("id_a"), "tok")
-    b = toks.select(F.col(id_col).alias("id_b"), "tok")
-    inter = (
-        a.join(b, "tok")
+    if strategy == "auto":
+        # One tiny action to pick the physical plan (runtime stats, à
+        # la AQE). 62 keeps the shifted bit inside a signed bigint.
+        strategy = "bitmap" if toks.select("tok").distinct().count() <= 62 else "prefix"
+    if strategy == "bitmap":
+        return _jaccard_bitmap(toks, threshold, id_col)
+    return _jaccard_prefix(toks, threshold, id_col)
+
+
+def _jaccard_bitmap(toks: DataFrame, threshold: float, id_col: str) -> DataFrame:
+    """Small-vocabulary fast path: token set → bigint bitmask,
+    Jaccard via bit_count. Self-join is size-banded by the length
+    filter; the masks side is small enough to broadcast (≤2^62 vocab
+    ⇒ distinct masks ≤ docs, one long each)."""
+    vocab = (
+        toks.select("tok")
+        .distinct()
+        .select(
+            "tok",
+            (F.row_number().over(Window.orderBy("tok")) - 1).alias("bit"),
+        )
+    )
+    bm = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.expr("bit_or(shiftleft(1L, bit))").alias("mask"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+    )
+    a = bm.select(F.col(id_col).alias("id_a"), F.col("mask").alias("mask_a"), F.col("sz").alias("sz_a"))
+    b = bm.select(F.col(id_col).alias("id_b"), F.col("mask").alias("mask_b"), F.col("sz").alias("sz_b"))
+    inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b"))).cast("bigint")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("id_a") < F.col("id_b"))
+            & (F.lit(threshold) * F.col("sz_a") <= F.col("sz_b"))
+            & (F.lit(threshold) * F.col("sz_b") <= F.col("sz_a")),
+        )
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _jaccard_prefix(toks: DataFrame, threshold: float, id_col: str) -> DataFrame:
+    """General-vocabulary exact path: PPJoin prefix filtering (see
+    jaccard_token_pairs docstring)."""
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        toks.join(dfreq, "tok")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("tok").asc())
+            ),
+        )
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    prefix = ranked.filter(
+        F.col("rnk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select(id_col, "tok", "sz")
+
+    pa = prefix.select(F.col(id_col).alias("id_a"), "tok", F.col("sz").alias("sz_a"))
+    pb = prefix.select(F.col(id_col).alias("id_b"), "tok", F.col("sz").alias("sz_b"))
+    cands = (
+        pa.join(pb, "tok")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .filter(F.lit(threshold) * F.col("sz_a") <= F.col("sz_b"))
+        .filter(F.lit(threshold) * F.col("sz_b") <= F.col("sz_a"))
+        .select("id_a", "id_b", "sz_a", "sz_b")
+        .distinct()
+    )
+
+    ta = toks.select(F.col(id_col).alias("id_a"), "tok")
+    tb = toks.select(F.col(id_col).alias("id_b"), "tok")
+    inter = (
+        cands.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
         )
@@ -167,11 +265,18 @@ def simhash32(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     portable to the SQL oracle (hex-cast + shifts exist in both).
     """
     toks = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")).distinct()
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
-    votes = toks.select(
+    # Materialize the 60-bit hash once per token: 32 bit-extract
+    # expressions over a bound attribute instead of 32 md5+conv
+    # evaluations per row (CollapseProject keeps multi-referenced
+    # non-cheap aliases in their own projection).
+    hashed = toks.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint").alias("__h"),
+    )
+    votes = hashed.select(
         F.col(id_col),
         *[
-            (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
+            (F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
             for i in range(32)
         ],
     )
