@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 def write_partitioned(
@@ -50,3 +50,36 @@ def write_partitioned(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Bucketed (and optionally sort-ordered) managed table.
+
+    Bucketing is THE shuffle-elimination tool for repeated big joins
+    and aggregations on a stable key: both sides hashed into the same
+    number of buckets at WRITE time means join/groupBy on the bucket
+    key needs no Exchange at READ time (verify: no Exchange above the
+    scans in the joined plan; tests/test_layout.py asserts exactly
+    that). At 100 TB this converts every daily fact⋈fact join from a
+    full-data shuffle into a local zip of pre-sorted buckets.
+
+    Spark's bucketing requires ``saveAsTable`` (metastore-backed);
+    table location follows ``spark.sql.warehouse.dir``.
+    """
+    writer = df.write.mode(mode).format(fmt).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read back a managed (e.g. bucketed) table by name."""
+    return spark.table(table)

@@ -1,0 +1,140 @@
+"""Physical-layout and skew-mitigation tests: bucketed joins must be
+shuffle-free, salted operators must be result-identical to their
+direct forms, maintenance passes must preserve data while fixing
+file counts and enabling stat-based skipping.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from fsc_etl_spark.operators.maintenance import cluster_by, compact
+from fsc_etl_spark.operators.skew import salted_aggregate, salted_join
+from fsc_etl_spark.sources.readers import read_parquet_table
+from fsc_etl_spark.sources.writers import write_bucketed
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_smoke):
+    orders = read_parquet_table(spark, sf_smoke, "orders")
+    lineitem = read_parquet_table(spark, sf_smoke, "lineitem")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        ["o_orderkey"],
+        8,
+        sort_cols=["o_orderkey"],
+    )
+    yield "b_orders", "b_lineitem"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    """Same bucket count + key on both sides ⇒ the join reads buckets
+    directly: NO Exchange in the plan (the 100 TB fact⋈fact story)."""
+    t1, t2 = bucketed_tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(t1).join(spark.table(t2), "o_orderkey")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
+    t1, _ = bucketed_tables
+    agg = spark.table(t1).groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    assert "Exchange" not in _plan(agg), "bucketed groupBy must not shuffle"
+
+
+def test_salted_aggregate_matches_direct(spark, sf_smoke):
+    li = read_parquet_table(spark, sf_smoke, "lineitem")
+    direct = {
+        r["l_returnflag"]: (r["n"], r["s"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"),
+        )
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: (r["n"], r["s"])
+        for r in salted_aggregate(
+            li,
+            keys=["l_returnflag"],
+            partial_aggs=[
+                F.count(F.lit(1)).alias("pn"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("ps"),
+            ],
+            final_aggs=[F.sum("pn").alias("n"), F.sum("ps").alias("s")],
+            buckets=8,
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_salted_join_matches_direct(spark, sf_smoke):
+    li = read_parquet_table(spark, sf_smoke, "lineitem").select("l_orderkey", "l_quantity")
+    orders = read_parquet_table(spark, sf_smoke, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    direct = li.join(orders, "l_orderkey").groupBy("o_orderstatus").count()
+    salted = salted_join(li, orders, on=["l_orderkey"], buckets=4).groupBy(
+        "o_orderstatus"
+    ).count()
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_compact_preserves_data_and_bounds_files(spark, sf_smoke):
+    src = read_parquet_table(spark, sf_smoke, "orders")
+    path = os.path.join(tempfile.mkdtemp(prefix="fsc_maint_"), "t")
+    # A deliberately fragmented write: one file per partition.
+    src.repartition(16).write.parquet(path)
+    before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert before >= 16
+    n_before = src.count()
+    compact(spark, path, target_file_mb=128)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 1  # tiny table packs into one target-size file
+    assert spark.read.parquet(path).count() == n_before
+
+
+def test_cluster_by_orders_rows_for_skipping(spark, sf_correct):
+    src = read_parquet_table(spark, sf_correct, "lineitem")
+    path = os.path.join(tempfile.mkdtemp(prefix="fsc_maint_"), "t")
+    src.repartition(8).write.parquet(path)
+    cluster_by(spark, path, ["l_shipdate"], target_file_mb=1)
+    back = spark.read.parquet(path)
+    assert back.count() == src.count()
+    # Within every file, l_shipdate must be non-decreasing (this is
+    # what makes parquet min/max stats selective for file skipping).
+    rows = (
+        back.withColumn("f", F.input_file_name())
+        .select("f", "l_shipdate")
+        .collect()
+    )
+    by_file: dict[str, list] = {}
+    for r in rows:
+        by_file.setdefault(r["f"], []).append(r["l_shipdate"])
+    assert len(by_file) >= 2  # 1MB target actually split the table
+    for dates in by_file.values():
+        assert dates == sorted(dates)
