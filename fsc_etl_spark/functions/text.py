@@ -38,6 +38,19 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col)).cast("bigint")
 
 
+# GPT-2-style pre-tokenizer shape, simplified to constructs whose
+# semantics match across Java regex and RE2 (the DuckDB oracle):
+# letter runs, digit runs, and single non-space symbols.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Subword-style token count via the BPE-ish pre-tokenizer regex —
+    the cheap proxy for "how many LLM tokens is this document" used to
+    budget training mixes. Pure codegen (regexp_extract_all + size)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0)).cast("bigint")
+
+
 def char_count(col: Column) -> Column:
     return F.length(col).cast("bigint")
 

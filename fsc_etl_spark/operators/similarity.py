@@ -123,6 +123,119 @@ def lsh_bucketed_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    block_col: str | None = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS: all (a, b) with
+    ``cos(a,b) ≥ threshold`` — the semantic-dedup primitive.
+
+    ``block_col`` is the blocking key that keeps the self-join keyed
+    (shuffle on the block, pairs only within it). At 100 TB blocking is
+    mandatory — use a cluster id (IVF centroid), LSH signature, or any
+    domain key; ``block_col=None`` degenerates to the exact cross
+    product and is for small corpora/tests only.
+    """
+    a_cols = [F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")]
+    b_cols = [F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")]
+    if block_col is not None:
+        a = emb.select(F.col(block_col), *a_cols)
+        b = emb.select(F.col(block_col), *b_cols)
+        pairs = a.join(b, block_col)
+    else:
+        pairs = emb.select(*a_cols).crossJoin(emb.select(*b_cols))
+    return (
+        pairs.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), ROUND_DIGITS))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: K-Means coarse quantizer,
+    probe the ``nprobe`` nearest centroid cells per query, exact cosine
+    re-rank inside the probed cells.
+
+    The scale path complementing LSH buckets: corpus vectors are
+    L2-normalized (Euclidean K-Means then orders like cosine) and
+    assigned to a centroid ONCE — at 100 TB the assignment is a write-
+    time partition/bucket key, so a query touches only
+    ``nprobe / n_centroids`` of the corpus. Training samples the corpus
+    (K-Means on every vector is unnecessary for a coarse quantizer).
+    Recall improves with ``nprobe`` (= n_centroids ⇒ exact).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    def normalize(col: Column) -> Column:
+        n = l2_norm(col)
+        return F.transform(col, lambda x: x / n)
+
+    c_norm = corpus.select(
+        F.col(id_col), normalize(_as_double(F.col(vec_col))).alias("c_vec")
+    )
+    train = c_norm.select(array_to_vector("c_vec").alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+
+    centroids = [
+        [float(x) for x in c] for c in (list(v) for v in model.clusterCenters())
+    ]
+    cent_df = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)], ["cell", "cent"]
+        )
+    )
+
+    assigned = model.transform(
+        c_norm.withColumn("features", array_to_vector("c_vec"))
+    ).select(F.col(id_col), "c_vec", F.col("prediction").alias("cell"))
+
+    q_norm = queries.select(
+        F.col(id_col).alias(query_id_col),
+        normalize(_as_double(F.col(vec_col))).alias("q_vec"),
+    )
+    q_cells = (
+        q_norm.crossJoin(cent_df)
+        .withColumn("cdist", dot(F.col("q_vec"), F.col("cent")))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.col("cdist").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("crank") <= nprobe)
+        .select(query_id_col, "q_vec", "cell")
+    )
+
+    cand = (
+        assigned.join(F.broadcast(q_cells), "cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cos", F.round(dot(F.col("q_vec"), F.col("c_vec")), ROUND_DIGITS))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+    )
+
+
 def nearest_neighbor_within_group(
     emb: DataFrame,
     group_col: str = "label",

@@ -200,3 +200,24 @@ SELECT doc_id AS media_id,
                 i -> ord(substr(text, CAST(i AS INTEGER), 1)))), 0) % 2147483648 AS BIGINT) AS checksum
 FROM documents
 """
+
+# Same simplified GPT-2-ish pre-tokenizer pattern as
+# functions/text.py:BPE_TOKEN_RE — constructs chosen to behave
+# identically under Java regex (Spark) and RE2 (DuckDB).
+TRAINING_ORACLES["text_bpe_tokens"] = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+       CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_ws
+FROM documents
+"""
+
+TRAINING_ORACLES["dedup_embed_neardup"] = f"""
+WITH e AS (SELECT vec_id, label, {_DV} AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.3
+"""

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fsc_etl_spark.functions.text import (
+    bpe_token_count,
     char_count,
     fingerprint_md5,
     lang_id,
@@ -34,7 +35,9 @@ from fsc_etl_spark.operators.dedup import (
 )
 from fsc_etl_spark.operators.multimodal import documents_as_media, extract_features
 from fsc_etl_spark.operators.similarity import (
+    cosine_near_dup_pairs,
     cosine_topk,
+    ivf_topk,
     lsh_bucketed_topk,
     nearest_neighbor_within_group,
 )
@@ -99,6 +102,32 @@ def simhash_signature(spark: SparkSession, sf: str) -> DataFrame:
     return simhash32(t(spark, sf, "documents"))
 
 
+def text_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Subword-proxy token counts (BPE-ish regex pre-tokenizer)."""
+    docs = t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).alias("n_bpe"),
+        token_count(F.col("text")).alias("n_ws"),
+    )
+
+
+def dedup_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic near-dup pairs: within-label cosine ≥ 0.3 (the fixture
+    embeddings are random, so 0.3 is the interesting tail — real
+    corpora use ~0.95+ with an IVF/LSH blocking key)."""
+    return cosine_near_dup_pairs(t(spark, sf, "embeddings"), threshold=0.3)
+
+
+def embed_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN: K-Means coarse quantizer + nprobe cell probing. No SQL
+    oracle (K-Means assignment is engine-specific); recall vs the exact
+    path is asserted in tests/test_dedup_similarity.py."""
+    emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3)
+
+
 def embed_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -137,8 +166,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_near_dup_candidates": lsh_near_dup_candidates,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash_signature": simhash_signature,
+    "text_bpe_tokens": text_bpe_tokens,
+    "dedup_embed_neardup": dedup_embed_neardup,
     "embed_cosine_topk": embed_cosine_topk,
     "embed_nn_within_label": embed_nn_within_label,
     "embed_lsh_topk": embed_lsh_topk,
+    "embed_ivf_topk": embed_ivf_topk,
     "multimodal_features": multimodal_features,
 }

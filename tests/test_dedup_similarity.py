@@ -16,7 +16,9 @@ from fsc_etl_spark.operators.dedup import (
     simhash32,
 )
 from fsc_etl_spark.operators.similarity import (
+    cosine_near_dup_pairs,
     cosine_topk,
+    ivf_topk,
     lsh_bucketed_topk,
     nearest_neighbor_within_group,
 )
@@ -113,6 +115,36 @@ def test_lsh_topk_recall_against_exact(emb):
     # Tight clusters land in the same bucket: recall should be perfect
     # here; >= 2/3 guards against an unlucky plane through a cluster.
     assert len(a & e) / len(e) >= 2 / 3
+
+
+def test_ivf_topk_recall_against_exact(emb):
+    """With centroids ≈ clusters and nprobe=1, the probed cell IS the
+    query's cluster — recall vs exact should be perfect on this
+    geometry."""
+    queries = emb.filter(F.col("vec_id").isin(0, 10, 20))
+    exact = cosine_topk(emb, queries, k=3)
+    approx = ivf_topk(emb, queries, k=3, n_centroids=3, nprobe=1)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert a == e
+
+
+def test_ivf_full_probe_equals_exact_ids(emb):
+    """nprobe = n_centroids degenerates to exact search (every cell
+    probed) — the ranked id lists must match the brute-force path."""
+    queries = emb.filter(F.col("vec_id") == 0)
+    exact = [(r["query_id"], r["vec_id"], r["rank"]) for r in cosine_topk(emb, queries, k=5).collect()]
+    approx = [(r["query_id"], r["vec_id"], r["rank"]) for r in ivf_topk(emb, queries, k=5, n_centroids=4, nprobe=4).collect()]
+    assert approx == exact
+
+
+def test_cosine_near_dup_pairs_finds_cluster_pairs(emb):
+    pairs = cosine_near_dup_pairs(emb, threshold=0.99).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # every within-cluster pair qualifies (15 per cluster of 6), none across
+    assert len(got) == 45
+    for a, b in got:
+        assert a // 10 == b // 10 and a < b
 
 
 def test_nn_within_label_symmetric_clusters(emb):
