@@ -1,0 +1,159 @@
+"""Property-based tests (SURVEY.md §5 item 4): invariants that must
+hold for ALL inputs, checked with hypothesis-generated data.
+
+Spark job submission is ~100ms+, so strategies run with small example
+counts and deadline disabled — the point is algebraic coverage (merge
+idempotency/commutativity, CDC completeness, cast-manifest totality),
+not fuzz volume.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from fsc_etl_spark.functions.casting import CastSpec, cast_types
+from fsc_etl_spark.operators.cdc import snapshot_diff, split_inserts_updates
+from fsc_etl_spark.operators.merge import merge_frames
+
+PROP_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+KV_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType(), False),
+        T.StructField("v", T.LongType()),
+        T.StructField("ts", T.LongType()),
+    ]
+)
+
+# Unique-keyed tables: key -> (value, ts). Small key space forces
+# matched/unmatched overlap.
+kv_tables = st.dictionaries(
+    st.integers(min_value=0, max_value=6),
+    st.tuples(st.integers(min_value=-5, max_value=5), st.integers(min_value=0, max_value=3)),
+    max_size=7,
+)
+
+
+def _df(spark, d):
+    rows = [Row(k=k, v=v, ts=ts) for k, (v, ts) in sorted(d.items())]
+    return spark.createDataFrame(rows, KV_SCHEMA)
+
+
+def _state(df) -> dict:
+    return {r["k"]: (r["v"], r["ts"]) for r in df.collect()}
+
+
+@given(target=kv_tables, source=kv_tables)
+@settings(**PROP_SETTINGS)
+def test_merge_is_idempotent(spark, target, source):
+    """Applying the same MERGE twice equals applying it once (the
+    exactly-once foundation for the streaming foreachBatch sink)."""
+    once = merge_frames(_df(spark, target), _df(spark, source), on=["k"])
+    twice = merge_frames(once, _df(spark, source), on=["k"])
+    assert _state(once) == _state(twice)
+
+
+@given(target=kv_tables, s1=kv_tables, s2=kv_tables)
+@settings(**PROP_SETTINGS)
+def test_merge_commutes_on_disjoint_keys(spark, target, s1, s2):
+    """Merges of key-disjoint sources commute — the basis for
+    parallel per-partition upserts."""
+    s2 = {k: v for k, v in s2.items() if k not in s1}
+    a = merge_frames(
+        merge_frames(_df(spark, target), _df(spark, s1), on=["k"]), _df(spark, s2), on=["k"]
+    )
+    b = merge_frames(
+        merge_frames(_df(spark, target), _df(spark, s2), on=["k"]), _df(spark, s1), on=["k"]
+    )
+    assert _state(a) == _state(b)
+
+
+@given(target=kv_tables, source=kv_tables)
+@settings(**PROP_SETTINGS)
+def test_merge_delta_col_is_last_writer_wins(spark, target, source):
+    """With a delta column, a matched row takes the source value iff
+    source.ts >= target.ts; inserts always land."""
+    out = _state(
+        merge_frames(_df(spark, target), _df(spark, source), on=["k"], delta_col="ts")
+    )
+    for k, (v, ts) in source.items():
+        if k not in target:
+            assert out[k] == (v, ts)
+        else:
+            expected = (v, ts) if ts >= target[k][1] else target[k]
+            assert out[k] == expected
+    for k in target:
+        assert k in out
+
+
+@given(
+    today=st.lists(st.tuples(st.integers(0, 20), st.integers(0, 3)), max_size=15),
+    yesterday=st.lists(st.tuples(st.integers(0, 20), st.integers(0, 3)), max_size=15),
+)
+@settings(**PROP_SETTINGS)
+def test_snapshot_diff_is_new_or_changed(spark, today, yesterday):
+    """subtract-CDC returns exactly the distinct rows of today that are
+    absent from yesterday; re-running with no changes yields nothing
+    (incremental idempotency, SURVEY §5.4)."""
+    schema = "id long, val long"
+    t_df = spark.createDataFrame(today or [(0, 0)], schema).limit(len(today))
+    y_df = spark.createDataFrame(yesterday or [(0, 0)], schema).limit(len(yesterday))
+    diff = {tuple(r) for r in snapshot_diff(t_df, y_df).collect()}
+    assert diff == set(today) - set(yesterday)
+    assert snapshot_diff(t_df, t_df).count() == 0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), st.dates(dt.date(2024, 1, 1), dt.date(2024, 1, 10))),
+        max_size=15,
+    ),
+    run_date=st.dates(dt.date(2024, 1, 2), dt.date(2024, 1, 11)),
+)
+@settings(**PROP_SETTINGS)
+def test_insert_update_split_partitions_rows(spark, rows, run_date):
+    """The yesterday split is a partition: every changed row lands in
+    exactly one of (inserts, updates)."""
+    schema = "id long, d date"
+    df = spark.createDataFrame(rows or [(0, dt.date(2024, 1, 1))], schema).limit(len(rows))
+    inserts, updates = split_inserts_updates(df, "d", run_date)
+    yday = run_date - dt.timedelta(days=1)
+    assert {tuple(r) for r in inserts.collect()} == {r for r in set(rows) if r[1] == yday}
+    assert inserts.count() + updates.count() == len(rows)
+
+
+@given(
+    values=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(max_size=8),
+            st.floats(allow_nan=False, allow_infinity=False, width=32).map(str),
+            st.integers(-10**9, 10**9).map(str),
+            st.dates(dt.date(1990, 1, 1), dt.date(2030, 1, 1)).map(str),
+        ),
+        max_size=10,
+    )
+)
+@settings(**PROP_SETTINGS)
+def test_cast_manifest_total_and_null_safe(spark, values):
+    """The manifest NEVER throws on malformed strings (silent-null
+    semantics of the reference under any ANSI setting), and Integer/
+    Date round-trip clean inputs."""
+    df = spark.createDataFrame([Row(x=v) for v in values] or [Row(x=None)], "x string").limit(
+        len(values)
+    )
+    out = cast_types(df, [CastSpec("x", "Integer")])
+    got = [r["x"] for r in out.collect()]
+    for v, g in zip(values, got):
+        if v is not None and v.lstrip("-").isdigit() and -(2**31) <= int(v) < 2**31:
+            assert g == int(v)
