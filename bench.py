@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "merge_upsert_state",
     "surrogate_key_assign",
     # §2.12 gap operators
+    "q3_shipping_priority",
+    "q6_revenue_forecast",
     "cube_order_stats",
     "json_event_props",
     "asof_click_purchase",

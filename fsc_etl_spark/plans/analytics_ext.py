@@ -126,6 +126,74 @@ def range_join_recent_views(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filtered on both fact sides, revenue
+    agg, global top-10 (compiles to TakeOrderedAndProject)."""
+    cust = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp")
+    )
+    li = t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    revenue = (
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("decimal(18,4)")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q6_revenue_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+agg — every predicate must reach the
+    parquet scan (the pushdown showcase)."""
+    li = t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((_dec("l_extendedprice") * _dec("l_discount")).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def unpivot_lineitem_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT (wide→long melt) via stack — the inverse of P7's pivot;
+    one pass, no shuffle."""
+    li = t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+            " 'discount', l_discount) as (metric, val)"
+        ),
+    )
+
+
+def explode_doc_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Lateral explode with position (posexplode) — the array-to-rows
+    primitive every text operator builds on."""
+    from fsc_etl_spark.functions.text import tokens
+
+    docs = t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+
+
 def approx_user_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate aggregates — HLL++ distinct count and quantile
     sketch. No SQL oracle (sketch internals are engine-specific; DuckDB
@@ -147,6 +215,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_click_purchase": asof_click_purchase,
     "range_join_recent_views": range_join_recent_views,
     "approx_user_stats": approx_user_stats,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q6_revenue_forecast": q6_revenue_forecast,
+    "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
+    "explode_doc_tokens": explode_doc_tokens,
 }
 
 
@@ -193,6 +265,50 @@ SELECT c.user_id, c.event_id, c.ts AS click_ts,
 FROM (SELECT * FROM events WHERE event_type = 'click') c
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
   ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+EXT_ORACLES["q3_shipping_priority"] = """
+SELECT l_orderkey, o_orderdate,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15'
+  AND l_shipdate  > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+EXT_ORACLES["q6_revenue_forecast"] = """
+SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+EXT_ORACLES["unpivot_lineitem_metrics"] = """
+SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+"""
+
+EXT_ORACLES["explode_doc_tokens"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[CAST(i AS INTEGER)] AS tok
+FROM d, UNNEST(range(1, len(toks) + 1)) AS t(i)
 """
 
 EXT_ORACLES["range_join_recent_views"] = """
