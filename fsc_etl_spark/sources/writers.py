@@ -83,3 +83,44 @@ def write_bucketed(
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read back a managed (e.g. bucketed) table by name."""
     return spark.table(table)
+
+
+def write_jdbc_staged_upsert(
+    df: DataFrame,
+    url: str,
+    staging_table: str,
+    target_table: str,
+    lookup_cols: Sequence[str],
+    delta_col: str,
+    properties: dict[str, str] | None = None,
+) -> list[str]:
+    """S9: the reference's DW sink — overwrite a staging table, then
+    run generated DELETE/DELETE/INSERT statements inside the warehouse
+    (``/root/reference/utils/load_functions.py:2-60``; statement
+    generation in ``operators/merge.build_staged_upsert_sql``).
+
+    The merge SQL executes in the external engine, not Spark — only
+    the staged rows cross the wire (executors → DB in parallel JDBC
+    batches). Returns the post-action statements it ran. Env-gated:
+    requires a JDBC driver on the classpath; callers should catch the
+    resulting ``Py4JJavaError``/``AnalysisException`` when no driver
+    is present (tests exercise the statement generation directly).
+    """
+    from fsc_etl_spark.operators.merge import build_staged_upsert_sql
+
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", staging_table)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.mode("overwrite").save()
+
+    statements = build_staged_upsert_sql(staging_table, target_table, lookup_cols, delta_col)
+    jvm = df.sparkSession._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        for sql in statements:
+            stmt.execute(sql)
+        stmt.close()
+    finally:
+        conn.close()
+    return statements

@@ -1,0 +1,84 @@
+"""S1-S4/S11 ingest utilities — driven with file:// URLs (no network)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import pathlib
+
+from fsc_etl_spark.sources.ingest import (
+    archive_snapshot,
+    download_file,
+    download_files,
+    fetch_distributed,
+    get_parameter,
+    get_raw_paths,
+    get_secret_parameter,
+)
+
+
+def _src_files(tmp_path) -> tuple[str, list[str]]:
+    src = tmp_path / "remote"
+    src.mkdir()
+    names = ["a.csv", "b.csv"]
+    for n in names:
+        (src / n).write_text(f"col\n{n}\n")
+    return src.as_uri(), names
+
+
+def test_download_is_idempotent(tmp_path):
+    base, names = _src_files(tmp_path)
+    dest = str(tmp_path / "local" / "a.csv")
+    assert download_file(f"{base}/a.csv", dest) is True
+    assert pathlib.Path(dest).read_text() == "col\na.csv\n"
+    assert download_file(f"{base}/a.csv", dest) is False  # skip, like the reference
+
+
+def test_download_files_and_paths(tmp_path):
+    base, names = _src_files(tmp_path)
+    dest = str(tmp_path / "local")
+    paths = download_files(base, names, dest)
+    assert [os.path.basename(p) for p in paths] == names
+    raws = get_raw_paths(["sub/a.csv", "b.csv"], "/mnt/raw")
+    assert raws[0] == {"filename": "a.csv", "rawpath": "/mnt/raw/sub/a.csv"}
+
+
+def test_archive_rotation(tmp_path):
+    base, names = _src_files(tmp_path)
+    local = str(tmp_path / "local")
+    download_files(base, names, local)
+    last = str(tmp_path / "last")
+
+    d1 = archive_snapshot(local, str(tmp_path / "arch"), dt.date(2021, 3, 1), last_dir=last)
+    assert d1.endswith("2021/03/01")
+    assert sorted(os.listdir(last)) == names
+
+    # Next day's rotation replaces last/ and keeps the dated archive.
+    (pathlib.Path(local) / "a.csv").write_text("col\nNEW\n")
+    archive_snapshot(local, str(tmp_path / "arch"), dt.date(2021, 3, 2), last_dir=last)
+    assert (pathlib.Path(last) / "a.csv").read_text() == "col\nNEW\n"
+    assert (pathlib.Path(d1) / "a.csv").read_text() == "col\na.csv\n"
+
+
+def test_parameters_from_env(monkeypatch):
+    monkeypatch.setenv("FULLMODE", "Y")
+    monkeypatch.setenv("KV__DB_PASSWORD", "s3cret")
+    assert get_parameter("FULLMODE") == "Y"
+    assert get_parameter("MISSING", "N") == "N"
+    assert get_secret_parameter("kv", "db_password") == "s3cret"
+
+
+def test_fetch_distributed_over_executors(spark, tmp_path):
+    base, names = _src_files(tmp_path)
+    dest = str(tmp_path / "fanout")
+    os.makedirs(dest)
+    urls = spark.createDataFrame(
+        [(n, f"{base}/{n}") for n in names], "name string, url string"
+    ).repartition(2)
+    res = {r["name"]: r for r in fetch_distributed(spark, urls, dest).collect()}
+    assert set(res) == set(names)
+    assert all(r["fetched"] for r in res.values())
+    assert all(os.path.getsize(r["path"]) == r["bytes"] for r in res.values())
+    # second pass: idempotent skip on every executor
+    res2 = {r["name"]: r for r in fetch_distributed(spark, urls, dest).collect()}
+    assert not any(r["fetched"] for r in res2.values())
