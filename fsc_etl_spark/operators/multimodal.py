@@ -88,6 +88,89 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     return media.mapInPandas(process, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("offset_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize every image to (width, height) — binary in, binary out.
+
+    STUB transform (no PIL in this container): the output bytes are a
+    deterministic function of input bytes and target size (truncate/
+    cycle to width*height), standing in for ``PIL.Image.resize`` +
+    re-encode. The Spark contract — binary column through an Arrow
+    batch, new typed size metadata — is the real one.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = max(1, width * height)
+
+        def fake_resize(b: bytes) -> bytes:
+            if not b:
+                return bytes(target)
+            reps = -(-target // len(b))
+            return (b * reps)[:target]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": pdf["content"].map(fake_resize),
+                    "mime": pdf["mime"],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(process, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int) -> DataFrame:
+    """Sample ``n_frames`` evenly spaced frames per video — the
+    row-exploding shape (one media row → n frame rows) every video
+    pipeline needs.
+
+    STUB decode (no ffmpeg): a "frame" is the fixed-size byte slice at
+    the frame's offset, standing in for a real frame grab at an evenly
+    spaced timestamp; offsets are computed exactly as a real sampler
+    would place seek points.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame": [], "offset_bytes": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                size = len(content)
+                chunk = max(1, size // max(1, n_frames))
+                for i in range(n_frames):
+                    off = min(i * chunk, max(0, size - 1))
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(bytes(content[off : off + chunk]))
+                    out["offset_bytes"].append(off)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(process, schema=FRAME_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as media content so the
     multimodal path has real data to chew on in this environment."""
