@@ -76,6 +76,21 @@ def register_views(spark: SparkSession, sf_dir: str, names: Sequence[str] | None
         df.createOrReplaceTempView(name)
 
 
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Schema-first JSON-lines scan — like CSV, JSON text gets no
+    predicate pushdown, so declare the schema (no sampling pass) and
+    project immediately."""
+    df = spark.read.schema(schema).json(path)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
 def read_jdbc_query(spark: SparkSession, url: str, query: str, properties: dict[str, str] | None = None) -> DataFrame:
     """JDBC scan with full query pushdown (S7, ``main.py:252-271``).
 

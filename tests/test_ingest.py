@@ -82,3 +82,17 @@ def test_fetch_distributed_over_executors(spark, tmp_path):
     # second pass: idempotent skip on every executor
     res2 = {r["name"]: r for r in fetch_distributed(spark, urls, dest).collect()}
     assert not any(r["fetched"] for r in res2.values())
+
+
+def test_json_roundtrip_schema_first(spark, tmp_path, sf_smoke):
+    """parquet → JSON-lines → schema-first read_json round-trips
+    values and types (no inference pass)."""
+    from fsc_etl_spark import schemas
+    from fsc_etl_spark.sources.readers import read_json, read_parquet_table
+
+    src = read_parquet_table(spark, sf_smoke, "nation")
+    path = str(tmp_path / "nation_json")
+    src.write.json(path)
+    back = read_json(spark, path, schemas.NATION)
+    assert back.schema == schemas.NATION
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))

@@ -94,3 +94,22 @@ def test_topk_uses_takeordered(spark, sf_smoke):
     top-k + merge), not a global sort."""
     plan = plan_of(spark, sf_smoke, "global_topk_orders")
     assert "TakeOrderedAndProject" in plan
+    assert "TakeOrderedAndProject" in plan_of(spark, sf_smoke, "q3_shipping_priority")
+
+
+def test_q6_all_predicates_pushed(spark, sf_smoke):
+    """Q6 is the pushdown showcase: every range predicate reaches the
+    parquet scan and the read schema is 4 columns."""
+    plan = plan_of(spark, sf_smoke, "q6_revenue_forecast")
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in pushed, f"missing pushed filter {frag}"
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for col in ("l_orderkey", "l_returnflag", "l_tax"):
+        assert col not in read
