@@ -221,3 +221,35 @@ pairs AS (
 )
 SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.3
 """
+
+# Composed curation pipeline: quality gate + language agreement +
+# exact-dedup survivorship, reusing the fragments above verbatim.
+TRAINING_ORACLES["corpus_curation"] = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter({_TOKS}, x -> x IN ({_in_list(LANG_STOPWORDS["en"])}))) AS BIGINT) AS n_stop,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+{_VOTES},
+         md5(lower(trim(text))) AS fp
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, fp,
+         ROUND(
+           (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.5 ELSE 0.0 END)
+           + (CASE WHEN n_punct / GREATEST(n_chars, 1) <= 0.1 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN n_stop / GREATEST(n_tokens, 1) > 0 THEN 0.25 ELSE 0.0 END), 2) AS quality,
+         {_LANG_CASE} AS lang_pred
+  FROM s
+),
+gated AS (
+  SELECT * FROM scored WHERE quality >= 0.75 AND lang_pred = lang
+),
+keep AS (
+  SELECT fp, MIN(doc_id) AS doc_id FROM gated GROUP BY fp
+)
+SELECT g.doc_id, g.lang, g.quality, g.fp
+FROM gated g JOIN keep k ON g.fp = k.fp AND g.doc_id = k.doc_id
+"""

@@ -148,6 +148,29 @@ def embed_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_bucketed_topk(emb, queries, k=5, hyperplanes=LSH_HYPERPLANES)
 
 
+def corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end curation pipeline — the composed shape every
+    training-data run needs: quality gate → declared-vs-predicted
+    language agreement → exact dedup survivorship (keep lowest id per
+    canonical fingerprint). One scan, one shuffle (the dedup groupBy);
+    the filters run before the shuffle so only survivors move.
+    """
+    docs = t(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        quality_score(F.col("text")).alias("quality"),
+        lang_id(F.col("text")).alias("lang_pred"),
+        fingerprint_md5(F.col("text")).alias("fp"),
+    )
+    gated = scored.filter((F.col("quality") >= 0.75) & (F.col("lang_pred") == F.col("lang")))
+    keep = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        gated.join(keep, ["fp", "doc_id"], "left_semi")
+        .select("doc_id", "lang", "quality", "fp")
+    )
+
+
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-column decode plumbing through mapInPandas (Arrow
     batches); features dropped here so the oracle can mirror the
@@ -173,4 +196,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_lsh_topk": embed_lsh_topk,
     "embed_ivf_topk": embed_ivf_topk,
     "multimodal_features": multimodal_features,
+    "corpus_curation": corpus_curation,
 }
