@@ -15,8 +15,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from fsc_etl_spark.plans import analytics, analytics_ext, streaming_queries, training_data
+from fsc_etl_spark.plans import (
+    analytics,
+    analytics_ext,
+    analytics_more,
+    streaming_queries,
+    training_data,
+)
 from fsc_etl_spark.plans.analytics_ext import EXT_ORACLES
+from fsc_etl_spark.plans.analytics_more import MORE_ORACLES
 from fsc_etl_spark.plans.oracles import ORACLES
 from fsc_etl_spark.plans.oracles_training import TRAINING_ORACLES
 from fsc_etl_spark.plans.streaming_queries import STREAMING_ORACLES
@@ -32,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(analytics.QUERIES)
     out.update(analytics_ext.QUERIES)
+    out.update(analytics_more.QUERIES)
     out.update(training_data.QUERIES)
     out.update(streaming_queries.QUERIES)
     return out
@@ -40,4 +48,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each queries() entry (keys without an
     oracle get the driver's weaker rows-only check)."""
-    return {**ORACLES, **EXT_ORACLES, **TRAINING_ORACLES, **STREAMING_ORACLES}
+    return {**ORACLES, **EXT_ORACLES, **MORE_ORACLES, **TRAINING_ORACLES, **STREAMING_ORACLES}

@@ -1,0 +1,443 @@
+"""Analytic breadth beyond plans/analytics{,_ext}: subquery shapes
+(EXISTS, IN, scalar, correlated), conditional aggregation, join+agg+
+top-k, lag/ntile windows, sorted array aggregation, exact percentiles,
+and string/date scalar-function coverage.
+
+The reference has none of these (SURVEY.md §2.12 gap list) — they are
+the general-analytics surface a user of a Spark-native engine expects.
+Same determinism rules as plans/analytics.py: exact-decimal
+accumulation wherever doubles are summed (so Spark's partial-agg order
+cannot drift from DuckDB's sequential order), explicit aliases shared
+with the oracle, and total orderings before any LIMIT.
+
+Scale notes (100 TB posture):
+- every aggregate is expressed groupBy-first so map-side partial
+  aggregation shrinks the shuffle before it happens;
+- q10 aggregates lineitem⋈orders down to one row per custkey BEFORE
+  touching the customer dimension — the wide rows join after the
+  reduction, not before;
+- the EXISTS / IN shapes compile to left-semi hash joins (no row
+  explosion, no distinct needed);
+- ntile's global window is single-partition by construction — the
+  docstring points at the approx-quantile alternative for real scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fsc_etl_spark.sources.readers import read_parquet_table as t
+
+
+def _dec(col: str, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+def _disc_price() -> F.Column:
+    """extendedprice * (1 - discount) with exact decimal accumulation
+    (the plans/analytics.py q1 convention)."""
+    return (
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("decimal(18,4)")
+
+
+def q4_priority_exists(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts for a quarter, restricted
+    to orders where EXISTS a returned lineitem. The EXISTS compiles to
+    a left-semi join — probe side never duplicates, so no DISTINCT is
+    needed regardless of how many lineitems match."""
+    orders = t(spark, sf, "orders")
+    returned = (
+        t(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-10-01").cast("timestamp"))
+        )
+        .join(returned, orders["o_orderkey"] == returned["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns.
+
+    Aggregation happens BEFORE the dimension joins: lineitem⋈orders is
+    reduced to one (custkey, revenue) row per customer, then the small
+    nation dim and the customer attributes attach to the already-tiny
+    aggregate. At 100 TB this is the difference between shuffling the
+    fact table wide (with c_name strings) and shuffling 8-byte keys.
+    (revenue DESC, c_custkey) is a total order, so LIMIT 20 is
+    deterministic."""
+    li = t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+    cust = t(spark, sf, "customer")
+    nation = t(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        rev.join(cust, rev["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q12_priority_by_status(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode → linestatus): conditional aggregation
+    — one pass over the join computes both the high- and low-priority
+    counts via SUM(CASE WHEN ...), instead of two filtered scans."""
+    orders = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — a conditional numerator
+    over an unconditional denominator, both exact-decimal sums, single
+    output row. The part dimension broadcasts; at scale this is a
+    map-side join plus one partial-aggregated scalar."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    part = t(spark, sf, "part").select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    promo = F.when(F.col("p_type").like("PROMO%"), _disc_price()).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return joined.agg(
+        F.round(
+            F.lit(100.0) * F.sum(promo).cast("double") / F.sum(_disc_price()).cast("double"),
+            6,
+        ).alias("promo_pct"),
+        F.sum(_disc_price()).cast("double").alias("total_revenue"),
+    )
+
+
+def correlated_above_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated-subquery shape: orders whose price exceeds 1.5× their
+    customer's average. Spark-first: the correlated aggregate is a
+    window over the correlation key — one shuffle on o_custkey, no
+    self-join. The average is (exact decimal sum → double) / count so
+    both engines compare against bit-identical thresholds."""
+    w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(_dec("o_totalprice")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        t(spark, sf, "orders")
+        .withColumn("cust_avg", cust_avg)
+        .filter(F.col("o_totalprice") > F.lit(1.5) * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
+def scalar_subquery_bigspenders(spark: SparkSession, sf: str) -> DataFrame:
+    """IN-subquery + scalar-subquery shape (TPC-H Q18 flavor): orders
+    of customers whose lifetime spend exceeds 1.5× the average
+    customer spend. The scalar (global avg) is a 1-row broadcast cross
+    join; the IN is a left-semi join on the qualifying custkeys."""
+    orders = t(spark, sf, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("spend")
+    )
+    avg_spend = spend.agg(
+        (F.sum(F.col("spend").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_spend"
+        )
+    )
+    big = (
+        spend.crossJoin(F.broadcast(avg_spend))
+        .filter(F.col("spend") > F.lit(1.5) * F.col("avg_spend"))
+        .select("o_custkey")
+    )
+    return (
+        orders.join(big, "o_custkey", "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def window_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """LAG window: day-over-day change in each user's event count.
+    (user_id, day) is unique after the rollup, so the lag frame is a
+    total order and the delta is deterministic."""
+    daily = (
+        t(spark, sf, "events")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    return daily.select(
+        "user_id",
+        "day",
+        "n",
+        (F.col("n") - F.lag("n").over(w)).alias("delta"),
+    )
+
+
+def ntile_customer_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """NTILE(10) deciles over account balance with a unique tie-break
+    (c_acctbal, c_custkey) so bucket assignment is stable.
+
+    Scale note: a global ntile is a single-partition sort. At real
+    scale compute decile BOUNDARIES with approx_percentile (one
+    aggregate, no global sort) and bucket by range instead; this exact
+    form is for dimension-sized inputs."""
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        t(spark, sf, "customer")
+        .withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
+
+
+def array_agg_cust_years(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted array aggregation: the distinct order-years per customer
+    as an ascending array — collect_set stays a hash set on the
+    executors; sort_array makes the result deterministic."""
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_set(F.year("o_orderdate"))).alias("years"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def string_funcs_breadth(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar string-function coverage (upper/lower/substr/lpad/
+    regexp_replace/length/concat_ws) — all JVM codegen, no UDFs."""
+    return t(spark, sf, "part").select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.lower("p_brand").alias("low_brand"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+def date_funcs_breadth(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar date-function coverage: extract fields, truncate, month
+    boundaries, day arithmetic. Spark's dayofweek is 1=Sunday; the
+    oracle compensates DuckDB's 0=Sunday convention."""
+    return t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.dayofweek("o_orderdate").alias("dow_sun1"),
+        F.quarter("o_orderdate").alias("q"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_98"
+        ),
+    )
+
+
+def median_price_by_status(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact median + 90th percentile (percentile_cont interpolation)
+    per order status. Rounded to 4 decimals so the interpolation
+    arithmetic cannot drift between engines at the last ulp."""
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.median("o_totalprice"), 4).alias("med_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q4_priority_exists": q4_priority_exists,
+    "q10_returned_items": q10_returned_items,
+    "q12_priority_by_status": q12_priority_by_status,
+    "q14_promo_revenue": q14_promo_revenue,
+    "correlated_above_avg": correlated_above_avg,
+    "scalar_subquery_bigspenders": scalar_subquery_bigspenders,
+    "window_lag_delta": window_lag_delta,
+    "ntile_customer_deciles": ntile_customer_deciles,
+    "array_agg_cust_years": array_agg_cust_years,
+    "string_funcs_breadth": string_funcs_breadth,
+    "date_funcs_breadth": date_funcs_breadth,
+    "median_price_by_status": median_price_by_status,
+}
+
+
+_DISC_PRICE_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
+)
+
+MORE_ORACLES: dict[str, str] = {}
+
+MORE_ORACLES["q4_priority_exists"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+MORE_ORACLES["q10_returned_items"] = f"""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, n_name, c_acctbal, revenue
+FROM rev
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+MORE_ORACLES["q12_priority_by_status"] = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+"""
+
+MORE_ORACLES["q14_promo_revenue"] = f"""
+SELECT
+  ROUND(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_DISC_PRICE_SQL}
+                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+              / CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE), 6) AS promo_pct,
+  CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+"""
+
+MORE_ORACLES["correlated_above_avg"] = """
+WITH avgs AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS cust_avg
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_orderkey, o.o_custkey, o_totalprice, cust_avg
+FROM orders o JOIN avgs USING (o_custkey)
+WHERE o_totalprice > 1.5 * cust_avg
+"""
+
+MORE_ORACLES["scalar_subquery_bigspenders"] = """
+WITH spend AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (
+  SELECT o_custkey FROM spend
+  WHERE spend > 1.5 * (SELECT CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                       FROM spend)
+)
+"""
+
+MORE_ORACLES["window_lag_delta"] = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, day, n,
+       n - LAG(n) OVER (PARTITION BY user_id ORDER BY day) AS delta
+FROM daily
+"""
+
+MORE_ORACLES["ntile_customer_deciles"] = """
+WITH tiled AS (
+  SELECT c_acctbal,
+         NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+  FROM customer
+)
+SELECT decile, COUNT(*) AS n, MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+FROM tiled GROUP BY decile
+"""
+
+MORE_ORACLES["array_agg_cust_years"] = """
+SELECT o_custkey,
+       (SELECT list(y ORDER BY y)
+        FROM (SELECT DISTINCT EXTRACT(year FROM o2.o_orderdate) AS y
+              FROM orders o2 WHERE o2.o_custkey = o.o_custkey)) AS years,
+       COUNT(*) AS n_orders
+FROM orders o
+GROUP BY o_custkey
+"""
+
+MORE_ORACLES["string_funcs_breadth"] = """
+SELECT p_partkey,
+       UPPER(p_name) AS up_name,
+       LOWER(p_brand) AS low_brand,
+       SUBSTR(p_type, 1, 5) AS type5,
+       LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+       REGEXP_REPLACE(p_name, ' ', '_', 'g') AS name_snake,
+       LENGTH(p_name) AS name_len,
+       CONCAT_WS(':', p_brand, p_type) AS brand_type
+FROM part
+"""
+
+MORE_ORACLES["date_funcs_breadth"] = """
+SELECT o_orderkey,
+       EXTRACT(year FROM o_orderdate) AS y,
+       EXTRACT(month FROM o_orderdate) AS m,
+       EXTRACT(day FROM o_orderdate) AS d,
+       DAYOFWEEK(o_orderdate) + 1 AS dow_sun1,
+       EXTRACT(quarter FROM o_orderdate) AS q,
+       CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+       LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+       DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98
+FROM orders
+"""
+
+MORE_ORACLES["median_price_by_status"] = """
+SELECT o_orderstatus,
+       ROUND(MEDIAN(o_totalprice), 4) AS med_price,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4) AS p90_price,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+"""
