@@ -283,6 +283,44 @@ def median_price_by_status(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def sliding_window_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding time windows (2h width, 1h slide) — each event lands in
+    two overlapping buckets. F.window generates both assignments in one
+    projection (an Expand, no self-union), then one shuffle aggregates;
+    value sums use exact-decimal accumulation for oracle parity."""
+    ev = t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def multi_distinct_by_flag(spark: SparkSession, sf: str) -> DataFrame:
+    """Several COUNT(DISTINCT) over different columns in one grouped
+    aggregate — Spark compiles this to a single Expand + two-stage
+    aggregation (one shuffle per distinct set, partials map-side), not
+    N scans."""
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q4_priority_exists": q4_priority_exists,
     "q10_returned_items": q10_returned_items,
@@ -296,6 +334,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_funcs_breadth": string_funcs_breadth,
     "date_funcs_breadth": date_funcs_breadth,
     "median_price_by_status": median_price_by_status,
+    "sliding_window_rollup": sliding_window_rollup,
+    "multi_distinct_by_flag": multi_distinct_by_flag,
 }
 
 
@@ -431,6 +471,30 @@ SELECT o_orderkey,
        LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
        DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98
 FROM orders
+"""
+
+MORE_ORACLES["sliding_window_rollup"] = """
+WITH assigned AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type, value
+  FROM events
+  UNION ALL
+  SELECT CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP), event_type, value
+  FROM events
+)
+SELECT window_start, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM assigned
+GROUP BY 1, 2
+"""
+
+MORE_ORACLES["multi_distinct_by_flag"] = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
 """
 
 MORE_ORACLES["median_price_by_status"] = """
