@@ -27,6 +27,13 @@ SKIP = {name for name in entrymod.queries() if name.startswith("streaming_")}
 BATCH_QUERIES = sorted(set(entrymod.queries()) - SKIP)
 
 
+def n_scans(plan: str) -> int:
+    """Number of scan NODES — the formatted explain mentions each node
+    twice (tree line + detail header), so count detail headers only."""
+    import re
+    return len(re.findall(r"\(\d+\) Scan parquet", plan))
+
+
 def plan_of(spark, sf_dir: str, name: str) -> str:
     df = entrymod.queries()[name](spark, sf_dir)
     buf = io.StringIO()
@@ -113,3 +120,49 @@ def test_q6_all_predicates_pushed(spark, sf_smoke):
     read = next(l for l in plan.splitlines() if "ReadSchema" in l)
     for col in ("l_orderkey", "l_returnflag", "l_tax"):
         assert col not in read
+
+
+def test_exists_compiles_to_semi_join(spark, sf_smoke):
+    """The EXISTS subquery shape (Q4) must be a left-semi join — the
+    probe side never duplicates, so no DISTINCT node appears."""
+    plan = plan_of(spark, sf_smoke, "q4_priority_exists")
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q10_aggregates_before_dimension_join(spark, sf_smoke):
+    """Q10: revenue reduces to one row per custkey before customer
+    attributes attach (broadcast at this SF), and the global top-20 is
+    TakeOrderedAndProject, never a full sort."""
+    plan = plan_of(spark, sf_smoke, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Sort " not in plan  # no global sort node
+
+
+def test_multi_distinct_single_scan(spark, sf_smoke):
+    """Multiple COUNT(DISTINCT) compile to one Expand over ONE lineitem
+    scan — not one scan per distinct column."""
+    plan = plan_of(spark, sf_smoke, "multi_distinct_by_flag")
+    assert "Expand" in plan
+    assert n_scans(plan) == 1, n_scans(plan)
+
+
+def test_sliding_window_is_expand_not_union(spark, sf_smoke):
+    """Sliding windows assign each row to both buckets via Expand in a
+    single pass — the oracle's UNION ALL of two scans is the shape we
+    must NOT produce."""
+    plan = plan_of(spark, sf_smoke, "sliding_window_rollup")
+    assert "Expand" in plan
+    assert n_scans(plan) == 1
+    assert "Union" not in plan
+
+
+def test_correlated_avg_is_window_not_self_join(spark, sf_smoke):
+    """The correlated-subquery shape decorrelates to a window over the
+    correlation key: one shuffle, no self-join of orders."""
+    plan = plan_of(spark, sf_smoke, "correlated_above_avg")
+    assert "Window" in plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join not in plan, f"unexpected {join}"
+    assert n_scans(plan) == 1
