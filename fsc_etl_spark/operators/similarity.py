@@ -77,6 +77,64 @@ def cosine_topk(
     )
 
 
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors via a VECTORIZED pandas kernel — the
+    Arrow/numpy scale path of :func:`cosine_topk` with identical
+    results.
+
+    Per Arrow batch, one float64 matrix-matrix product scores every
+    (corpus row × query) pair at BLAS speed instead of one
+    ``F.aggregate`` fold per pair — at wide dims and many queries this
+    is the faster physical strategy, which is exactly when you'd pick
+    it. The query matrix rides into the workers as a closure (it is
+    small by contract); rounding happens Spark-side with ``F.round``
+    so HALF_UP semantics stay identical to the built-in path and the
+    shared oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = [int(r[0]) for r in qrows]
+    qm = np.array([list(r[1]) for r in qrows], dtype="float64")
+    q_norm = np.sqrt((qm * qm).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.array(pdf[vec_col].tolist(), dtype="float64")
+            c_norm = np.sqrt((cm * cm).sum(axis=1))
+            cos = (cm @ qm.T) / np.outer(c_norm, q_norm)
+            n, nq = cos.shape
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.tile(q_ids, n),
+                    id_col: np.repeat(pdf[id_col].to_numpy(), nq),
+                    "raw_cos": cos.ravel(),
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{query_id_col} long, {id_col} long, raw_cos double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cos", F.round(F.col("raw_cos"), ROUND_DIGITS))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+    )
+
+
 def hyperplane_signature(vec: Column, hyperplanes: list[list[float]]) -> Column:
     """b-bit sign signature: bit i set where dot(vec, H_i) >= 0."""
     sig = F.lit(0).cast("bigint")

@@ -253,3 +253,21 @@ keep AS (
 SELECT g.doc_id, g.lang, g.quality, g.fp
 FROM gated g JOIN keep k ON g.fp = k.fp AND g.doc_id = k.doc_id
 """
+
+# The pandas/numpy scale path must produce the SAME answer as the
+# built-in cosine path — it shares that oracle verbatim.
+TRAINING_ORACLES["embed_cosine_topk_pandas"] = TRAINING_ORACLES["embed_cosine_topk"]
+
+TRAINING_ORACLES["user_trend_slope"] = """
+WITH daily AS (
+  SELECT user_id,
+         DATEDIFF('day', DATE '2000-01-01', CAST(ts AS DATE)) AS day_idx,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       ROUND(REGR_SLOPE(n, day_idx), 6) AS slope,
+       COUNT(*) AS n_points
+FROM daily
+GROUP BY user_id
+"""

@@ -34,9 +34,11 @@ from fsc_etl_spark.operators.dedup import (
     simhash32,
 )
 from fsc_etl_spark.operators.multimodal import documents_as_media, extract_features
+from fsc_etl_spark.operators.trend import group_trend_slope
 from fsc_etl_spark.operators.similarity import (
     cosine_near_dup_pairs,
     cosine_topk,
+    cosine_topk_pandas,
     ivf_topk,
     lsh_bucketed_topk,
     nearest_neighbor_within_group,
@@ -134,6 +136,31 @@ def embed_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5)
 
 
+def embed_cosine_topk_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow/numpy twin of embed_cosine_topk (same oracle): per-batch
+    BLAS matrix product instead of per-pair F.aggregate folds."""
+    emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_pandas(emb, queries, k=5)
+
+
+def user_trend_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user activity trend: OLS slope of daily event count over
+    day index via batch applyInPandas (operators/trend.py) — the
+    model-per-group surface, reduced to one row per (user, day) before
+    crossing to Python. Oracle: SQL REGR_SLOPE."""
+    daily = (
+        t(spark, sf, "events")
+        .groupBy(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("2000-01-01").cast("date")).alias("day_idx"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = group_trend_slope(daily, key_col="user_id", x_col="day_idx", y_col="n")
+    return out.select("user_id", F.round("slope", 6).alias("slope"), "n_points")
+
+
 def embed_nn_within_label(spark: SparkSession, sf: str) -> DataFrame:
     return nearest_neighbor_within_group(t(spark, sf, "embeddings"))
 
@@ -192,6 +219,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_tokens": text_bpe_tokens,
     "dedup_embed_neardup": dedup_embed_neardup,
     "embed_cosine_topk": embed_cosine_topk,
+    "embed_cosine_topk_pandas": embed_cosine_topk_pandas,
+    "user_trend_slope": user_trend_slope,
     "embed_nn_within_label": embed_nn_within_label,
     "embed_lsh_topk": embed_lsh_topk,
     "embed_ivf_topk": embed_ivf_topk,

@@ -18,8 +18,9 @@ import pytest
 import __spark_entry__ as entrymod
 
 # Queries that legitimately cross into Arrow/pandas execution
-# (multimodal decode is a pandas UDF surface by design).
-PANDAS_OK = {"multimodal_features"}
+# (multimodal decode, the vectorized-numpy ANN path, and per-group
+# model fitting are pandas surfaces by design).
+PANDAS_OK = {"multimodal_features", "embed_cosine_topk_pandas", "user_trend_slope"}
 # Streaming queries execute eagerly inside the callable (AvailableNow
 # runs) and return a materialized result — no lazy plan to inspect.
 SKIP = {name for name in entrymod.queries() if name.startswith("streaming_")}
