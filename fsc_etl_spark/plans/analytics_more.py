@@ -283,6 +283,26 @@ def median_price_by_status(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue — an aggregate feeding a scalar MAX that filters the same
+    aggregate. The 1-row max broadcasts into an equality join (exact
+    doubles from decimal accumulation, so `=` is safe on both
+    engines); supplier attributes attach after the reduction."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_disc_price()).cast("double").alias("total_revenue"))
+    maxr = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(maxr), rev["total_revenue"] == maxr["max_revenue"])
+        .join(supp, rev["l_suppkey"] == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
 def sliding_window_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Sliding time windows (2h width, 1h slide) — each event lands in
     two overlapping buckets. F.window generates both assignments in one
@@ -334,6 +354,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_funcs_breadth": string_funcs_breadth,
     "date_funcs_breadth": date_funcs_breadth,
     "median_price_by_status": median_price_by_status,
+    "q15_top_supplier": q15_top_supplier,
     "sliding_window_rollup": sliding_window_rollup,
     "multi_distinct_by_flag": multi_distinct_by_flag,
 }
@@ -471,6 +492,19 @@ SELECT o_orderkey,
        LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
        DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98
 FROM orders
+"""
+
+MORE_ORACLES["q15_top_supplier"] = f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
 """
 
 MORE_ORACLES["sliding_window_rollup"] = """

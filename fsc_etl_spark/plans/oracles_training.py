@@ -271,3 +271,6 @@ SELECT user_id,
 FROM daily
 GROUP BY user_id
 """
+
+# Same contract, pandas physical strategy — shares the oracle.
+TRAINING_ORACLES["user_trend_slope_pandas"] = TRAINING_ORACLES["user_trend_slope"]

@@ -89,8 +89,51 @@ def streaming_upsert_latest(spark: SparkSession, sf: str) -> DataFrame:
     return final.select("user_id", "event_id", "ts", "value")
 
 
+def streaming_click_purchase_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join: each click joins the same
+    user's purchases within the next 30 minutes. Both sides carry
+    watermarks plus the event-time range condition, so the state store
+    can evict rows once the other side's watermark passes — the
+    bounded-state form of stream-stream joins. Append mode (inner join
+    emits exactly once per match)."""
+    ev = stream_events(spark, sf)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    out = run_to_memory(joined, output_mode="append")
+    return out.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("delay_us"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_hourly_rollup": streaming_hourly_rollup,
+    "streaming_click_purchase_join": streaming_click_purchase_join,
     "streaming_sessionize": streaming_sessionize,
     "streaming_user_state": streaming_user_state,
     "streaming_upsert_latest": streaming_upsert_latest,
@@ -127,6 +170,19 @@ SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start,
        CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
        user_id, COUNT(*) AS n
 FROM s GROUP BY user_id, sid
+"""
+
+STREAMING_ORACLES["streaming_click_purchase_join"] = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 STREAMING_ORACLES["streaming_user_state"] = """

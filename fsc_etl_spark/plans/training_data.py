@@ -144,12 +144,8 @@ def embed_cosine_topk_pandas(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_topk_pandas(emb, queries, k=5)
 
 
-def user_trend_slope(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-user activity trend: OLS slope of daily event count over
-    day index via batch applyInPandas (operators/trend.py) — the
-    model-per-group surface, reduced to one row per (user, day) before
-    crossing to Python. Oracle: SQL REGR_SLOPE."""
-    daily = (
+def _daily_user_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return (
         t(spark, sf, "events")
         .groupBy(
             "user_id",
@@ -157,6 +153,39 @@ def user_trend_slope(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def user_trend_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user activity trend: OLS slope of daily event count over day
+    index, closed form ``(nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`` over plain
+    integer sums. Both x and y are small ints, so every sum is EXACT in
+    64-bit — no accumulation-order drift, any partial-agg schedule
+    gives bit-identical slopes. Pure codegen; the pandas twin
+    (user_trend_slope_pandas) is the model-per-group escape hatch."""
+    daily = _daily_user_counts(spark, sf)
+    x = F.col("day_idx").cast("long")
+    y = F.col("n")
+    agg = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    den = (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    num = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return agg.select(
+        "user_id",
+        F.round(F.when(den > 0, num / den), 6).alias("slope"),
+        F.col("k").alias("n_points"),
+    )
+
+
+def user_trend_slope_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    """applyInPandas twin of user_trend_slope (operators/trend.py):
+    the template for per-group models with no SQL closed form. Same
+    REGR_SLOPE-style contract, checked against the same oracle."""
+    daily = _daily_user_counts(spark, sf)
     out = group_trend_slope(daily, key_col="user_id", x_col="day_idx", y_col="n")
     return out.select("user_id", F.round("slope", 6).alias("slope"), "n_points")
 
@@ -221,6 +250,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_cosine_topk": embed_cosine_topk,
     "embed_cosine_topk_pandas": embed_cosine_topk_pandas,
     "user_trend_slope": user_trend_slope,
+    "user_trend_slope_pandas": user_trend_slope_pandas,
     "embed_nn_within_label": embed_nn_within_label,
     "embed_lsh_topk": embed_lsh_topk,
     "embed_ivf_topk": embed_ivf_topk,
