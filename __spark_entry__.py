@@ -20,6 +20,7 @@ from fsc_etl_spark.plans import (
     analytics_ext,
     analytics_more,
     streaming_queries,
+    tpch_more,
     training_data,
 )
 from fsc_etl_spark.plans.analytics_ext import EXT_ORACLES
@@ -27,6 +28,7 @@ from fsc_etl_spark.plans.analytics_more import MORE_ORACLES
 from fsc_etl_spark.plans.oracles import ORACLES
 from fsc_etl_spark.plans.oracles_training import TRAINING_ORACLES
 from fsc_etl_spark.plans.streaming_queries import STREAMING_ORACLES
+from fsc_etl_spark.plans.tpch_more import TPCH_ORACLES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -40,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(analytics.QUERIES)
     out.update(analytics_ext.QUERIES)
     out.update(analytics_more.QUERIES)
+    out.update(tpch_more.QUERIES)
     out.update(training_data.QUERIES)
     out.update(streaming_queries.QUERIES)
     return out
@@ -48,4 +51,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each queries() entry (keys without an
     oracle get the driver's weaker rows-only check)."""
-    return {**ORACLES, **EXT_ORACLES, **MORE_ORACLES, **TRAINING_ORACLES, **STREAMING_ORACLES}
+    return {
+        **ORACLES,
+        **EXT_ORACLES,
+        **MORE_ORACLES,
+        **TPCH_ORACLES,
+        **TRAINING_ORACLES,
+        **STREAMING_ORACLES,
+    }

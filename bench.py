@@ -50,6 +50,26 @@ BENCH_QUERIES = [
     "embed_cosine_topk",
     "embed_lsh_topk",
     "multimodal_features",
+    # round-1 additions (appended — earlier names/order unchanged)
+    "q4_priority_exists",
+    "q10_returned_items",
+    "q12_priority_by_status",
+    "q14_promo_revenue",
+    "scalar_subquery_bigspenders",
+    "sliding_window_rollup",
+    "multi_distinct_by_flag",
+    "median_price_by_status",
+    "embed_cosine_topk_pandas",
+    "user_trend_slope",  # built-in exact-sum path; *_pandas twin off-bench
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_predicates",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
 ]
 
 ALL_QUERIES = entrymod.queries()
