@@ -70,6 +70,10 @@ BENCH_QUERIES = [
     "q19_disjunctive_predicates",
     "q21_waiting_supplier",
     "q22_idle_customers",
+    "window_frames_breadth",
+    "scd2_user_value_history",
+    "hash_stratified_sample",
+    "token_vocab_topk",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -341,6 +341,59 @@ def multi_distinct_by_flag(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def window_frames_breadth(spark: SparkSession, sf: str) -> DataFrame:
+    """Window-frame breadth: dense_rank / percent_rank / cume_dist on a
+    unique (o_orderdate, o_orderkey) ordering (no peer ambiguity),
+    first/last value over explicit ROWS frames, and a RANGE frame over
+    the numeric orderkey. All single-shuffle on o_custkey — every
+    window shares the partition key, so Catalyst reuses one sort."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_past = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_future = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    w_range = (
+        Window.partitionBy("o_custkey").orderBy("o_orderkey").rangeBetween(-100000, 0)
+    )
+    return t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w).alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("o_orderkey").over(w_past).alias("first_key"),
+        F.last("o_orderkey").over(w_future).alias("last_key"),
+        F.sum(_dec("o_totalprice")).over(w_range).cast("double").alias("range_sum"),
+    )
+
+
+def scd2_user_value_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 dimension build (the warehouse-load shape the reference's
+    J5/J6 upserts feed, re-expressed declaratively): each user's last
+    event value per day becomes a validity interval
+    [valid_from, valid_to) with an open-ended current row. Day-level
+    winner is row_number over the unique (ts, event_id) tie-break;
+    intervals come from LEAD — two window passes over one shuffle on
+    user_id (day winner partitions by (user_id, day), a strict
+    refinement, so AQE coalesces without a second exchange)."""
+    ev = t(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    w_day = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        ev.withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    lead_day = F.lead("day").over(w)
+    return daily.select(
+        "user_id",
+        F.col("day").alias("valid_from"),
+        lead_day.alias("valid_to"),
+        "value",
+        lead_day.isNull().alias("is_current"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q4_priority_exists": q4_priority_exists,
     "q10_returned_items": q10_returned_items,
@@ -357,6 +410,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15_top_supplier": q15_top_supplier,
     "sliding_window_rollup": sliding_window_rollup,
     "multi_distinct_by_flag": multi_distinct_by_flag,
+    "window_frames_breadth": window_frames_breadth,
+    "scd2_user_value_history": scd2_user_value_history,
 }
 
 
@@ -529,6 +584,41 @@ SELECT l_returnflag,
        COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY l_returnflag
+"""
+
+MORE_ORACLES["window_frames_breadth"] = """
+SELECT o_orderkey, o_custkey,
+       DENSE_RANK() OVER w AS drank,
+       ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+       ROUND(CUME_DIST() OVER w, 6) AS cdist,
+       FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key,
+       LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_key,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderkey
+           RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+MORE_ORACLES["scd2_user_value_history"] = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       day AS valid_from,
+       LEAD(day) OVER w AS valid_to,
+       value,
+       LEAD(day) OVER w IS NULL AS is_current
+FROM daily
+WHERE rn = 1
+WINDOW w AS (PARTITION BY user_id ORDER BY day)
 """
 
 MORE_ORACLES["median_price_by_status"] = """

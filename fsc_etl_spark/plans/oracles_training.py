@@ -274,3 +274,24 @@ GROUP BY user_id
 
 # Same contract, pandas physical strategy — shares the oracle.
 TRAINING_ORACLES["user_trend_slope_pandas"] = TRAINING_ORACLES["user_trend_slope"]
+
+TRAINING_ORACLES["hash_stratified_sample"] = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE CASE WHEN lang = 'en'
+           THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+           ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80' END
+"""
+
+TRAINING_ORACLES["token_vocab_topk"] = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+)
+SELECT tok, COUNT(*) AS freq
+FROM toks
+GROUP BY tok
+ORDER BY freq DESC, tok
+LIMIT 100
+"""

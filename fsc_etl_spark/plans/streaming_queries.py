@@ -131,12 +131,31 @@ def streaming_click_purchase_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def streaming_dedup_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` on event_id. The input is
+    doubled first (explode over a 2-element array) so the operator
+    provably removes something; the watermark lets the state store
+    evict ids once event time passes, which is what makes streaming
+    dedup feasible forever — state is a sliding set, not an unbounded
+    one. Duplicate pairs are identical rows, so whichever copy wins,
+    the output is deterministic."""
+    ev = stream_events(spark, sf).select("event_id", "user_id", "ts", "value")
+    doubled = ev.withColumn("copy", F.explode(F.array(F.lit(0), F.lit(1)))).drop("copy")
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = run_to_memory(deduped, output_mode="append")
+    return out.select("event_id", "user_id", "value")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_hourly_rollup": streaming_hourly_rollup,
     "streaming_click_purchase_join": streaming_click_purchase_join,
     "streaming_sessionize": streaming_sessionize,
     "streaming_user_state": streaming_user_state,
     "streaming_upsert_latest": streaming_upsert_latest,
+    "streaming_dedup_events": streaming_dedup_events,
 }
 
 
@@ -197,4 +216,9 @@ SELECT user_id, event_id, ts, value FROM (
                             ORDER BY ts DESC, event_id DESC) AS rn
   FROM events
 ) WHERE rn = 1
+"""
+
+STREAMING_ORACLES["streaming_dedup_events"] = """
+SELECT event_id, user_id, value
+FROM events
 """

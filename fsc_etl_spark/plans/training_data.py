@@ -24,6 +24,7 @@ from fsc_etl_spark.functions.text import (
     quality_score,
     stopword_count,
     token_count,
+    tokens,
     LANG_STOPWORDS,
 )
 from fsc_etl_spark.operators.dedup import (
@@ -235,6 +236,38 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     return extract_features(media).select("media_id", "kind", "byte_len", "checksum")
 
 
+def hash_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified downsampling — the corpus-rebalancing
+    primitive (down-weight the over-represented language). md5 of the
+    doc key is the uniform variate: the first two hex chars give a
+    256-bucket split, so 'en' keeps 26/256 ≈ 10% and every other
+    language keeps 128/256 = 50%. Fully reproducible (no RNG state),
+    embarrassingly parallel (pure projection + filter, no shuffle),
+    and rerunnable on any partitioning of the input — the property a
+    100 TB sampling pass needs."""
+    docs = t(spark, sf, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    keep = F.when(F.col("lang") == "en", h2 < F.lit("1a")).otherwise(h2 < F.lit("80"))
+    return docs.filter(keep).select("doc_id", "lang", "source", "n_chars")
+
+
+def token_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary building: global top-100 whitespace tokens by
+    frequency. explode → groupBy is the canonical two-phase count
+    (map-side partial aggregation shrinks the token stream before the
+    shuffle); (freq DESC, tok) is a total order so the LIMIT is
+    deterministic. At 100 TB the same plan holds — the shuffle carries
+    one row per distinct token per task, not per occurrence."""
+    docs = t(spark, sf, "documents")
+    toks = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok"))
+        .limit(100)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -256,4 +289,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_ivf_topk": embed_ivf_topk,
     "multimodal_features": multimodal_features,
     "corpus_curation": corpus_curation,
+    "hash_stratified_sample": hash_stratified_sample,
+    "token_vocab_topk": token_vocab_topk,
 }
