@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "scd2_user_value_history",
     "hash_stratified_sample",
     "token_vocab_topk",
+    "array_funcs_breadth",
+    "sql_direct_q6",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -394,6 +394,68 @@ def scd2_user_value_history(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def array_funcs_breadth(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order array functions (transform / filter / aggregate /
+    zip_with) plus slice / contains / max over a synthesized integer
+    array (sequence keyed on o_orderkey — integer arrays keep the
+    lambda arithmetic exact on both engines, unlike float vectors).
+    All pure projections: no shuffle, whole-stage codegen end to end."""
+    arr = F.sequence(F.lit(1), (F.col("o_orderkey") % 7 + 1).cast("int"))
+    return t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.size(arr).alias("n"),
+        F.transform(arr, lambda x: x * x).alias("squares"),
+        F.filter(arr, lambda x: x % 2 == 0).alias("evens"),
+        F.aggregate(arr, F.lit(0), lambda acc, x: acc + x).alias("total"),
+        F.zip_with(arr, F.reverse(arr), lambda a, b: a + b).alias("sym_sum"),
+        F.slice(arr, 2, 3).alias("mid"),
+        F.array_contains(arr, 3).alias("has3"),
+        F.array_max(arr).alias("amax"),
+    )
+
+
+def regex_null_funcs_breadth(spark: SparkSession, sf: str) -> DataFrame:
+    """Regex + null-handling scalar breadth: regexp_extract, rlike,
+    translate, reverse, instr, nullif/coalesce, least/greatest — the
+    conditional-expression surface (SURVEY §2.8 gap). Pure codegen
+    projection over the part dim."""
+    p = t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.col("p_name").rlike("w.dget").alias("is_widget"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+        F.reverse("p_type").alias("type_rev"),
+        F.instr("p_name", " ").alias("space_at"),
+        F.coalesce(F.nullif("p_type", F.lit("ECONOMY")), F.lit("BUDGET")).alias(
+            "type_or_budget"
+        ),
+        F.least("p_size", F.lit(25)).alias("size_cap"),
+        F.greatest("p_size", F.lit(10)).alias("size_floor"),
+    )
+
+
+def sql_direct_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """The raw SQL entry surface: the engine's tables registered as
+    temp views and queried through spark.sql — proving the full
+    SQL-string API works against the same readers (Catalyst plans SQL
+    text and DataFrame calls identically, so this shares Q6's
+    pushdown-verified physical plan)."""
+    t(spark, sf, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem_v
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q4_priority_exists": q4_priority_exists,
     "q10_returned_items": q10_returned_items,
@@ -412,6 +474,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multi_distinct_by_flag": multi_distinct_by_flag,
     "window_frames_breadth": window_frames_breadth,
     "scd2_user_value_history": scd2_user_value_history,
+    "array_funcs_breadth": array_funcs_breadth,
+    "regex_null_funcs_breadth": regex_null_funcs_breadth,
+    "sql_direct_q6": sql_direct_q6,
 }
 
 
@@ -619,6 +684,50 @@ SELECT user_id,
 FROM daily
 WHERE rn = 1
 WINDOW w AS (PARTITION BY user_id ORDER BY day)
+"""
+
+MORE_ORACLES["array_funcs_breadth"] = """
+WITH base AS (
+  SELECT o_orderkey,
+         range(1, CAST(o_orderkey % 7 + 1 AS INTEGER) + 1) AS arr
+  FROM orders
+)
+SELECT o_orderkey,
+       len(arr) AS n,
+       list_transform(arr, x -> x * x) AS squares,
+       list_filter(arr, x -> x % 2 = 0) AS evens,
+       CAST(list_sum(arr) AS INTEGER) AS total,
+       list_transform(range(1, len(arr) + 1),
+                      i -> arr[CAST(i AS INTEGER)]
+                           + arr[CAST(len(arr) - i + 1 AS INTEGER)]) AS sym_sum,
+       arr[2:4] AS mid,
+       list_contains(arr, 3) AS has3,
+       list_max(arr) AS amax
+FROM base
+"""
+
+MORE_ORACLES["regex_null_funcs_breadth"] = r"""
+SELECT p_partkey,
+       regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+       regexp_matches(p_name, 'w.dget') AS is_widget,
+       replace(p_brand, '#', '-') AS brand_dash,
+       reverse(p_type) AS type_rev,
+       CAST(strpos(p_name, ' ') AS INTEGER) AS space_at,
+       COALESCE(NULLIF(p_type, 'ECONOMY'), 'BUDGET') AS type_or_budget,
+       LEAST(p_size, 25) AS size_cap,
+       GREATEST(p_size, 10) AS size_floor
+FROM part
+"""
+
+MORE_ORACLES["sql_direct_q6"] = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
 """
 
 MORE_ORACLES["median_price_by_status"] = """
