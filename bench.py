@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "token_vocab_topk",
     "array_funcs_breadth",
     "sql_direct_q6",
+    "map_funcs_breadth",
+    "stats_moments_breadth",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -456,6 +456,65 @@ def sql_direct_q6(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def map_funcs_breadth(spark: SparkSession, sf: str) -> DataFrame:
+    """Map-typed column functions: map_from_arrays construction,
+    element_at lookup (null on miss), map_keys/map_values, size.
+    Insertion order is preserved by both engines, so the key/value
+    array projections compare exactly. Pure codegen projection."""
+    ev = t(spark, sf, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("user")),
+        F.array(F.col("event_type"), F.col("user_id").cast("string")),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("m_type"),
+        F.element_at(m, "user").alias("m_user"),
+        F.element_at(m, "missing").alias("m_miss"),
+        F.map_keys(m).alias("m_keys"),
+        F.map_values(m).alias("m_vals"),
+        F.size(m).alias("m_size"),
+    )
+
+
+def stats_moments_breadth(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregates (variance / stddev / correlation) per
+    return flag, computed from EXACT decimal power sums then a fixed
+    double-arithmetic closed form — the only accumulation-order-proof
+    way to oracle-match moment statistics (built-in stddev/corr
+    accumulate doubles whose partial-merge order drifts; a test bounds
+    the built-ins against these exact values instead)."""
+    x = _dec("l_quantity")
+    y = _dec("l_extendedprice")
+    agg = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum((x * x).cast("decimal(28,4)")).cast("double").alias("sxx"),
+            F.sum((y * y).cast("decimal(28,4)")).cast("double").alias("syy"),
+            F.sum((x * y).cast("decimal(28,4)")).cast("double").alias("sxy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    var_q = (n * F.col("sxx") - F.col("sx") * F.col("sx")) / (n * (n - F.lit(1.0)))
+    var_p = (n * F.col("syy") - F.col("sy") * F.col("sy")) / (n * (n - F.lit(1.0)))
+    corr_num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    corr_den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(var_q, 6).alias("var_qty"),
+        F.round(F.sqrt(var_q), 6).alias("std_qty"),
+        F.round(F.sqrt(var_p), 6).alias("std_price"),
+        F.round(corr_num / corr_den, 6).alias("corr_qty_price"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q4_priority_exists": q4_priority_exists,
     "q10_returned_items": q10_returned_items,
@@ -477,6 +536,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "array_funcs_breadth": array_funcs_breadth,
     "regex_null_funcs_breadth": regex_null_funcs_breadth,
     "sql_direct_q6": sql_direct_q6,
+    "map_funcs_breadth": map_funcs_breadth,
+    "stats_moments_breadth": stats_moments_breadth,
 }
 
 
@@ -728,6 +789,51 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
+"""
+
+MORE_ORACLES["map_funcs_breadth"] = """
+WITH base AS (
+  SELECT event_id,
+         map(['type','user'], [event_type, CAST(user_id AS VARCHAR)]) AS m
+  FROM events
+)
+SELECT event_id,
+       m['type'][1] AS m_type,
+       m['user'][1] AS m_user,
+       m['missing'][1] AS m_miss,
+       map_keys(m) AS m_keys,
+       map_values(m) AS m_vals,
+       CAST(cardinality(m) AS INTEGER) AS m_size
+FROM base
+"""
+
+MORE_ORACLES["stats_moments_breadth"] = """
+WITH sums AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n,
+       ROUND((CAST(n AS DOUBLE) * sxx - sx * sx)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) AS var_qty,
+       ROUND(SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6) AS std_qty,
+       ROUND(SQRT((CAST(n AS DOUBLE) * syy - sy * sy)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6) AS std_price,
+       ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+                * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_qty_price
+FROM sums
 """
 
 MORE_ORACLES["median_price_by_status"] = """

@@ -149,6 +149,27 @@ def streaming_dedup_events(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "user_id", "value")
 
 
+def streaming_enrich_dim(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAM-STATIC join: the event stream enriched against the
+    batch customer dimension (user_id = c_custkey), then rolled up by
+    market segment. The static side broadcasts — each micro-batch is a
+    map-side hash join with no streaming state at all, the canonical
+    shape for dimension enrichment at any scale."""
+    from fsc_etl_spark.sources.readers import read_parquet_table
+
+    ev = stream_events(spark, sf).select("event_id", "user_id", "value")
+    cust = read_parquet_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(cust), "user_id", "inner")
+    out = run_to_memory(joined, output_mode="append")
+    return out.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_hourly_rollup": streaming_hourly_rollup,
     "streaming_click_purchase_join": streaming_click_purchase_join,
@@ -156,6 +177,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_user_state": streaming_user_state,
     "streaming_upsert_latest": streaming_upsert_latest,
     "streaming_dedup_events": streaming_dedup_events,
+    "streaming_enrich_dim": streaming_enrich_dim,
 }
 
 
@@ -221,4 +243,13 @@ SELECT user_id, event_id, ts, value FROM (
 STREAMING_ORACLES["streaming_dedup_events"] = """
 SELECT event_id, user_id, value
 FROM events
+"""
+
+STREAMING_ORACLES["streaming_enrich_dim"] = """
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1
 """

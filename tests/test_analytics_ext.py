@@ -128,3 +128,30 @@ def test_approx_aggregates_error_bounds(spark, sf_smoke):
         q50, q95 = row["value_quantiles"]
         assert abs(q50 - p50) <= 0.05 * (hi - lo)
         assert q50 <= q95 <= hi
+
+
+def test_builtin_moments_match_exact_closed_form(spark, sf_smoke):
+    """stats_moments_breadth computes moments from exact decimal power
+    sums; Spark's double-accumulating built-ins must agree to ~1e-6 —
+    this bounds the closed form against var_samp/stddev/corr."""
+    from fsc_etl_spark.plans.analytics_more import stats_moments_breadth
+
+    exact = {
+        r["l_returnflag"]: r for r in stats_moments_breadth(spark, sf_smoke).collect()
+    }
+    built = (
+        read_parquet_table(spark, sf_smoke, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.var_samp("l_quantity").alias("v"),
+            F.stddev("l_extendedprice").alias("s"),
+            F.corr("l_quantity", "l_extendedprice").alias("c"),
+        )
+        .collect()
+    )
+    assert {r["l_returnflag"] for r in built} == set(exact)
+    for r in built:
+        e = exact[r["l_returnflag"]]
+        assert abs(r["v"] - e["var_qty"]) < 1e-4 * max(1.0, abs(e["var_qty"]))
+        assert abs(r["s"] - e["std_price"]) < 1e-4 * max(1.0, abs(e["std_price"]))
+        assert abs(r["c"] - e["corr_qty_price"]) < 1e-6
