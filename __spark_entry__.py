@@ -21,6 +21,7 @@ from fsc_etl_spark.plans import (
     analytics_more,
     streaming_queries,
     tpch_more,
+    tpch_partsupp,
     training_data,
 )
 from fsc_etl_spark.plans.analytics_ext import EXT_ORACLES
@@ -29,6 +30,7 @@ from fsc_etl_spark.plans.oracles import ORACLES
 from fsc_etl_spark.plans.oracles_training import TRAINING_ORACLES
 from fsc_etl_spark.plans.streaming_queries import STREAMING_ORACLES
 from fsc_etl_spark.plans.tpch_more import TPCH_ORACLES
+from fsc_etl_spark.plans.tpch_partsupp import PARTSUPP_ORACLES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -43,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(analytics_ext.QUERIES)
     out.update(analytics_more.QUERIES)
     out.update(tpch_more.QUERIES)
+    out.update(tpch_partsupp.QUERIES)
     out.update(training_data.QUERIES)
     out.update(streaming_queries.QUERIES)
     return out
@@ -56,6 +59,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT_ORACLES,
         **MORE_ORACLES,
         **TPCH_ORACLES,
+        **PARTSUPP_ORACLES,
         **TRAINING_ORACLES,
         **STREAMING_ORACLES,
     }

@@ -78,6 +78,10 @@ BENCH_QUERIES = [
     "sql_direct_q6",
     "map_funcs_breadth",
     "stats_moments_breadth",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_count",
+    "q20_excess_stock_suppliers",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -1,0 +1,111 @@
+"""Empirical scaling probe: does wall time grow linearly with data?
+
+Synthesizes a ~10x copy of the sf0.1 fixture tables (key-offset unions,
+so join/group cardinalities scale with the data instead of collapsing
+onto duplicate keys), then times a representative query set at 1x and
+10x. Near-linear ratios (~10x data -> <=~10x time on fixed cores) are
+the single-node evidence that the plans contain no super-linear step —
+no global sorts on fact tables, no broadcast of scaling sides, no
+driver collects. Results are recorded in docs/SCALE.md.
+
+Run: python scripts/scale_probe.py  (~3-5 min, writes .scale_probe/)
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from fsc_etl_spark.sources.readers import read_parquet_table
+
+BASE_SF = "/root/testdata/sf0.1"
+SCRATCH = Path(__file__).resolve().parent.parent / ".scale_probe"
+COPIES = 10
+
+# Tables the probe queries touch; keys offset per copy so that
+# cardinalities (orders per customer, lineitems per order, events per
+# user) stay constant while table sizes scale by COPIES.
+KEYED_TABLES = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+}
+COPY_AS_IS = ["nation", "region", "documents", "embeddings"]
+
+PROBE_QUERIES = [
+    "q1_pricing_summary",       # scan + group (decimal accumulation)
+    "sql_direct_q6",            # pushdown scan + scalar agg
+    "q3_shipping_priority",     # fact join + top-k
+    "q18_large_volume_customer",  # having keyset + joins
+    "multi_distinct_by_flag",   # expand + multi-distinct
+    "hourly_event_rollup",      # time-bucket agg
+    "scd2_user_value_history",  # two window passes
+    "stats_moments_breadth",    # exact power sums
+]
+
+
+def _offset(df: DataFrame, keys: list[str], i: int, stride: int = 10_000_000) -> DataFrame:
+    out = df
+    for k in keys:
+        out = out.withColumn(k, F.col(k) + F.lit(i * stride))
+    return out
+
+
+def build_scaled(spark: SparkSession) -> str:
+    dest = SCRATCH / f"x{COPIES}"
+    if dest.exists():
+        return str(dest)
+    dest.mkdir(parents=True)
+    for tbl, keys in KEYED_TABLES.items():
+        base = read_parquet_table(spark, BASE_SF, tbl)
+        if tbl == "events":
+            # Write ts back as nanosecond longs so the schema-first
+            # reader (schemas.EVENTS) reads the scaled copy unchanged.
+            base = base.withColumn("ts", (F.unix_micros("ts") * 1000).cast("long"))
+        scaled = base
+        for i in range(1, COPIES):
+            scaled = scaled.unionByName(_offset(base, keys, i))
+        scaled.write.mode("overwrite").parquet(str(dest / f"{tbl}.parquet"))
+    for tbl in COPY_AS_IS:
+        shutil.copy(f"{BASE_SF}/{tbl}.parquet", dest / f"{tbl}.parquet")
+    return str(dest)
+
+
+def time_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in PROBE_QUERIES:
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    big = build_scaled(spark)
+    t1 = time_queries(spark, BASE_SF)
+    t10 = time_queries(spark, big)
+    ratios = {k: round(t10[k] / t1[k], 2) for k in t1}
+    print(json.dumps({"x1": t1, "x10": t10, "ratio": ratios}, indent=2))
+
+
+if __name__ == "__main__":
+    main()
