@@ -15,6 +15,7 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fsc_etl_spark.functions.casting import CastSpec, cast_types
@@ -157,3 +158,71 @@ def test_cast_manifest_total_and_null_safe(spark, values):
     for v, g in zip(values, got):
         if v is not None and v.lstrip("-").isdigit() and -(2**31) <= int(v) < 2**31:
             assert g == int(v)
+
+
+# ---- SCD2 interval invariants ------------------------------------------
+
+def test_scd2_intervals_partition_timeline(spark, sf_smoke):
+    """For every user: intervals are disjoint, ordered, cover the span
+    from first to last change, exactly one open (is_current) row, and
+    each valid_to equals the next valid_from (no gaps)."""
+    from fsc_etl_spark.plans.analytics_more import scd2_user_value_history
+
+    rows = scd2_user_value_history(spark, sf_smoke).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user, ivals in by_user.items():
+        ivals.sort(key=lambda r: r["valid_from"])
+        open_rows = [r for r in ivals if r["is_current"]]
+        assert len(open_rows) == 1 and open_rows[0] is ivals[-1], user
+        for a, b in zip(ivals, ivals[1:]):
+            assert a["valid_to"] == b["valid_from"], user
+        assert ivals[-1]["valid_to"] is None
+
+
+# ---- Deterministic sampling invariants ---------------------------------
+
+def test_hash_sample_is_deterministic_subset_with_bounded_rate(spark, sf_smoke):
+    """Same input -> identical sample (no RNG state); the sample is a
+    subset of the input; per-stratum rates land near the md5-bucket
+    design rates (26/256 for 'en', 128/256 otherwise)."""
+    from fsc_etl_spark.plans.training_data import hash_stratified_sample
+    from fsc_etl_spark.sources.readers import read_parquet_table
+
+    s1 = {r["doc_id"] for r in hash_stratified_sample(spark, sf_smoke).collect()}
+    s2 = {r["doc_id"] for r in hash_stratified_sample(spark, sf_smoke).collect()}
+    assert s1 == s2
+    docs = read_parquet_table(spark, sf_smoke, "documents")
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    sampled = hash_stratified_sample(spark, sf_smoke)
+    got = {
+        r["lang"]: r["n"]
+        for r in sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, total in by_lang.items():
+        rate = (26 if lang == "en" else 128) / 256
+        # 4-sigma binomial tolerance on small strata
+        sigma = (total * rate * (1 - rate)) ** 0.5
+        assert abs(got.get(lang, 0) - total * rate) <= 4 * sigma + 1, lang
+
+
+# ---- Derived partsupp determinism --------------------------------------
+
+def test_partsupp_relation_stable_across_partitionings(spark, sf_smoke):
+    """The derived part-supplier relation (exact decimal aggregates)
+    is identical under different shuffle partition counts — the
+    property that makes the Q2/Q11/Q16/Q20 proxies oracle-safe."""
+    from fsc_etl_spark.plans.tpch_partsupp import _partsupp
+
+    a = {tuple(r) for r in _partsupp(spark, sf_smoke).collect()}
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        b = {tuple(r) for r in _partsupp(spark, sf_smoke).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert a == b
