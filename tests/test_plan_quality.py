@@ -167,3 +167,39 @@ def test_correlated_avg_is_window_not_self_join(spark, sf_smoke):
     for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
         assert join not in plan, f"unexpected {join}"
     assert n_scans(plan) == 1
+
+
+def test_tpch_star_joins_broadcast(spark, sf_smoke):
+    """Q7/Q8/Q9: every dimension side (nation/region/supplier/part)
+    broadcasts — the fact table shuffles only for the final groupBy."""
+    for name in ("q7_volume_shipping", "q8_market_share", "q9_product_profit"):
+        plan = plan_of(spark, sf_smoke, name)
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_q21_exists_not_exists_compile_to_semi_anti(spark, sf_smoke):
+    plan = plan_of(spark, sf_smoke, "q21_waiting_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q22_no_orders_is_anti_join(spark, sf_smoke):
+    assert "LeftAnti" in plan_of(spark, sf_smoke, "q22_idle_customers")
+
+
+def test_q18_topk_uses_takeordered(spark, sf_smoke):
+    assert "TakeOrderedAndProject" in plan_of(spark, sf_smoke, "q18_large_volume_customer")
+
+
+def test_q2_correlated_min_is_window_single_scan(spark, sf_smoke):
+    """Q2's per-part minimum must be a Window over the correlation key
+    — one lineitem scan total, not a self-join of the derived
+    relation."""
+    plan = plan_of(spark, sf_smoke, "q2_min_cost_supplier")
+    assert "Window" in plan
+    assert n_scans(plan) <= 5  # lineitem + 4 dims, each exactly once
+
+
+def test_q13_zero_order_customers_via_left_join(spark, sf_smoke):
+    plan = plan_of(spark, sf_smoke, "q13_customer_distribution")
+    assert "LeftOuter" in plan
