@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "q11_important_stock",
     "q16_supplier_count",
     "q20_excess_stock_suppliers",
+    "pack_chunks_by_source",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -295,3 +295,25 @@ GROUP BY tok
 ORDER BY freq DESC, tok
 LIMIT 100
 """
+
+TRAINING_ORACLES["pack_chunks_by_source"] = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), offs AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER w - n_tokens AS start_off,
+         SUM(n_tokens) OVER w AS end_off
+  FROM toks
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT doc_id, source, n_tokens, start_off, end_off,
+       CAST(FLOOR(start_off / 2048.0) AS BIGINT) AS start_chunk,
+       CAST(FLOOR((end_off - 1) / 2048.0) AS BIGINT) AS end_chunk,
+       CAST(FLOOR((end_off - 1) / 2048.0) AS BIGINT)
+         - CAST(FLOOR(start_off / 2048.0) AS BIGINT) + 1 AS n_chunks_spanned
+FROM offs
+"""

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fsc_etl_spark.functions.text import (
@@ -268,6 +268,35 @@ def token_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def pack_chunks_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (the standard LLM-pretraining
+    layout): within each source shard, documents are laid end-to-end in
+    doc_id order and sliced into fixed 2048-token training windows.
+    Each doc's [start_off, end_off) span maps to the chunk range it
+    occupies — a running-sum window per source, no Python, no global
+    sort (packing is shard-local exactly as it is on a real corpus,
+    so every source packs in parallel)."""
+    cap = 2048
+    docs = t(spark, sf, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    end_off = F.sum("n_tokens").over(w)
+    start_off = end_off - F.col("n_tokens")
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        start_off.alias("start_off"),
+        end_off.alias("end_off"),
+        F.floor(start_off / cap).alias("start_chunk"),
+        F.floor((end_off - 1) / cap).alias("end_chunk"),
+        (F.floor((end_off - 1) / cap) - F.floor(start_off / cap) + 1).alias(
+            "n_chunks_spanned"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -291,4 +320,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": corpus_curation,
     "hash_stratified_sample": hash_stratified_sample,
     "token_vocab_topk": token_vocab_topk,
+    "pack_chunks_by_source": pack_chunks_by_source,
 }
