@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     "q16_supplier_count",
     "q20_excess_stock_suppliers",
     "pack_chunks_by_source",
+    "simhash_neardup_pairs",
+    "timeseries_gapfill",
+    "histogram_price_buckets",
 ]
 
 ALL_QUERIES = entrymod.queries()

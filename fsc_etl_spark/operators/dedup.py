@@ -292,3 +292,59 @@ def simhash32(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         bit = F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         sig = bit if sig is None else sig + bit
     return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 8,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via banded blocking.
+
+    The 32-bit signature splits into ``32 // band_bits`` contiguous
+    chunks; any pair within Hamming distance < n_bands shares at least
+    one identical chunk (pigeonhole), so an equi-join on
+    (band_idx, band_val) finds every candidate without an O(n^2) cross
+    join. Survivors are verified exactly with
+    ``bit_count(sig_a XOR sig_b) <= max_hamming``.
+
+    Scale: the join key is (band_idx, band_val) — 4x data expansion but
+    hash-partitionable; per-bucket skew is bounded by signature bit
+    entropy. This is the scalable shape (blocking + verify), same as
+    the MinHash-LSH path in lsh_candidate_pairs.
+    """
+    n_bands = 32 // band_bits
+    assert max_hamming < n_bands, "pigeonhole guarantee needs max_hamming < n_bands"
+    mask = (1 << band_bits) - 1
+    sigs = simhash32(docs, text_col=text_col, id_col=id_col)
+    bands = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band_idx", "band_val"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "band_idx", "band_val"
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

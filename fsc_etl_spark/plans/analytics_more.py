@@ -515,6 +515,53 @@ def stats_moments_breadth(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def timeseries_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user daily event counts with missing days densified to 0.
+
+    The calendar spine is generated per group with sequence()+explode
+    bounded by each user's own [min_day, max_day] span — no global
+    calendar cross join, so spine size is O(active span), and the
+    spine⋈daily join keys on (user_id, day), the same key the daily
+    aggregate already shuffled on.
+    """
+    ev = t(spark, sf, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    spans = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = spans.select(
+        "user_id", F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    return spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+def histogram_price_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram of l_extendedprice (width 10000): a pure
+    map-side bucket expression + one hash aggregate, the shape that
+    survives any scale (bucket count is data-range-bounded, not
+    row-count-bounded)."""
+    li = t(spark, sf, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / F.lit(10000.0)).cast("int")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket").cast("double") * 10000.0).alias("lo"),
+            ((F.col("bucket") + 1).cast("double") * 10000.0).alias("hi"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q4_priority_exists": q4_priority_exists,
     "q10_returned_items": q10_returned_items,
@@ -538,6 +585,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_direct_q6": sql_direct_q6,
     "map_funcs_breadth": map_funcs_breadth,
     "stats_moments_breadth": stats_moments_breadth,
+    "timeseries_gapfill": timeseries_gapfill,
+    "histogram_price_buckets": histogram_price_buckets,
 }
 
 
@@ -834,6 +883,34 @@ SELECT l_returnflag,
              / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
                 * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_qty_price
 FROM sums
+"""
+
+MORE_ORACLES["timeseries_gapfill"] = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+)
+SELECT s.user_id, s.day, CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events
+FROM spine s
+LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+"""
+
+MORE_ORACLES["histogram_price_buckets"] = """
+SELECT CAST(FLOOR(l_extendedprice / 10000.0) AS INT) AS bucket,
+       CAST(FLOOR(l_extendedprice / 10000.0) AS INT) * 10000.0 AS lo,
+       (CAST(FLOOR(l_extendedprice / 10000.0) AS INT) + 1) * 10000.0 AS hi,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY 1, 2, 3
 """
 
 MORE_ORACLES["median_price_by_status"] = """

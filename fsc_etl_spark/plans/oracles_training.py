@@ -155,6 +155,29 @@ votes AS (
 SELECT doc_id, CAST({_SIG} AS BIGINT) AS simhash FROM votes
 """
 
+TRAINING_ORACLES["simhash_neardup_pairs"] = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+votes AS (
+  SELECT doc_id,
+{_VOTE_COLS}
+  FROM toks GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, CAST({_SIG} AS BIGINT) AS simhash FROM votes),
+bands AS (
+  SELECT doc_id, simhash, band_idx,
+         (simhash >> (band_idx * 8)) & 255 AS band_val
+  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band_idx)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
 _DV = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
 TRAINING_ORACLES["embed_cosine_topk"] = f"""

@@ -33,6 +33,7 @@ from fsc_etl_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     simhash32,
+    simhash_neardup_pairs as _simhash_pairs,
 )
 from fsc_etl_spark.operators.multimodal import documents_as_media, extract_features
 from fsc_etl_spark.operators.trend import group_trend_slope
@@ -103,6 +104,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 def simhash_signature(spark: SparkSession, sf: str) -> DataFrame:
     return simhash32(t(spark, sf, "documents"))
+
+
+def simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded SimHash blocking + exact Hamming verify (<= 3 of 32)."""
+    return _simhash_pairs(t(spark, sf, "documents"), band_bits=8, max_hamming=3)
 
 
 def text_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
@@ -307,6 +313,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_near_dup_candidates": lsh_near_dup_candidates,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash_signature": simhash_signature,
+    "simhash_neardup_pairs": simhash_neardup,
     "text_bpe_tokens": text_bpe_tokens,
     "dedup_embed_neardup": dedup_embed_neardup,
     "embed_cosine_topk": embed_cosine_topk,
