@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "simhash_neardup_pairs",
     "timeseries_gapfill",
     "histogram_price_buckets",
+    "timeseries_locf",
+    "dedup_cluster_assign",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -294,6 +294,58 @@ def simhash32(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return sums.select(F.col(id_col), sig.alias("simhash"))
 
 
+def connected_components_min_label(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected candidate-pair graph by
+    min-label propagation: every node starts as its own root, and each
+    round lowers a node's root to the minimum root among its neighbors
+    until a fixpoint. The result (doc_id, cluster_root) is the dedup
+    cluster assignment — one canonical root (min doc_id) per group of
+    transitively-linked near-duplicates.
+
+    This is the iterative-algorithm pattern Catalyst cannot express in
+    one plan: a driver loop of join+groupBy rounds, localCheckpoint()
+    per round to truncate lineage, terminating on a converged round
+    (fixpoint is unique, so the output is deterministic regardless of
+    execution order). Rounds needed = graph diameter; near-dup graphs
+    are star/clique-like (diameter ~2-3). For adversarially long chains
+    at web scale, swap in the large-star/small-star variant (O(log n)
+    rounds) — same join/groupBy primitives.
+    """
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    edges = fwd.unionByName(rev).distinct().localCheckpoint()
+    labels = nodes.select(F.col(id_col), F.col(id_col).alias("root")).localCheckpoint()
+    for _ in range(max_iters):
+        lbl_src = labels.select(F.col(id_col).alias("src"), F.col("root").alias("src_root"))
+        nbr = edges.join(lbl_src, "src").groupBy("dst").agg(F.min("src_root").alias("nbr_root"))
+        nxt = (
+            labels.join(nbr, F.col(id_col) == F.col("dst"), "left")
+            .select(
+                F.col(id_col),
+                F.least(F.col("root"), F.coalesce(F.col("nbr_root"), F.col("root"))).alias(
+                    "root"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.withColumnRenamed("root", "new_root")
+            .join(labels, id_col)
+            .filter(F.col("new_root") != F.col("root"))
+            .limit(1)
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return labels.select(F.col(id_col), F.col("root").alias("cluster_root"))
+
+
 def simhash_neardup_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -539,6 +539,37 @@ def timeseries_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def timeseries_locf(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-filled per-user daily value series with last observation
+    carried forward (LOCF) across the filled gaps.
+
+    The carry is `last(value, ignorenulls=True)` over an unbounded-
+    preceding running frame — one window pass over the densified grid,
+    partitioned on user_id (same shuffle key the grid join already
+    used, so the exchange reuses the partitioning). Days before a
+    user's first observation stay NULL on both engines.
+    """
+    ev = t(spark, sf, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("day_value")
+    )
+    spans = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = spans.select(
+        "user_id", F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    grid = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        "user_id",
+        "day",
+        F.last("day_value", ignorenulls=True).over(w).alias("locf_value"),
+    )
+
+
 def histogram_price_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """Fixed-width histogram of l_extendedprice (width 10000): a pure
     map-side bucket expression + one hash aggregate, the shape that
@@ -586,6 +617,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "map_funcs_breadth": map_funcs_breadth,
     "stats_moments_breadth": stats_moments_breadth,
     "timeseries_gapfill": timeseries_gapfill,
+    "timeseries_locf": timeseries_locf,
     "histogram_price_buckets": histogram_price_buckets,
 }
 
@@ -901,6 +933,32 @@ spine AS (
 SELECT s.user_id, s.day, CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events
 FROM spine s
 LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+"""
+
+MORE_ORACLES["timeseries_locf"] = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+),
+grid AS (
+  SELECT s.user_id, s.day, d.day_value
+  FROM spine s
+  LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+)
+SELECT user_id, day,
+       last_value(day_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+FROM grid
 """
 
 MORE_ORACLES["histogram_price_buckets"] = """

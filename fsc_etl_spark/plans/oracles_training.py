@@ -178,6 +178,38 @@ WHERE a.doc_id < b.doc_id
   AND bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
+TRAINING_ORACLES["dedup_cluster_assign"] = f"""
+WITH RECURSIVE {_SHINGLES},
+sigs AS (
+  SELECT doc_id,
+{_minhash_cols(8)}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_sig FROM sigs
+  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sigs
+  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sigs
+  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS root FROM documents
+  UNION
+  SELECT e.dst AS id, r.root AS root
+  FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, MIN(root) AS cluster_root FROM reach GROUP BY id
+"""
+
 _DV = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
 TRAINING_ORACLES["embed_cosine_topk"] = f"""

@@ -28,6 +28,7 @@ from fsc_etl_spark.functions.text import (
     LANG_STOPWORDS,
 )
 from fsc_etl_spark.operators.dedup import (
+    connected_components_min_label,
     exact_dedup_stats,
     jaccard_token_pairs,
     lsh_candidate_pairs,
@@ -109,6 +110,17 @@ def simhash_signature(spark: SparkSession, sf: str) -> DataFrame:
 def simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """Banded SimHash blocking + exact Hamming verify (<= 3 of 32)."""
     return _simhash_pairs(t(spark, sf, "documents"), band_bits=8, max_hamming=3)
+
+
+def dedup_cluster_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive dedup clusters: MinHash-LSH candidate pairs as the
+    edge set, min-label-propagation connected components on top. Every
+    doc gets a cluster_root (= min doc_id of its component); keeping
+    one doc per root IS the corpus-dedup survivorship step."""
+    docs = t(spark, sf, "documents")
+    sigs = minhash_signatures(docs, k=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    return connected_components_min_label(docs.select("doc_id"), pairs)
 
 
 def text_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
@@ -314,6 +326,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash_signature": simhash_signature,
     "simhash_neardup_pairs": simhash_neardup,
+    "dedup_cluster_assign": dedup_cluster_assign,
     "text_bpe_tokens": text_bpe_tokens,
     "dedup_embed_neardup": dedup_embed_neardup,
     "embed_cosine_topk": embed_cosine_topk,

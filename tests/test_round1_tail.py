@@ -71,6 +71,34 @@ def test_histogram_buckets_partition_rows(spark, sf_smoke):
     assert bad.count() == 0
 
 
+def test_cluster_assign_invariants(spark, sf_smoke):
+    """Connected-components output: edges never straddle clusters, and
+    every cluster's root is its minimum member id."""
+    labels = {r.doc_id: r.cluster_root for r in QUERIES["dedup_cluster_assign"](spark, sf_smoke).collect()}
+    pairs = QUERIES["lsh_near_dup_candidates"](spark, sf_smoke).collect()
+    for p in pairs:
+        assert labels[p.id_a] == labels[p.id_b], "linked docs must share a cluster"
+    by_root: dict[int, list[int]] = {}
+    for doc, root in labels.items():
+        by_root.setdefault(root, []).append(doc)
+    for root, members in by_root.items():
+        assert root == min(members), "cluster root must be the min member id"
+
+
+def test_locf_carries_last_observation(spark, sf_smoke):
+    out = QUERIES["timeseries_locf"](spark, sf_smoke)
+    # After the first observed day, locf_value is never null.
+    w_first = out.groupBy("user_id").agg(
+        F.min(F.when(F.col("locf_value").isNotNull(), F.col("day"))).alias("first_day")
+    )
+    stragglers = (
+        out.join(w_first, "user_id")
+        .filter((F.col("day") >= F.col("first_day")) & F.col("locf_value").isNull())
+        .count()
+    )
+    assert stragglers == 0
+
+
 def test_new_queries_oracle_parity_smoke(spark, sf_smoke):
     for name in ("simhash_neardup_pairs", "timeseries_gapfill", "histogram_price_buckets"):
         check_query(spark, sf_smoke, name)
