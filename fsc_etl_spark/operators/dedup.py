@@ -397,6 +397,9 @@ def simhash_neardup_pairs(
             "id_b",
             F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int").alias("hamming"),
         )
-        .distinct()
+        # Verify BEFORE the pair-dedup: the Hamming filter is a cheap
+        # map-side expression, so the distinct's shuffle carries only
+        # true near-dups, not every band collision.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
