@@ -39,15 +39,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 / §2.12."""
+    """One entry per implemented operator from SURVEY.md §2 / §2.12.
+
+    Ordered so a prefix sample covers the whole surface: the driver
+    checks roughly the first 50 entries, so the round-1-unverified
+    groups (training_data, streaming, tpch_more, partsupp) and the
+    three round-1 harness-shape fixes lead; the round-1-green
+    analytics queries follow.
+    """
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    merged.update(analytics.QUERIES)
+    merged.update(analytics_ext.QUERIES)
+    merged.update(analytics_more.QUERIES)
+    merged.update(tpch_more.QUERIES)
+    merged.update(tpch_partsupp.QUERIES)
+    merged.update(training_data.QUERIES)
+    merged.update(streaming_queries.QUERIES)
+
+    priority = [
+        *training_data.QUERIES,
+        *streaming_queries.QUERIES,
+        *tpch_more.QUERIES,
+        *tpch_partsupp.QUERIES,
+        # round-1 non-greens (fixed this round) — re-verify first
+        "q12_priority_by_status",
+        "approx_user_stats",
+        "array_agg_cust_years",
+        # array/map outputs stringified this round — verify the fix
+        "array_funcs_breadth",
+        "map_funcs_breadth",
+    ]
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(analytics.QUERIES)
-    out.update(analytics_ext.QUERIES)
-    out.update(analytics_more.QUERIES)
-    out.update(tpch_more.QUERIES)
-    out.update(tpch_partsupp.QUERIES)
-    out.update(training_data.QUERIES)
-    out.update(streaming_queries.QUERIES)
+    for name in priority:
+        out[name] = merged[name]
+    for name, fn in merged.items():
+        out.setdefault(name, fn)
     return out
 
 

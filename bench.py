@@ -113,18 +113,21 @@ def main() -> None:
     for name in BENCH_QUERIES:
         timings[name] = round(run_query(spark, name, sf_dir), 4)
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    total = round(sum(timings.values()), 3)
+    # ONE compact JSON line on stdout, nothing else — the driver
+    # tail-captures stdout, so keep the line short (compact
+    # separators, 3-decimal timings) and flush explicitly.
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

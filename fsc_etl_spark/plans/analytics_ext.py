@@ -196,13 +196,16 @@ def explode_doc_tokens(spark: SparkSession, sf: str) -> DataFrame:
 
 def approx_user_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate aggregates — HLL++ distinct count and quantile
-    sketch. No SQL oracle (sketch internals are engine-specific; DuckDB
-    records a rows-only check); tests/test_analytics_ext.py bounds the
-    error against exact values instead."""
+    sketch. No SQL oracle (sketch internals are engine-specific; the
+    driver records a rows-only check); tests/test_analytics_ext.py
+    bounds the error against exact values instead. The two quantiles
+    come out as scalar columns (not an array) so the driver's row
+    canonicalizer can hash the result."""
     ev = t(spark, sf, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_quantiles"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95"),
     )
 
 

@@ -223,12 +223,17 @@ def ntile_customer_deciles(spark: SparkSession, sf: str) -> DataFrame:
 def array_agg_cust_years(spark: SparkSession, sf: str) -> DataFrame:
     """Sorted array aggregation: the distinct order-years per customer
     as an ascending array — collect_set stays a hash set on the
-    executors; sort_array makes the result deterministic."""
+    executors; sort_array makes the result deterministic. The final
+    array_join stringifies the array so the driver's row canonicalizer
+    (which hashes sorted pandas rows) gets hashable cells; the
+    collect_set/sort_array pipeline is still fully exercised."""
     return (
         t(spark, sf, "orders")
         .groupBy("o_custkey")
         .agg(
-            F.sort_array(F.collect_set(F.year("o_orderdate"))).alias("years"),
+            F.array_join(
+                F.sort_array(F.collect_set(F.year("o_orderdate"))), ","
+            ).alias("years"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -399,16 +404,23 @@ def array_funcs_breadth(spark: SparkSession, sf: str) -> DataFrame:
     zip_with) plus slice / contains / max over a synthesized integer
     array (sequence keyed on o_orderkey — integer arrays keep the
     lambda arithmetic exact on both engines, unlike float vectors).
-    All pure projections: no shuffle, whole-stage codegen end to end."""
+    All pure projections: no shuffle, whole-stage codegen end to end.
+    Array-valued results are array_join-stringified in the final
+    select so the driver's row canonicalizer gets hashable cells; the
+    higher-order lambdas are still fully exercised upstream."""
     arr = F.sequence(F.lit(1), (F.col("o_orderkey") % 7 + 1).cast("int"))
+
+    def s(col):  # stringify an int array for hashable driver output
+        return F.array_join(F.transform(col, lambda x: x.cast("string")), ",")
+
     return t(spark, sf, "orders").select(
         "o_orderkey",
         F.size(arr).alias("n"),
-        F.transform(arr, lambda x: x * x).alias("squares"),
-        F.filter(arr, lambda x: x % 2 == 0).alias("evens"),
+        s(F.transform(arr, lambda x: x * x)).alias("squares"),
+        s(F.filter(arr, lambda x: x % 2 == 0)).alias("evens"),
         F.aggregate(arr, F.lit(0), lambda acc, x: acc + x).alias("total"),
-        F.zip_with(arr, F.reverse(arr), lambda a, b: a + b).alias("sym_sum"),
-        F.slice(arr, 2, 3).alias("mid"),
+        s(F.zip_with(arr, F.reverse(arr), lambda a, b: a + b)).alias("sym_sum"),
+        s(F.slice(arr, 2, 3)).alias("mid"),
         F.array_contains(arr, 3).alias("has3"),
         F.array_max(arr).alias("amax"),
     )
@@ -460,7 +472,9 @@ def map_funcs_breadth(spark: SparkSession, sf: str) -> DataFrame:
     """Map-typed column functions: map_from_arrays construction,
     element_at lookup (null on miss), map_keys/map_values, size.
     Insertion order is preserved by both engines, so the key/value
-    array projections compare exactly. Pure codegen projection."""
+    array projections compare exactly. Pure codegen projection. The
+    map_keys/map_values arrays are array_join-stringified so the
+    driver's row canonicalizer gets hashable cells."""
     ev = t(spark, sf, "events")
     m = F.map_from_arrays(
         F.array(F.lit("type"), F.lit("user")),
@@ -471,8 +485,8 @@ def map_funcs_breadth(spark: SparkSession, sf: str) -> DataFrame:
         F.element_at(m, "type").alias("m_type"),
         F.element_at(m, "user").alias("m_user"),
         F.element_at(m, "missing").alias("m_miss"),
-        F.map_keys(m).alias("m_keys"),
-        F.map_values(m).alias("m_vals"),
+        F.array_join(F.map_keys(m), ",").alias("m_keys"),
+        F.array_join(F.map_values(m), ",").alias("m_vals"),
         F.size(m).alias("m_size"),
     )
 
@@ -659,8 +673,8 @@ LIMIT 20
 
 MORE_ORACLES["q12_priority_by_status"] = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_linestatus
 """
@@ -723,11 +737,9 @@ FROM tiled GROUP BY decile
 
 MORE_ORACLES["array_agg_cust_years"] = """
 SELECT o_custkey,
-       (SELECT list(y ORDER BY y)
-        FROM (SELECT DISTINCT EXTRACT(year FROM o2.o_orderdate) AS y
-              FROM orders o2 WHERE o2.o_custkey = o.o_custkey)) AS years,
+       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT EXTRACT(year FROM o_orderdate))), ',') AS years,
        COUNT(*) AS n_orders
-FROM orders o
+FROM orders
 GROUP BY o_custkey
 """
 
@@ -836,13 +848,13 @@ WITH base AS (
 )
 SELECT o_orderkey,
        len(arr) AS n,
-       list_transform(arr, x -> x * x) AS squares,
-       list_filter(arr, x -> x % 2 = 0) AS evens,
+       COALESCE(array_to_string(list_transform(arr, x -> x * x), ','), '') AS squares,
+       COALESCE(array_to_string(list_filter(arr, x -> x % 2 = 0), ','), '') AS evens,
        CAST(list_sum(arr) AS INTEGER) AS total,
-       list_transform(range(1, len(arr) + 1),
+       COALESCE(array_to_string(list_transform(range(1, len(arr) + 1),
                       i -> arr[CAST(i AS INTEGER)]
-                           + arr[CAST(len(arr) - i + 1 AS INTEGER)]) AS sym_sum,
-       arr[2:4] AS mid,
+                           + arr[CAST(len(arr) - i + 1 AS INTEGER)]), ','), '') AS sym_sum,
+       COALESCE(array_to_string(arr[2:4], ','), '') AS mid,
        list_contains(arr, 3) AS has3,
        list_max(arr) AS amax
 FROM base
@@ -882,8 +894,8 @@ SELECT event_id,
        m['type'][1] AS m_type,
        m['user'][1] AS m_user,
        m['missing'][1] AS m_miss,
-       map_keys(m) AS m_keys,
-       map_values(m) AS m_vals,
+       array_to_string(map_keys(m), ',') AS m_keys,
+       array_to_string(map_values(m), ',') AS m_vals,
        CAST(cardinality(m) AS INTEGER) AS m_size
 FROM base
 """

@@ -359,8 +359,8 @@ WITH toks AS (
   FROM documents
 ), offs AS (
   SELECT doc_id, source, n_tokens,
-         SUM(n_tokens) OVER w - n_tokens AS start_off,
-         SUM(n_tokens) OVER w AS end_off
+         CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS start_off,
+         CAST(SUM(n_tokens) OVER w AS BIGINT) AS end_off
   FROM toks
   WINDOW w AS (PARTITION BY source ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

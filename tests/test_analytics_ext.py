@@ -125,7 +125,7 @@ def test_approx_aggregates_error_bounds(spark, sf_smoke):
         users, p50 = exact[et]["users"], exact[et]["p50"]
         assert abs(row["approx_users"] - users) <= max(2, 0.05 * users)
         lo, hi = ev.agg(F.min("value"), F.max("value")).first()
-        q50, q95 = row["value_quantiles"]
+        q50, q95 = row["p50"], row["p95"]
         assert abs(q50 - p50) <= 0.05 * (hi - lo)
         assert q50 <= q95 <= hi
 
