@@ -176,42 +176,68 @@ def _jaccard_bitmap(
 ) -> DataFrame:
     """Small-vocabulary fast path: token set → bigint bitmask via a
     literal token→bit map (no vocabulary shuffle), Jaccard via
-    bit_count. The self-join is size-banded by the length filter; the
-    mask side broadcasts (one long per doc)."""
+    bit_count.
+
+    The pairing works on DISTINCT masks, not documents: docs are
+    grouped by identical mask first (m = distinct masks ≤ min(n,
+    2^|vocab|)), the m×m mask pairs are evaluated with two popcounts
+    each, and qualifying mask pairs expand back to doc pairs. The
+    evaluation cost is m² + |output| instead of n² — for corpora where
+    many documents share a token set (the regime this path exists for)
+    m ≪ n, and the Ω(n²)-dense output only materializes rows that
+    already passed the threshold. Same-mask groups short-circuit to
+    jaccard = 1.0 without any join."""
     bit_of = F.create_map(
         *[x for tok, bit in ((t, i) for i, t in enumerate(vocab)) for x in (F.lit(tok), F.lit(bit))]
     )
     bm = (
         toks.withColumn("bit", bit_of[F.col("tok")])
         .groupBy(id_col)
-        .agg(
-            F.expr("bit_or(shiftleft(1L, bit))").alias("mask"),
-            F.count(F.lit(1)).alias("sz"),
-        )
+        .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("mask"))
     )
-    a = bm.select(F.col(id_col).alias("id_a"), F.col("mask").alias("mask_a"), F.col("sz").alias("sz_a"))
-    b = bm.select(F.col(id_col).alias("id_b"), F.col("mask").alias("mask_b"), F.col("sz").alias("sz_b"))
+    # One row per distinct mask; |set bits| == token-set size because
+    # distinct tokens map to distinct bits.
+    grp = bm.groupBy("mask").agg(
+        F.collect_list(id_col).alias("ids"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+    a = grp.select(F.col("mask").alias("mask_a"), F.col("ids").alias("ids_a"))
+    b = grp.select(F.col("mask").alias("mask_b"), F.col("ids").alias("ids_b"))
+    sz_a = F.bit_count(F.col("mask_a")).cast("bigint")
+    sz_b = F.bit_count(F.col("mask_b")).cast("bigint")
     inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b"))).cast("bigint")
     # crossJoin + filters (not a conditioned join): Catalyst folds the
     # predicates — including the jaccard threshold itself — into the
-    # broadcast loop's condition, so non-qualifying pairs die inside
-    # the join instead of materializing 2× more intermediate rows
-    # (measured ~2.5× faster than the id<id-conditioned join).
-    return (
+    # broadcast loop's condition, so non-qualifying MASK pairs die
+    # inside the join before any doc-pair expansion.
+    cross_mask = (
         a.crossJoin(F.broadcast(b))
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.lit(threshold) * F.col("sz_a") <= F.col("sz_b"))
-            & (F.lit(threshold) * F.col("sz_b") <= F.col("sz_a"))
-        )
-        .withColumn("inter", inter)
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
-        )
+        .filter((F.col("mask_a") < F.col("mask_b")) & (F.lit(threshold) * sz_a <= sz_b) & (F.lit(threshold) * sz_b <= sz_a))
+        .withColumn("jaccard", F.round(inter / (sz_a + sz_b - inter), 6))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select(F.explode("ids_a").alias("id_x"), "ids_b", "jaccard")
+        .select("id_x", F.explode("ids_b").alias("id_y"), "jaccard")
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            "jaccard",
+        )
     )
+    same_mask = (
+        grp.filter(F.col("n_docs") >= 2)
+        .select(F.explode("ids").alias("id_x"), "ids")
+        .select("id_x", F.explode("ids").alias("id_y"))
+        .filter(F.col("id_x") < F.col("id_y"))
+        .select(
+            F.col("id_x").alias("id_a"),
+            F.col("id_y").alias("id_b"),
+            F.round(F.lit(1.0), 6).alias("jaccard"),
+        )
+    )
+    out = cross_mask
+    if threshold <= 1.0:
+        out = out.unionByName(same_mask)
+    return out
 
 
 def _jaccard_prefix(toks: DataFrame, threshold: float, id_col: str) -> DataFrame:
@@ -261,18 +287,29 @@ def _jaccard_prefix(toks: DataFrame, threshold: float, id_col: str) -> DataFrame
     )
 
 
-def simhash32(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash: per distinct token, a 60-bit md5-derived hash
-    votes ±1 on each of 32 bit positions; the signature sets bit i
-    where the vote sum is positive.
+def simhash_sig(
+    docs: DataFrame,
+    n_bits: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash signature: per distinct token, a 60-bit md5-derived hash
+    votes ±1 on each of ``n_bits`` bit positions; the signature sets
+    bit i where the vote sum is positive. Default 60 bits — the full
+    usable width of conv(substring(md5, 1, 15)) — because collision
+    math at corpus scale needs wide bands: with b-bit bands a band
+    bucket collides ~n²/2^b times, so 15-bit bands (60/4) give 2^7×
+    fewer spurious candidates than the 8-bit bands a 32-bit signature
+    allows.
 
     Static per-bit expressions (no explode of bit positions) keep the
     whole thing in two aggregate passes with literal-only bit math —
     portable to the SQL oracle (hex-cast + shifts exist in both).
     """
+    assert 1 <= n_bits <= 60, "md5-derived hash provides 60 usable bits"
     toks = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")).distinct()
-    # Materialize the 60-bit hash once per token: 32 bit-extract
-    # expressions over a bound attribute instead of 32 md5+conv
+    # Materialize the 60-bit hash once per token: n_bits bit-extract
+    # expressions over a bound attribute instead of n_bits md5+conv
     # evaluations per row (CollapseProject keeps multi-referenced
     # non-cheap aliases in their own projection).
     hashed = toks.select(
@@ -283,15 +320,21 @@ def simhash32(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col(id_col),
         *[
             (F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
-            for i in range(32)
+            for i in range(n_bits)
         ],
     )
-    sums = votes.groupBy(id_col).agg(*[F.sum(f"v{i}").alias(f"v{i}") for i in range(32)])
+    sums = votes.groupBy(id_col).agg(*[F.sum(f"v{i}").alias(f"v{i}") for i in range(n_bits)])
     sig = None
-    for i in range(32):
+    for i in range(n_bits):
         bit = F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         sig = bit if sig is None else sig + bit
     return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+# Backwards-compatible 32-bit variant (kept for callers that want the
+# cheaper signature; near-dup blocking should use the 60-bit default).
+def simhash32(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return simhash_sig(docs, n_bits=32, text_col=text_col, id_col=id_col)
 
 
 def connected_components_min_label(
@@ -350,27 +393,30 @@ def simhash_neardup_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    band_bits: int = 8,
+    n_bits: int = 60,
+    band_bits: int = 15,
     max_hamming: int = 3,
 ) -> DataFrame:
     """SimHash near-duplicate pairs via banded blocking.
 
-    The 32-bit signature splits into ``32 // band_bits`` contiguous
-    chunks; any pair within Hamming distance < n_bands shares at least
-    one identical chunk (pigeonhole), so an equi-join on
-    (band_idx, band_val) finds every candidate without an O(n^2) cross
-    join. Survivors are verified exactly with
+    The ``n_bits``-bit signature splits into ``n_bits // band_bits``
+    contiguous chunks; any pair within Hamming distance < n_bands
+    shares at least one identical chunk (pigeonhole), so an equi-join
+    on (band_idx, band_val) finds every candidate without an O(n^2)
+    cross join. Survivors are verified exactly with
     ``bit_count(sig_a XOR sig_b) <= max_hamming``.
 
-    Scale: the join key is (band_idx, band_val) — 4x data expansion but
-    hash-partitionable; per-bucket skew is bounded by signature bit
-    entropy. This is the scalable shape (blocking + verify), same as
-    the MinHash-LSH path in lsh_candidate_pairs.
+    Scale: the join key is (band_idx, band_val) — n_bands× data
+    expansion but hash-partitionable. Expected spurious collisions per
+    band ≈ n²/2^band_bits, so the 60-bit/15-bit default keeps the
+    verify stage ~2^7× cheaper than the 32-bit/8-bit configuration at
+    the same corpus size. This is the scalable shape (blocking +
+    verify), same as the MinHash-LSH path in lsh_candidate_pairs.
     """
-    n_bands = 32 // band_bits
+    n_bands = n_bits // band_bits
     assert max_hamming < n_bands, "pigeonhole guarantee needs max_hamming < n_bands"
     mask = (1 << band_bits) - 1
-    sigs = simhash32(docs, text_col=text_col, id_col=id_col)
+    sigs = simhash_sig(docs, n_bits=n_bits, text_col=text_col, id_col=id_col)
     bands = sigs.select(
         F.col(id_col),
         F.col("simhash"),

@@ -138,10 +138,13 @@ WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= 0.8
 """
 
 _H = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
+_SIMHASH_BITS = 60  # matches operators/dedup.py simhash_sig default
 _VOTE_COLS = ",\n".join(
-    f"         SUM(((({_H}) >> {i}) & 1) * 2 - 1) AS v{i}" for i in range(32)
+    f"         SUM(((({_H}) >> {i}) & 1) * 2 - 1) AS v{i}" for i in range(_SIMHASH_BITS)
 )
-_SIG = " + ".join(f"CASE WHEN v{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END" for i in range(32))
+_SIG = " + ".join(
+    f"CASE WHEN v{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END" for i in range(_SIMHASH_BITS)
+)
 
 TRAINING_ORACLES["simhash_signature"] = f"""
 WITH toks AS (
@@ -167,7 +170,7 @@ votes AS (
 sigs AS (SELECT doc_id, CAST({_SIG} AS BIGINT) AS simhash FROM votes),
 bands AS (
   SELECT doc_id, simhash, band_idx,
-         (simhash >> (band_idx * 8)) & 255 AS band_val
+         (simhash >> (band_idx * 15)) & 32767 AS band_val
   FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band_idx)
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -33,7 +33,7 @@ from fsc_etl_spark.operators.dedup import (
     jaccard_token_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
-    simhash32,
+    simhash_sig,
     simhash_neardup_pairs as _simhash_pairs,
 )
 from fsc_etl_spark.operators.multimodal import documents_as_media, extract_features
@@ -104,12 +104,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def simhash_signature(spark: SparkSession, sf: str) -> DataFrame:
-    return simhash32(t(spark, sf, "documents"))
+    return simhash_sig(t(spark, sf, "documents"))
 
 
 def simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    """Banded SimHash blocking + exact Hamming verify (<= 3 of 32)."""
-    return _simhash_pairs(t(spark, sf, "documents"), band_bits=8, max_hamming=3)
+    """Banded SimHash blocking + exact Hamming verify (<= 3 of 60;
+    4×15-bit bands keep band collisions ~n²/2^15)."""
+    return _simhash_pairs(
+        t(spark, sf, "documents"), n_bits=60, band_bits=15, max_hamming=3
+    )
 
 
 def dedup_cluster_assign(spark: SparkSession, sf: str) -> DataFrame:

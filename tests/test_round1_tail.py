@@ -28,10 +28,10 @@ def test_simhash_pairs_invariants(spark, sf_smoke):
 def test_simhash_pairs_blocking_recall(spark, sf_smoke):
     """Banding must find EVERY pair within the Hamming bound (pigeonhole
     guarantee), so compare against the brute-force cross join."""
-    from fsc_etl_spark.operators.dedup import simhash32
+    from fsc_etl_spark.operators.dedup import simhash_sig
     from fsc_etl_spark.sources.readers import read_parquet_table
 
-    sigs = simhash32(read_parquet_table(spark, sf_smoke, "documents")).collect()
+    sigs = simhash_sig(read_parquet_table(spark, sf_smoke, "documents")).collect()
     brute = {
         (a.doc_id, b.doc_id)
         for a in sigs
