@@ -196,7 +196,9 @@ class CovidPipeline:
         today's snapshot, write partitioned by Year/Month."""
         typed = typed_sources(load_sources(self.spark, raw_dir))
         fact = assemble_metrics_fact(typed, run_ts=run_ts)
-        fact = surrogate_keys(fact, order_by=["CodeISO", "Date"], key_col="_SK_METRICS_FACT")
+        fact = surrogate_keys(
+            fact, order_by=["CodeISO", "Date"], key_col="_SK_METRICS_FACT", mode="distributed"
+        )
         self.curated.delete_all()
         self.curated.overwrite(fact.select(*FACT_ORDER))
 
@@ -241,7 +243,11 @@ class CovidPipeline:
         fact_new = assemble_metrics_fact(inserts_typed, run_ts=run_ts)
         start = max_key(self.curated.read(), "_SK_METRICS_FACT") if self.curated.exists() else 0
         fact_new = surrogate_keys(
-            fact_new, order_by=["CodeISO", "Date"], key_col="_SK_METRICS_FACT", start_from=start
+            fact_new,
+            order_by=["CodeISO", "Date"],
+            key_col="_SK_METRICS_FACT",
+            start_from=start,
+            mode="distributed",
         ).withColumn("Is_updated", F.lit("Y"))
         self.curated.append(fact_new.select(*FACT_ORDER))
 
@@ -361,6 +367,7 @@ class CovidPipeline:
             order_by=["CodeISO", "Date"],
             key_col="_SK_METRICS_FACT",
             start_from=start,
+            mode="distributed",
         )
 
         payload = updates.unionByName(inserts.select(*updates.columns)).drop("Is_updated")

@@ -203,3 +203,32 @@ def test_q2_correlated_min_is_window_single_scan(spark, sf_smoke):
 def test_q13_zero_order_customers_via_left_join(spark, sf_smoke):
     plan = plan_of(spark, sf_smoke, "q13_customer_distribution")
     assert "LeftOuter" in plan
+
+
+def test_covid_surrogate_keys_distributed_no_global_window(spark, sf_smoke):
+    """The covid pipeline assigns keys with mode="distributed": the
+    fact rows are range-partitioned and numbered within partitions
+    (plus broadcast offsets), so no window over the DATA runs in a
+    single partition. Only the per-partition counts frame — one row
+    per partition — may cross a single-partition exchange. Values must
+    be identical to the exact global-window mode by construction."""
+    import contextlib
+    import io
+
+    from fsc_etl_spark.operators.keys import surrogate_keys
+    from fsc_etl_spark.sources.readers import read_parquet_table
+
+    df = read_parquet_table(spark, sf_smoke, "orders").select("o_orderkey")
+    dist = surrogate_keys(df, order_by=["o_orderkey"], key_col="sk", mode="distributed")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dist.explain("formatted")
+    plan = buf.getvalue()
+    assert "rangepartitioning" in plan.lower(), "distributed mode must range-partition"
+    assert plan.count("Exchange SinglePartition") <= 1, (
+        "only the tiny per-partition counts may single-partition"
+    )
+    exact = surrogate_keys(df, order_by=["o_orderkey"], key_col="sk")
+    assert sorted((r.o_orderkey, r.sk) for r in dist.collect()) == sorted(
+        (r.o_orderkey, r.sk) for r in exact.collect()
+    )
