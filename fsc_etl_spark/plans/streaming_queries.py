@@ -170,7 +170,35 @@ def streaming_enrich_dim(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def streaming_multibatch_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows computed across MULTIPLE micro-batches: the
+    events fixture is staged into 4 time-ordered files and replayed
+    with ``maxFilesPerTrigger=1``, so the state store must carry
+    per-user open sessions between batches and merge sessions that
+    span a file boundary. The function raises unless the run actually
+    executed >= 2 non-empty micro-batches — a single-batch pass cannot
+    produce a green row, which is what makes this the driver-checkable
+    multi-batch proof (vs the single-file queries above, which admit
+    one batch). Complete output mode: the final emission is the full
+    converged session table, identical to the batch oracle."""
+    from fsc_etl_spark.streaming import stage_events_as_files, stream_staged_events
+
+    staged = stage_events_as_files(spark, sf, n_files=4)
+    ev = stream_staged_events(spark, staged, max_files_per_trigger=1)
+    agg = session_aggregate(ev, aggs=[F.count(F.lit(1)).alias("n")], gap="30 minutes")
+    batches: list[int] = []
+    out = run_to_memory(agg, output_mode="complete", batch_counts=batches)
+    non_empty = [b for b in batches if b > 0]
+    if len(non_empty) < 2:
+        raise RuntimeError(
+            f"expected >=2 non-empty micro-batches, saw {batches!r} — "
+            "multi-batch state carry-over was not exercised"
+        )
+    return out.select("session_start", "session_end", "user_id", "n")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "streaming_multibatch_sessionize": streaming_multibatch_sessionize,
     "streaming_hourly_rollup": streaming_hourly_rollup,
     "streaming_click_purchase_join": streaming_click_purchase_join,
     "streaming_sessionize": streaming_sessionize,
@@ -212,6 +240,12 @@ SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start,
        user_id, COUNT(*) AS n
 FROM s GROUP BY user_id, sid
 """
+
+# Same oracle as streaming_sessionize — the multi-batch replay must
+# converge to the identical session table.
+STREAMING_ORACLES["streaming_multibatch_sessionize"] = STREAMING_ORACLES[
+    "streaming_sessionize"
+]
 
 STREAMING_ORACLES["streaming_click_purchase_join"] = """
 SELECT c.user_id,

@@ -9,7 +9,12 @@ foreachBatch merge sinks, and a custom stateful operator via
 ``applyInPandasWithState``.
 """
 
-from fsc_etl_spark.streaming.sources import stream_events, stream_parquet_dir
+from fsc_etl_spark.streaming.sources import (
+    stage_events_as_files,
+    stream_events,
+    stream_parquet_dir,
+    stream_staged_events,
+)
 from fsc_etl_spark.streaming.pipeline import (
     run_to_memory,
     run_foreach_batch,
@@ -20,8 +25,10 @@ from fsc_etl_spark.streaming.pipeline import (
 from fsc_etl_spark.streaming.stateful import user_running_stats
 
 __all__ = [
+    "stage_events_as_files",
     "stream_events",
     "stream_parquet_dir",
+    "stream_staged_events",
     "run_to_memory",
     "run_foreach_batch",
     "session_aggregate",

@@ -82,11 +82,15 @@ def run_to_memory(
     stream_df: DataFrame,
     output_mode: str = "complete",
     query_name: str | None = None,
+    batch_counts: list[int] | None = None,
 ) -> DataFrame:
     """Run an AvailableNow pass into a memory sink; return the result.
 
     Test/gate runner — production streams write to durable sinks via
     :func:`run_foreach_batch` / ``writeStream.format("parquet")``.
+    ``batch_counts``, if given, receives the per-micro-batch input row
+    counts so callers can assert the run actually crossed batch
+    boundaries.
     """
     name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="fsc_ckpt_")
@@ -99,6 +103,8 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+    if batch_counts is not None:
+        batch_counts.extend(p["numInputRows"] for p in q.recentProgress)
     return stream_df.sparkSession.table(name)
 
 

@@ -58,3 +58,64 @@ def stream_events(
         glob_filter="events.parquet",
     )
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+EVENTS_STAGED = T.StructType(
+    [
+        f if f.name != "ts" else T.StructField("ts", T.TimestampType())
+        for f in schemas.EVENTS.fields
+    ]
+)
+
+
+def stage_events_as_files(
+    spark: SparkSession, sf_dir: str, n_files: int = 4, out_dir: str | None = None
+) -> str:
+    """Split the events fixture into ``n_files`` time-ordered parquet
+    files so a ``maxFilesPerTrigger=1`` stream replays them as
+    ``n_files`` separate micro-batches — the multi-batch harness that
+    makes watermark advance and state carry-over observable (a
+    single-file fixture is always one batch).
+
+    The split is on equal event-time intervals, written as sequential
+    single-file appends so listing order == modification order ==
+    event-time order (how a tailed object-store prefix arrives). The
+    ``ts`` column is written as a real timestamp (already converted
+    from the fixture's nano longs), so readers use EVENTS_STAGED.
+    """
+    import tempfile
+
+    from fsc_etl_spark.sources.readers import read_parquet_table
+
+    out = out_dir or tempfile.mkdtemp(prefix="fsc_events_staged_")
+    ev = read_parquet_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span_us = max(1, int((hi - lo).total_seconds() * 1_000_000) + 1)
+    step = span_us // n_files + 1
+    bucket = (F.unix_micros(F.col("ts")) - F.unix_micros(F.lit(lo))) / F.lit(step)
+    with_bucket = ev.withColumn("__b", F.floor(bucket).cast("int"))
+    for i in range(n_files):
+        # One file per time slice: repartition(1) is deliberate here —
+        # this stages a micro-batch fixture, not a production sink.
+        (
+            with_bucket.filter(F.col("__b") == i)
+            .drop("__b")
+            .repartition(1)
+            .write.mode("append")
+            .parquet(out)
+        )
+    return out
+
+
+def stream_staged_events(
+    spark: SparkSession, staged_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File stream over a ``stage_events_as_files`` directory: one
+    micro-batch per staged file."""
+    return stream_parquet_dir(
+        spark,
+        staged_dir,
+        EVENTS_STAGED,
+        max_files_per_trigger=max_files_per_trigger,
+        glob_filter="*.parquet",
+    )

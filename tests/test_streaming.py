@@ -183,3 +183,25 @@ def test_session_windows_merge_across_batches(spark):
     assert row["n"] == 2
     assert row["session_start"] == T0
     assert row["session_end"] == T0 + dt.timedelta(minutes=40)
+
+
+def test_multibatch_sessionize_crosses_batches(spark, sf_smoke):
+    """The queries() entry itself raises unless >=2 non-empty
+    micro-batches ran; here also check the staging preserved every
+    event and the result matches the single-batch sessionize."""
+    from fsc_etl_spark.plans.streaming_queries import (
+        streaming_multibatch_sessionize,
+        streaming_sessionize,
+    )
+    from fsc_etl_spark.sources.readers import read_parquet_table
+    from fsc_etl_spark.streaming import stage_events_as_files
+
+    staged = stage_events_as_files(spark, sf_smoke, n_files=4)
+    n_staged = spark.read.parquet(staged).count()
+    assert n_staged == read_parquet_table(spark, sf_smoke, "events").count()
+
+    multi = {
+        tuple(r) for r in streaming_multibatch_sessionize(spark, sf_smoke).collect()
+    }
+    single = {tuple(r) for r in streaming_sessionize(spark, sf_smoke).collect()}
+    assert multi == single
