@@ -188,6 +188,105 @@ class ParquetMergeTarget:
         self._commit(df.withColumn(set_col, F.when(where, F.lit(set_value)).otherwise(F.col(set_col))))
 
 
+def delta_available() -> bool:
+    """Probe for delta-spark on the classpath (S6/M1-M6 native path).
+    This environment ships no delta jars (TESTDATA.md), so the parquet
+    stand-in is the tested default; the probe keeps the upgrade path
+    one import away."""
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class DeltaMergeTarget:  # pragma: no cover — needs delta-spark jars
+    """Real Delta-backed merge target, interface-identical to
+    :class:`ParquetMergeTarget`. Selected by :func:`make_merge_target`
+    when delta-spark is importable; mirrors the reference's
+    DeltaTable usage (/root/reference/main.py:191-199,231-235,
+    utils/load_functions.py:64-124) with transaction-log commits,
+    file-level pruning on merge, and real VACUUM."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def _table(self):
+        from delta.tables import DeltaTable
+
+        return DeltaTable.forPath(self.spark, self.root)
+
+    def exists(self) -> bool:
+        from delta.tables import DeltaTable
+
+        return DeltaTable.isDeltaTable(self.spark, self.root)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.format("delta").load(self.root)
+
+    def overwrite(self, df: DataFrame) -> None:
+        (
+            df.write.format("delta")
+            .mode("overwrite")
+            .option("overwriteSchema", "true")
+            .save(self.root)
+        )
+
+    def append(self, df: DataFrame) -> None:
+        df.write.format("delta").mode("append").save(self.root)
+
+    def delete_all(self) -> None:
+        if self.exists():
+            tbl = self._table()
+            tbl.delete()
+            tbl.vacuum(0.0)
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: Sequence[str],
+        update_cols: Sequence[str] | None = None,
+        when_not_matched_insert: bool = True,
+        delta_col: str | None = None,
+    ) -> None:
+        if not self.exists():
+            if when_not_matched_insert:
+                self.overwrite(source)
+            return
+        target_cols = self.read().columns
+        if update_cols is None:
+            update_cols = [
+                c for c in source.columns if c in set(target_cols) and c not in set(on)
+            ]
+        cond = " AND ".join(f"t.{c} = s.{c}" for c in on)
+        builder = self._table().alias("t").merge(source.alias("s"), cond)
+        match_cond = f"s.{delta_col} >= t.{delta_col}" if delta_col else None
+        builder = builder.whenMatchedUpdate(
+            condition=match_cond, set={c: f"s.{c}" for c in update_cols}
+        )
+        if when_not_matched_insert:
+            builder = builder.whenNotMatchedInsert(
+                values={
+                    c: (f"s.{c}" if c in source.columns else "NULL") for c in target_cols
+                }
+            )
+        builder.execute()
+
+    def update_flag(self, set_col: str, set_value, where) -> None:
+        self._table().update(condition=where, set={set_col: F.lit(set_value)})
+
+
+def make_merge_target(spark: SparkSession, root: str, prefer_delta: bool = True):
+    """Factory: a real Delta table when delta-spark is on the
+    classpath, else the parquet stand-in. Both expose the same
+    interface, so pipelines are format-agnostic."""
+    if prefer_delta and delta_available():
+        return DeltaMergeTarget(spark, root)
+    return ParquetMergeTarget(spark, root)
+
+
 def build_staged_upsert_sql(
     staging_table: str,
     target_table: str,

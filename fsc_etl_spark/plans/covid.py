@@ -40,7 +40,7 @@ from fsc_etl_spark.functions.casting import COVID_CAST_MANIFEST, cast_types
 from fsc_etl_spark.operators.cdc import snapshot_diff, split_inserts_updates
 from fsc_etl_spark.operators.joins import dim_join, star_left_join
 from fsc_etl_spark.operators.keys import max_key, surrogate_keys
-from fsc_etl_spark.operators.merge import ParquetMergeTarget
+from fsc_etl_spark.operators.merge import make_merge_target
 from fsc_etl_spark.operators.pivot import pivot_indicator
 from fsc_etl_spark.sources.readers import read_csv
 
@@ -187,8 +187,10 @@ class CovidPipeline:
     enterprise_root: str
 
     def __post_init__(self) -> None:
-        self.curated = ParquetMergeTarget(self.spark, self.curated_root)
-        self.enterprise = ParquetMergeTarget(self.spark, self.enterprise_root)
+        # Real Delta tables when delta-spark is on the classpath;
+        # parquet stand-in otherwise (same interface).
+        self.curated = make_merge_target(self.spark, self.curated_root)
+        self.enterprise = make_merge_target(self.spark, self.enterprise_root)
 
     # -- entry A: full refresh ------------------------------------------------
     def run_full(self, raw_dir: str, run_ts: dt.datetime | None = None) -> None:

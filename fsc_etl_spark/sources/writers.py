@@ -85,6 +85,55 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+# Spark-SQL simpleString -> ANSI DDL type, for engine-side staging DDL.
+_JDBC_DDL_TYPES = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "smallint": "SMALLINT",
+    "double": "DOUBLE",
+    "float": "REAL",
+    "timestamp": "TIMESTAMP",
+    "date": "DATE",
+    "string": "VARCHAR(4000)",
+    "boolean": "BOOLEAN",
+}
+
+
+def ensure_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    schema,
+    properties: dict[str, str] | None = None,
+) -> bool:
+    """Create ``table`` in the external DB from a Spark schema if it
+    doesn't exist, with UNQUOTED identifiers so the warehouse's own
+    case-folding applies (Spark's JDBC writer quotes identifiers on
+    CREATE, which makes them case-sensitive and breaks warehouse-side
+    SQL like the staged-upsert statements). Returns True if created.
+    """
+    jvm = spark._jvm
+    if properties and "driver" in properties:
+        jvm.java.lang.Class.forName(properties["driver"])
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        meta = conn.getMetaData()
+        rs = meta.getTables(None, None, table.upper(), None)
+        exists = rs.next()
+        rs.close()
+        if exists:
+            return False
+        cols = ", ".join(
+            f"{f.name} {_JDBC_DDL_TYPES[f.dataType.simpleString()]}" for f in schema.fields
+        )
+        stmt = conn.createStatement()
+        stmt.execute(f"CREATE TABLE {table} ({cols})")
+        stmt.close()
+        return True
+    finally:
+        conn.close()
+
+
 def write_jdbc_staged_upsert(
     df: DataFrame,
     url: str,
@@ -108,7 +157,16 @@ def write_jdbc_staged_upsert(
     """
     from fsc_etl_spark.operators.merge import build_staged_upsert_sql
 
-    writer = df.write.format("jdbc").option("url", url).option("dbtable", staging_table)
+    # Pre-create staging with warehouse-cased DDL, then truncate-
+    # overwrite: Spark's own JDBC CREATE quotes identifiers, which
+    # would make the unquoted merge statements below unresolvable.
+    ensure_jdbc_table(df.sparkSession, url, staging_table, df.schema, properties)
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", staging_table)
+        .option("truncate", "true")
+    )
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.mode("overwrite").save()

@@ -186,3 +186,21 @@ def test_enterprise_load_full_and_incremental(spark, pipeline, fixture_dirs):
     assert ent2.count() == pipeline.curated.read().count()
     # Keys unique after the merge; no duplicate (CodeISO, Date) grain.
     assert ent2.select("CodeISO", "Date").distinct().count() == ent2.count()
+
+
+def test_merge_target_factory_backend_selection(spark, tmp_path):
+    """make_merge_target picks Delta when delta-spark is importable
+    (not in this container) and the parquet stand-in otherwise; covid
+    e2e above runs whichever backend the factory selects, so a future
+    delta-enabled environment exercises the native path with no code
+    change."""
+    from fsc_etl_spark.operators.merge import (
+        DeltaMergeTarget,
+        ParquetMergeTarget,
+        delta_available,
+        make_merge_target,
+    )
+
+    tgt = make_merge_target(spark, str(tmp_path / "tbl"))
+    expected = DeltaMergeTarget if delta_available() else ParquetMergeTarget
+    assert isinstance(tgt, expected)
