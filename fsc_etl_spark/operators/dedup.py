@@ -308,26 +308,49 @@ def simhash_sig(
     """
     assert 1 <= n_bits <= 60, "md5-derived hash provides 60 usable bits"
     toks = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")).distinct()
-    # Materialize the 60-bit hash once per token: n_bits bit-extract
-    # expressions over a bound attribute instead of n_bits md5+conv
-    # evaluations per row (CollapseProject keeps multi-referenced
-    # non-cheap aliases in their own projection).
+    # Materialize the 60-bit hash once per token: the bit extracts run
+    # over a bound attribute instead of re-evaluating md5+conv per bit
+    # (CollapseProject keeps multi-referenced non-cheap aliases in
+    # their own projection).
     hashed = toks.select(
         F.col(id_col),
         F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint").alias("__h"),
     )
-    votes = hashed.select(
+
+    # SIMD-in-a-register vote packing: three 20-bit lanes per bigint,
+    # so the per-(doc,token) projection and the aggregate carry
+    # ceil(n_bits/3) longs instead of n_bits — 3x fewer expressions
+    # and 3x narrower shuffle rows. Lane k of pack j accumulates the
+    # set-bit COUNT of signature bit 3j+k; lanes can't carry into each
+    # other while a doc has < 2^20 distinct tokens (the sign bit stays
+    # clear: 40 + 20 = 60 < 63). Vote sum = 2*count - n, so bit i is
+    # set iff 2*count_i > n.
+    def bit(i: int) -> Column:
+        return F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))
+
+    n_packs = (n_bits + 2) // 3
+    packs = hashed.select(
         F.col(id_col),
         *[
-            (F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
-            for i in range(n_bits)
+            sum(
+                F.shiftleft(bit(3 * j + k), 20 * k)
+                for k in range(min(3, n_bits - 3 * j))
+            ).alias(f"p{j}")
+            for j in range(n_packs)
         ],
     )
-    sums = votes.groupBy(id_col).agg(*[F.sum(f"v{i}").alias(f"v{i}") for i in range(n_bits)])
+    sums = packs.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(f"p{j}").alias(f"p{j}") for j in range(n_packs)],
+    )
+    lane_mask = F.lit((1 << 20) - 1)
     sig = None
     for i in range(n_bits):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        sig = bit if sig is None else sig + bit
+        count_i = F.shiftright(F.col(f"p{i // 3}"), 20 * (i % 3)).bitwiseAND(lane_mask)
+        bit_i = F.when(count_i * 2 > F.col("__n"), F.lit(2**i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = bit_i if sig is None else sig + bit_i
     return sums.select(F.col(id_col), sig.alias("simhash"))
 
 
