@@ -35,11 +35,20 @@ DATE_FORMAT_DEFAULT = "yyyy-MM-dd"
 
 @dataclass(frozen=True)
 class CastSpec:
-    """One manifest entry: column name + target type tag."""
+    """One manifest entry: column name + target type tag.
+
+    ``date_format`` may be a single pattern or an ordered tuple of
+    fallback patterns — the deterministic replacement for the
+    reference's global LEGACY time-parser policy
+    (``extract_functions.py:61``), which silently accepted several
+    spellings: here each accepted spelling is DECLARED, tried in
+    order, and anything else is null (try_to_date), with no global
+    session flag.
+    """
 
     column: str
     type_tag: str  # Decimal2 | Decimal1 | Integer | Date | String
-    date_format: str = DATE_FORMAT_DEFAULT
+    date_format: str | tuple[str, ...] = DATE_FORMAT_DEFAULT
 
     def expr(self) -> Column:
         # try_cast / try_to_date, not plain cast: Spark 4 defaults to
@@ -56,7 +65,12 @@ class CastSpec:
         if tag == "Integer":
             return c.try_cast("int")
         if tag == "Date":
-            return F.try_to_date(c, self.date_format)
+            fmts = (
+                (self.date_format,)
+                if isinstance(self.date_format, str)
+                else tuple(self.date_format)
+            )
+            return F.coalesce(*[F.try_to_date(c, f) for f in fmts])
         if tag == "String":
             return c.cast("string")
         raise ValueError(f"unknown cast tag {tag!r} for column {self.column!r}")

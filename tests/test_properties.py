@@ -226,3 +226,20 @@ def test_partsupp_relation_stable_across_partitionings(spark, sf_smoke):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
     assert a == b
+
+
+def test_date_cast_fallback_formats(spark):
+    """Multi-format Date specs replace the reference's LEGACY parser:
+    each accepted spelling is declared and tried in order; unparseable
+    input is silently null (the reference's non-ANSI cast behavior)."""
+    df = spark.createDataFrame(
+        [("2021-03-05",), ("05/03/2021",), ("2021.03.05",), ("garbage",), (None,)],
+        "d string",
+    )
+    out = cast_types(
+        df, [CastSpec("d", "Date", ("yyyy-MM-dd", "dd/MM/yyyy", "yyyy.MM.dd"))]
+    ).collect()
+    import datetime as dt
+
+    want = dt.date(2021, 3, 5)
+    assert [r.d for r in out] == [want, want, want, None, None]
