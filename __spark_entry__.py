@@ -57,10 +57,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(streaming_queries.QUERIES)
 
     priority = [
-        *training_data.QUERIES,
-        *streaming_queries.QUERIES,
-        *tpch_more.QUERIES,
-        *tpch_partsupp.QUERIES,
         # round-1 non-greens (fixed this round) — re-verify first
         "q12_priority_by_status",
         "approx_user_stats",
@@ -68,6 +64,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # array/map outputs stringified this round — verify the fix
         "array_funcs_breadth",
         "map_funcs_breadth",
+        # round-1-unsampled groups; training_data last so its round-2
+        # additions (appended at its tail) sit at the sample boundary
+        *streaming_queries.QUERIES,
+        *tpch_more.QUERIES,
+        *tpch_partsupp.QUERIES,
+        *training_data.QUERIES,
     ]
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in priority:

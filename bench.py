@@ -88,6 +88,15 @@ BENCH_QUERIES = [
     "histogram_price_buckets",
     "timeseries_locf",
     "dedup_cluster_assign",
+    # round-2 additions (appended — earlier names/order unchanged).
+    # streaming_multibatch_sessionize stays off-bench: its 5 staged
+    # micro-batches + checkpointing measure the harness, not the engine.
+    "minhash_jaccard_estimate",
+    "bigram_topk",
+    "source_doc_stats",
+    "embed_norm_stats",
+    "user_funnel",
+    "hash_split_counts",
 ]
 
 ALL_QUERIES = entrymod.queries()

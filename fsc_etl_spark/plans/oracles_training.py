@@ -375,3 +375,98 @@ SELECT doc_id, source, n_tokens, start_off, end_off,
          - CAST(FLOOR(start_off / 2048.0) AS BIGINT) + 1 AS n_chunks_spanned
 FROM offs
 """
+
+
+_AGREE8 = " + ".join(f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(8))
+
+TRAINING_ORACLES["minhash_jaccard_estimate"] = f"""
+WITH {_SHINGLES},
+sigs AS (
+  SELECT doc_id,
+{_minhash_cols(8)}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_sig FROM sigs
+  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sigs
+  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sigs
+  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sigs
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig
+  WHERE x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, ROUND(({_AGREE8}) / 8.0, 6) AS jaccard_est
+FROM cand
+JOIN sigs a ON a.doc_id = id_a
+JOIN sigs b ON b.doc_id = id_b
+"""
+
+TRAINING_ORACLES["hash_split_counts"] = f"""
+WITH d AS (
+  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM d GROUP BY split
+"""
+
+TRAINING_ORACLES["bigram_topk"] = f"""
+WITH words AS (
+  SELECT {_TOKS.replace("trim(text)", "trim(lower(text))")} AS w FROM documents
+),
+grams AS (
+  SELECT unnest(list_transform(range(1, len(w)),
+                i -> array_to_string(w[CAST(i AS BIGINT):CAST(i + 1 AS BIGINT)], ' '))) AS bigram
+  FROM words WHERE len(w) >= 2
+)
+SELECT bigram, COUNT(*) AS freq
+FROM grams GROUP BY bigram
+ORDER BY freq DESC, bigram
+LIMIT 50
+"""
+
+TRAINING_ORACLES["source_doc_stats"] = f"""
+WITH d AS (
+  SELECT source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens, n_chars
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(quantile_cont(n_chars, 0.5), 6) AS median_chars
+FROM d GROUP BY source
+"""
+
+TRAINING_ORACLES["embed_norm_stats"] = """
+WITH norms AS (
+  SELECT label,
+         CAST(ROUND(sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS DECIMAL(18,6)) AS l2
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vecs,
+       ROUND(CAST(SUM(l2) AS DOUBLE) / COUNT(*), 6) AS avg_l2,
+       ROUND(CAST(MIN(l2) AS DOUBLE), 6) AS min_l2,
+       ROUND(CAST(MAX(l2) AS DOUBLE), 6) AS max_l2
+FROM norms GROUP BY label
+"""
+
+TRAINING_ORACLES["user_funnel"] = """
+WITH agg AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(first_view AS TIMESTAMP) AS first_view,
+       CAST(first_click AS TIMESTAMP) AS first_click,
+       CAST(first_purchase AS TIMESTAMP) AS first_purchase,
+       COALESCE(first_view < first_click AND first_click < first_purchase, FALSE) AS converted
+FROM agg
+"""

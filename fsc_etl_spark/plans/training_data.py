@@ -318,6 +318,141 @@ def pack_chunks_by_source(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def minhash_jaccard_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Estimated Jaccard for LSH candidate pairs: the fraction of the
+    k=8 min-hashes the two docs agree on — the standard unbiased
+    MinHash estimator, so candidates can be thresholded WITHOUT
+    touching the raw token sets (at corpus scale the signatures are
+    8 fixed-width columns; the exact posting-list verify only runs on
+    survivors). Joins are equi-joins on doc_id against the compact
+    signature table."""
+    docs = t(spark, sf, "documents")
+    sigs = minhash_signatures(docs, k=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    a = sigs.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)]
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)]
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(8)
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(agree / F.lit(8.0), 6).alias("jaccard_est"))
+    )
+
+
+def hash_split_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment — md5 of the doc key as
+    the uniform variate, split at 205/256 ≈ 80% and 230/256 ≈ 90%.
+    Like hash_stratified_sample: no RNG state, pure projection +
+    filter-free groupBy, identical assignment on any partitioning or
+    rerun — the reproducibility contract a training-mix split needs.
+    Returns per-split doc and token totals (the budgeting view)."""
+    docs = t(spark, sf, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), token_count(F.col("text")).alias("n_tokens"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+def bigram_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-50 word bigrams by multiset frequency — the n-gram
+    collocation primitive (vocab building, phrase mining). Same
+    two-phase count as token_vocab_topk: the shuffle carries one row
+    per distinct bigram per task, and (freq DESC, bigram) is a total
+    order so the LIMIT is deterministic."""
+    from fsc_etl_spark.functions.text import shingles_from_tokens
+
+    docs = t(spark, sf, "documents")
+    toked = docs.select(tokens(F.lower(F.col("text"))).alias("__tk"))
+    grams = toked.select(
+        F.explode(shingles_from_tokens(F.col("__tk"), 2)).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("bigram"))
+        .limit(50)
+    )
+
+
+def source_doc_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus profile: doc count, token budget, exact
+    median document length. Exact percentile is fine per GROUP (one
+    source's lengths sort within a partition); corpus-wide percentiles
+    at 100 TB should switch to percentile_approx."""
+    docs = t(spark, sf, "documents").select(
+        "source", token_count(F.col("text")).alias("n_tokens"), "n_chars"
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("median_chars"),
+    )
+
+
+def embed_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding L2-norm profile — the sanity check every
+    embedding pipeline runs before similarity search (unnormalized
+    vectors break cosine pruning). The per-row norm folds the float
+    array left-to-right in doubles (deterministic), is rounded once,
+    then accumulates as exact decimals so the group average is
+    accumulation-order-proof."""
+    emb = t(spark, sf, "embeddings")
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norms = emb.select(
+        "label", F.round(F.sqrt(sq_sum), 6).cast("decimal(18,6)").alias("l2")
+    )
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum("l2").cast("double") / F.count(F.lit(1)), 6).alias("avg_l2"),
+        F.round(F.min("l2").cast("double"), 6).alias("min_l2"),
+        F.round(F.max("l2").cast("double"), 6).alias("max_l2"),
+    )
+
+
+def user_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user view→click→purchase funnel on first-occurrence
+    timestamps: one aggregate pass (conditional MINs), then ordering
+    flags — no self-joins, one shuffle on user_id. The standard
+    conversion-analysis shape."""
+    ev = t(spark, sf, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    converted = (
+        F.col("first_view").isNotNull()
+        & F.col("first_click").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_view") < F.col("first_click"))
+        & (F.col("first_click") < F.col("first_purchase"))
+    )
+    return agg.select(
+        "user_id", "first_view", "first_click", "first_purchase",
+        converted.alias("converted"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -344,4 +479,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_stratified_sample": hash_stratified_sample,
     "token_vocab_topk": token_vocab_topk,
     "pack_chunks_by_source": pack_chunks_by_source,
+    "minhash_jaccard_estimate": minhash_jaccard_estimate,
+    "hash_split_counts": hash_split_counts,
+    "bigram_topk": bigram_topk,
+    "source_doc_stats": source_doc_stats,
+    "embed_norm_stats": embed_norm_stats,
+    "user_funnel": user_funnel,
 }
