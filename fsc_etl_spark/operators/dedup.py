@@ -88,9 +88,16 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on ALL min-hashes of at
     least one band. Band signature = md5(concat of the band's rows);
-    pairs come from a self-equi-join on (band_idx, band_sig) — the
-    shuffle key is the bucket, so cost scales with bucket sizes, not
-    the corpus square.
+    pairs come from grouping ids per (band_idx, band_sig) bucket and
+    expanding within-bucket pairs — ONE aggregation pass over the
+    banded rows instead of a self-equi-join, which would compute the
+    whole shingle+min-hash subplan twice (Catalyst does not reuse the
+    exchange across the join's two sides).
+
+    Scale: per-bucket pair expansion is quadratic in BUCKET size, which
+    LSH keeps small by construction (a giant bucket means exact dups —
+    run exact_dedup first). The collect_list bounds state to one
+    bucket's ids; buckets hash-partition freely.
     """
     band_sigs = signatures.select(
         F.col(id_col),
@@ -109,12 +116,15 @@ def lsh_candidate_pairs(
             bands, ", ".join(f"{b}, band{b}" for b in range(bands))
         ),
     )
-    a = long.select(F.col(id_col).alias("id_a"), "band_idx", "band_sig")
-    b = long.select(F.col(id_col).alias("id_b"), "band_idx", "band_sig")
+    buckets = (
+        long.groupBy("band_idx", "band_sig")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     return (
-        a.join(b, ["band_idx", "band_sig"])
+        buckets.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -452,23 +462,26 @@ def simhash_neardup_pairs(
             )
         ).alias("band_idx", "band_val"),
     )
-    a = bands.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band_idx", "band_val"
-    )
-    b = bands.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "band_idx", "band_val"
+    # Group (id, sig) per band bucket and expand within-bucket pairs —
+    # one aggregation pass; a banded self-join would run the whole
+    # token+SimHash subplan twice (no cross-side exchange reuse).
+    # Bucket-size quadratics are bounded by 15-bit band entropy; the
+    # Hamming verify runs BEFORE the pair-distinct so its shuffle
+    # carries only true near-dups, not every band collision.
+    buckets = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sig"))).alias("xs"))
+        .filter(F.size("xs") >= 2)
     )
     return (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.select(F.explode("xs").alias("a"), "xs")
+        .select("a", F.explode("xs").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
         .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int").alias("hamming"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).cast("int").alias("hamming"),
         )
-        # Verify BEFORE the pair-dedup: the Hamming filter is a cheap
-        # map-side expression, so the distinct's shuffle carries only
-        # true near-dups, not every band collision.
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )

@@ -325,9 +325,16 @@ def minhash_jaccard_estimate(spark: SparkSession, sf: str) -> DataFrame:
     touching the raw token sets (at corpus scale the signatures are
     8 fixed-width columns; the exact posting-list verify only runs on
     survivors). Joins are equi-joins on doc_id against the compact
-    signature table."""
+    signature table.
+
+    The signature table is MATERIALIZED once (localCheckpoint): the
+    banding self-join and the two estimator joins all reuse it, where
+    the lazy plan would re-run the shingle+min-hash aggregation three
+    times (Catalyst's ReuseExchange doesn't unify the differently-
+    projected subtrees). At corpus scale this is the "write signatures
+    to a table, then join" pattern."""
     docs = t(spark, sf, "documents")
-    sigs = minhash_signatures(docs, k=8, shingle_n=3)
+    sigs = minhash_signatures(docs, k=8, shingle_n=3).localCheckpoint()
     pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
     a = sigs.select(
         F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)]
