@@ -223,6 +223,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: K-Means coarse quantizer,
     probe the ``nprobe`` nearest centroid cells per query, exact cosine
@@ -232,8 +233,11 @@ def ivf_topk(
     L2-normalized (Euclidean K-Means then orders like cosine) and
     assigned to a centroid ONCE — at 100 TB the assignment is a write-
     time partition/bucket key, so a query touches only
-    ``nprobe / n_centroids`` of the corpus. Training samples the corpus
-    (K-Means on every vector is unnecessary for a coarse quantizer).
+    ``nprobe / n_centroids`` of the corpus. ``train_fraction`` < 1
+    fits the quantizer on a DETERMINISTIC md5-hash sample (no RNG
+    state, stable across reruns/partitionings) — a coarse quantizer
+    needs only enough vectors to place centroids, so at corpus scale
+    train on e.g. 1e-4 of the data; every vector is still assigned.
     Recall improves with ``nprobe`` (= n_centroids ⇒ exact).
     """
     from pyspark.ml.clustering import KMeans
@@ -246,7 +250,14 @@ def ivf_topk(
     c_norm = corpus.select(
         F.col(id_col), normalize(_as_double(F.col(vec_col))).alias("c_vec")
     )
-    train = c_norm.select(array_to_vector("c_vec").alias("features"))
+    train_src = c_norm
+    if train_fraction < 1.0:
+        bucket = (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+            .cast("long")
+        )
+        train_src = c_norm.filter(bucket < F.lit(int(train_fraction * 65536)))
+    train = train_src.select(array_to_vector("c_vec").alias("features"))
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
 
     centroids = [

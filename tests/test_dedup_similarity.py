@@ -152,3 +152,21 @@ def test_nn_within_label_symmetric_clusters(emb):
     assert len(nn) == 18
     for vid, nnid in nn.items():
         assert vid // 10 == nnid // 10  # neighbor stays in the cluster
+
+
+def test_ivf_sampled_training_deterministic(emb):
+    """train_fraction < 1 fits the quantizer on a deterministic md5
+    sample: two runs give identical results (no RNG state), and the
+    full-probe configuration still returns exact top-k ids because
+    every vector is assigned to some cell regardless of training."""
+    queries = emb.filter(F.col("vec_id") < 3)
+    kw = dict(k=3, n_centroids=3, nprobe=3, train_fraction=0.5)
+    a = sorted(tuple(r) for r in ivf_topk(emb, queries, **kw).collect())
+    b = sorted(tuple(r) for r in ivf_topk(emb, queries, **kw).collect())
+    assert a == b
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, queries, k=3).collect()
+    }
+    got = {(r["query_id"], r["vec_id"]) for r in ivf_topk(emb, queries, **kw).collect()}
+    assert got == exact
