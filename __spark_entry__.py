@@ -70,6 +70,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         *tpch_more.QUERIES,
         *tpch_partsupp.QUERIES,
         *training_data.QUERIES,
+        # round-1 tail additions that also never got a CORRECTNESS row
+        # (positions 51+ — covered if the driver samples past 50)
+        "window_frames_breadth",
+        "scd2_user_value_history",
+        "regex_null_funcs_breadth",
+        "sql_direct_q6",
+        "stats_moments_breadth",
+        "timeseries_gapfill",
+        "timeseries_locf",
+        "histogram_price_buckets",
     ]
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in priority:
