@@ -97,6 +97,12 @@ BENCH_QUERIES = [
     "embed_norm_stats",
     "user_funnel",
     "hash_split_counts",
+    "contamination_overlap",
+    "doc_repetition_stats",
+    "pii_redact_stats",
+    "domain_mix_weights",
+    "length_quantile_filter",
+    "cluster_canonical_doc",
 ]
 
 ALL_QUERIES = entrymod.queries()

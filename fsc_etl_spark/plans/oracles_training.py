@@ -181,8 +181,10 @@ WHERE a.doc_id < b.doc_id
   AND bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
-TRAINING_ORACLES["dedup_cluster_assign"] = f"""
-WITH RECURSIVE {_SHINGLES},
+# Shared CTE chain: MinHash-LSH candidate pairs → transitive closure →
+# per-doc cluster root. Used by dedup_cluster_assign (labels) and
+# cluster_canonical_doc (survivorship on top of the labels).
+_CLUSTERS_CTE = f"""{_SHINGLES},
 sigs AS (
   SELECT doc_id,
 {_minhash_cols(8)}
@@ -209,8 +211,14 @@ reach AS (
   UNION
   SELECT e.dst AS id, r.root AS root
   FROM reach r JOIN edges e ON e.src = r.id
-)
-SELECT id AS doc_id, MIN(root) AS cluster_root FROM reach GROUP BY id
+),
+clusters AS (
+  SELECT id AS doc_id, MIN(root) AS cluster_root FROM reach GROUP BY id
+)"""
+
+TRAINING_ORACLES["dedup_cluster_assign"] = f"""
+WITH RECURSIVE {_CLUSTERS_CTE}
+SELECT doc_id, cluster_root FROM clusters
 """
 
 _DV = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -469,4 +477,109 @@ SELECT user_id,
        CAST(first_purchase AS TIMESTAMP) AS first_purchase,
        COALESCE(first_view < first_click AND first_click < first_purchase, FALSE) AS converted
 FROM agg
+"""
+
+_LTOKS = _TOKS.replace("trim(text)", "trim(lower(text))")
+
+TRAINING_ORACLES["contamination_overlap"] = f"""
+WITH {_SHINGLES},
+bg AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_grams
+FROM sh s JOIN bg USING (sh)
+WHERE s.doc_id % 97 <> 0
+GROUP BY s.doc_id
+"""
+
+TRAINING_ORACLES["doc_repetition_stats"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_LTOKS}) AS tok FROM documents
+),
+pt AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY doc_id, tok),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(cnt) AS BIGINT) AS top_tok_n
+  FROM pt GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct, top_tok_n,
+       ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS distinct_ratio,
+       ROUND(CAST(top_tok_n AS DOUBLE) / n_tokens, 4) AS top_tok_frac
+FROM agg
+"""
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+_PII_LONGNUM = "[0-9][0-9][0-9][0-9]+"
+
+TRAINING_ORACLES["pii_redact_stats"] = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_LONGNUM}')) AS BIGINT) AS n_longnums,
+       CAST(length(regexp_replace(
+           regexp_replace(text, '{_PII_EMAIL}', '[PII]', 'g'),
+           '{_PII_LONGNUM}', '[PII]', 'g')) AS BIGINT) AS clean_chars
+FROM documents
+"""
+
+TRAINING_ORACLES["domain_mix_weights"] = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(sqrt(CAST(n_tokens AS DOUBLE))
+             / SUM(sqrt(CAST(n_tokens AS DOUBLE))) OVER (), 6) AS mix_weight
+FROM per_src
+"""
+
+TRAINING_ORACLES["length_quantile_filter"] = f"""
+WITH d AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+),
+h AS (SELECT n_tokens, COUNT(*) AS cnt FROM d GROUP BY n_tokens),
+b AS (
+  SELECT n_tokens, cnt,
+         SUM(cnt) OVER (ORDER BY n_tokens) AS cum,
+         SUM(cnt) OVER () AS total
+  FROM h
+),
+keep AS (
+  SELECT n_tokens FROM b
+  WHERE 20 * cum > total AND 20 * (cum - cnt) < 19 * total
+)
+SELECT d.doc_id, d.source, d.n_tokens
+FROM d JOIN keep USING (n_tokens)
+"""
+
+_QUALITY_CTE = f"""q AS (
+  SELECT doc_id,
+         ROUND(
+           (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.5 ELSE 0.0 END)
+           + (CASE WHEN n_punct / GREATEST(n_chars, 1) <= 0.1 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN n_stop / GREATEST(n_tokens, 1) > 0 THEN 0.25 ELSE 0.0 END), 2) AS quality
+  FROM (
+    SELECT doc_id,
+           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(len(list_filter({_TOKS}, x -> x IN ({_in_list(LANG_STOPWORDS["en"])}))) AS BIGINT) AS n_stop,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+  )
+)"""
+
+TRAINING_ORACLES["cluster_canonical_doc"] = f"""
+WITH RECURSIVE {_CLUSTERS_CTE},
+{_QUALITY_CTE}
+SELECT cluster_root, doc_id, quality, cluster_size
+FROM (
+  SELECT c.cluster_root, c.doc_id, q.quality,
+         CAST(COUNT(*) OVER (PARTITION BY c.cluster_root) AS BIGINT) AS cluster_size,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.cluster_root ORDER BY q.quality DESC, c.doc_id
+         ) AS rn
+  FROM clusters c JOIN q USING (doc_id)
+)
+WHERE rn = 1
 """

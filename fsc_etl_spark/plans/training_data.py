@@ -22,6 +22,7 @@ from fsc_etl_spark.functions.text import (
     lang_id,
     punct_count,
     quality_score,
+    shingles_from_tokens,
     stopword_count,
     token_count,
     tokens,
@@ -460,6 +461,199 @@ def user_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def contamination_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: which corpus documents share word
+    3-gram shingles with a held-out benchmark set (``doc_id % 97 == 0``
+    stands in for the eval suite). The standard pre-training hygiene
+    step: any doc overlapping an eval prompt is flagged before the
+    training mix is built.
+
+    Scale shape: the benchmark side is tiny by construction (eval
+    suites are KBs against a 100 TB corpus), so its distinct-gram set
+    broadcasts; the corpus side streams map-side through the hash join
+    and the only shuffle is the final per-doc count with partial
+    aggregation. Shingling is the same materialized-token-array
+    projection MinHash uses (O(L) per doc, pure codegen).
+    """
+    docs = t(spark, sf, "documents")
+    toks = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("w"))
+    grams = toks.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("w"), 3)).alias("g")
+    ).dropDuplicates(["doc_id", "g"])
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    corpus = grams.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+
+
+def doc_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document repetition profile (the Gopher-style quality
+    signals): distinct-token ratio and the most-frequent-token share.
+    Highly repetitive documents (boilerplate, keyword stuffing, decode
+    loops) score low on distinct_ratio / high on top_tok_frac and get
+    culled before training.
+
+    Two partial-agg shuffles (doc×token, then doc) — the scalable
+    shape for unbounded document lengths; an array-expression variant
+    (array_distinct + per-element filter) would be shuffle-free but
+    O(L²) per document, which loses at book-length docs.
+    """
+    docs = t(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    per_tok = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("top_tok_n"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            "top_tok_n",
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 4).alias("distinct_ratio"),
+            F.round(F.col("top_tok_n") / F.col("n_tokens"), 4).alias("top_tok_frac"),
+        )
+    )
+
+
+# PII patterns restricted to constructs with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): char classes + bounded repeats.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_LONGNUM_RE = r"[0-9][0-9][0-9][0-9]+"
+
+
+def pii_redact_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub accounting: per-document counts of email-shaped and
+    long-digit-run matches plus the post-redaction length. Pure
+    codegen projection (regexp_extract_all / regexp_replace) — no
+    shuffle, no Python; at 100 TB this runs inside the scan stage.
+    The synthetic fixture contains no PII, so counts are zero — the
+    oracle still verifies the full expression pipeline end-to-end.
+    """
+    docs = t(spark, sf, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), PII_EMAIL_RE, "[PII]"),
+        PII_LONGNUM_RE,
+        "[PII]",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL_RE), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_LONGNUM_RE), 0))
+        .cast("bigint")
+        .alias("n_longnums"),
+        F.length(redacted).cast("bigint").alias("clean_chars"),
+    )
+
+
+def domain_mix_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled domain mixture (alpha = 0.5): per-source
+    sampling weight proportional to sqrt(token budget), the standard
+    rebalancing that keeps huge web crawls from drowning small
+    high-quality sources in the training mix.
+
+    One partial-agg shuffle to per-source totals; the normalizing
+    window runs over the aggregated rows (one per source — bounded by
+    domain count, not corpus size), so the unpartitioned window is
+    safe at any scale.
+    """
+    docs = t(spark, sf, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+    raw = F.sqrt(F.col("n_tokens").cast("double"))
+    return (
+        per_src.withColumn("raw", raw)
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("raw") / F.sum("raw").over(Window.partitionBy()), 6).alias(
+                "mix_weight"
+            ),
+        )
+    )
+
+
+def length_quantile_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-distribution trimming: drop every token-length class
+    wholly inside the bottom or top 5% of corpus mass, keep the rest.
+    The thresholds use only integer arithmetic (20*cum > total etc.)
+    so both engines agree exactly — no float percentile boundary to
+    drift on.
+
+    The cumulative window runs over the length HISTOGRAM (distinct
+    token counts — thousands of rows at worst), not over documents, so
+    the global orderBy window is bounded regardless of corpus size;
+    survivors come back via a broadcast semi-join on length.
+    """
+    docs = t(spark, sf, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    hist = docs.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("cnt"))
+    cum_w = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, 0)
+    keep = (
+        hist.select(
+            "n_tokens",
+            "cnt",
+            F.sum("cnt").over(cum_w).alias("cum"),
+            F.sum("cnt").over(Window.partitionBy()).alias("total"),
+        )
+        .filter(
+            (F.lit(20) * F.col("cum") > F.col("total"))
+            & (F.lit(20) * (F.col("cum") - F.col("cnt")) < F.lit(19) * F.col("total"))
+        )
+        .select("n_tokens")
+    )
+    return docs.join(F.broadcast(keep), "n_tokens", "left_semi").select(
+        "doc_id", "source", "n_tokens"
+    )
+
+
+def cluster_canonical_doc(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup survivorship: one canonical document per MinHash-LSH
+    connected component, chosen by (quality desc, doc_id asc) — the
+    "keep the best copy" step that follows cluster assignment in every
+    dedup pipeline. Reuses dedup_cluster_assign's component labels and
+    the text-quality score; the per-cluster window shuffles on
+    cluster_root (bounded fan-in — cluster sizes are near-dup group
+    sizes, not corpus size).
+    """
+    docs = t(spark, sf, "documents")
+    sigs = minhash_signatures(docs, k=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    clusters = connected_components_min_label(docs.select("doc_id"), pairs)
+    scored = docs.select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    ).join(clusters, "doc_id")
+    rank_w = Window.partitionBy("cluster_root").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    size_w = Window.partitionBy("cluster_root")
+    return (
+        scored.select(
+            "cluster_root",
+            "doc_id",
+            "quality",
+            F.count(F.lit(1)).over(size_w).alias("cluster_size"),
+            F.row_number().over(rank_w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -492,4 +686,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_doc_stats": source_doc_stats,
     "embed_norm_stats": embed_norm_stats,
     "user_funnel": user_funnel,
+    "contamination_overlap": contamination_overlap,
+    "doc_repetition_stats": doc_repetition_stats,
+    "pii_redact_stats": pii_redact_stats,
+    "domain_mix_weights": domain_mix_weights,
+    "length_quantile_filter": length_quantile_filter,
+    "cluster_canonical_doc": cluster_canonical_doc,
 }

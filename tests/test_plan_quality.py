@@ -232,3 +232,33 @@ def test_covid_surrogate_keys_distributed_no_global_window(spark, sf_smoke):
     assert sorted((r.o_orderkey, r.sk) for r in dist.collect()) == sorted(
         (r.o_orderkey, r.sk) for r in exact.collect()
     )
+
+
+def test_contamination_benchmark_grams_broadcast(spark, sf_smoke):
+    """The benchmark-gram side must broadcast (eval suites are tiny
+    against the corpus); the corpus side must not re-shuffle before
+    the join."""
+    plan = plan_of(spark, sf_smoke, "contamination_overlap")
+    assert "BroadcastHashJoin" in plan, "benchmark grams must broadcast-join"
+    assert "SortMergeJoin" not in plan
+
+
+def test_length_filter_window_confined_to_histogram(spark, sf_smoke):
+    """The cumulative-mass window runs over the token-length histogram
+    (bounded by distinct lengths), never over documents: the plan's
+    single-partition exchange must sit above the histogram aggregate,
+    and the survivors must come back via a broadcast semi-join."""
+    plan = plan_of(spark, sf_smoke, "length_quantile_filter")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the doc-side scan never funnels into the window's single partition:
+    # the only SinglePartition exchange consumes the aggregated histogram
+    # (formatted mode spells it "Arguments: SinglePartition, ...")
+    assert plan.count("SinglePartition") == 1
+
+
+def test_cluster_canonical_rank_uses_window_group_limit(spark, sf_smoke):
+    """row_number()=1 survivorship must push the per-cluster top-1
+    limit into the shuffle (WindowGroupLimit), so only candidate
+    winners cross the exchange at scale."""
+    plan = plan_of(spark, sf_smoke, "cluster_canonical_doc")
+    assert "WindowGroupLimit" in plan

@@ -1,0 +1,97 @@
+"""Invariant tests for the round-2 corpus-curation queries
+(contamination, repetition, PII scrub, mixture weights, length
+trimming, cluster survivorship) beyond the oracle parity that
+test_entry_contract.py already enforces."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fsc_etl_spark.plans.training_data import QUERIES
+from fsc_etl_spark.sources.readers import read_parquet_table
+from fsc_etl_spark.testing import check_query
+
+
+def test_contamination_excludes_benchmark_docs(spark, sf_smoke):
+    out = QUERIES["contamination_overlap"](spark, sf_smoke)
+    assert out.filter(F.col("doc_id") % 97 == 0).count() == 0
+    assert out.filter(F.col("n_hit_grams") < 1).count() == 0
+
+
+def test_repetition_stats_bounds(spark, sf_smoke):
+    out = QUERIES["doc_repetition_stats"](spark, sf_smoke)
+    bad = out.filter(
+        (F.col("n_distinct") > F.col("n_tokens"))
+        | (F.col("top_tok_n") > F.col("n_tokens"))
+        | (F.col("distinct_ratio") <= 0)
+        | (F.col("distinct_ratio") > 1)
+        | (F.col("top_tok_frac") <= 0)
+        | (F.col("top_tok_frac") > 1)
+    )
+    assert bad.count() == 0
+
+
+def test_pii_scrub_is_identity_on_clean_fixture(spark, sf_smoke):
+    """The synthetic corpus contains no PII, so redaction must be a
+    no-op: zero matches and unchanged lengths."""
+    out = QUERIES["pii_redact_stats"](spark, sf_smoke)
+    docs = read_parquet_table(spark, sf_smoke, "documents").select(
+        "doc_id", F.length("text").cast("bigint").alias("orig_chars")
+    )
+    changed = (
+        out.join(docs, "doc_id")
+        .filter(
+            (F.col("n_emails") != 0)
+            | (F.col("n_longnums") != 0)
+            | (F.col("clean_chars") != F.col("orig_chars"))
+        )
+        .count()
+    )
+    assert changed == 0
+
+
+def test_mix_weights_normalized(spark, sf_smoke):
+    rows = QUERIES["domain_mix_weights"](spark, sf_smoke).collect()
+    assert all(r.mix_weight > 0 for r in rows)
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-4
+
+
+def test_length_filter_keeps_contiguous_middle(spark, sf_smoke):
+    """Kept token-length classes must be a contiguous middle slice of
+    the length distribution covering >= 80% of documents."""
+    docs = read_parquet_table(spark, sf_smoke, "documents")
+    out = QUERIES["length_quantile_filter"](spark, sf_smoke)
+    total = docs.count()
+    kept = out.count()
+    assert 0.8 * total <= kept <= total
+    all_lengths = sorted(
+        r.n_tokens
+        for r in QUERIES["text_token_stats"](spark, sf_smoke)
+        .select("n_tokens")
+        .distinct()
+        .collect()
+    )
+    kept_lengths = sorted(r.n_tokens for r in out.select("n_tokens").distinct().collect())
+    lo = all_lengths.index(kept_lengths[0])
+    assert all_lengths[lo : lo + len(kept_lengths)] == kept_lengths
+
+
+def test_canonical_doc_one_per_cluster(spark, sf_smoke):
+    out = QUERIES["cluster_canonical_doc"](spark, sf_smoke)
+    clusters = QUERIES["dedup_cluster_assign"](spark, sf_smoke)
+    n_roots = clusters.select("cluster_root").distinct().count()
+    assert out.count() == n_roots
+    assert out.select("cluster_root").distinct().count() == n_roots
+    # cluster sizes partition the corpus
+    total_docs = clusters.count()
+    assert out.agg(F.sum("cluster_size")).collect()[0][0] == total_docs
+
+
+def test_round2_queries_oracle_parity_smoke(spark, sf_smoke):
+    for name in (
+        "contamination_overlap",
+        "doc_repetition_stats",
+        "domain_mix_weights",
+        "length_quantile_filter",
+    ):
+        check_query(spark, sf_smoke, name)
