@@ -101,7 +101,17 @@ def cosine_topk_pandas(
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(id_col, vec_col).collect()
+    # The small-query-set contract, enforced: collecting an unbounded
+    # DataFrame to the driver is the classic OOM at corpus scale, so
+    # fail loudly instead of silently degrading.
+    max_queries = 100_000
+    qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_pandas broadcasts the query set to every task; "
+            f"got more than {max_queries} query rows — partition the "
+            f"queries or use lsh_bucketed_topk/ivf_topk instead"
+        )
     q_ids = [int(r[0]) for r in qrows]
     qm = np.array([list(r[1]) for r in qrows], dtype="float64")
     q_norm = np.sqrt((qm * qm).sum(axis=1))
