@@ -399,6 +399,9 @@ def connected_components_min_label(
     for _ in range(max_iters):
         lbl_src = labels.select(F.col(id_col).alias("src"), F.col("root").alias("src_root"))
         nbr = edges.join(lbl_src, "src").groupBy("dst").agg(F.min("src_root").alias("nbr_root"))
+        # The changed flag rides along in the propagation select, so
+        # the convergence probe is a limit(1) scan of the round's
+        # already-checkpointed output — not a second labels join.
         nxt = (
             labels.join(nbr, F.col(id_col) == F.col("dst"), "left")
             .select(
@@ -406,18 +409,15 @@ def connected_components_min_label(
                 F.least(F.col("root"), F.coalesce(F.col("nbr_root"), F.col("root"))).alias(
                     "root"
                 ),
+                (F.coalesce(F.col("nbr_root"), F.col("root")) < F.col("root")).alias(
+                    "__changed"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            nxt.withColumnRenamed("root", "new_root")
-            .join(labels, id_col)
-            .filter(F.col("new_root") != F.col("root"))
-            .limit(1)
-            .count()
-        )
-        labels = nxt
-        if changed == 0:
+        converged = nxt.filter(F.col("__changed")).limit(1).count() == 0
+        labels = nxt.drop("__changed")
+        if converged:
             break
     return labels.select(F.col(id_col), F.col("root").alias("cluster_root"))
 
