@@ -92,14 +92,17 @@ def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
              * F.col("availqty").cast("decimal(18,2)")).cast("decimal(28,4)"),
         )
     )
-    by_part = nat.groupBy("l_partkey").agg(
-        F.sum("value_dec").cast("double").alias("part_value")
-    )
-    total = nat.agg(
-        (F.sum("value_dec").cast("double") / F.lit(1000.0)).alias("threshold")
+    # The national total folds from the per-part decimal sums (exact,
+    # so sum-of-group-sums == global sum): the partsupp derivation and
+    # its shuffle run ONCE, and the threshold branch re-reads by_part's
+    # exchange (ReuseExchange) instead of re-joining lineitem.
+    by_part = nat.groupBy("l_partkey").agg(F.sum("value_dec").alias("part_value_dec"))
+    total = by_part.agg(
+        (F.sum("part_value_dec").cast("double") / F.lit(1000.0)).alias("threshold")
     )
     return (
-        by_part.crossJoin(F.broadcast(total))
+        by_part.withColumn("part_value", F.col("part_value_dec").cast("double"))
+        .crossJoin(F.broadcast(total))
         .filter(F.col("part_value") > F.col("threshold"))
         .select(F.col("l_partkey").alias("p_partkey"), "part_value")
     )
