@@ -112,11 +112,27 @@ class ParquetMergeTarget:
     Layout: ``root/current`` is a symlink-free directory holding the
     live version; commits write ``root/v_<uuid>`` then atomically
     replace ``current`` (rename swap). Single-writer only.
+
+    With ``partition_cols``, data lays out hive-style
+    (``col=value/...``) and :meth:`merge` rewrites ONLY the partitions
+    the source touches (the file-level pruning a real table format
+    gives you) — at scale a daily merge then costs O(touched
+    partitions), not O(table). Constraints, documented not enforced:
+    a key's partition value must be stable across merges (true for
+    date-partitioned facts merged on (date, id)), and partition
+    column types should round-trip directory encoding (strings/ints;
+    timestamps re-infer as dates on read).
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        partition_cols: Sequence[str] | None = None,
+    ):
         self.spark = spark
         self.root = root
+        self.partition_cols = list(partition_cols or [])
         os.makedirs(root, exist_ok=True)
 
     @property
@@ -132,7 +148,10 @@ class ParquetMergeTarget:
 
     def _commit(self, df: DataFrame) -> None:
         staged = os.path.join(self.root, f"v_{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(staged)
+        writer = df.write.mode("overwrite")
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        writer.parquet(staged)
         old: str | None = None
         if os.path.isdir(self._current):
             old = os.path.join(tempfile.gettempdir(), f"fsc_old_{uuid.uuid4().hex}")
@@ -140,6 +159,48 @@ class ParquetMergeTarget:
         os.rename(staged, self._current)
         if old:
             shutil.rmtree(old, ignore_errors=True)
+
+    @staticmethod
+    def _partition_dirs(base: str) -> list[str]:
+        """Relative paths of the hive-style leaf partition dirs under
+        ``base`` (discovered from what the write produced, so value
+        escaping always matches Spark's own encoding)."""
+        out: list[str] = []
+
+        def walk(d: str, rel: str) -> None:
+            subs = [
+                e
+                for e in os.listdir(d)
+                if "=" in e and os.path.isdir(os.path.join(d, e))
+            ]
+            if not subs:
+                if rel:
+                    out.append(rel)
+                return
+            for e in subs:
+                walk(os.path.join(d, e), os.path.join(rel, e) if rel else e)
+
+        walk(base, "")
+        return out
+
+    def _swap_partitions(self, df: DataFrame) -> None:
+        """Commit ``df`` (the merged slice) into ONLY the partition
+        directories it contains; every other partition's files are
+        left untouched on disk. Per-directory rename swap —
+        single-writer, same guarantee as _commit."""
+        staged = os.path.join(self.root, f"v_{uuid.uuid4().hex}")
+        df.write.mode("overwrite").partitionBy(*self.partition_cols).parquet(staged)
+        for rel in self._partition_dirs(staged):
+            dst = os.path.join(self._current, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            old: str | None = None
+            if os.path.isdir(dst):
+                old = os.path.join(tempfile.gettempdir(), f"fsc_old_{uuid.uuid4().hex}")
+                os.rename(dst, old)
+            os.rename(os.path.join(staged, rel), dst)
+            if old:
+                shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(staged, ignore_errors=True)
 
     def overwrite(self, df: DataFrame) -> None:
         self._commit(df)
@@ -164,10 +225,43 @@ class ParquetMergeTarget:
         when_not_matched_insert: bool = True,
         delta_col: str | None = None,
     ) -> None:
-        """J4/J5/M4/M5: MERGE ``source`` into the table."""
+        """J4/J5/M4/M5: MERGE ``source`` into the table. With
+        ``partition_cols``, only the partitions present in the source
+        are read, merged, and rewritten (partition-pruned merge)."""
         if not self.exists():
             if when_not_matched_insert:
                 self._commit(source)
+            return
+        if self.partition_cols:
+            import functools
+            import operator
+
+            # Touched-partition values: bounded by partition count
+            # (days/regions), not row count — safe to collect.
+            pvals = source.select(*self.partition_cols).distinct().collect()
+            if not pvals:
+                return
+            cond = functools.reduce(
+                operator.or_,
+                [
+                    functools.reduce(
+                        operator.and_,
+                        [F.col(c).eqNullSafe(F.lit(r[c])) for c in self.partition_cols],
+                    )
+                    for r in pvals
+                ],
+            )
+            tgt_slice = self.read().filter(cond)
+            self._swap_partitions(
+                merge_frames(
+                    tgt_slice,
+                    source,
+                    on,
+                    update_cols=update_cols,
+                    when_not_matched_insert=when_not_matched_insert,
+                    delta_col=delta_col,
+                )
+            )
             return
         target = self.read()
         self._commit(
