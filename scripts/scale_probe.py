@@ -42,7 +42,7 @@ KEYED_TABLES = {
     "part": ["p_partkey"],
     "events": ["event_id", "user_id"],
 }
-COPY_AS_IS = ["nation", "region", "documents", "embeddings"]
+COPY_AS_IS = ["nation", "region"]
 
 PROBE_QUERIES = [
     "q1_pricing_summary",       # scan + group (decimal accumulation)
@@ -53,6 +53,18 @@ PROBE_QUERIES = [
     "hourly_event_rollup",      # time-bucket agg
     "scd2_user_value_history",  # two window passes
     "stats_moments_breadth",    # exact power sums
+    # training-data surface (documents/embeddings scale via
+    # content-perturbed copies — see build_scaled)
+    "minhash_signature",        # shingle explode + k-min agg
+    "lsh_near_dup_candidates",  # band-bucket pair expansion
+    "simhash_neardup_pairs",    # bit-vote sig + banded blocking
+    "contamination_overlap",    # broadcast benchmark-gram join
+    "doc_repetition_stats",     # two-level token agg
+    "length_quantile_filter",   # histogram window + semi join
+    "bigram_topk",              # global top-k over bigram counts
+    "pack_chunks_by_source",    # per-source packing window
+    "dedup_cluster_assign",     # iterative label propagation
+    "embed_cosine_topk_pandas", # broadcast queries x scaling corpus
 ]
 
 
@@ -61,6 +73,42 @@ def _offset(df: DataFrame, keys: list[str], i: int, stride: int = 10_000_000) ->
     for k in keys:
         out = out.withColumn(k, F.col(k) + F.lit(i * stride))
     return out
+
+
+# Distinct vowel permutations, one per copy (copy 0 = identity).
+# translate() under a vowel bijection keeps every corpus statistic the
+# dedup operators key on (token/char counts, doc lengths, shingle
+# cardinalities) while making each copy's TEXT distinct — so near-dup
+# neighborhoods stay constant per doc and pair output scales linearly.
+# Naive as-is copies would make every doc a 10-way exact dup: LSH/
+# SimHash buckets then grow 10x denser and pair output grows ~100x,
+# measuring an artifact instead of the engine.
+_VOWELS = "aeiou"
+_VOWEL_PERMS = [
+    "aeiou", "eioua", "iouae", "ouaei", "uaeio",
+    "aeiuo", "eiuoa", "iuoae", "uoaei", "oaeiu",
+]
+
+
+def _perturb_documents(df: DataFrame, i: int) -> DataFrame:
+    out = df.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+    if i == 0:
+        return out
+    return out.withColumn("text", F.translate(F.col("text"), _VOWELS, _VOWEL_PERMS[i]))
+
+
+def _perturb_embeddings(df: DataFrame, i: int) -> DataFrame:
+    """Copy-specific sign-flip mask (~40% of dims): keeps norms exact
+    while de-correlating copies, so cosine near-dup/ANN outputs scale
+    with data instead of quadratically with duplicated vectors."""
+    out = df.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+    if i == 0:
+        return out
+    flipped = F.transform(
+        F.col("embedding"),
+        lambda x, d: F.when((d + F.lit(i * 3)) % 5 < 2, -x).otherwise(x),
+    )
+    return out.withColumn("embedding", flipped.cast("array<float>"))
 
 
 def build_scaled(spark: SparkSession) -> str:
@@ -80,6 +128,12 @@ def build_scaled(spark: SparkSession) -> str:
         scaled.write.mode("overwrite").parquet(str(dest / f"{tbl}.parquet"))
     for tbl in COPY_AS_IS:
         shutil.copy(f"{BASE_SF}/{tbl}.parquet", dest / f"{tbl}.parquet")
+    for tbl, perturb in (("documents", _perturb_documents), ("embeddings", _perturb_embeddings)):
+        base = read_parquet_table(spark, BASE_SF, tbl)
+        scaled = perturb(base, 0)
+        for i in range(1, COPIES):
+            scaled = scaled.unionByName(perturb(base, i))
+        scaled.write.mode("overwrite").parquet(str(dest / f"{tbl}.parquet"))
     return str(dest)
 
 
@@ -87,9 +141,15 @@ def time_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in PROBE_QUERIES:
-        df = qs[name](spark, sf_dir)
+        # Warm pass first: codegen compilation and scan-index caches
+        # land here, not in the measured pass (otherwise the 1x side,
+        # which always runs first, eats every first-touch cost and the
+        # ratios skew low). The timer wraps CONSTRUCTION + execution so
+        # eager driver-loop operators (connected components) are
+        # measured, not just their checkpointed result scan.
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 3)
     return out
 
