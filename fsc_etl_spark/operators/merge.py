@@ -236,33 +236,54 @@ class ParquetMergeTarget:
             import functools
             import operator
 
-            # Touched-partition values: bounded by partition count
-            # (days/regions), not row count — safe to collect.
-            pvals = source.select(*self.partition_cols).distinct().collect()
-            if not pvals:
-                return
-            cond = functools.reduce(
-                operator.or_,
-                [
-                    functools.reduce(
-                        operator.and_,
-                        [F.col(c).eqNullSafe(F.lit(r[c])) for c in self.partition_cols],
-                    )
-                    for r in pvals
-                ],
-            )
-            tgt_slice = self.read().filter(cond)
-            self._swap_partitions(
-                merge_frames(
-                    tgt_slice,
-                    source,
-                    on,
-                    update_cols=update_cols,
-                    when_not_matched_insert=when_not_matched_insert,
-                    delta_col=delta_col,
+            missing = [c for c in self.partition_cols if c not in source.columns]
+            if missing and when_not_matched_insert:
+                # Inserts carrying no partition value can't be placed
+                # in a directory — full-table merge is the only
+                # correct move. Sources that keep their partition
+                # columns (or update-only merges) stay pruned.
+                pvals = None
+            elif missing:
+                # Update-only merge: the touched partitions are
+                # whichever ones hold the source's keys — one
+                # column-pruned scan of (keys + partition cols),
+                # far cheaper than rewriting the table.
+                keyed = self.read().join(
+                    source.select(*on).distinct(), list(on), "left_semi"
                 )
-            )
-            return
+                pvals = keyed.select(*self.partition_cols).distinct().collect()
+            else:
+                # Touched-partition values: bounded by partition count
+                # (days/regions), not row count — safe to collect.
+                pvals = source.select(*self.partition_cols).distinct().collect()
+            if pvals is not None:
+                if not pvals:
+                    return
+                cond = functools.reduce(
+                    operator.or_,
+                    [
+                        functools.reduce(
+                            operator.and_,
+                            [
+                                F.col(c).eqNullSafe(F.lit(r[c]))
+                                for c in self.partition_cols
+                            ],
+                        )
+                        for r in pvals
+                    ],
+                )
+                tgt_slice = self.read().filter(cond)
+                self._swap_partitions(
+                    merge_frames(
+                        tgt_slice,
+                        source,
+                        on,
+                        update_cols=update_cols,
+                        when_not_matched_insert=when_not_matched_insert,
+                        delta_col=delta_col,
+                    )
+                )
+                return
         target = self.read()
         self._commit(
             merge_frames(
@@ -303,9 +324,15 @@ class DeltaMergeTarget:  # pragma: no cover — needs delta-spark jars
     utils/load_functions.py:64-124) with transaction-log commits,
     file-level pruning on merge, and real VACUUM."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        partition_cols: Sequence[str] | None = None,
+    ):
         self.spark = spark
         self.root = root
+        self.partition_cols = list(partition_cols or [])
 
     def _table(self):
         from delta.tables import DeltaTable
@@ -321,12 +348,14 @@ class DeltaMergeTarget:  # pragma: no cover — needs delta-spark jars
         return self.spark.read.format("delta").load(self.root)
 
     def overwrite(self, df: DataFrame) -> None:
-        (
+        writer = (
             df.write.format("delta")
             .mode("overwrite")
             .option("overwriteSchema", "true")
-            .save(self.root)
         )
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        writer.save(self.root)
 
     def append(self, df: DataFrame) -> None:
         df.write.format("delta").mode("append").save(self.root)
@@ -372,13 +401,20 @@ class DeltaMergeTarget:  # pragma: no cover — needs delta-spark jars
         self._table().update(condition=where, set={set_col: F.lit(set_value)})
 
 
-def make_merge_target(spark: SparkSession, root: str, prefer_delta: bool = True):
+def make_merge_target(
+    spark: SparkSession,
+    root: str,
+    prefer_delta: bool = True,
+    partition_cols: Sequence[str] | None = None,
+):
     """Factory: a real Delta table when delta-spark is on the
     classpath, else the parquet stand-in. Both expose the same
-    interface, so pipelines are format-agnostic."""
+    interface, so pipelines are format-agnostic. ``partition_cols``
+    enables partition-pruned merges on the parquet stand-in (Delta
+    prunes from file stats on its own; it gets the layout hint)."""
     if prefer_delta and delta_available():
-        return DeltaMergeTarget(spark, root)
-    return ParquetMergeTarget(spark, root)
+        return DeltaMergeTarget(spark, root, partition_cols=partition_cols)
+    return ParquetMergeTarget(spark, root, partition_cols=partition_cols)
 
 
 def build_staged_upsert_sql(

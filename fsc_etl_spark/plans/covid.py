@@ -189,8 +189,18 @@ class CovidPipeline:
     def __post_init__(self) -> None:
         # Real Delta tables when delta-spark is on the classpath;
         # parquet stand-in otherwise (same interface).
-        self.curated = make_merge_target(self.spark, self.curated_root)
-        self.enterprise = make_merge_target(self.spark, self.enterprise_root)
+        # Partition layouts chosen for pruned merges with stable
+        # key→partition mapping: curated by Year (int — directory
+        # round-trip safe; Month is a zero-padded STRING that dir
+        # inference would corrupt to int), enterprise by Date (date
+        # values round-trip). Daily incremental merges then rewrite
+        # only the touched year / the corrected dates.
+        self.curated = make_merge_target(
+            self.spark, self.curated_root, partition_cols=["Year"]
+        )
+        self.enterprise = make_merge_target(
+            self.spark, self.enterprise_root, partition_cols=["Date"]
+        )
 
     # -- entry A: full refresh ------------------------------------------------
     def run_full(self, raw_dir: str, run_ts: dt.datetime | None = None) -> None:
