@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "domain_mix_weights",
     "length_quantile_filter",
     "cluster_canonical_doc",
+    "tfidf_top_terms",
+    "containment_pairs",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -583,3 +583,60 @@ FROM (
 )
 WHERE rn = 1
 """
+
+TRAINING_ORACLES["tfidf_top_terms"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_LTOKS}) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         ROUND(tf.tf * CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1), 6) AS tfidf
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, tf, df, tfidf, CAST(rn AS INT) AS rn
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+  FROM scored
+)
+WHERE rn <= 5
+"""
+
+TRAINING_ORACLES["containment_pairs"] = f"""
+WITH {_SHINGLES},
+sigs AS (
+  SELECT doc_id,
+{_minhash_cols(8)}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_sig FROM sigs
+  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sigs
+  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sigs
+  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+),
+toks AS (
+  SELECT DISTINCT doc_id, unnest({_LTOKS}) AS tok FROM documents
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN toks a ON a.doc_id = c.id_a
+  JOIN toks b ON b.doc_id = c.id_b AND b.tok = a.tok
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(i.inter AS DOUBLE) / sa.sz, 6) AS containment_a,
+       ROUND(CAST(i.inter AS DOUBLE) / sb.sz, 6) AS containment_b
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+"""

@@ -654,6 +654,81 @@ def cluster_canonical_doc(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-5 salient terms by tf·idf with a LINEAR idf
+    ratio (tf · (N+1)/(df+1)): division and multiplication are
+    correctly-rounded IEEE ops, identical across engines, whereas
+    log() is not guaranteed correctly rounded in either libm — the
+    linear variant keeps the score bit-identical to the oracle.
+
+    Shape: two partial-agg shuffles (doc×term tf, then term df), the
+    corpus size rides in as a 1-row broadcast, and the per-doc top-5
+    is a WindowGroupLimit rank — nothing global, nothing quadratic.
+    """
+    docs = t(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * (F.col("n_docs") + 1).cast("double") / (F.col("df") + 1),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "tok", "tf", "df", "tfidf", "rn")
+    )
+
+
+def containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric containment |A∩B|/|A| for MinHash-LSH candidate
+    pairs — the doc-in-doc signal (quotes, boilerplate wrappers) that
+    symmetric Jaccard misses: a small doc fully embedded in a big one
+    scores near 1.0 here but low on Jaccard.
+
+    Stays pair-scoped: candidates come from the banded LSH join (never
+    all-pairs), the exact intersection is a token equi-join restricted
+    to candidate docs, sizes broadcast back per side.
+    """
+    docs = t(spark, sf, "documents")
+    sigs = minhash_signatures(docs, k=8, shingle_n=3)
+    cand = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    ).dropDuplicates(["doc_id", "tok"])
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ta = toks.select(F.col("doc_id").alias("id_a"), F.col("tok").alias("tok_a"))
+    tb = toks.select(F.col("doc_id").alias("tb_id"), F.col("tok").alias("tok_b"))
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, (F.col("id_b") == F.col("tb_id")) & (F.col("tok_a") == F.col("tok_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "sz": "sz_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter") / F.col("sz_a"), 6).alias("containment_a"),
+            F.round(F.col("inter") / F.col("sz_b"), 6).alias("containment_b"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -692,4 +767,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_mix_weights": domain_mix_weights,
     "length_quantile_filter": length_quantile_filter,
     "cluster_canonical_doc": cluster_canonical_doc,
+    "tfidf_top_terms": tfidf_top_terms,
+    "containment_pairs": containment_pairs,
 }
