@@ -96,3 +96,32 @@ def test_json_roundtrip_schema_first(spark, tmp_path, sf_smoke):
     back = read_json(spark, path, schemas.NATION)
     assert back.schema == schemas.NATION
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_partitioned_sink_format_roundtrip(spark, tmp_path):
+    """S8 sink is format-parametric: parquet, ORC (both native
+    columnar formats), and JSON round-trip the same partitioned layout
+    through the one writer path."""
+    from pyspark.sql import functions as F
+
+    from fsc_etl_spark.sources.writers import write_partitioned
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i) * 1.5) for i in range(30)], "id int, g string, v double"
+    )
+    readers = {
+        "parquet": lambda p: spark.read.parquet(p),
+        "orc": lambda p: spark.read.orc(p),
+        "json": lambda p: spark.read.json(p),
+    }
+    import os
+
+    for fmt, rd in readers.items():
+        path = str(tmp_path / f"sink_{fmt}")
+        write_partitioned(df, path, partition_by=["g"], mode="overwrite", fmt=fmt)
+        assert sorted(e for e in os.listdir(path) if e.startswith("g=")) == [
+            "g=g0", "g=g1", "g=g2",
+        ]
+        back = rd(path)
+        got = sorted((int(r.id), r.g, float(r.v)) for r in back.collect())
+        assert got == sorted((r.id, r.g, r.v) for r in df.collect()), fmt
