@@ -209,6 +209,71 @@ def approx_user_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dq_orders_report(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass data-quality rule pack over orders (operators/
+    quality.py): N rules compile to conditional aggregates in a single
+    scan + hash aggregate — the only affordable shape for rule packs
+    at 100 TB (per-rule filter().count() loops rescan the table N
+    times)."""
+    from fsc_etl_spark.operators.quality import (
+        dq_report,
+        expect_between,
+        expect_in_set,
+        expect_not_null,
+        expect_unique,
+    )
+
+    return dq_report(
+        t(spark, sf, "orders"),
+        {
+            "null_custkey": expect_not_null("o_custkey"),
+            "dup_orderkeys": expect_unique("o_orderkey"),
+            "bad_status": expect_in_set("o_orderstatus", ["O", "F", "P"]),
+            "price_out_of_range": expect_between("o_totalprice", 0.0, 1e7),
+        },
+    )
+
+
+def rollup_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized-rollup maintenance: merge the latest day's delta
+    into the stored daily rollup by RE-AGGREGATING PARTIALS (counts
+    add; exact-decimal sums add), never rescanning history. The query
+    returns the maintained rollup; the oracle computes the same rollup
+    from scratch — their equality is the maintenance-algebra proof.
+
+    Here the "stored" history rollup is derived in-plan (the fixture
+    has no persisted MV); in production it is a table and only the
+    delta side scans new data.
+    """
+    ev = t(spark, sf, "events").select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("value_dec"),
+    )
+    bounds = ev.agg(F.max("day").alias("last_day"))
+    tagged = ev.crossJoin(F.broadcast(bounds))
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_dec").alias("sum_dec"),
+        )
+
+    hist = rollup(tagged.filter(F.col("day") < F.col("last_day")))
+    delta = rollup(tagged.filter(F.col("day") == F.col("last_day")))
+    merged = (
+        hist.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sum_dec").alias("sum_dec"))
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_order_stats": cube_order_stats,
     "grouping_sets_priority": grouping_sets_priority,
@@ -222,6 +287,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_revenue_forecast": q6_revenue_forecast,
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "explode_doc_tokens": explode_doc_tokens,
+    "dq_orders_report": dq_orders_report,
+    "rollup_incremental_merge": rollup_incremental_merge,
 }
 
 
@@ -322,4 +389,22 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
  AND v.ts > p.ts - INTERVAL 30 MINUTE
  AND v.ts <= p.ts
 GROUP BY p.user_id, p.event_id
+"""
+
+EXT_ORACLES["dq_orders_report"] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+       CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_orderkeys,
+       CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                      AND o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+       CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                      AND (o_totalprice < 0.0 OR o_totalprice > 1e7) THEN 1 ELSE 0 END) AS BIGINT) AS price_out_of_range
+FROM orders
+"""
+
+EXT_ORACLES["rollup_incremental_merge"] = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
 """

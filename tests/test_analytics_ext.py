@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -155,3 +157,44 @@ def test_builtin_moments_match_exact_closed_form(spark, sf_smoke):
         assert abs(r["v"] - e["var_qty"]) < 1e-4 * max(1.0, abs(e["var_qty"]))
         assert abs(r["s"] - e["std_price"]) < 1e-4 * max(1.0, abs(e["std_price"]))
         assert abs(r["c"] - e["corr_qty_price"]) < 1e-6
+
+
+def test_dq_enforce_raises_and_passes(spark):
+    from fsc_etl_spark.operators.quality import (
+        enforce,
+        expect_between,
+        expect_in_set,
+        expect_not_null,
+        expect_unique,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, "A", 10.0), (1, "Z", -5.0), (None, "A", 20.0)], "k int, s string, v double"
+    )
+    with pytest.raises(ValueError) as exc:
+        enforce(
+            bad,
+            {
+                "null_k": expect_not_null("k"),
+                "dup_k": expect_unique("k"),
+                "bad_s": expect_in_set("s", ["A", "B"]),
+                "v_range": expect_between("v", 0.0, 100.0),
+            },
+        )
+    msg = str(exc.value)
+    for rule in ("null_k", "dup_k", "bad_s", "v_range"):
+        assert rule in msg
+    ok = spark.createDataFrame([(1, "A", 10.0), (2, "B", 5.0)], "k int, s string, v double")
+    out = enforce(ok, {"null_k": expect_not_null("k"), "dup_k": expect_unique("k")})
+    assert out is ok
+
+
+def test_rollup_merge_is_one_shuffle_per_branch(spark, sf_smoke):
+    """The maintenance merge must re-aggregate partials (sum of n,
+    sum of sums), not re-expand: the plan has hash aggregates, no
+    window, no join on the merged side."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["rollup_incremental_merge"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
