@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "cluster_canonical_doc",
     "tfidf_top_terms",
     "containment_pairs",
+    "dq_orders_report",
+    "rollup_incremental_merge",
 ]
 
 ALL_QUERIES = entrymod.queries()

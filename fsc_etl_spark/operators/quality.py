@@ -25,10 +25,15 @@ def expect_not_null(col: str) -> Column:
     return F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).cast("bigint")
 
 
-def expect_unique(col: str) -> Column:
-    """Violation count: rows beyond the first per ``col`` value
-    (count - distinct count; 0 ⇔ the column is a key)."""
-    return (F.count(F.col(col)) - F.countDistinct(F.col(col))).cast("bigint")
+def expect_unique(*cols: str) -> Column:
+    """Violation count: rows beyond the first per key value
+    (count - distinct count; 0 ⇔ the column set is a key). Single
+    column counts non-null rows (SQL COUNT(col) semantics); composite
+    keys count every row, so NULL-bearing keys register as
+    duplicates rather than silently passing."""
+    if len(cols) == 1:
+        return (F.count(F.col(cols[0])) - F.countDistinct(F.col(cols[0]))).cast("bigint")
+    return (F.count(F.lit(1)) - F.countDistinct(*[F.col(c) for c in cols])).cast("bigint")
 
 
 def expect_in_set(col: str, allowed: Sequence[str]) -> Column:

@@ -41,6 +41,7 @@ from fsc_etl_spark.operators.cdc import snapshot_diff, split_inserts_updates
 from fsc_etl_spark.operators.joins import dim_join, star_left_join
 from fsc_etl_spark.operators.keys import max_key, surrogate_keys
 from fsc_etl_spark.operators.merge import make_merge_target
+from fsc_etl_spark.operators.quality import enforce, expect_not_null, expect_unique
 from fsc_etl_spark.operators.pivot import pivot_indicator
 from fsc_etl_spark.sources.readers import read_csv
 
@@ -386,6 +387,17 @@ class CovidPipeline:
         if full_mode:
             self.enterprise.delete_all()
         self.enterprise.merge(payload, on=["CodeISO", "Date"], delta_col="_TF_LAST_UPDATE")
+        # Post-merge grain gate (operators/quality.py): the warehouse
+        # table must stay unique on (CodeISO, Date) and key-complete —
+        # one aggregate pass, raises before bad data propagates.
+        enforce(
+            self.enterprise.read(),
+            {
+                "dup_grain": expect_unique("CodeISO", "Date"),
+                "null_code": expect_not_null("CodeISO"),
+                "null_date": expect_not_null("Date"),
+            },
+        )
 
         # M6 flag reset back into curated.
         self.curated.update_flag("Is_updated", "N", F.col("Is_updated") == "Y")
