@@ -197,6 +197,35 @@ def streaming_multibatch_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("session_start", "session_end", "user_id", "n")
 
 
+def streaming_blocklist_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAM-STATIC ANTI JOIN: incoming documents are dropped when
+    their content fingerprint matches a static blocklist (the
+    benchmark/eval fingerprints, ``doc_id % 97 == 0`` standing in) —
+    the decontamination-at-ingest shape every training pipeline runs
+    before documents ever land. The static side broadcasts; each
+    micro-batch is a map-side anti join with zero streaming state.
+    Survivor counts roll up per source."""
+    from fsc_etl_spark.functions.text import fingerprint_md5
+    from fsc_etl_spark.sources.readers import read_parquet_table
+    from fsc_etl_spark.streaming import stream_documents
+
+    blocklist = (
+        read_parquet_table(spark, sf, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .select(fingerprint_md5(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    docs = stream_documents(spark, sf).withColumn(
+        "fp", fingerprint_md5(F.col("text"))
+    )
+    fresh = docs.join(F.broadcast(blocklist), "fp", "left_anti")
+    out = run_to_memory(fresh, output_mode="append")
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_multibatch_sessionize": streaming_multibatch_sessionize,
     "streaming_hourly_rollup": streaming_hourly_rollup,
@@ -206,6 +235,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_upsert_latest": streaming_upsert_latest,
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_enrich_dim": streaming_enrich_dim,
+    "streaming_blocklist_dedup": streaming_blocklist_dedup,
 }
 
 
@@ -286,4 +316,16 @@ SELECT c_mktsegment,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1
+"""
+
+STREAMING_ORACLES["streaming_blocklist_dedup"] = """
+WITH bfp AS (
+  SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents WHERE doc_id % 97 = 0
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents d
+WHERE md5(lower(trim(d.text))) NOT IN (SELECT fp FROM bfp)
+GROUP BY source
 """

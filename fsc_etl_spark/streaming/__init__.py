@@ -11,6 +11,7 @@ foreachBatch merge sinks, and a custom stateful operator via
 
 from fsc_etl_spark.streaming.sources import (
     stage_events_as_files,
+    stream_documents,
     stream_events,
     stream_parquet_dir,
     stream_staged_events,
@@ -26,6 +27,7 @@ from fsc_etl_spark.streaming.stateful import user_running_stats
 
 __all__ = [
     "stage_events_as_files",
+    "stream_documents",
     "stream_events",
     "stream_parquet_dir",
     "stream_staged_events",

@@ -119,3 +119,19 @@ def stream_staged_events(
         max_files_per_trigger=max_files_per_trigger,
         glob_filter="*.parquet",
     )
+
+
+def stream_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The driver's ``documents`` table as a stream — the shape of a
+    training-data ingest tailing a corpus drop prefix."""
+    return stream_parquet_dir(
+        spark,
+        sf_dir,
+        schemas.DOCUMENTS,
+        max_files_per_trigger,
+        glob_filter="documents.parquet",
+    )
