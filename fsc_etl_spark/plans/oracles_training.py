@@ -640,3 +640,15 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
 """
+
+TRAINING_ORACLES["synth_docs_source"] = """
+WITH ids AS (SELECT unnest(range(0, 2000)) AS doc_id)
+SELECT doc_id,
+       array_to_string(
+         list_transform(range(0, 8),
+           j -> substr(md5('doc:' || CAST(doc_id AS VARCHAR)),
+                       CAST((j * 4) % 32 + 1 AS BIGINT), 4)),
+         ' ') AS text,
+       'src' || CAST(doc_id % 5 AS VARCHAR) AS source
+FROM ids
+"""

@@ -729,6 +729,24 @@ def containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def synth_docs_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 API): the partitioned
+    synthetic-corpus generator (sources/pydatasource.py). Content is
+    md5-of-id, so the DuckDB oracle regenerates the identical corpus
+    from range()+md5 and the driver verifies full text equality —
+    proving the source's partitioned generation is deterministic and
+    engine-reproducible. ``sf`` is unused: the source generates."""
+    from fsc_etl_spark.sources.pydatasource import register
+
+    register(spark)
+    return (
+        spark.read.format("fsc_synth_docs")
+        .option("n", "2000")
+        .option("partitions", "8")
+        .load()
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -769,4 +787,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_canonical_doc": cluster_canonical_doc,
     "tfidf_top_terms": tfidf_top_terms,
     "containment_pairs": containment_pairs,
+    "synth_docs_source": synth_docs_source,
 }

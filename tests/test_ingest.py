@@ -125,3 +125,29 @@ def test_partitioned_sink_format_roundtrip(spark, tmp_path):
         back = rd(path)
         got = sorted((int(r.id), r.g, float(r.v)) for r in back.collect())
         assert got == sorted((r.id, r.g, r.v) for r in df.collect()), fmt
+
+
+def test_python_datasource_synth_docs(spark):
+    """Custom Python DataSource: partitioned generation is
+    deterministic, respects the partitions option, and matches the
+    md5-derived content contract."""
+    import hashlib
+
+    from fsc_etl_spark.sources.pydatasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("fsc_synth_docs")
+        .option("n", "200")
+        .option("partitions", "4")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = {r.doc_id: (r.text, r.source) for r in df.collect()}
+    assert len(rows) == 200
+    h7 = hashlib.md5(b"doc:7").hexdigest()
+    want = " ".join(h7[(j * 4) % 32 : (j * 4) % 32 + 4] for j in range(8))
+    assert rows[7] == (want, "src2")
+    again = {r.doc_id: (r.text, r.source) for r in
+             spark.read.format("fsc_synth_docs").option("n", "200").option("partitions", "4").load().collect()}
+    assert rows == again
