@@ -274,6 +274,34 @@ def rollup_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def hll_daily_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Reaggregatable distinct-count sketches: one pass builds per-day
+    HLL sketches of user_id; the corpus-wide distinct estimate comes
+    from UNION-MERGING the stored sketches, never rescanning events —
+    the incremental-maintenance pattern for COUNT(DISTINCT), which has
+    no partial-agg form of its own. Exact daily distincts ride along
+    so the estimate error is visible in the result itself (bounded in
+    tests). No SQL oracle: sketch binaries are engine-specific — the
+    driver records a rows-only check (same class as the ANN recall
+    queries)."""
+    ev = t(spark, sf, "events").select(F.to_date("ts").alias("day"), "user_id")
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_daily"),
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("est_total")
+    )
+    return (
+        daily.select(
+            "day",
+            F.hll_sketch_estimate("sk").cast("bigint").alias("est_daily"),
+            "exact_daily",
+        )
+        .crossJoin(F.broadcast(merged))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_order_stats": cube_order_stats,
     "grouping_sets_priority": grouping_sets_priority,
@@ -289,6 +317,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "explode_doc_tokens": explode_doc_tokens,
     "dq_orders_report": dq_orders_report,
     "rollup_incremental_merge": rollup_incremental_merge,
+    "hll_daily_users": hll_daily_users,
 }
 
 

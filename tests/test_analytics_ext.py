@@ -198,3 +198,16 @@ def test_rollup_merge_is_one_shuffle_per_branch(spark, sf_smoke):
     df = entrymod.queries()["rollup_incremental_merge"](spark, sf_smoke)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan
+
+
+def test_hll_estimates_close_to_exact(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["hll_daily_users"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.est_daily - r.exact_daily) <= max(2, 0.1 * r.exact_daily), r
+    exact_total = rows[0].est_total  # same in every row
+    all_exact = {r.day for r in rows}  # sanity: days distinct
+    assert len(all_exact) == len(rows)
+    assert exact_total > 0
