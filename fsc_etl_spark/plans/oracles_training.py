@@ -652,3 +652,21 @@ SELECT doc_id,
        'src' || CAST(doc_id % 5 AS VARCHAR) AS source
 FROM ids
 """
+
+TRAINING_ORACLES["embed_quantize_stats"] = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, label, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+)
+SELECT vec_id, label,
+       ROUND(scale * 1e6, 3) AS scale_ppm,
+       CAST(list_sum(list_transform(v, x -> CAST(round(x / scale) AS BIGINT))) AS BIGINT) AS q_checksum,
+       ROUND(list_max(list_transform(v,
+           x -> abs(x - CAST(round(x / scale) AS BIGINT) * scale))) * 1e6, 3) AS max_err_ppm
+FROM s
+"""

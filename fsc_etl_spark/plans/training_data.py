@@ -729,6 +729,40 @@ def containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def embed_quantize_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 quantization accounting per embedding: symmetric-range
+    scale (max|x|/127), the quantized checksum (sum of round(x/scale)),
+    and the max reconstruction error — the bookkeeping a vector-store
+    compaction job emits so quantized shards can be audited without
+    the float originals. All element-wise array ops in codegen
+    (transform/aggregate folds, left-to-right, deterministic);
+    division and HALF_UP rounding are IEEE-identical in both engines,
+    so even the checksum is oracle-exact."""
+    emb = t(spark, sf, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    absmax = F.array_max(F.transform(xd, lambda x: F.abs(x)))
+    scale = (absmax / F.lit(127.0)).alias("scale")
+    with_scale = emb.select("vec_id", "label", xd.alias("v"), scale)
+    q = F.transform(F.col("v"), lambda x: F.round(x / F.col("scale"), 0).cast("long"))
+    with_q = with_scale.withColumn("q", q)
+    recon_err = F.array_max(
+        F.zip_with(
+            F.col("v"),
+            F.col("q"),
+            lambda x, qi: F.abs(x - qi.cast("double") * F.col("scale")),
+        )
+    )
+    return with_q.select(
+        "vec_id",
+        "label",
+        F.round(F.col("scale") * 1e6, 3).alias("scale_ppm"),
+        F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda a, b: a + b).alias(
+            "q_checksum"
+        ),
+        F.round(recon_err * 1e6, 3).alias("max_err_ppm"),
+    )
+
+
 def synth_docs_source(spark: SparkSession, sf: str) -> DataFrame:
     """Custom Python DataSource (Spark 4 API): the partitioned
     synthetic-corpus generator (sources/pydatasource.py). Content is
@@ -788,4 +822,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": tfidf_top_terms,
     "containment_pairs": containment_pairs,
     "synth_docs_source": synth_docs_source,
+    "embed_quantize_stats": embed_quantize_stats,
 }
