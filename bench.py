@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "containment_pairs",
     "dq_orders_report",
     "rollup_incremental_merge",
+    "hll_daily_users",
+    "embed_quantize_stats",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -670,3 +670,11 @@ SELECT vec_id, label,
            x -> abs(x - CAST(round(x / scale) AS BIGINT) * scale))) * 1e6, 3) AS max_err_ppm
 FROM s
 """
+
+TRAINING_ORACLES["salted_source_stats"] = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len({_TOKS})) AS BIGINT) AS sum_tokens,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY source
+"""

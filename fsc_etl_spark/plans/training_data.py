@@ -763,6 +763,37 @@ def embed_quantize_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def salted_source_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe per-source corpus rollup via two-phase salted
+    aggregation (operators/skew.py): the documents table has only 5
+    source values — exactly the hot-key regime where a plain groupBy
+    funnels each source through ONE reducer. The salt fans each source
+    over 16 reducers for the heavy partial phase; the tiny final phase
+    re-aggregates partials. The oracle is the plain GROUP BY —
+    result-identical is the whole point (exact-decimal/integer
+    partials re-aggregate losslessly)."""
+    from fsc_etl_spark.operators.skew import salted_aggregate
+
+    docs = t(spark, sf, "documents").select(
+        "source", token_count(F.col("text")).alias("n_tokens"), "n_chars"
+    )
+    return salted_aggregate(
+        docs,
+        keys=["source"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("c"),
+            F.sum("n_tokens").alias("st"),
+            F.max("n_chars").alias("mc"),
+        ],
+        final_aggs=[
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.sum("st").cast("bigint").alias("sum_tokens"),
+            F.max("mc").cast("bigint").alias("max_chars"),
+        ],
+        buckets=16,
+    )
+
+
 def synth_docs_source(spark: SparkSession, sf: str) -> DataFrame:
     """Custom Python DataSource (Spark 4 API): the partitioned
     synthetic-corpus generator (sources/pydatasource.py). Content is
@@ -823,4 +854,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_pairs": containment_pairs,
     "synth_docs_source": synth_docs_source,
     "embed_quantize_stats": embed_quantize_stats,
+    "salted_source_stats": salted_source_stats,
 }
