@@ -91,11 +91,14 @@ LINEITEM = T.StructType(
     ]
 )
 
-# events.ts is parquet TIMESTAMP(NANOS); Spark's reader has no nanos
-# type, so the scan schema declares long (with
-# spark.sql.legacy.parquet.nanosAsLong) and readers.py converts to a
-# microsecond TimestampType — lossless for this data (the generator
-# emits whole microseconds; verified ts % 1000ns == 0).
+# events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) and
+# TIMESTAMP(MICROS) across fixture generations. Spark's reader has no
+# nanos type: the NANOS encoding must be scanned as long (with
+# spark.sql.legacy.parquet.nanosAsLong) and converted to a microsecond
+# TimestampType with exact integer division, while the MICROS encoding
+# is a native Spark timestamp. readers.py sniffs the parquet footer and
+# picks EVENTS (long ts) or EVENTS_TS (timestamp ts) accordingly —
+# never assume one encoding.
 EVENTS = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -104,6 +107,15 @@ EVENTS = T.StructType(
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
+    ]
+)
+
+# The same table with ts as a real timestamp — the scan schema for
+# TIMESTAMP(MICROS) fixtures and for re-staged event files.
+EVENTS_TS = T.StructType(
+    [
+        f if f.name != "ts" else T.StructField("ts", T.TimestampType())
+        for f in EVENTS.fields
     ]
 )
 

@@ -53,16 +53,43 @@ def read_parquet_table(
 ) -> DataFrame:
     """Scan one synthetic table (TESTDATA.md) by name from an sf dir.
 
-    ``events.ts`` arrives as nanosecond longs (see schemas.EVENTS) and
-    is converted here to a microsecond timestamp with exact integer
-    division — double math would lose precision past 2^53.
+    ``events.ts`` has shipped as both TIMESTAMP(NANOS) (scanned as a
+    long under nanosAsLong) and TIMESTAMP(MICROS) (a native timestamp)
+    across fixture generations, so the footer is sniffed
+    (``events_ts_is_long``) instead of assuming one encoding. The nanos
+    form is converted with exact integer division — double math would
+    lose precision past 2^53.
     """
-    df = spark.read.schema(schemas.TABLES[name]).parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if events_ts_is_long(spark, path):
+            df = spark.read.schema(schemas.EVENTS).parquet(path)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = spark.read.schema(schemas.EVENTS_TS).parquet(path)
+    else:
+        df = spark.read.schema(schemas.TABLES[name]).parquet(path)
     if columns:
         df = df.select(*columns)
     return df
+
+
+def events_ts_is_long(spark: SparkSession, path: str) -> bool:
+    """True when the events fixture at ``path`` encodes ``ts`` as
+    TIMESTAMP(NANOS), which Spark scans as a raw long (nanosAsLong).
+
+    Footer-only schema inference — no data is read, so this is a cheap
+    per-plan probe even on object storage. On a session without
+    ``spark.sql.legacy.parquet.nanosAsLong`` (the driver's vanilla
+    session), inference over a NANOS file throws PARQUET_TYPE_ILLEGAL —
+    that exception itself identifies the nanos encoding, which the
+    explicit LongType scan schema still reads fine.
+    """
+    try:
+        inferred = spark.read.parquet(path).schema["ts"].dataType
+    except Exception:
+        return True
+    return isinstance(inferred, T.LongType)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: Sequence[str] | None = None) -> dict[str, DataFrame]:

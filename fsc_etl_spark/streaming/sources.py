@@ -46,26 +46,32 @@ def stream_events(
 ) -> DataFrame:
     """The driver's ``events`` table as a stream.
 
-    Same nanosecond-long → microsecond-timestamp conversion as the
-    batch reader (see ``sources/readers.py``): exact integer division,
-    never double math.
+    The fixture's ``ts`` encoding varies by generation (TIMESTAMP(NANOS)
+    vs TIMESTAMP(MICROS)); a footer-only batch probe picks the scan
+    schema, mirroring the batch reader (``sources/readers.py``). The
+    nanos form converts with exact integer division, never double math.
     """
-    df = stream_parquet_dir(
+    from fsc_etl_spark.sources.readers import events_ts_is_long
+
+    if events_ts_is_long(spark, f"{sf_dir}/events.parquet"):
+        df = stream_parquet_dir(
+            spark,
+            sf_dir,
+            schemas.EVENTS,
+            max_files_per_trigger,
+            glob_filter="events.parquet",
+        )
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream_parquet_dir(
         spark,
         sf_dir,
-        schemas.EVENTS,
+        schemas.EVENTS_TS,
         max_files_per_trigger,
         glob_filter="events.parquet",
     )
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-EVENTS_STAGED = T.StructType(
-    [
-        f if f.name != "ts" else T.StructField("ts", T.TimestampType())
-        for f in schemas.EVENTS.fields
-    ]
-)
+EVENTS_STAGED = schemas.EVENTS_TS
 
 
 def stage_events_as_files(
@@ -80,8 +86,9 @@ def stage_events_as_files(
     The split is on equal event-time intervals, written as sequential
     single-file appends so listing order == modification order ==
     event-time order (how a tailed object-store prefix arrives). The
-    ``ts`` column is written as a real timestamp (already converted
-    from the fixture's nano longs), so readers use EVENTS_STAGED.
+    ``ts`` column is written as a real timestamp (normalized by the
+    batch reader whatever the fixture encoding), so readers use
+    EVENTS_STAGED.
     """
     import tempfile
 
