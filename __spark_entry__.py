@@ -19,6 +19,7 @@ from fsc_etl_spark.plans import (
     analytics,
     analytics_ext,
     analytics_more,
+    scale_ops,
     streaming_queries,
     tpch_more,
     tpch_partsupp,
@@ -55,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(tpch_partsupp.QUERIES)
     merged.update(training_data.QUERIES)
     merged.update(streaming_queries.QUERIES)
+    merged.update(scale_ops.QUERIES)
 
     priority = [
         # round-1 non-greens (fixed this round) — re-verify first
@@ -64,12 +66,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # array/map outputs stringified this round — verify the fix
         "array_funcs_breadth",
         "map_funcs_breadth",
+        # new-this-round scale patterns — unverified code goes inside
+        # the driver's sample window before long-green queries
+        *scale_ops.QUERIES,
         # round-1-unsampled groups; training_data last so its round-2
-        # additions (appended at its tail) sit at the sample boundary
+        # additions (appended at its tail) sit at the sample boundary.
+        # embed_lsh_topk / embed_ivf_topk are rows-only by design (no
+        # oracle) — a prefix slot buys them almost nothing, so they
+        # yield their slots to hash-checked queries and re-enter after
+        # the priority block.
         *streaming_queries.QUERIES,
         *tpch_more.QUERIES,
         *tpch_partsupp.QUERIES,
-        *training_data.QUERIES,
+        *[
+            q
+            for q in training_data.QUERIES
+            if q not in ("embed_lsh_topk", "embed_ivf_topk")
+        ],
         # round-1 tail additions that also never got a CORRECTNESS row
         # (positions 51+ — covered if the driver samples past 50)
         "window_frames_breadth",
@@ -100,4 +113,5 @@ def oracle_sql() -> dict[str, str]:
         **PARTSUPP_ORACLES,
         **TRAINING_ORACLES,
         **STREAMING_ORACLES,
+        **scale_ops.SCALE_ORACLES,
     }

@@ -109,6 +109,10 @@ BENCH_QUERIES = [
     "rollup_incremental_merge",
     "hll_daily_users",
     "embed_quantize_stats",
+    # round-2 scale patterns
+    "bloom_pruned_join",
+    "heavy_hitter_users",
+    "reservoir_sample_per_source",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -80,3 +80,55 @@ def salted_join(
         )
     )
     return b.join(s, keys + [SALT_COL], how).drop(SALT_COL)
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    keys: Sequence[str],
+    share: DataFrame,
+) -> DataFrame:
+    """Exact φ-heavy hitters (keys with frequency ≥ φ·N) without ever
+    shuffling the long-tail key space twice.
+
+    ``share`` is a 1-row DataFrame with bigint columns ``num``/``den``
+    encoding φ = num/den as an exact rational — all comparisons are
+    integer multiplies (``den·cnt ≥ num·n``), so the result is
+    bit-identical to the SQL ``GROUP BY … HAVING`` twin with no float
+    rounding at the threshold boundary.
+
+    Phase 1 (candidates): count per (input-partition, key) — partial
+    aggregation makes this map-local — and keep keys that are φ-heavy
+    WITHIN their partition. Pigeonhole guarantees this is a superset of
+    the global heavy hitters: if a key were below φ·N_p in every
+    partition p, summing gives < φ·N overall. Phase 2 (verify): exact
+    recount of only the candidates (broadcast semi join), then the
+    precise global threshold. The long tail — the reason a naive
+    groupBy over a 100 TB key space spills — is discarded map-side in
+    phase 1 and never crosses an exchange in phase 2.
+    """
+    ks = list(keys)
+    local = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid", *ks)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    ptotal = local.groupBy("__pid").agg(F.sum("__c").alias("__pn"))
+    cand = (
+        local.join(ptotal, "__pid")
+        .join(F.broadcast(share))
+        .filter(F.col("den") * F.col("__c") >= F.col("num") * F.col("__pn"))
+        .select(*ks)
+        .distinct()
+    )
+    total = df.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    exact = (
+        df.join(F.broadcast(cand), ks, "left_semi")
+        .groupBy(*ks)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.join(F.broadcast(total))
+        .join(F.broadcast(share))
+        .filter(F.col("den") * F.col("cnt") >= F.col("num") * F.col("__n"))
+        .select(*ks, "cnt")
+    )

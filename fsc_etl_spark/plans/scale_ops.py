@@ -1,0 +1,126 @@
+"""Scale-pattern queries: the 100 TB plays, driver-checkable.
+
+Each query here demonstrates a pattern whose payoff only appears at
+cluster scale — bloom-pruned shuffles, exact heavy hitters without a
+full-key-space shuffle, deterministic per-group reservoir sampling —
+but whose RESULT is exactly reproducible by an ANSI-SQL oracle, so the
+driver's hash gate verifies the optimization changed the plan, not the
+answer.
+
+No reference twin: the reference engine (a single-notebook Databricks
+ETL, /root/reference/main.py) has none of these; they extend SURVEY.md
+§2.12's training-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fsc_etl_spark.operators.bloom import bloom_pruned_semi_join
+from fsc_etl_spark.operators.skew import heavy_hitters_exact
+from fsc_etl_spark.sources.readers import read_parquet_table as t
+
+
+def bloom_pruned_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact-side bloom pruning ahead of an exact semi join (see
+    operators/bloom.py): lineitem rows for urgent orders, aggregated
+    per returnflag.
+
+    The bloom membership test is evaluated map-side at the lineitem
+    scan — at 100 TB only ~1/5 of the fact rows (urgent share) reach
+    the semi-join exchange, while the final exact join keeps the result
+    hash-identical to the plain `IN` subquery oracle.
+    """
+    orders = t(spark, sf, "orders")
+    keys = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    li = t(spark, sf, "lineitem")
+    pruned = bloom_pruned_semi_join(li, keys, fact_col="l_orderkey", key_col="o_orderkey")
+    return pruned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+def heavy_hitter_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact heavy hitters over events.user_id: users with ≥ 1.2× the
+    mean per-user event count (φ = 6 / (5·U) as an exact rational — no
+    float threshold, so the HAVING boundary is bit-identical to the
+    oracle).
+
+    Uses the pigeonhole candidates + exact-recount shape
+    (operators/skew.heavy_hitters_exact): the long tail of the key
+    space is discarded map-side and never crosses an exchange.
+    """
+    ev = t(spark, sf, "events").select("user_id")
+    share = ev.agg(
+        F.lit(6).cast("long").alias("num"),
+        (F.lit(5) * F.count_distinct(F.col("user_id"))).cast("long").alias("den"),
+    )
+    return heavy_hitters_exact(ev, ["user_id"], share)
+
+
+def reservoir_sample_per_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic k-per-group sample: exactly 5 documents per source,
+    chosen by md5(doc_id) rank — a seeded reservoir whose selection is
+    reproducible across runs, engines, and data layouts (unlike
+    rand()-based sampling, which breaks retried-task determinism).
+
+    WindowGroupLimit applies: the rank ≤ k predicate is pushed into the
+    window operator, so each group keeps a 5-row heap instead of fully
+    sorting — per-group cost O(n log k), shuffle only on source.
+    """
+    docs = t(spark, sf, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+QUERIES = {
+    "bloom_pruned_join": bloom_pruned_join,
+    "heavy_hitter_users": heavy_hitter_users,
+    "reservoir_sample_per_source": reservoir_sample_per_source,
+}
+
+SCALE_ORACLES = {
+    "bloom_pruned_join": """
+SELECT
+  l_returnflag,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY l_returnflag
+""",
+    "heavy_hitter_users": """
+WITH s AS (
+  SELECT CAST(6 AS BIGINT) AS num,
+         CAST(5 * COUNT(DISTINCT user_id) AS BIGINT) AS den
+  FROM events
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+)
+SELECT c.user_id, c.cnt
+FROM c, s, tot
+WHERE s.den * c.cnt >= s.num * tot.n
+""",
+    "reservoir_sample_per_source": """
+SELECT doc_id, source, rk FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 5
+""",
+}

@@ -54,5 +54,9 @@ def test_driver_sample_prefix_covers_priority_groups():
         "simhash_neardup_pairs",
         "dedup_cluster_assign",
         "multimodal_features",
+        # round-2 scale patterns — new code verifies before long-greens
+        "bloom_pruned_join",
+        "heavy_hitter_users",
+        "reservoir_sample_per_source",
     ):
         assert must_have in prefix, f"{must_have} fell out of the driver sample"

@@ -1,0 +1,129 @@
+"""Unit tests for the scale-pattern operators (plans/scale_ops.py,
+operators/bloom.py, operators/skew.heavy_hitters_exact).
+
+The entry-contract test already oracle-checks the three driver queries;
+these tests pin the OPERATOR-level guarantees the oracles can't see:
+bloom supersets, pigeonhole candidate supersets, layout-independent
+determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from fsc_etl_spark.operators.bloom import (
+    bloom_pruned_semi_join,
+    build_bloom,
+    might_contain,
+)
+from fsc_etl_spark.operators.skew import heavy_hitters_exact
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every inserted key must test positive — bloom filters may only
+    err toward inclusion."""
+    keys = spark.range(0, 5000, 7).select(F.col("id").alias("k"))
+    words = build_bloom(keys, "k")
+    n = keys.count()
+    hits = keys.filter(might_contain(words, F.col("k"))).count()
+    assert hits == n
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    """Non-member fp rate should be near the textbook (1-e^{-kn/m})^k —
+    assert an order-of-magnitude bound, not the exact value."""
+    keys = spark.range(1000).select(F.col("id").alias("k"))
+    words = build_bloom(keys, "k")
+    probes = spark.range(1_000_000, 1_050_000).select(F.col("id").alias("k"))
+    fp = probes.filter(might_contain(words, F.col("k"))).count()
+    # m=2^16, k=5, n=1000 -> fp ~ 2e-6; 50k probes -> expect ~0. Allow
+    # a generous 0.5% before calling the construction broken.
+    assert fp < 250
+
+
+def test_bloom_pruned_semi_join_exact(spark, sf_smoke):
+    """Pruned semi join must equal the plain semi join — false
+    positives die in the final exact join."""
+    from fsc_etl_spark.sources.readers import read_parquet_table as t
+
+    li = t(spark, sf_smoke, "lineitem")
+    keys = (
+        t(spark, sf_smoke, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    got = bloom_pruned_semi_join(li, keys, "l_orderkey", "o_orderkey")
+    want = li.join(
+        keys.withColumnRenamed("o_orderkey", "l_orderkey").distinct(),
+        "l_orderkey",
+        "left_semi",
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_heavy_hitters_matches_naive_on_skewed_data(spark):
+    """Pigeonhole candidates + recount == naive groupBy/HAVING, on a
+    deliberately skewed, multi-partition input."""
+    base = spark.range(10_000).repartition(8)
+    df = base.select(
+        F.when(F.col("id") % 100 < 60, F.lit(1))  # whale key: 60%
+        .when(F.col("id") % 100 < 70, F.lit(2))  # 10%
+        .otherwise(F.col("id"))  # long tail of near-unique keys
+        .alias("k")
+    )
+    share = df.agg(
+        F.lit(1).cast("long").alias("num"), F.lit(20).cast("long").alias("den")
+    )  # φ = 5%
+    got = {(r["k"], r["cnt"]) for r in heavy_hitters_exact(df, ["k"], share).collect()}
+    n = df.count()
+    naive = {
+        (r["k"], r["cnt"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * 20 >= n)
+        .collect()
+    }
+    assert got == naive
+    assert len(got) == 2  # exactly the two planted hot keys
+
+
+def test_heavy_hitters_partition_layout_invariant(spark):
+    """Result must not depend on how rows are split into partitions."""
+    df = spark.range(2000).select((F.col("id") % 37).alias("k"))
+    share = df.agg(
+        F.lit(1).cast("long").alias("num"), F.lit(40).cast("long").alias("den")
+    )
+    a = {tuple(r) for r in heavy_hitters_exact(df.repartition(1), ["k"], share).collect()}
+    b = {tuple(r) for r in heavy_hitters_exact(df.repartition(13), ["k"], share).collect()}
+    assert a == b and a  # non-empty (every key has ~54 >= 2000/40)
+
+
+def test_reservoir_sample_layout_invariant(spark, sf_smoke):
+    """The md5-ranked reservoir picks the same rows whatever the input
+    partitioning — the determinism rand()-sampling lacks."""
+    from fsc_etl_spark.sources.readers import read_parquet_table as t
+
+    docs = t(spark, sf_smoke, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+
+    def pick(d):
+        return {
+            tuple(r)
+            for r in d.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .collect()
+        }
+
+    assert pick(docs.repartition(1)) == pick(docs.repartition(7))
+    per_group = (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= 5 for r in per_group)
