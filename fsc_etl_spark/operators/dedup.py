@@ -389,8 +389,8 @@ def connected_components_min_label(
     (fixpoint is unique, so the output is deterministic regardless of
     execution order). Rounds needed = graph diameter; near-dup graphs
     are star/clique-like (diameter ~2-3). For adversarially long chains
-    at web scale, swap in the large-star/small-star variant (O(log n)
-    rounds) — same join/groupBy primitives.
+    at web scale, swap in :func:`connected_components_star` (O(log n)
+    rounds) — same join/groupBy primitives, identical output.
     """
     fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
@@ -420,6 +420,110 @@ def connected_components_min_label(
         if converged:
             break
     return labels.select(F.col(id_col), F.col("root").alias("cluster_root"))
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round twin of :func:`connected_components_min_label`
+    for graphs with long chains, where min-label propagation needs
+    diameter rounds.
+
+    Each round rewrites the edge set toward a forest of depth-1 stars
+    rooted at component minima:
+
+    - large-star: every node u links its LARGER neighbors to
+      m(u) = min(Γ(u) ∪ {u}) — halves the height of tall subtrees;
+    - small-star: every node u links its smaller-or-equal neighbors
+      (and itself) to m(u) — flattens the remaining short hops.
+
+    Both emit only (child, parent) edges with parent < child, so the
+    edge count never grows beyond the symmetrized input and every
+    round is one groupBy (per-node min) + one join — the same
+    shuffle-on-node-id primitives as min-label, just with a rewriting
+    edge set instead of a label table. Fixpoint = every node linked
+    directly to its component min; the exact set-equality probe per
+    round costs one anti-join of edge-set size, same order as the
+    round itself. Output equals min-label's (unique fixpoint):
+    (doc_id, cluster_root) with root = component min.
+    """
+    undirected = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # Canonical directed form: (child src, parent dst), parent < child.
+    edges = (
+        undirected.filter(F.col("v") < F.col("u"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def star_round(e: DataFrame, large: bool) -> DataFrame:
+        sym = e.select("src", "dst").unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select(
+                F.col("src").alias("u"),
+                F.least(F.col("src"), F.col("mn")).alias("m"),
+            )
+        )
+        # mins derives from sym — join by distinct column NAMES (u vs
+        # src) via equi-key rename, never by Column reference, to dodge
+        # the derived-self-join ambiguity.
+        if large:
+            emitted = (
+                sym.filter(F.col("dst") > F.col("src"))
+                .withColumnRenamed("src", "u")
+                .join(mins, "u")
+                .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            )
+        else:
+            smaller = (
+                sym.filter(F.col("dst") < F.col("src"))
+                .withColumnRenamed("src", "u")
+                .join(mins, "u")
+                .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            )
+            selfe = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+            emitted = smaller.unionByName(selfe)
+        return (
+            emitted.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+        )
+
+    for _ in range(max_iters):
+        after = star_round(star_round(edges, large=True), large=False)
+        changed = (
+            after.exceptAll(edges).limit(1).count() > 0
+            or edges.exceptAll(after).limit(1).count() > 0
+        )
+        edges = after
+        if not changed:
+            break
+
+    roots = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__root"))
+        .withColumnRenamed("src", id_col)
+    )
+    return (
+        nodes.select(F.col(id_col))
+        .join(roots, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__root"), F.col(id_col)).alias("cluster_root"),
+        )
+    )
 
 
 def simhash_neardup_pairs(

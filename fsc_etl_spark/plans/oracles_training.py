@@ -678,3 +678,7 @@ SELECT source,
        CAST(MAX(n_chars) AS BIGINT) AS max_chars
 FROM documents GROUP BY source
 """
+
+# Same fixpoint, different algorithm — the star variant is checked
+# against the identical recursive-CTE clustering oracle.
+TRAINING_ORACLES["dedup_cluster_assign_star"] = TRAINING_ORACLES["dedup_cluster_assign"]

@@ -30,6 +30,7 @@ from fsc_etl_spark.functions.text import (
 )
 from fsc_etl_spark.operators.dedup import (
     connected_components_min_label,
+    connected_components_star,
     exact_dedup_stats,
     jaccard_token_pairs,
     lsh_candidate_pairs,
@@ -125,6 +126,18 @@ def dedup_cluster_assign(spark: SparkSession, sf: str) -> DataFrame:
     sigs = minhash_signatures(docs, k=8, shingle_n=3)
     pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
     return connected_components_min_label(docs.select("doc_id"), pairs)
+
+
+def dedup_cluster_assign_star(spark: SparkSession, sf: str) -> DataFrame:
+    """dedup_cluster_assign with the O(log n)-round large-star/
+    small-star components (operators/dedup.connected_components_star)
+    instead of diameter-round min-label propagation — identical output
+    (unique fixpoint), checked against the same recursive-CTE oracle;
+    the variant of choice when candidate graphs chain adversarially."""
+    docs = t(spark, sf, "documents")
+    sigs = minhash_signatures(docs, k=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    return connected_components_star(docs.select("doc_id"), pairs)
 
 
 def text_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
@@ -824,6 +837,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_signature": simhash_signature,
     "simhash_neardup_pairs": simhash_neardup,
     "dedup_cluster_assign": dedup_cluster_assign,
+    "dedup_cluster_assign_star": dedup_cluster_assign_star,
     "text_bpe_tokens": text_bpe_tokens,
     "dedup_embed_neardup": dedup_embed_neardup,
     "embed_cosine_topk": embed_cosine_topk,

@@ -170,3 +170,50 @@ def test_ivf_sampled_training_deterministic(emb):
     }
     got = {(r["query_id"], r["vec_id"]) for r in ivf_topk(emb, queries, **kw).collect()}
     assert got == exact
+
+
+def test_star_cc_equals_min_label_on_fixture(spark, sf_smoke):
+    """large-star/small-star and min-label propagation must agree on
+    the real near-dup candidate graph."""
+    from fsc_etl_spark.operators.dedup import (
+        connected_components_min_label,
+        connected_components_star,
+    )
+    from fsc_etl_spark.sources.readers import read_parquet_table as t
+
+    docs = t(spark, sf_smoke, "documents")
+    sigs = minhash_signatures(docs, k=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    nodes = docs.select("doc_id")
+    a = {tuple(r) for r in connected_components_min_label(nodes, pairs).collect()}
+    b = {tuple(r) for r in connected_components_star(nodes, pairs).collect()}
+    assert a == b
+
+
+def test_star_cc_logarithmic_on_chain(spark):
+    """A 256-node path graph: min-label needs ~255 rounds (diameter);
+    the star variant must finish inside max_iters=12 (~2·log2 n) and
+    still label every node with the chain minimum."""
+    from fsc_etl_spark.operators.dedup import connected_components_star
+
+    n = 256
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = (
+        spark.range(n - 1)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    )
+    out = connected_components_star(nodes, pairs, max_iters=12).collect()
+    assert len(out) == n
+    assert all(r["cluster_root"] == 0 for r in out)
+
+
+def test_star_cc_singletons_and_two_components(spark):
+    from fsc_etl_spark.operators.dedup import connected_components_star
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(1, 4), (4, 2), (7, 9), (9, 8)], ["id_a", "id_b"]
+    )
+    got = {(r["doc_id"], r["cluster_root"]) for r in connected_components_star(nodes, pairs).collect()}
+    want = {(0, 0), (1, 1), (4, 1), (2, 1), (7, 7), (9, 7), (8, 7), (3, 3), (5, 5), (6, 6)}
+    assert got == want
