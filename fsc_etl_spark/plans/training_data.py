@@ -286,6 +286,45 @@ def hash_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     return docs.filter(keep).select("doc_id", "lang", "source", "n_chars")
 
 
+def mixture_resample_to_min(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic mixture rebalancing: downsample every source to
+    the SMALLEST source's size, the equalize step of a pretraining
+    mixture. Each doc's keep decision is ``h·n_src < n_min·2^60`` with
+    h = 60 bits of md5(doc_id) — an exact integer inequality (decimal
+    on the Spark side, HUGEINT in the oracle), so the kept set is
+    bit-reproducible across engines, runs, and partitionings, and the
+    expected kept count per source is n_min without any RNG state.
+
+    Scale shape: two tiny broadcast joins (per-source counts, global
+    min) onto a pure map-side filter — the 100 TB corpus never
+    shuffles; only the per-source report aggregation does.
+    """
+    docs = t(spark, sf, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    mn = counts.agg(F.min("n_src").alias("n_min"))
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    kept = (
+        docs.join(F.broadcast(counts), "source")
+        .join(F.broadcast(mn))
+        .filter(
+            h * F.col("n_src").cast("decimal(38,0)")
+            < F.col("n_min").cast("decimal(38,0)") * F.lit(2**60).cast("decimal(38,0)")
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        counts.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_src",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        )
+    )
+
+
 def token_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Vocabulary building: global top-100 whitespace tokens by
     frequency. explode → groupBy is the canonical two-phase count
@@ -851,6 +890,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": corpus_curation,
     "hash_stratified_sample": hash_stratified_sample,
     "token_vocab_topk": token_vocab_topk,
+    "mixture_resample_to_min": mixture_resample_to_min,
     "pack_chunks_by_source": pack_chunks_by_source,
     "minhash_jaccard_estimate": minhash_jaccard_estimate,
     "hash_split_counts": hash_split_counts,
