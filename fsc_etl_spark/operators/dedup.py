@@ -72,9 +72,12 @@ def minhash_signatures(
     # function bodies re-evaluate non-lambda subexpressions per
     # element, so shingling over split(text) inline is O(L²) per doc.
     toked = docs.select(F.col(id_col), tokens(text).alias("__tk"))
+    # No per-doc shingle dedup: min() over duplicates equals min() over
+    # the distinct set, so the dropDuplicates shuffle this used to pay
+    # bought nothing.
     sh = toked.select(
         F.col(id_col), F.explode(shingles_from_tokens(F.col("__tk"), shingle_n)).alias("sh")
-    ).dropDuplicates([id_col, "sh"])
+    )
     return sh.groupBy(id_col).agg(
         *[_salted_min(F.col("sh"), i).alias(f"mh{i}") for i in range(k)]
     )
@@ -163,7 +166,13 @@ def jaccard_token_pairs(
     above a df cap up front, changing the sets similarity is measured
     over).
     """
-    toks = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")).distinct()
+    # Per-doc token SETS via array_distinct BEFORE the explode — the
+    # dedup happens map-side inside codegen instead of a full
+    # (id, tok) distinct shuffle.
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
     if max_df is not None:
         rare = toks.groupBy("tok").count().filter(F.col("count") <= max_df).select("tok")
         toks = toks.join(rare, "tok", "left_semi")
@@ -317,7 +326,13 @@ def simhash_sig(
     portable to the SQL oracle (hex-cast + shifts exist in both).
     """
     assert 1 <= n_bits <= 60, "md5-derived hash provides 60 usable bits"
-    toks = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")).distinct()
+    # array_distinct before the explode: per-doc token-set dedup runs
+    # map-side in codegen, deleting the (id, tok) distinct shuffle that
+    # used to precede the vote aggregation.
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
     # Materialize the 60-bit hash once per token: the bit extracts run
     # over a bound attribute instead of re-evaluating md5+conv per bit
     # (CollapseProject keeps multi-referenced non-cheap aliases in
