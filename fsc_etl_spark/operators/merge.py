@@ -51,6 +51,7 @@ def merge_frames(
     update_cols: Sequence[str] | None = None,
     when_not_matched_insert: bool = True,
     delta_col: str | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Relational MERGE: returns the post-merge state of ``target``.
 
@@ -62,12 +63,23 @@ def merge_frames(
     - unmatched target rows: kept;
     - unmatched source rows: inserted when ``when_not_matched_insert``.
 
+    ``evolve_schema`` is Delta's ``mergeSchema`` for MERGE: source
+    columns absent from the target are appended to the output schema —
+    NULL for target rows the source didn't touch (and for stale-loser
+    rows), the source's value where the source row wins, exactly the
+    automatic-schema-evolution matrix of Delta MERGE.
+
     ``source`` must be unique on ``on`` (Delta MERGE errors otherwise;
     we follow the same contract and do not dedupe silently).
     """
     keys = list(on)
     if update_cols is None:
         update_cols = [c for c in source.columns if c in set(target.columns) and c not in keys]
+    evolved_cols = (
+        [c for c in source.columns if c not in set(target.columns)]
+        if evolve_schema
+        else []
+    )
 
     tgt = target.alias("t")
     src = source.alias("s")
@@ -92,17 +104,26 @@ def merge_frames(
             out_cols.append(F.when(take_src, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c))
         else:
             out_cols.append(F.col(f"t.{c}").alias(c))
+    src_types = dict(source.dtypes)
+    for c in evolved_cols:
+        out_cols.append(
+            F.when(take_src, F.col(f"s.{c}"))
+            .otherwise(F.lit(None).cast(src_types[c]))
+            .alias(c)
+        )
     merged_target = joined.select(*out_cols)
 
     if not when_not_matched_insert:
         return merged_target
 
     inserts = src.join(tgt.select(*keys), keys, "left_anti")
-    # Align to target schema; source may lack target-only columns.
+    # Align to the (possibly evolved) output schema; source may lack
+    # target-only columns.
+    tgt_types = dict(target.dtypes)
     insert_cols = [
-        (F.col(c) if c in source.columns else F.lit(None)).cast(dict(target.dtypes)[c]).alias(c)
+        (F.col(c) if c in source.columns else F.lit(None)).cast(tgt_types[c]).alias(c)
         for c in target.columns
-    ]
+    ] + [F.col(c).alias(c) for c in evolved_cols]
     return merged_target.unionByName(inserts.select(*insert_cols))
 
 
@@ -224,15 +245,28 @@ class ParquetMergeTarget:
         update_cols: Sequence[str] | None = None,
         when_not_matched_insert: bool = True,
         delta_col: str | None = None,
+        evolve_schema: bool = False,
     ) -> None:
         """J4/J5/M4/M5: MERGE ``source`` into the table. With
         ``partition_cols``, only the partitions present in the source
-        are read, merged, and rewritten (partition-pruned merge)."""
+        are read, merged, and rewritten (partition-pruned merge).
+
+        ``evolve_schema`` appends new source columns to the table
+        (merge_frames' Delta-mergeSchema semantics). A merge that
+        actually grows the schema takes the FULL-table path even when
+        partitioned: rewriting only touched partitions would leave a
+        mixed-schema directory that plain parquet reads resolve from
+        an arbitrary file (a real table format records schema in the
+        log; the stand-in keeps the directory homogeneous instead).
+        """
         if not self.exists():
             if when_not_matched_insert:
                 self._commit(source)
             return
-        if self.partition_cols:
+        grows = evolve_schema and any(
+            c not in set(self.read().columns) for c in source.columns
+        )
+        if self.partition_cols and not grows:
             import functools
             import operator
 
@@ -293,6 +327,7 @@ class ParquetMergeTarget:
                 update_cols=update_cols,
                 when_not_matched_insert=when_not_matched_insert,
                 delta_col=delta_col,
+                evolve_schema=evolve_schema,
             )
         )
 
@@ -373,11 +408,17 @@ class DeltaMergeTarget:  # pragma: no cover — needs delta-spark jars
         update_cols: Sequence[str] | None = None,
         when_not_matched_insert: bool = True,
         delta_col: str | None = None,
+        evolve_schema: bool = False,
     ) -> None:
         if not self.exists():
             if when_not_matched_insert:
                 self.overwrite(source)
             return
+        if evolve_schema:
+            # Delta's native automatic evolution.
+            self.spark.conf.set(
+                "spark.databricks.delta.schema.autoMerge.enabled", "true"
+            )
         target_cols = self.read().columns
         if update_cols is None:
             update_cols = [

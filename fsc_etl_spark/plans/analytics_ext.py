@@ -302,8 +302,37 @@ def hll_daily_users(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def full_outer_reconcile(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER join — the snapshot-reconciliation shape (which keys
+    exist only on side A, only on side B, or on both): high-value
+    orders vs urgent orders on o_orderkey, classified and counted.
+    The only outer-join variant the surface didn't already exercise;
+    at scale it shuffles both sides once on the key like any
+    fact⋈fact equi-join (AQE handles the null-heavy skew of mostly
+    one-sided keys)."""
+    orders = t(spark, sf, "orders")
+    a = orders.filter(F.col("o_totalprice") > 100000).select(
+        "o_orderkey", F.lit(1).alias("__a")
+    )
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit(1).alias("__b")
+    )
+    return (
+        a.join(b, "o_orderkey", "full_outer")
+        .select(
+            F.when(F.col("__a").isNotNull() & F.col("__b").isNotNull(), "both")
+            .when(F.col("__a").isNotNull(), "left_only")
+            .otherwise("right_only")
+            .alias("match_status")
+        )
+        .groupBy("match_status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_order_stats": cube_order_stats,
+    "full_outer_reconcile": full_outer_reconcile,
     "grouping_sets_priority": grouping_sets_priority,
     "intersect_customers": intersect_customers,
     "except_all_priorities": except_all_priorities,
@@ -322,6 +351,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 EXT_ORACLES: dict[str, str] = {}
+
+EXT_ORACLES["full_outer_reconcile"] = """
+WITH a AS (
+  SELECT o_orderkey, 1 AS fa FROM orders WHERE o_totalprice > 100000
+),
+b AS (
+  SELECT o_orderkey, 1 AS fb FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT CASE
+         WHEN fa IS NOT NULL AND fb IS NOT NULL THEN 'both'
+         WHEN fa IS NOT NULL THEN 'left_only'
+         ELSE 'right_only'
+       END AS match_status,
+       COUNT(*) AS n
+FROM a FULL OUTER JOIN b USING (o_orderkey)
+GROUP BY 1
+"""
 
 EXT_ORACLES["cube_order_stats"] = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

@@ -138,3 +138,75 @@ def test_cluster_by_orders_rows_for_skipping(spark, sf_correct):
     assert len(by_file) >= 2  # 1MB target actually split the table
     for dates in by_file.values():
         assert dates == sorted(dates)
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_correct):
+    """Z-order on (user_id, value) must make file min/max stats
+    selective in BOTH columns; single-column clustering leaves the
+    other column at ~full range in every file."""
+    import pyarrow.parquet as pq
+
+    from fsc_etl_spark.operators.maintenance import zorder_by
+
+    src = read_parquet_table(spark, sf_correct, "events").select(
+        "event_id", "user_id", "value"
+    )
+    zpath = os.path.join(tempfile.mkdtemp(prefix="fsc_z_"), "t")
+    cpath = os.path.join(tempfile.mkdtemp(prefix="fsc_c_"), "t")
+    src.repartition(8).write.parquet(zpath)
+    src.repartition(8).write.parquet(cpath)
+    zorder_by(spark, zpath, "user_id", "value", n_files=16)
+    cluster_by(spark, cpath, ["user_id"], n_files=16)
+
+    def overlap_fraction(path, col, lo, hi):
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        assert len(files) >= 4, "fixture must split into several files"
+        hit = 0
+        for fp in files:
+            md = pq.ParquetFile(fp).metadata
+            mn = min(
+                md.row_group(g).column(
+                    next(
+                        i
+                        for i in range(md.num_columns)
+                        if md.row_group(g).column(i).path_in_schema == col
+                    )
+                ).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            mx = max(
+                md.row_group(g).column(
+                    next(
+                        i
+                        for i in range(md.num_columns)
+                        if md.row_group(g).column(i).path_in_schema == col
+                    )
+                ).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            if mx >= lo and mn <= hi:
+                hit += 1
+        return hit / len(files)
+
+    assert spark.read.parquet(zpath).count() == src.count()
+
+    # ~10%-wide boxes in each dimension (user_id uniform 0..1500,
+    # value distribution unknown -> use observed quantiles).
+    v10, v20 = src.approxQuantile("value", [0.45, 0.55], 0.01)
+    u_lo, u_hi = 700, 850
+
+    # user-dim predicate: both layouts should prune.
+    z_user = overlap_fraction(zpath, "user_id", u_lo, u_hi)
+    c_user = overlap_fraction(cpath, "user_id", u_lo, u_hi)
+    assert z_user < 0.75
+    assert c_user < 0.5
+
+    # value-dim predicate: only the z-ordered layout can prune.
+    z_val = overlap_fraction(zpath, "value", v10, v20)
+    c_val = overlap_fraction(cpath, "value", v10, v20)
+    assert z_val < 0.75, f"z-order failed to prune on value: {z_val}"
+    assert c_val > 0.9, f"single-dim clustering unexpectedly pruned value: {c_val}"

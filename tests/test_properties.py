@@ -243,3 +243,65 @@ def test_date_cast_fallback_formats(spark):
 
     want = dt.date(2021, 3, 5)
     assert [r.d for r in out] == [want, want, want, None, None]
+
+
+def test_merge_schema_evolution_matrix(spark):
+    """Delta-mergeSchema semantics: a new source column appears in the
+    output — source value where the source row wins, NULL for
+    untouched targets, stale losers, and nothing else changes."""
+    tgt = _df(spark, {1: (10, 5), 2: (20, 5), 3: (30, 5)})
+    src = spark.createDataFrame(
+        [Row(k=2, v=21, ts=6, tag="fresh"),   # wins: update + tag
+         Row(k=3, v=31, ts=4, tag="stale"),   # loses on delta_col: no tag
+         Row(k=4, v=40, ts=6, tag="new")],    # insert: carries tag
+        T.StructType(KV_SCHEMA.fields + [T.StructField("tag", T.StringType())]),
+    )
+    out = merge_frames(tgt, src, ["k"], delta_col="ts", evolve_schema=True)
+    got = {r["k"]: (r["v"], r["ts"], r["tag"]) for r in out.collect()}
+    assert got == {
+        1: (10, 5, None),
+        2: (21, 6, "fresh"),
+        3: (30, 5, None),
+        4: (40, 6, "new"),
+    }
+    assert out.columns == ["k", "v", "ts", "tag"]
+
+
+def test_merge_without_evolution_ignores_new_columns(spark):
+    """Default MERGE drops unknown source columns (target schema is
+    the contract) — evolution must be opt-in."""
+    tgt = _df(spark, {1: (10, 5)})
+    src = spark.createDataFrame(
+        [Row(k=1, v=11, ts=6, tag="x")],
+        T.StructType(KV_SCHEMA.fields + [T.StructField("tag", T.StringType())]),
+    )
+    out = merge_frames(tgt, src, ["k"], delta_col="ts")
+    assert out.columns == ["k", "v", "ts"]
+    assert _state(out) == {1: (11, 6)}
+
+
+def test_merge_target_schema_evolution_roundtrip(spark, tmp_path):
+    """ParquetMergeTarget.merge(evolve_schema=True) grows the table on
+    disk and a later normal merge against the evolved schema works."""
+    from fsc_etl_spark.operators.merge import ParquetMergeTarget
+
+    t = ParquetMergeTarget(spark, str(tmp_path / "tbl"))
+    t.overwrite(_df(spark, {1: (10, 5), 2: (20, 5)}))
+    src = spark.createDataFrame(
+        [Row(k=2, v=21, ts=6, tag="fresh"), Row(k=5, v=50, ts=6, tag="new")],
+        T.StructType(KV_SCHEMA.fields + [T.StructField("tag", T.StringType())]),
+    )
+    t.merge(src, ["k"], delta_col="ts", evolve_schema=True)
+    got = {r["k"]: (r["v"], r["tag"]) for r in t.read().collect()}
+    assert got == {1: (10, None), 2: (21, "fresh"), 5: (50, "new")}
+    # schema persisted: a plain merge now updates the evolved column
+    t.merge(
+        spark.createDataFrame(
+            [Row(k=1, v=12, ts=7, tag="later")],
+            T.StructType(KV_SCHEMA.fields + [T.StructField("tag", T.StringType())]),
+        ),
+        ["k"],
+        delta_col="ts",
+    )
+    got = {r["k"]: (r["v"], r["tag"]) for r in t.read().collect()}
+    assert got == {1: (12, "later"), 2: (21, "fresh"), 5: (50, "new")}
