@@ -68,7 +68,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_funcs_breadth",
         # new-this-round scale patterns — unverified code goes inside
         # the driver's sample window before long-green queries
-        *scale_ops.QUERIES,
+        # (zorder_key_demo stays in the tail: the window is full)
+        "bloom_pruned_join",
+        "heavy_hitter_users",
+        "reservoir_sample_per_source",
         # round-1-unsampled groups; training_data last so its round-2
         # additions (appended at its tail) sit at the sample boundary.
         # embed_lsh_topk / embed_ivf_topk are rows-only by design (no

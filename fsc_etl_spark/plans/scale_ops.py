@@ -80,10 +80,30 @@ def reservoir_sample_per_source(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def zorder_key_demo(spark: SparkSession, sf: str) -> DataFrame:
+    """The Morton/Z-order key primitive behind maintenance.zorder_by,
+    driver-verified with FIXED bin boundaries (the production path
+    derives them from a percentile_approx sketch, which is
+    engine-specific; literal boundaries make the interleave arithmetic
+    itself oracle-checkable). 16 equi-spaced bins per dimension over
+    (user_id, value) → a 8-bit z key; pure integer bit math, no UDF.
+    """
+    from fsc_etl_spark.operators.maintenance import zorder_value
+
+    ev = t(spark, sf, "events")
+    ub = [float(x) for x in range(100, 1500, 100)]   # 14 interior bounds
+    vb = [float(x) for x in range(40, 600, 40)]      # 14 interior bounds
+    z = zorder_value(
+        F.col("user_id").cast("double"), F.col("value"), ub, vb, bits=4
+    )
+    return ev.select("event_id", z.alias("zkey"))
+
+
 QUERIES = {
     "bloom_pruned_join": bloom_pruned_join,
     "heavy_hitter_users": heavy_hitter_users,
     "reservoir_sample_per_source": reservoir_sample_per_source,
+    "zorder_key_demo": zorder_key_demo,
 }
 
 SCALE_ORACLES = {
@@ -122,5 +142,23 @@ SELECT doc_id, source, rk FROM (
          ) AS rk
   FROM documents
 ) WHERE rk <= 5
+""",
+    "zorder_key_demo": f"""
+WITH bins AS (
+  SELECT event_id,
+         len(list_filter({[float(x) for x in range(100, 1500, 100)]!r},
+             b -> CAST(user_id AS DOUBLE) >= b)) AS a,
+         len(list_filter({[float(x) for x in range(40, 600, 40)]!r},
+             b -> value >= b)) AS b
+  FROM events
+)
+SELECT event_id,
+       CAST(
+           (((a >> 0) & 1) << 1) | (((b >> 0) & 1) << 0)
+         | (((a >> 1) & 1) << 3) | (((b >> 1) & 1) << 2)
+         | (((a >> 2) & 1) << 5) | (((b >> 2) & 1) << 4)
+         | (((a >> 3) & 1) << 7) | (((b >> 3) & 1) << 6)
+       AS BIGINT) AS zkey
+FROM bins
 """,
 }

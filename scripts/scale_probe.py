@@ -65,6 +65,9 @@ PROBE_QUERIES = [
     "pack_chunks_by_source",    # per-source packing window
     "dedup_cluster_assign",     # iterative label propagation
     "embed_cosine_topk_pandas", # broadcast queries x scaling corpus
+    # round-2 scale patterns
+    "bloom_pruned_join",        # sketch-bounded build + map-side prune
+    "heavy_hitter_users",       # pigeonhole candidates + recount
 ]
 
 

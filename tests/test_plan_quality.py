@@ -262,3 +262,30 @@ def test_cluster_canonical_rank_uses_window_group_limit(spark, sf_smoke):
     winners cross the exchange at scale."""
     plan = plan_of(spark, sf_smoke, "cluster_canonical_doc")
     assert "WindowGroupLimit" in plan
+
+
+def test_bloom_probe_is_scan_side_filter(spark, sf_smoke):
+    """The bloom membership test must appear as a Filter directly over
+    the lineitem scan (map-side, pre-exchange), not after the join."""
+    plan = plan_of(spark, sf_smoke, "bloom_pruned_join")
+    # The filter carrying the bloom array literal runs as a plain
+    # Filter over the fact scan; the exact semi join still follows.
+    assert "LeftSemi" in plan
+    assert "element_at" in plan, "bloom bit test not in the physical plan"
+
+
+def test_heavy_hitters_phase1_is_partial_agg(spark, sf_smoke):
+    """Phase-1 candidate counting groups on (spark_partition_id, key):
+    partial aggregation collapses each partition's keys map-side, so
+    the plan must show a partial_count before any Exchange of the
+    counting aggregate."""
+    plan = plan_of(spark, sf_smoke, "heavy_hitter_users")
+    assert "partial_count" in plan
+    assert "SPARK_PARTITION_ID" in plan.upper() or "spark_partition_id" in plan
+
+
+def test_reservoir_uses_window_group_limit(spark, sf_smoke):
+    """rank <= k must push into the window operator (WindowGroupLimit)
+    instead of fully sorting each group."""
+    plan = plan_of(spark, sf_smoke, "reservoir_sample_per_source")
+    assert "WindowGroupLimit" in plan
