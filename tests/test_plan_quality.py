@@ -49,6 +49,10 @@ def test_no_row_at_a_time_python(spark, sf_smoke, name):
     pandas execution, and only where semantics demand it."""
     plan = plan_of(spark, sf_smoke, name)
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
+    assert "CartesianProduct" not in plan, (
+        f"{name}: unkeyed shuffle cross join — every intentional cross "
+        "join here must be a broadcast (scalar/contract-small side)"
+    )
     if name not in PANDAS_OK:
         for node in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
             assert node not in plan, f"{name}: unexpected pandas node {node}"
