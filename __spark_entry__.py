@@ -47,6 +47,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     groups (training_data, streaming, tpch_more, partsupp) and the
     three round-1 harness-shape fixes lead; the round-1-green
     analytics queries follow.
+
+    ROUND-3 ROTATION NOTE: after round 2's CORRECTNESS lands, rotate
+    the prefix to the still-never-sampled tail — the training_data
+    tail (token_vocab_topk onward incl. mixture_resample_to_min),
+    dedup_cluster_assign_star, zorder_key_demo, full_outer_reconcile,
+    event_pattern_match, cohort_retention, and the analytics_more
+    breadth queries that fell outside both prior windows.
     """
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     merged.update(analytics.QUERIES)

@@ -302,6 +302,62 @@ def hll_daily_users(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def event_pattern_match(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence detection without a native
+    operator: each user's events collapse into one ordered code string
+    (array_sort over (ts, event_id) structs — deterministic under ties
+    because event_id is unique), then pattern questions become regexes
+    over that string. One shuffle on user_id; the per-user string is
+    bounded by the user's event count, never the corpus.
+    """
+    ev = t(spark, sf, "events")
+    code = (
+        F.when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("e")
+    )
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts"), F.col("event_id"), code.alias("c")))
+            ),
+            lambda x: x["c"],
+        ),
+        "",
+    )
+    return ev.groupBy("user_id").agg(
+        F.length(seq).cast("long").alias("n_events"),
+        seq.rlike("s.*p").alias("signup_then_purchase"),
+        F.regexp_count(seq, F.lit("cp")).cast("long").alias("n_click_to_buy"),
+    )
+
+
+def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-activity week,
+    counted per week-offset of later activity — two aggregates and one
+    broadcast-able join on user_id; the (user, week) distinct bounds
+    state at users×weeks, not events.
+    """
+    ev = t(spark, sf, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
+    ).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            F.expr("datediff(wk, cohort_week) div 7").cast("long").alias("week_n"),
+        )
+        .groupBy("cohort_week", "week_n")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
 def full_outer_reconcile(spark: SparkSession, sf: str) -> DataFrame:
     """FULL OUTER join — the snapshot-reconciliation shape (which keys
     exist only on side A, only on side B, or on both): high-value
@@ -333,6 +389,8 @@ def full_outer_reconcile(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_order_stats": cube_order_stats,
     "full_outer_reconcile": full_outer_reconcile,
+    "event_pattern_match": event_pattern_match,
+    "cohort_retention": cohort_retention,
     "grouping_sets_priority": grouping_sets_priority,
     "intersect_customers": intersect_customers,
     "except_all_priorities": except_all_priorities,
@@ -367,6 +425,45 @@ SELECT CASE
        COUNT(*) AS n
 FROM a FULL OUTER JOIN b USING (o_orderkey)
 GROUP BY 1
+"""
+
+EXT_ORACLES["event_pattern_match"] = """
+WITH coded AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type
+           WHEN 'signup' THEN 's'
+           WHEN 'view' THEN 'v'
+           WHEN 'click' THEN 'c'
+           WHEN 'purchase' THEN 'p'
+           ELSE 'e'
+         END AS c
+  FROM events
+),
+seqs AS (
+  SELECT user_id, string_agg(c, '' ORDER BY ts, event_id) AS seq
+  FROM coded GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(seq) AS BIGINT) AS n_events,
+       regexp_matches(seq, 's.*p') AS signup_then_purchase,
+       CAST(len(regexp_extract_all(seq, 'cp')) AS BIGINT) AS n_click_to_buy
+FROM seqs
+"""
+
+EXT_ORACLES["cohort_retention"] = """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, wk) // 7 AS BIGINT) AS week_n,
+       COUNT(*) AS n_active
+FROM active JOIN firsts USING (user_id)
+GROUP BY 1, 2
 """
 
 EXT_ORACLES["cube_order_stats"] = """
