@@ -82,16 +82,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-1-unsampled groups; training_data last so its round-2
         # additions (appended at its tail) sit at the sample boundary.
         # embed_lsh_topk / embed_ivf_topk are rows-only by design (no
-        # oracle) — a prefix slot buys them almost nothing, so they
-        # yield their slots to hash-checked queries and re-enter after
-        # the priority block.
+        # oracle) — a prefix slot buys them almost nothing — and
+        # user_trend_slope_pandas shares its oracle with the built-in
+        # twin that keeps its slot; all three yield their slots to
+        # hash-checked queries and re-enter after the priority block.
         *streaming_queries.QUERIES,
         *tpch_more.QUERIES,
         *tpch_partsupp.QUERIES,
         *[
             q
             for q in training_data.QUERIES
-            if q not in ("embed_lsh_topk", "embed_ivf_topk")
+            if q
+            not in ("embed_lsh_topk", "embed_ivf_topk", "user_trend_slope_pandas")
         ],
         # round-1 tail additions that also never got a CORRECTNESS row
         # (positions 51+ — covered if the driver samples past 50)

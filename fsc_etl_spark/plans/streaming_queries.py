@@ -197,6 +197,39 @@ def streaming_multibatch_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("session_start", "session_end", "user_id", "n")
 
 
+def streaming_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy hitters over a LIVE stream: per-user counts maintained
+    incrementally by the streaming aggregation state store across 4
+    replayed micro-batches (guarded — raises unless >= 2 non-empty
+    batches ran), then the exact φ-threshold (6/(5·U), integer
+    rational) applied as a batch query over the final state snapshot —
+    the read-side-of-a-live-counts-table shape. End state provably
+    equals the batch answer: same oracle as `heavy_hitter_users`.
+    """
+    from fsc_etl_spark.streaming import stage_events_as_files, stream_staged_events
+
+    staged = stage_events_as_files(spark, sf, n_files=4)
+    ev = stream_staged_events(spark, staged, max_files_per_trigger=1)
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    batches: list[int] = []
+    snap = run_to_memory(counts, output_mode="complete", batch_counts=batches)
+    if len([b for b in batches if b > 0]) < 2:
+        raise RuntimeError(
+            f"expected >=2 non-empty micro-batches, saw {batches!r}"
+        )
+    share = snap.agg(
+        F.lit(6).cast("long").alias("num"),
+        (F.lit(5) * F.count(F.lit(1))).cast("long").alias("den"),
+    )
+    total = snap.agg(F.sum("cnt").alias("__n"))
+    return (
+        snap.join(F.broadcast(share))
+        .join(F.broadcast(total))
+        .filter(F.col("den") * F.col("cnt") >= F.col("num") * F.col("__n"))
+        .select("user_id", "cnt")
+    )
+
+
 def streaming_blocklist_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """STREAM-STATIC ANTI JOIN: incoming documents are dropped when
     their content fingerprint matches a static blocklist (the
@@ -236,6 +269,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_enrich_dim": streaming_enrich_dim,
     "streaming_blocklist_dedup": streaming_blocklist_dedup,
+    "streaming_heavy_hitters": streaming_heavy_hitters,
 }
 
 
@@ -328,4 +362,22 @@ SELECT source,
 FROM documents d
 WHERE md5(lower(trim(d.text))) NOT IN (SELECT fp FROM bfp)
 GROUP BY source
+"""
+
+# End state of the streaming counts == batch counts, so the streaming
+# heavy-hitter snapshot shares the batch query's oracle exactly.
+STREAMING_ORACLES["streaming_heavy_hitters"] = """
+WITH s AS (
+  SELECT CAST(6 AS BIGINT) AS num,
+         CAST(5 * COUNT(DISTINCT user_id) AS BIGINT) AS den
+  FROM events
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+)
+SELECT c.user_id, c.cnt
+FROM c, s, tot
+WHERE s.den * c.cnt >= s.num * tot.n
 """
