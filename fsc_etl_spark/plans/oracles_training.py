@@ -698,3 +698,21 @@ kept AS (
 SELECT c.source, c.n_src, COALESCE(kept.n_kept, CAST(0 AS BIGINT)) AS n_kept
 FROM c LEFT JOIN kept ON c.source = kept.source
 """
+
+# Frame offsets/slices are exact integer byte math over the (ASCII)
+# document text, so the stub sampler is byte-for-byte checkable.
+TRAINING_ORACLES["multimodal_frame_sample"] = """
+WITH m AS (
+  SELECT doc_id AS media_id, text, length(text) AS size,
+         GREATEST(1, length(text) // 4) AS chunk
+  FROM documents
+),
+i AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(frame_idx))
+SELECT media_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(LEAST(frame_idx * chunk, GREATEST(0, size - 1)) AS BIGINT) AS offset_bytes,
+       md5(substring(text,
+                     CAST(LEAST(frame_idx * chunk, GREATEST(0, size - 1)) AS BIGINT) + 1,
+                     chunk)) AS frame_md5
+FROM m, i
+"""

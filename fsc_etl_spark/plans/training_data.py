@@ -271,6 +271,24 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     return extract_features(media).select("media_id", "kind", "byte_len", "checksum")
 
 
+def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """The row-exploding video path (one media row → n frame rows)
+    through a real Arrow mapInPandas batch: 4 evenly spaced frames per
+    media item, reported as (offset, md5) so the deterministic stub
+    decode is oracle-checkable byte-for-byte (the fixture text is
+    ASCII, so DuckDB's VARCHAR slicing reproduces the byte slices)."""
+    from fsc_etl_spark.operators.multimodal import sample_frames
+
+    media = documents_as_media(t(spark, sf, "documents"))
+    frames = sample_frames(media, n_frames=4)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "offset_bytes",
+        F.md5(F.col("frame")).alias("frame_md5"),
+    )
+
+
 def hash_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic stratified downsampling — the corpus-rebalancing
     primitive (down-weight the over-represented language). md5 of the
@@ -887,6 +905,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_lsh_topk": embed_lsh_topk,
     "embed_ivf_topk": embed_ivf_topk,
     "multimodal_features": multimodal_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
     "corpus_curation": corpus_curation,
     "hash_stratified_sample": hash_stratified_sample,
     "token_vocab_topk": token_vocab_topk,

@@ -20,7 +20,12 @@ import __spark_entry__ as entrymod
 # Queries that legitimately cross into Arrow/pandas execution
 # (multimodal decode, the vectorized-numpy ANN path, and per-group
 # model fitting are pandas surfaces by design).
-PANDAS_OK = {"multimodal_features", "embed_cosine_topk_pandas", "user_trend_slope_pandas"}
+PANDAS_OK = {
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "embed_cosine_topk_pandas",
+    "user_trend_slope_pandas",
+}
 # Streaming queries execute eagerly inside the callable (AvailableNow
 # runs) and return a materialized result — no lazy plan to inspect.
 SKIP = {name for name in entrymod.queries() if name.startswith("streaming_")}
