@@ -716,3 +716,14 @@ SELECT media_id,
                      chunk)) AS frame_md5
 FROM m, i
 """
+
+# Stub resize = cycle bytes to width*height (16*8 = 128): repeat +
+# truncate over the ASCII text reproduces the bytes exactly.
+TRAINING_ORACLES["multimodal_resize"] = """
+SELECT doc_id AS media_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(128 AS BIGINT) AS n_bytes,
+       md5(substring(repeat(text, CAST(ceil(128.0 / length(text)) AS BIGINT)), 1, 128)) AS content_md5
+FROM documents
+"""

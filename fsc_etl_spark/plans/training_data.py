@@ -289,6 +289,24 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-in/binary-out image transform through mapInPandas: the
+    stub resize cycles content bytes to exactly width*height. Oracle
+    byte-exact over the ASCII fixture: repeat + truncate in SQL
+    reproduces the output, verified per media via md5."""
+    from fsc_etl_spark.operators.multimodal import resize_images
+
+    media = documents_as_media(t(spark, sf, "documents"))
+    out = resize_images(media, width=16, height=8)
+    return out.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.length("content").cast("long").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
 def hash_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic stratified downsampling — the corpus-rebalancing
     primitive (down-weight the over-represented language). md5 of the
@@ -906,6 +924,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_ivf_topk": embed_ivf_topk,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_resize": multimodal_resize,
     "corpus_curation": corpus_curation,
     "hash_stratified_sample": hash_stratified_sample,
     "token_vocab_topk": token_vocab_topk,

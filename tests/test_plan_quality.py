@@ -23,6 +23,7 @@ import __spark_entry__ as entrymod
 PANDAS_OK = {
     "multimodal_features",
     "multimodal_frame_sample",
+    "multimodal_resize",
     "embed_cosine_topk_pandas",
     "user_trend_slope_pandas",
 }
