@@ -34,9 +34,11 @@ does file-level pruning; noted as the format's job, not the plan's).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import tempfile
+import time
 import uuid
 from collections.abc import Mapping, Sequence
 
@@ -127,12 +129,31 @@ def merge_frames(
     return merged_target.unionByName(inserts.select(*insert_cols))
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A second writer attempted to commit while a commit was in
+    flight — the stand-in is single-writer (a real table format
+    resolves this with optimistic-concurrency log commits)."""
+
+
 class ParquetMergeTarget:
     """Mutable parquet-backed table with Delta-MERGE-like semantics.
 
     Layout: ``root/current`` is a symlink-free directory holding the
     live version; commits write ``root/v_<uuid>`` then atomically
-    replace ``current`` (rename swap). Single-writer only.
+    replace ``current`` (rename swap). Single-writer, enforced by an
+    O_EXCL commit lock — a concurrent commit raises
+    :class:`ConcurrentWriteError` instead of corrupting the swap.
+
+    With ``retain_versions`` > 0, commits are VERSIONED: each commit's
+    directory is kept and appended to a JSON commit log
+    (``root/_log.json``), giving the stand-in the history / time
+    travel / retention surface of a real table format —
+    :meth:`history`, :meth:`read_version`, and :meth:`vacuum` (which
+    deletes version dirs beyond the retention window; ``vacuum(0)``
+    reproduces the reference's retention-free purge,
+    /root/reference/main.py:234). Versioning composes with full-table
+    commits only; ``partition_cols`` merges mutate partition dirs in
+    place and reject a retention setting at construction.
 
     With ``partition_cols``, data lays out hive-style
     (``col=value/...``) and :meth:`merge` rewrites ONLY the partitions
@@ -150,36 +171,143 @@ class ParquetMergeTarget:
         spark: SparkSession,
         root: str,
         partition_cols: Sequence[str] | None = None,
+        retain_versions: int = 0,
     ):
+        if retain_versions and partition_cols:
+            raise ValueError(
+                "versioned retention requires full-table commits; "
+                "partitioned targets swap partition dirs in place"
+            )
         self.spark = spark
         self.root = root
         self.partition_cols = list(partition_cols or [])
+        self.retain_versions = retain_versions
         os.makedirs(root, exist_ok=True)
 
     @property
     def _current(self) -> str:
         return os.path.join(self.root, "current")
 
+    @property
+    def _log_path(self) -> str:
+        return os.path.join(self.root, "_log.json")
+
+    def _log(self) -> list[dict]:
+        if not os.path.isfile(self._log_path):
+            return []
+        import json
+
+        with open(self._log_path) as f:
+            return json.load(f)
+
+    def _append_log(self, entry: dict) -> None:
+        import json
+
+        log = self._log() + [entry]
+        tmp = f"{self._log_path}.tmp{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(log, f)
+        os.replace(tmp, self._log_path)
+
     def exists(self) -> bool:
         """M1: table existence probe."""
+        if self.retain_versions:
+            return bool(self._log())
         return os.path.isdir(self._current)
 
+    def _latest_dir(self) -> str:
+        log = self._log()
+        if not log:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        return os.path.join(self.root, log[-1]["dir"])
+
     def read(self) -> DataFrame:
+        if self.retain_versions:
+            return self.spark.read.parquet(self._latest_dir())
         return self.spark.read.parquet(self._current)
 
-    def _commit(self, df: DataFrame) -> None:
-        staged = os.path.join(self.root, f"v_{uuid.uuid4().hex}")
-        writer = df.write.mode("overwrite")
-        if self.partition_cols:
-            writer = writer.partitionBy(*self.partition_cols)
-        writer.parquet(staged)
-        old: str | None = None
-        if os.path.isdir(self._current):
-            old = os.path.join(tempfile.gettempdir(), f"fsc_old_{uuid.uuid4().hex}")
-            os.rename(self._current, old)
-        os.rename(staged, self._current)
-        if old:
-            shutil.rmtree(old, ignore_errors=True)
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel: the table as of commit ``version`` (from
+        :meth:`history`). Raises if vacuumed past or never written."""
+        for e in self._log():
+            if e["version"] == version:
+                path = os.path.join(self.root, e["dir"])
+                if not os.path.isdir(path):
+                    raise FileNotFoundError(
+                        f"version {version} was vacuumed ({e['dir']})"
+                    )
+                return self.spark.read.parquet(path)
+        raise KeyError(f"no version {version} in the commit log")
+
+    def history(self) -> list[dict]:
+        """Commit log, oldest first: version / op / ts / dir /
+        still-on-disk flag."""
+        return [
+            {**e, "available": os.path.isdir(os.path.join(self.root, e["dir"]))}
+            for e in self._log()
+        ]
+
+    def vacuum(self, retain_last: int | None = None) -> int:
+        """Delete version directories beyond the retention window
+        (default: the constructor's ``retain_versions``); the latest
+        version always survives. Returns the number of dirs removed.
+        ``vacuum(0)`` keeps only the latest — the reference's
+        immediate-purge semantics."""
+        if not self.retain_versions and retain_last is None:
+            return 0
+        keep = (self.retain_versions if retain_last is None else retain_last) + 1
+        log = self._log()
+        removed = 0
+        for e in log[:-keep] if keep else log[:-1]:
+            path = os.path.join(self.root, e["dir"])
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+                removed += 1
+        return removed
+
+    @contextlib.contextmanager
+    def _commit_lock(self):
+        lock = os.path.join(self.root, "_commit.lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"commit in flight for {self.root} (stale? remove {lock})"
+            ) from None
+        try:
+            os.close(fd)
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(lock)
+
+    def _commit(self, df: DataFrame, op: str = "overwrite") -> None:
+        with self._commit_lock():
+            staged = os.path.join(self.root, f"v_{uuid.uuid4().hex}")
+            writer = df.write.mode("overwrite")
+            if self.partition_cols:
+                writer = writer.partitionBy(*self.partition_cols)
+            writer.parquet(staged)
+            if self.retain_versions:
+                log = self._log()
+                version = (log[-1]["version"] + 1) if log else 0
+                self._append_log(
+                    {
+                        "version": version,
+                        "dir": os.path.basename(staged),
+                        "op": op,
+                        "ts": time.time(),
+                    }
+                )
+                self.vacuum()
+                return
+            old: str | None = None
+            if os.path.isdir(self._current):
+                old = os.path.join(tempfile.gettempdir(), f"fsc_old_{uuid.uuid4().hex}")
+                os.rename(self._current, old)
+            os.rename(staged, self._current)
+            if old:
+                shutil.rmtree(old, ignore_errors=True)
 
     @staticmethod
     def _partition_dirs(base: str) -> list[str]:
@@ -208,7 +336,11 @@ class ParquetMergeTarget:
         """Commit ``df`` (the merged slice) into ONLY the partition
         directories it contains; every other partition's files are
         left untouched on disk. Per-directory rename swap —
-        single-writer, same guarantee as _commit."""
+        single-writer, same guarantee (and same lock) as _commit."""
+        with self._commit_lock():
+            self._swap_partitions_locked(df)
+
+    def _swap_partitions_locked(self, df: DataFrame) -> None:
         staged = os.path.join(self.root, f"v_{uuid.uuid4().hex}")
         df.write.mode("overwrite").partitionBy(*self.partition_cols).parquet(staged)
         for rel in self._partition_dirs(staged):
@@ -224,19 +356,25 @@ class ParquetMergeTarget:
         shutil.rmtree(staged, ignore_errors=True)
 
     def overwrite(self, df: DataFrame) -> None:
-        self._commit(df)
+        self._commit(df, op="overwrite")
 
     def append(self, df: DataFrame) -> None:
         if self.exists():
-            self._commit(self.read().unionByName(df))
+            self._commit(self.read().unionByName(df), op="append")
         else:
-            self._commit(df)
+            self._commit(df, op="append")
 
     def delete_all(self) -> None:
         """M2+M3: full-table delete + immediate physical purge — the
-        reference's FULLMODE reset (main.py:231-234, vacuum(0))."""
+        reference's FULLMODE reset (main.py:231-234, vacuum(0)). In
+        versioned mode this also drops the commit log and every
+        version dir (a full reset, not a logical delete)."""
         if os.path.isdir(self._current):
             shutil.rmtree(self._current, ignore_errors=True)
+        for e in self._log():
+            shutil.rmtree(os.path.join(self.root, e["dir"]), ignore_errors=True)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(self._log_path)
 
     def merge(
         self,
@@ -328,14 +466,20 @@ class ParquetMergeTarget:
                 when_not_matched_insert=when_not_matched_insert,
                 delta_col=delta_col,
                 evolve_schema=evolve_schema,
-            )
+            ),
+            op="merge",
         )
 
     def update_flag(self, set_col: str, set_value, where) -> None:
         """M6: flag-reset merge (main.py:293-304) as a conditional
         column rewrite."""
         df = self.read()
-        self._commit(df.withColumn(set_col, F.when(where, F.lit(set_value)).otherwise(F.col(set_col))))
+        self._commit(
+            df.withColumn(
+                set_col, F.when(where, F.lit(set_value)).otherwise(F.col(set_col))
+            ),
+            op="update_flag",
+        )
 
 
 def delta_available() -> bool:

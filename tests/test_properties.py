@@ -305,3 +305,48 @@ def test_merge_target_schema_evolution_roundtrip(spark, tmp_path):
     )
     got = {r["k"]: (r["v"], r["tag"]) for r in t.read().collect()}
     assert got == {1: (12, "later"), 2: (21, "fresh"), 5: (50, "new")}
+
+
+def test_versioned_target_history_time_travel_vacuum(spark, tmp_path):
+    """Versioned commits: history grows per op, read_version time
+    travels, vacuum respects the retention window and never deletes
+    the latest version."""
+    from fsc_etl_spark.operators.merge import ParquetMergeTarget
+
+    t = ParquetMergeTarget(spark, str(tmp_path / "tbl"), retain_versions=2)
+    t.overwrite(_df(spark, {1: (10, 1)}))                      # v0
+    t.merge(_df(spark, {1: (11, 2), 2: (20, 2)}), ["k"])       # v1
+    t.merge(_df(spark, {3: (30, 3)}), ["k"])                   # v2
+    hist = t.history()
+    assert [e["version"] for e in hist] == [0, 1, 2]
+    assert [e["op"] for e in hist] == ["overwrite", "merge", "merge"]
+    assert all(e["available"] for e in hist)  # window = latest + 2
+    assert _state(t.read_version(0)) == {1: (10, 1)}
+    assert _state(t.read_version(1)) == {1: (11, 2), 2: (20, 2)}
+    assert _state(t.read()) == {1: (11, 2), 2: (20, 2), 3: (30, 3)}
+    t.merge(_df(spark, {4: (40, 4)}), ["k"])                   # v3 -> v0 auto-vacuumed
+    hist = t.history()
+    assert [e["available"] for e in hist] == [False, True, True, True]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.read_version(0)
+    # explicit tighter vacuum: keep only the latest
+    assert t.vacuum(0) == 2
+    assert _state(t.read()) == {1: (11, 2), 2: (20, 2), 3: (30, 3), 4: (40, 4)}
+
+
+def test_commit_lock_rejects_concurrent_writer(spark, tmp_path):
+    from fsc_etl_spark.operators.merge import ConcurrentWriteError, ParquetMergeTarget
+    import os
+    import pytest as _pytest
+
+    t = ParquetMergeTarget(spark, str(tmp_path / "tbl"))
+    t.overwrite(_df(spark, {1: (10, 1)}))
+    lock = os.path.join(t.root, "_commit.lock")
+    open(lock, "w").close()  # simulate an in-flight commit
+    with _pytest.raises(ConcurrentWriteError):
+        t.overwrite(_df(spark, {2: (20, 2)}))
+    os.remove(lock)
+    t.overwrite(_df(spark, {2: (20, 2)}))  # lock released -> fine
+    assert _state(t.read()) == {2: (20, 2)}
