@@ -99,8 +99,49 @@ def zorder_key_demo(spark: SparkSession, sf: str) -> DataFrame:
     return ev.select("event_id", z.alias("zkey"))
 
 
+def fuzzy_name_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Record-linkage shape: fuzzy self-match of part names within
+    edit distance 2, DEDUPED-then-BLOCKED — distinct names first (the
+    only sane opening move at corpus scale: the name domain is tiny
+    relative to rows), then candidate pairs only within a blocking key
+    (shared last token), then the exact levenshtein verify. Blocking
+    is part of the operator's contract (standard record linkage), so
+    the oracle applies the identical block + verify. All-pairs never
+    happens: cost is Σ block², not n².
+    """
+    part = t(spark, sf, "part")
+    names = (
+        part.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("blk", F.element_at(F.split(F.col("p_name"), " "), -1))
+    )
+    a = names.select(
+        F.col("blk"),
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_a"),
+    )
+    b = names.select(
+        F.col("blk"),
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("long"))
+        .filter(F.col("dist") <= 2)
+        .select(
+            "name_a",
+            "name_b",
+            "dist",
+            (F.col("n_a") + F.col("n_b")).alias("n_parts_pair"),
+        )
+    )
+
+
 QUERIES = {
     "bloom_pruned_join": bloom_pruned_join,
+    "fuzzy_name_match": fuzzy_name_match,
     "heavy_hitter_users": heavy_hitter_users,
     "reservoir_sample_per_source": reservoir_sample_per_source,
     "zorder_key_demo": zorder_key_demo,
@@ -142,6 +183,20 @@ SELECT doc_id, source, rk FROM (
          ) AS rk
   FROM documents
 ) WHERE rk <= 5
+""",
+    "fuzzy_name_match": """
+WITH names AS (
+  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         list_extract(string_split(p_name, ' '), -1) AS blk
+  FROM part GROUP BY p_name
+)
+SELECT a.p_name AS name_a,
+       b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+       a.n_parts + b.n_parts AS n_parts_pair
+FROM names a JOIN names b
+  ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
 """,
     "zorder_key_demo": f"""
 WITH bins AS (
