@@ -350,3 +350,29 @@ def test_commit_lock_rejects_concurrent_writer(spark, tmp_path):
     os.remove(lock)
     t.overwrite(_df(spark, {2: (20, 2)}))  # lock released -> fine
     assert _state(t.read()) == {2: (20, 2)}
+
+
+def test_table_changes_cdf_row_types(spark, tmp_path):
+    """CDF between retained versions: inserts/updates/deletes classify
+    exactly, unchanged rows never appear."""
+    from fsc_etl_spark.operators.cdc import table_changes
+    from fsc_etl_spark.operators.merge import ParquetMergeTarget
+
+    t = ParquetMergeTarget(spark, str(tmp_path / "tbl"), retain_versions=3)
+    t.overwrite(_df(spark, {1: (10, 1), 2: (20, 1), 3: (30, 1)}))   # v0
+    # v1: update k=1, insert k=4, keep 2 and 3
+    t.merge(_df(spark, {1: (11, 2), 4: (40, 2)}), ["k"])
+    # v2: delete k=3 (overwrite without it), keep rest
+    t.overwrite(_df(spark, {1: (11, 2), 2: (20, 1), 4: (40, 2)}))
+    ch01 = {
+        (r["k"], r["_change_type"]) for r in table_changes(t, 0, 1, ["k"]).collect()
+    }
+    assert ch01 == {(1, "update_postimage"), (4, "insert")}
+    ch12 = {
+        (r["k"], r["_change_type"]) for r in table_changes(t, 1, 2, ["k"]).collect()
+    }
+    assert ch12 == {(3, "delete")}
+    ch02 = {
+        (r["k"], r["_change_type"]) for r in table_changes(t, 0, 2, ["k"]).collect()
+    }
+    assert ch02 == {(1, "update_postimage"), (4, "insert"), (3, "delete")}
