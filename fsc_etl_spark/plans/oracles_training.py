@@ -727,3 +727,19 @@ SELECT doc_id AS media_id,
        md5(substring(repeat(text, CAST(ceil(128.0 / length(text)) AS BIGINT)), 1, 128)) AS content_md5
 FROM documents
 """
+
+TRAINING_ORACLES["embed_truncate_norms"] = """
+WITH s AS (
+  SELECT vec_id,
+         list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS full_sq,
+         list_sum(list_transform(embedding[1:16],
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS prefix_sq
+  FROM embeddings
+)
+SELECT vec_id,
+       ROUND(sqrt(full_sq), 6) AS l2_full,
+       ROUND(sqrt(prefix_sq), 6) AS l2_16,
+       ROUND(prefix_sq / full_sq, 6) AS energy_ratio_16
+FROM s
+"""

@@ -499,6 +499,30 @@ def source_doc_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def embed_truncate_norms(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka-style truncation accounting: how much of each
+    vector's energy survives keeping only the first 16 of 64 dims —
+    the measurement behind choosing a cheaper retrieval prefix. Same
+    deterministic fold-then-round discipline as embed_norm_stats
+    (left-to-right double fold, one rounding, no reordering), so the
+    per-vector ratios are bit-identical to the SQL twin."""
+    emb = t(spark, sf, "embeddings")
+
+    def sq_sum(col):
+        return F.aggregate(
+            col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+
+    full = sq_sum(F.col("embedding"))
+    prefix = sq_sum(F.slice(F.col("embedding"), 1, 16))
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(full), 6).alias("l2_full"),
+        F.round(F.sqrt(prefix), 6).alias("l2_16"),
+        F.round(prefix / full, 6).alias("energy_ratio_16"),
+    )
+
+
 def embed_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label embedding L2-norm profile — the sanity check every
     embedding pipeline runs before similarity search (unnormalized
@@ -935,6 +959,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_topk": bigram_topk,
     "source_doc_stats": source_doc_stats,
     "embed_norm_stats": embed_norm_stats,
+    "embed_truncate_norms": embed_truncate_norms,
     "user_funnel": user_funnel,
     "contamination_overlap": contamination_overlap,
     "doc_repetition_stats": doc_repetition_stats,
