@@ -67,3 +67,63 @@ def user_running_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class _UserStatsProcessor:
+    """transformWithStateInPandas twin of ``_update_user_stats`` — the
+    Spark 4 arbitrary-state API (typed named state slots via a handle,
+    per-key Arrow batches, explicit processor lifecycle) instead of the
+    single implicit state tuple of applyInPandasWithState. Same exact,
+    order-insensitive statistics, so both operators' final emissions
+    agree batch-for-batch."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("user_stats", _USER_STATS_STATE)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n, mx = self._state.get() if self._state.exists() else (0, None)
+        for pdf in rows:
+            n += len(pdf)
+            if len(pdf):
+                batch_max = float(pdf["value"].max())
+                mx = batch_max if mx is None else max(mx, batch_max)
+        self._state.update((n, mx))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "max_value": [mx]})
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs the RocksDB state store AND a
+    working ``google.protobuf`` for its state-server protocol; this
+    container ships no protobuf, so the runtime path is env-gated
+    (same posture as delta-spark / PIL: implementation real, execution
+    behind a probe)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_running_stats_tws(events: DataFrame) -> DataFrame:
+    """``user_running_stats`` on ``transformWithStateInPandas`` —
+    kept alongside the applyInPandasWithState version so both
+    arbitrary-state APIs are exercised. Requires ``tws_available()``
+    (protobuf) and the RocksDB state store provider:
+    ``spark.sql.streaming.stateStore.providerClass =
+    org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider``.
+    """
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class Proc(_UserStatsProcessor, StatefulProcessor):
+        pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Proc(),
+        outputStructType=USER_STATS_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )

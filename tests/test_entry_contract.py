@@ -60,3 +60,16 @@ def test_driver_sample_prefix_covers_priority_groups():
         "reservoir_sample_per_source",
     ):
         assert must_have in prefix, f"{must_have} fell out of the driver sample"
+
+
+def test_query_index_doc_is_fresh():
+    """docs/QUERIES.md must list exactly the current queries() surface
+    in order — regenerate with scripts/gen_query_index.py."""
+    import re
+    from pathlib import Path
+
+    doc = Path(__file__).resolve().parent.parent / "docs" / "QUERIES.md"
+    listed = re.findall(r"^\| \d+ \| `([^`]+)`", doc.read_text(), re.M)
+    assert listed == list(entrymod.queries()), (
+        "docs/QUERIES.md is stale — run python scripts/gen_query_index.py"
+    )
