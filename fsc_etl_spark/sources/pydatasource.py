@@ -66,3 +66,55 @@ class SynthDocsReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotent registration of the format with a session."""
     spark.dataSource.register(SynthDocsDataSource)
+
+
+class SynthDocsStreamReader:
+    """Simple streaming reader for the same synthetic corpus: each
+    micro-batch emits the next ``rows_per_batch`` documents until
+    ``n`` total — the custom-queue-ingest shape (offset = next doc id,
+    checkpointable dict, deterministic replay via readBetweenOffsets).
+
+    Generation is identical to the batch reader (md5 of the doc id),
+    so a streamed corpus equals the batch corpus row-for-row — tested
+    in tests/test_pydatasource_stream.py.
+    """
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.rows_per_batch = int(options.get("rows_per_batch", 250))
+        self.words = int(options.get("words", 8))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def _rows(self, lo: int, hi: int):
+        import hashlib
+
+        for i in range(lo, hi):
+            h = hashlib.md5(f"doc:{i}".encode()).hexdigest()
+            text = " ".join(
+                h[(j * 4) % 32 : (j * 4) % 32 + 4] for j in range(self.words)
+            )
+            yield (i, text, f"src{i % 5}")
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = min(lo + self.rows_per_batch, self.n)
+        # A LIST, not a generator: Spark's prefetch cache copy.copy()s
+        # the returned iterator, and generators don't pickle/copy.
+        return list(self._rows(lo, hi)), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["next"]), int(end["next"]))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+def _simple_stream_reader(self, schema):
+    return SynthDocsStreamReader(self.options)
+
+
+# Attach the streaming capability to the existing DataSource class —
+# the same format string serves spark.read and spark.readStream.
+SynthDocsDataSource.simpleStreamReader = _simple_stream_reader
