@@ -113,6 +113,18 @@ BENCH_QUERIES = [
     "bloom_pruned_join",
     "heavy_hitter_users",
     "reservoir_sample_per_source",
+    # round-2 tail (appended — earlier names/order unchanged).
+    # dedup_cluster_assign_star stays off-bench: it re-times the same
+    # pair-generation + clustering shape dedup_cluster_assign covers.
+    "zorder_key_demo",
+    "fuzzy_name_match",
+    "mixture_resample_to_min",
+    "full_outer_reconcile",
+    "event_pattern_match",
+    "cohort_retention",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "embed_truncate_norms",
 ]
 
 ALL_QUERIES = entrymod.queries()
