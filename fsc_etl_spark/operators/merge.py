@@ -265,6 +265,22 @@ class ParquetMergeTarget:
                 removed += 1
         return removed
 
+    def vacuum_older_than(self, hours: float) -> int:
+        """Delta-style time-based retention: delete version dirs whose
+        commit timestamp is older than ``hours`` ago — except the
+        latest, which always survives. ``vacuum_older_than(0)``
+        reproduces the reference's retention-check-disabled immediate
+        purge (/root/reference/utils/extract_functions.py:67)."""
+        cutoff = time.time() - hours * 3600
+        log = self._log()
+        removed = 0
+        for e in log[:-1]:
+            path = os.path.join(self.root, e["dir"])
+            if e["ts"] < cutoff and os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+                removed += 1
+        return removed
+
     @contextlib.contextmanager
     def _commit_lock(self):
         lock = os.path.join(self.root, "_commit.lock")

@@ -68,6 +68,8 @@ PROBE_QUERIES = [
     # round-2 scale patterns
     "bloom_pruned_join",        # sketch-bounded build + map-side prune
     "heavy_hitter_users",       # pigeonhole candidates + recount
+    "event_pattern_match",      # per-user ordered code strings + regex
+    "cohort_retention",         # two aggs + user-keyed join
 ]
 
 

@@ -376,3 +376,20 @@ def test_table_changes_cdf_row_types(spark, tmp_path):
         (r["k"], r["_change_type"]) for r in table_changes(t, 0, 2, ["k"]).collect()
     }
     assert ch02 == {(1, "update_postimage"), (4, "insert"), (3, "delete")}
+
+
+def test_vacuum_older_than_time_retention(spark, tmp_path):
+    """Time-based retention: old versions purge, recent and latest
+    survive; hours=0 purges everything but the latest."""
+    from fsc_etl_spark.operators.merge import ParquetMergeTarget
+
+    t = ParquetMergeTarget(spark, str(tmp_path / "tbl"), retain_versions=10)
+    t.overwrite(_df(spark, {1: (10, 1)}))
+    t.overwrite(_df(spark, {1: (11, 2)}))
+    t.overwrite(_df(spark, {1: (12, 3)}))
+    # Nothing is older than an hour yet.
+    assert t.vacuum_older_than(1.0) == 0
+    # hours=0: everything but the latest goes.
+    assert t.vacuum_older_than(0) == 2
+    assert [e["available"] for e in t.history()] == [False, False, True]
+    assert _state(t.read()) == {1: (12, 3)}
