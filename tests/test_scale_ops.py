@@ -127,3 +127,28 @@ def test_reservoir_sample_layout_invariant(spark, sf_smoke):
         .collect()
     )
     assert all(r["count"] <= 5 for r in per_group)
+
+
+def test_bloom_never_false_negative_property(spark):
+    """Property: for ANY key set and probe values, every inserted key
+    tests positive (bloom filters may only err toward inclusion)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        keys=st.lists(
+            st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=40
+        )
+    )
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def check(keys):
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        words = build_bloom(df, "k", num_bits=1 << 10, num_hashes=3)
+        hits = df.filter(might_contain(words, F.col("k"), num_hashes=3)).count()
+        assert hits == df.count()
+
+    check()
