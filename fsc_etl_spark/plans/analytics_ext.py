@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fsc_etl_spark.operators.joins import asof_join, range_join
@@ -358,6 +358,31 @@ def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive events
+    per user — the path-analysis aggregate behind funnel diagnostics.
+    One LAG window per user (deterministic order: ts, event_id), one
+    groupBy over a tiny (type × type) domain; transition probability
+    uses exact integer counts with a single final division.
+    """
+    ev = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_total = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(row_total), 6).alias("p"),
+    )
+
+
 def full_outer_reconcile(spark: SparkSession, sf: str) -> DataFrame:
     """FULL OUTER join — the snapshot-reconciliation shape (which keys
     exist only on side A, only on side B, or on both): high-value
@@ -389,6 +414,7 @@ def full_outer_reconcile(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_order_stats": cube_order_stats,
     "full_outer_reconcile": full_outer_reconcile,
+    "event_transition_matrix": event_transition_matrix,
     "event_pattern_match": event_pattern_match,
     "cohort_retention": cohort_retention,
     "grouping_sets_priority": grouping_sets_priority,
@@ -425,6 +451,22 @@ SELECT CASE
        COUNT(*) AS n
 FROM a FULL OUTER JOIN b USING (o_orderkey)
 GROUP BY 1
+"""
+
+EXT_ORACLES["event_transition_matrix"] = """
+WITH pairs AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM c
 """
 
 EXT_ORACLES["event_pattern_match"] = """
