@@ -332,7 +332,7 @@ WITH daily AS (
   FROM events GROUP BY 1, 2
 )
 SELECT user_id,
-       ROUND(REGR_SLOPE(n, day_idx), 6) AS slope,
+       ROUND(REGR_SLOPE(n, day_idx), 6) + 0.0 AS slope,
        COUNT(*) AS n_points
 FROM daily
 GROUP BY user_id

@@ -212,7 +212,10 @@ def user_trend_slope(spark: SparkSession, sf: str) -> DataFrame:
     num = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     return agg.select(
         "user_id",
-        F.round(F.when(den > 0, num / den), 6).alias("slope"),
+        # + 0.0 collapses IEEE negative zero (round() of a tiny
+        # negative yields -0.0; the pandas twin's numpy path can give
+        # +0.0 for the same group) — exact for every other value.
+        (F.round(F.when(den > 0, num / den), 6) + F.lit(0.0)).alias("slope"),
         F.col("k").alias("n_points"),
     )
 
@@ -223,7 +226,9 @@ def user_trend_slope_pandas(spark: SparkSession, sf: str) -> DataFrame:
     REGR_SLOPE-style contract, checked against the same oracle."""
     daily = _daily_user_counts(spark, sf)
     out = group_trend_slope(daily, key_col="user_id", x_col="day_idx", y_col="n")
-    return out.select("user_id", F.round("slope", 6).alias("slope"), "n_points")
+    return out.select(
+        "user_id", (F.round("slope", 6) + F.lit(0.0)).alias("slope"), "n_points"
+    )
 
 
 def embed_nn_within_label(spark: SparkSession, sf: str) -> DataFrame:
