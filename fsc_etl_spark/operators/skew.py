@@ -106,20 +106,31 @@ def heavy_hitters_exact(
     groupBy over a 100 TB key space spills — is discarded map-side in
     phase 1 and never crosses an exchange in phase 2.
     """
+    from pyspark.sql import Window
+
     ks = list(keys)
     local = (
         df.withColumn("__pid", F.spark_partition_id())
         .groupBy("__pid", *ks)
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    ptotal = local.groupBy("__pid").agg(F.sum("__c").alias("__pn"))
+    # Partition total as a WINDOW over the same aggregated frame — one
+    # lineage, so the heavy (pid, key) aggregate exists once in the
+    # plan (a join against a separately-derived ptotal would recompute
+    # the whole subtree; DataFrames share no physical result without
+    # materialization).
+    with_pn = local.withColumn(
+        "__pn", F.sum("__c").over(Window.partitionBy("__pid"))
+    )
     cand = (
-        local.join(ptotal, "__pid")
-        .join(F.broadcast(share))
+        with_pn.join(F.broadcast(share))
         .filter(F.col("den") * F.col("__c") >= F.col("num") * F.col("__pn"))
         .select(*ks)
         .distinct()
     )
+    # Global N: a count-only pass — the scan prunes to zero columns,
+    # far cheaper than re-deriving N from the keyed aggregate (which
+    # would duplicate that subtree in the plan).
     total = df.groupBy().agg(F.count(F.lit(1)).alias("__n"))
     exact = (
         df.join(F.broadcast(cand), ks, "left_semi")
