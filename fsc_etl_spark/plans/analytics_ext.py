@@ -383,6 +383,33 @@ def event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def event_burst_islands(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands: consecutive events < 10 minutes apart per user
+    merge into bursts (lag + cumulative new-island flag — the standard
+    two-window island id), reported as per-user burst count and
+    largest burst. Two same-key window passes, one aggregate — a
+    single shuffle on user_id end to end.
+    """
+    ev = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select("user_id", "ts", "event_id").withColumn(
+        "new_island",
+        F.when(gap_us.isNull() | (gap_us >= 600_000_000), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_bursts"),
+        F.max("sz").alias("max_burst"),
+        F.sum(F.when(F.col("sz") >= 3, 1).otherwise(0)).cast("long").alias("n_bursts_3plus"),
+    )
+
+
 def full_outer_reconcile(spark: SparkSession, sf: str) -> DataFrame:
     """FULL OUTER join — the snapshot-reconciliation shape (which keys
     exist only on side A, only on side B, or on both): high-value
@@ -415,6 +442,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_order_stats": cube_order_stats,
     "full_outer_reconcile": full_outer_reconcile,
     "event_transition_matrix": event_transition_matrix,
+    "event_burst_islands": event_burst_islands,
     "event_pattern_match": event_pattern_match,
     "cohort_retention": cohort_retention,
     "grouping_sets_priority": grouping_sets_priority,
@@ -451,6 +479,32 @@ SELECT CASE
        COUNT(*) AS n
 FROM a FULL OUTER JOIN b USING (o_orderkey)
 GROUP BY 1
+"""
+
+EXT_ORACLES["event_burst_islands"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR date_diff('microseconds', LAG(ts) OVER w, ts) >= 600000000
+              THEN 1 ELSE 0 END AS new_island
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+per_island AS (
+  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       COUNT(*) AS n_bursts,
+       MAX(sz) AS max_burst,
+       CAST(SUM(CASE WHEN sz >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_bursts_3plus
+FROM per_island GROUP BY user_id
 """
 
 EXT_ORACLES["event_transition_matrix"] = """
