@@ -50,10 +50,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ROUND-3 ROTATION NOTE: after round 2's CORRECTNESS lands, rotate
     the prefix to the still-never-sampled tail — the training_data
-    tail (token_vocab_topk onward incl. mixture_resample_to_min),
-    dedup_cluster_assign_star, zorder_key_demo, full_outer_reconcile,
-    event_pattern_match, cohort_retention, and the analytics_more
-    breadth queries that fell outside both prior windows.
+    tail (token_vocab_topk onward incl. mixture_resample_to_min,
+    multimodal_frame_sample/resize, embed_truncate_norms),
+    dedup_cluster_assign_star, zorder_key_demo, fuzzy_name_match,
+    full_outer_reconcile, event_pattern_match, cohort_retention,
+    event_transition_matrix, event_burst_islands,
+    streaming_heavy_hitters, and the analytics_more breadth queries
+    that fell outside both prior windows. Keep the prefix-pin test in
+    tests/test_entry_contract.py in sync.
     """
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     merged.update(analytics.QUERIES)
