@@ -516,6 +516,7 @@ def connected_components_star(
             emitted.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
         )
 
+    converged = False
     for _ in range(max_iters):
         after = star_round(star_round(edges, large=True), large=False)
         changed = (
@@ -524,7 +525,18 @@ def connected_components_star(
         )
         edges = after
         if not changed:
+            converged = True
             break
+    if not converged:
+        # The docstring promises output identical to min-label; an
+        # intermediate edge set silently returned here would be WRONG
+        # labels, not approximate ones. O(log n) rounds means 25 covers
+        # graphs far beyond 2^25 nodes — hitting this is a bug or a
+        # pathological input, so fail loudly.
+        raise RuntimeError(
+            f"connected_components_star did not reach the star fixpoint "
+            f"within max_iters={max_iters}; labels would be incorrect"
+        )
 
     roots = (
         edges.groupBy("src")

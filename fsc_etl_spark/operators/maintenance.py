@@ -147,6 +147,13 @@ def zorder_by(
         F.percentile_approx(F.col(col_a).cast("double"), F.lit(fracs), 10_000).alias("ba"),
         F.percentile_approx(F.col(col_b).cast("double"), F.lit(fracs), 10_000).alias("bb"),
     ).first()
+    if row is None or row["ba"] is None or row["bb"] is None:
+        # Empty table or an all-NULL z-column: no boundaries exist, so
+        # z-ordering is meaningless — fall back to a plain compact
+        # instead of iterating over a None bounds array.
+        out = df.repartition(n_files)
+        _atomic_swap(out, path)
+        return n_files
     z = zorder_value(
         F.col(col_a).cast("double"), F.col(col_b).cast("double"), row["ba"], row["bb"], bits
     )

@@ -94,7 +94,10 @@ def heavy_hitters_exact(
     encoding φ = num/den as an exact rational — all comparisons are
     integer multiplies (``den·cnt ≥ num·n``), so the result is
     bit-identical to the SQL ``GROUP BY … HAVING`` twin with no float
-    rounding at the threshold boundary.
+    rounding at the threshold boundary. The products are computed in
+    decimal(38,0): at cluster scale ``den·cnt`` / ``num·n`` can exceed
+    2^63 and int64 arithmetic would silently wrap under non-ANSI Spark,
+    flipping the threshold comparison (DuckDB promotes instead).
 
     Phase 1 (candidates): count per (input-partition, key) — partial
     aggregation makes this map-local — and keep keys that are φ-heavy
@@ -122,9 +125,13 @@ def heavy_hitters_exact(
     with_pn = local.withColumn(
         "__pn", F.sum("__c").over(Window.partitionBy("__pid"))
     )
+    dec = "decimal(38,0)"
     cand = (
         with_pn.join(F.broadcast(share))
-        .filter(F.col("den") * F.col("__c") >= F.col("num") * F.col("__pn"))
+        .filter(
+            F.col("den").cast(dec) * F.col("__c").cast(dec)
+            >= F.col("num").cast(dec) * F.col("__pn").cast(dec)
+        )
         .select(*ks)
         .distinct()
     )
@@ -140,6 +147,9 @@ def heavy_hitters_exact(
     return (
         exact.join(F.broadcast(total))
         .join(F.broadcast(share))
-        .filter(F.col("den") * F.col("cnt") >= F.col("num") * F.col("__n"))
+        .filter(
+            F.col("den").cast(dec) * F.col("cnt").cast(dec)
+            >= F.col("num").cast(dec) * F.col("__n").cast(dec)
+        )
         .select(*ks, "cnt")
     )

@@ -331,9 +331,17 @@ def merge_upsert_state(spark: SparkSession, sf: str) -> DataFrame:
 
 def surrogate_key_assign(spark: SparkSession, sf: str) -> DataFrame:
     """R2 made deterministic: row_number over a stable total order
-    (replaces rdd.zipWithIndex; stays in Tungsten)."""
+    (replaces rdd.zipWithIndex; stays in Tungsten).
+
+    mode="distributed": per-partition counts + offset cumsum, so no
+    single-partition WindowExec over the whole fact table — hash-
+    identical to the window mode (tests/test_plan_quality.py asserts
+    equality) but scales to arbitrarily large inputs.
+    """
     orders = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    return surrogate_keys(orders, order_by=["o_orderkey"], key_col="sk", start_from=1000)
+    return surrogate_keys(
+        orders, order_by=["o_orderkey"], key_col="sk", start_from=1000, mode="distributed"
+    )
 
 
 def window_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:

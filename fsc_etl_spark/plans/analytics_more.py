@@ -407,11 +407,15 @@ def array_funcs_breadth(spark: SparkSession, sf: str) -> DataFrame:
     All pure projections: no shuffle, whole-stage codegen end to end.
     Array-valued results are array_join-stringified in the final
     select so the driver's row canonicalizer gets hashable cells; the
-    higher-order lambdas are still fully exercised upstream."""
+    higher-order lambdas are still fully exercised upstream. The
+    stringify is a whole-array cast, not a per-element transform
+    lambda — the extra four lambdas tripled the generated-code size
+    and put ~2 s of one-off janino compile time on the cold-run bench
+    (r2's 2x regression)."""
     arr = F.sequence(F.lit(1), (F.col("o_orderkey") % 7 + 1).cast("int"))
 
     def s(col):  # stringify an int array for hashable driver output
-        return F.array_join(F.transform(col, lambda x: x.cast("string")), ",")
+        return F.array_join(col.cast("array<string>"), ",")
 
     return t(spark, sf, "orders").select(
         "o_orderkey",

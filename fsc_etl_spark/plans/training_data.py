@@ -742,15 +742,17 @@ def cluster_canonical_doc(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup survivorship: one canonical document per MinHash-LSH
     connected component, chosen by (quality desc, doc_id asc) — the
     "keep the best copy" step that follows cluster assignment in every
-    dedup pipeline. Reuses dedup_cluster_assign's component labels and
-    the text-quality score; the per-cluster window shuffles on
-    cluster_root (bounded fan-in — cluster sizes are near-dup group
-    sizes, not corpus size).
+    dedup pipeline. Component labels come from the O(log n) large-star/
+    small-star CC (same unique fixpoint as min-label, so the oracle is
+    unchanged, but rounds scale with log component size instead of
+    graph diameter); the per-cluster window shuffles on cluster_root
+    (bounded fan-in — cluster sizes are near-dup group sizes, not
+    corpus size).
     """
     docs = t(spark, sf, "documents")
     sigs = minhash_signatures(docs, k=8, shingle_n=3)
     pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
-    clusters = connected_components_min_label(docs.select("doc_id"), pairs)
+    clusters = connected_components_star(docs.select("doc_id"), pairs)
     scored = docs.select(
         "doc_id", quality_score(F.col("text")).alias("quality")
     ).join(clusters, "doc_id")

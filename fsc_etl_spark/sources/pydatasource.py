@@ -100,9 +100,12 @@ class SynthDocsStreamReader:
     def read(self, start: dict):
         lo = int(start["next"])
         hi = min(lo + self.rows_per_batch, self.n)
-        # A LIST, not a generator: Spark's prefetch cache copy.copy()s
-        # the returned iterator, and generators don't pickle/copy.
-        return list(self._rows(lo, hi)), {"next": hi}
+        # A list_iterator, not a generator (generators don't
+        # copy.copy() for Spark's prefetch cache) and not a bare list:
+        # when the stream catches up (lo == hi) the wrapper calls
+        # next() on the returned value for the end==start case, which
+        # raises TypeError on a plain list.
+        return iter(list(self._rows(lo, hi))), {"next": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return self._rows(int(start["next"]), int(end["next"]))

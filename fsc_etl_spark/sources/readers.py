@@ -87,8 +87,15 @@ def events_ts_is_long(spark: SparkSession, path: str) -> bool:
     """
     try:
         inferred = spark.read.parquet(path).schema["ts"].dataType
-    except Exception:
-        return True
+    except Exception as e:  # noqa: BLE001 — classified below, then re-raised
+        # Only the parquet-type error identifies the nanos encoding;
+        # anything else (missing path, permissions, corrupt footer)
+        # must propagate rather than masquerade as "ts is long" and
+        # resurface later as a confusing schema-mismatch read error.
+        msg = str(e)
+        if "PARQUET_TYPE_ILLEGAL" in msg or "nanosAsLong" in msg or "NANOS" in msg:
+            return True
+        raise
     return isinstance(inferred, T.LongType)
 
 

@@ -36,6 +36,13 @@ def test_stream_equals_batch_corpus(spark):
             if spark.sql("select count(*) n from synth_stream").first()["n"] >= n:
                 break
             time.sleep(0.5)
+        # Keep the query running past catch-up: the wrapper's
+        # end==start cache path calls next() on the reader's return
+        # value, so a source that returns a non-iterator on an empty
+        # batch fails HERE, after exhaustion — not during the fill.
+        time.sleep(3.0)
+        assert q.exception() is None, q.exception()
+        assert q.isActive
     finally:
         q.stop()
     got = {tuple(r) for r in spark.sql("select * from synth_stream").collect()}

@@ -152,3 +152,46 @@ def test_bloom_never_false_negative_property(spark):
         assert hits == df.count()
 
     check()
+
+
+def test_heavy_hitters_threshold_products_exceed_int64(spark):
+    """den·cnt / num·n near 2^63: int64 multiplies would silently wrap
+    under non-ANSI Spark and flip the threshold comparison; the
+    decimal(38,0) comparison must stay exact."""
+    big = (1 << 61)  # den = 3·2^61 > 2^62; den·cnt overflows int64 at cnt ≥ 2
+    df = spark.range(300).select(
+        F.when(F.col("id") % 3 < 2, F.lit(1)).otherwise(F.col("id")).alias("k")
+    )
+    share = df.agg(
+        F.lit(big).cast("long").alias("num"),
+        F.lit(3 * big).cast("long").alias("den"),
+    )  # φ = 1/3 exactly, encoded with operands that overflow int64 products
+    got = {(r["k"], r["cnt"]) for r in heavy_hitters_exact(df, ["k"], share).collect()}
+    assert got == {(1, 200)}  # the 2/3 whale; nothing else reaches 1/3
+
+
+def test_zorder_empty_and_all_null_fall_back_to_compact(spark):
+    """zorder_by on an empty table or an all-NULL z-column has no
+    percentile boundaries — it must fall back to a plain compact, not
+    crash iterating a None bounds array."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from pyspark.sql import types as T
+
+    from fsc_etl_spark.operators.maintenance import zorder_by
+
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.DoubleType())]
+    )
+    empty = spark.createDataFrame([], schema)
+    p1 = _os.path.join(_tempfile.mkdtemp(prefix="fsc_zempty_"), "t")
+    empty.write.parquet(p1)
+    zorder_by(spark, p1, "a", "b", n_files=2)
+    assert spark.read.schema(schema).parquet(p1).count() == 0
+
+    allnull = spark.createDataFrame([(i, None) for i in range(50)], schema)
+    p2 = _os.path.join(_tempfile.mkdtemp(prefix="fsc_znull_"), "t")
+    allnull.write.parquet(p2)
+    zorder_by(spark, p2, "a", "b", n_files=2)
+    assert spark.read.parquet(p2).count() == 50
