@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "multimodal_frame_sample",
     "multimodal_resize",
     "embed_truncate_norms",
+    # round-3 additions (appended — earlier names/order unchanged)
+    "decile_bucket_scalable",
 ]
 
 ALL_QUERIES = entrymod.queries()

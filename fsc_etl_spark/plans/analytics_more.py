@@ -220,6 +220,63 @@ def ntile_customer_deciles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def decile_bucket_scalable(spark: SparkSession, sf: str) -> DataFrame:
+    """NTILE(10)-identical deciles WITHOUT a global row sort — the
+    scale-safe twin :func:`ntile_customer_deciles`'s docstring promises.
+
+    Decomposition of the global rank over (c_acctbal, c_custkey):
+
+    - a histogram of c_acctbal (groupBy + count). Distinct balances are
+      bounded by the VALUE DOMAIN (2-dp decimals in a fixed range, ~1M
+      values max), not the table, so the cumulative-sum window over the
+      histogram stays dimension-sized at any corpus scale — same
+      pattern as length_quantile_filter;
+    - row_number within each equal-balance group ordered by c_custkey —
+      partitioned window, tie-group-sized partitions;
+    - global_rank = (count of strictly smaller balances) + within-rank.
+
+    NTILE's uneven split (first N mod 10 buckets take the extra row) is
+    then pure integer arithmetic on (rank, N): with q = N div 10,
+    r = N mod 10, ranks ≤ r·(q+1) fall in bucket ⌈rank/(q+1)⌉ and the
+    rest in r + ⌈(rank − r·(q+1))/q⌉ — all `div`-based, no float
+    division to drift at exact-multiple boundaries. Output is
+    bit-identical to the NTILE oracle; nothing in the plan sorts more
+    than the balance histogram on one partition.
+    """
+    cust = t(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    hist = cust.groupBy("c_acctbal").agg(F.count(F.lit(1)).alias("cnt"))
+    cum_w = Window.orderBy("c_acctbal").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "c_acctbal",
+        F.coalesce(F.sum("cnt").over(cum_w), F.lit(0)).alias("cum_before"),
+    )
+    within_w = Window.partitionBy("c_acctbal").orderBy("c_custkey")
+    n = cust.agg(F.count(F.lit(1)).alias("n_total"))
+    ranked = (
+        cust.withColumn("rk_in", F.row_number().over(within_w))
+        .join(cum, "c_acctbal")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rk", F.col("cum_before") + F.col("rk_in"))
+        .withColumn("q", F.expr("n_total div 10"))
+        .withColumn("r", F.col("n_total") % 10)
+    )
+    decile = F.when(
+        F.col("rk") <= F.col("r") * (F.col("q") + 1),
+        F.expr("(rk + q) div (q + 1)"),
+    ).otherwise(
+        F.col("r") + F.expr("(rk - r * (q + 1) + greatest(q, 1L) - 1) div greatest(q, 1L)")
+    )
+    return (
+        ranked.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
+
+
 def array_agg_cust_years(spark: SparkSession, sf: str) -> DataFrame:
     """Sorted array aggregation: the distinct order-years per customer
     as an ascending array — collect_set stays a hash set on the
@@ -620,6 +677,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_subquery_bigspenders": scalar_subquery_bigspenders,
     "window_lag_delta": window_lag_delta,
     "ntile_customer_deciles": ntile_customer_deciles,
+    "decile_bucket_scalable": decile_bucket_scalable,
     "array_agg_cust_years": array_agg_cust_years,
     "string_funcs_breadth": string_funcs_breadth,
     "date_funcs_breadth": date_funcs_breadth,
@@ -730,6 +788,16 @@ FROM daily
 """
 
 MORE_ORACLES["ntile_customer_deciles"] = """
+WITH tiled AS (
+  SELECT c_acctbal,
+         NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+  FROM customer
+)
+SELECT decile, COUNT(*) AS n, MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+FROM tiled GROUP BY decile
+"""
+
+MORE_ORACLES["decile_bucket_scalable"] = """
 WITH tiled AS (
   SELECT c_acctbal,
          NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile

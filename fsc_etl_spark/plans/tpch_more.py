@@ -115,7 +115,11 @@ def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
 
 def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q9 shape: profit by supplier nation and year for parts
-    whose name contains '5'. No partsupp table exists, so supplycost
+    whose name contains 'gear' (~13% of the part dim — the synthetic
+    p_name vocabulary has no digits, so the spec's '%green%'-style
+    token keeps the filter productive at every fixture scale; an
+    always-empty filter would let a broken join pass 0=0 against the
+    oracle). No partsupp table exists, so supplycost
     is the deterministic proxy ``0.1 * p_retailprice`` (noted —
     exact-decimal arithmetic keeps the proxy bit-identical across
     engines). amount = disc_price − qty·0.1·retailprice, summed as
@@ -124,7 +128,7 @@ def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
                                          "l_quantity", "l_extendedprice", "l_discount")
     part = (
         t(spark, sf, "part")
-        .filter(F.col("p_name").contains("5"))
+        .filter(F.col("p_name").contains("gear"))
         .select("p_partkey", "p_retailprice")
     )
     supp = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
@@ -308,9 +312,13 @@ def q21_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
 
 def q22_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q22 shape: positive-balance customers above the average
-    positive balance with NO orders at all (NOT EXISTS → left-anti),
-    grouped by nation (stands in for the missing phone country code).
-    The global average is a 1-row broadcast; sums are exact decimal."""
+    positive balance with no RECENT orders (none on/after 2000-01-01;
+    NOT EXISTS → left-anti), grouped by nation (stands in for the
+    missing phone country code). Every fixture customer has at least
+    one lifetime order, so the spec's no-orders-ever predicate matches
+    nothing at any SF and a wrong anti-join would pass 0=0 — the
+    recency cutoff keeps the identical plan shape productive. The
+    global average is a 1-row broadcast; sums are exact decimal."""
     cust = t(spark, sf, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
     avg_pos = (
         cust.filter(F.col("c_acctbal") > 0)
@@ -318,7 +326,11 @@ def q22_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
             (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
         )
     )
-    orders = t(spark, sf, "orders").select("o_custkey")
+    orders = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
     nation = t(spark, sf, "nation").select("n_nationkey", F.col("n_name").alias("cntry"))
     return (
         cust.crossJoin(F.broadcast(avg_pos))
@@ -398,7 +410,7 @@ FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
-WHERE p_name LIKE '%5%'
+WHERE p_name LIKE '%gear%'
 GROUP BY 1, 2
 """
 
@@ -482,6 +494,8 @@ SELECT n_name AS cntry,
 FROM customer CROSS JOIN avg_pos
 JOIN nation ON c_nationkey = n_nationkey
 WHERE c_acctbal > avg_bal
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 GROUP BY 1
 """
