@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "embed_truncate_norms",
     # round-3 additions (appended — earlier names/order unchanged)
     "decile_bucket_scalable",
+    "multimodal_resize_codec",
+    "multimodal_frame_decode",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -6,12 +6,14 @@ Arrow-batched pandas iterators over ``mapInPandas`` — the only layer
 of this engine where Python touches row data, and it does so in
 columnar batches, never row-at-a-time.
 
-The decode internals are STUBBED (this container ships no PIL/ffmpeg
-— import-gated with a deterministic fallback) but the Spark-side
-contract is real and tested: schemas, batch iteration, partitioning
-behavior, and output column shapes are exactly what a real decoder
-would use — swap ``_fake_decode`` for the real library call and
-nothing else changes.
+Codec status: uncompressed formats (PPM P6, 24-bit BMP) go through a
+REAL pure-Python codec (operators/imagecodec.py) — genuine decode,
+nearest-neighbor resize, re-encode, byte-exact and oracle-checked.
+Compressed formats would need PIL/ffmpeg, which this container ships
+without, so those inputs take a deterministic import-gated fallback;
+the Spark-side contract (schemas, Arrow batch iteration, partitioning,
+output shapes) is identical on both paths — swap the fallback for the
+real library call and nothing else changes.
 """
 
 from __future__ import annotations
@@ -112,12 +114,14 @@ FRAME_SCHEMA = T.StructType(
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize every image to (width, height) — binary in, binary out.
 
-    STUB transform (no PIL in this container): the output bytes are a
-    deterministic function of input bytes and target size (truncate/
-    cycle to width*height), standing in for ``PIL.Image.resize`` +
-    re-encode. The Spark contract — binary column through an Arrow
-    batch, new typed size metadata — is the real one.
+    REAL codec for uncompressed formats: PPM (P6) and 24-bit BMP are
+    magic-sniffed and go through a genuine decode → nearest-neighbor
+    resize → re-encode (operators/imagecodec.py — header-over-raw-RGB
+    formats need no PIL). Anything unrecognized keeps the documented
+    deterministic fallback (truncate/cycle to width*height) so opaque
+    test bytes still flow through the same Arrow batch contract.
     """
+    from fsc_etl_spark.operators.imagecodec import resize_bytes
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = max(1, width * height)
@@ -128,13 +132,20 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             reps = -(-target // len(b))
             return (b * reps)[:target]
 
+        def one(b: bytes, mime: str) -> tuple[bytes, str]:
+            real = resize_bytes(b, width, height)
+            if real is not None:
+                return real
+            return fake_resize(b), mime
+
         for pdf in batches:
+            pairs = [one(b, m) for b, m in zip(pdf["content"], pdf["mime"])]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "content": pdf["content"].map(fake_resize),
-                    "mime": pdf["mime"],
+                    "content": [p[0] for p in pairs],
+                    "mime": [p[1] for p in pairs],
                     "width": width,
                     "height": height,
                 }
@@ -169,6 +180,88 @@ def sample_frames(media: DataFrame, n_frames: int) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(process, schema=FRAME_SCHEMA)
+
+
+def documents_as_ppm_media(docs: DataFrame, width: int = 12, height: int = 8) -> DataFrame:
+    """Adapter: deterministic REAL P6 images from document text — the
+    pixel buffer is the text's bytes cycled to width*height*3, under a
+    canonical P6 header. Everything is built with JVM string
+    expressions (repeat/substring/concat), so an ANSI-SQL oracle can
+    reproduce the exact bytes; the images then exercise the genuine
+    codec path in :func:`resize_images` (magic-sniffed as 'ppm')."""
+    need = width * height * 3
+    reps = F.ceil(F.lit(float(need)) / F.greatest(F.length("text"), F.lit(1))).cast("int")
+    pixbuf = F.substring(F.repeat(F.col("text"), reps), 1, need)
+    header = F.lit(f"P6\n{width} {height}\n255\n")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.concat(header, pixbuf), "UTF-8").alias("content"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+
+
+def documents_as_ppm_video(
+    docs: DataFrame, width: int = 8, height: int = 4, n_frames: int = 4
+) -> DataFrame:
+    """Adapter: a raw 'video' per document — ``n_frames`` concatenated
+    equal-size P6 frames (frame f's pixel buffer starts one byte later
+    in the cycled text, so frames differ). Equal fixed-size frames make
+    :func:`sample_frames`'s evenly-spaced byte slicing land exactly on
+    frame boundaries — for an uncompressed container, the byte slice
+    IS the real frame grab."""
+    need = width * height * 3
+    header = F.lit(f"P6\n{width} {height}\n255\n")
+    reps = F.ceil(
+        F.lit(float(need + n_frames)) / F.greatest(F.length("text"), F.lit(1))
+    ).cast("int")
+    cycled = F.repeat(F.col("text"), reps)
+    frames = [
+        F.concat(header, F.substring(cycled, f + 1, need)) for f in range(n_frames)
+    ]
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.concat(*frames), "UTF-8").alias("content"),
+        F.lit("video/x-raw-ppm").alias("mime"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+
+
+DECODED_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+    ]
+)
+
+
+def decode_frames(frames: DataFrame) -> DataFrame:
+    """REAL decode of per-frame P6 binaries (operators/imagecodec.py)
+    through an Arrow mapInPandas batch: parse header, reshape the raw
+    RGB buffer, report dimensions and the exact pixel-byte sum — the
+    decode-verification step a real media pipeline runs after a frame
+    grab."""
+    from fsc_etl_spark.operators.imagecodec import decode_ppm
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = [decode_ppm(bytes(b)) for b in pdf["frame"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "width": [im.shape[1] for im in imgs],
+                    "height": [im.shape[0] for im in imgs],
+                    "px_sum": [int(im.sum(dtype="int64")) for im in imgs],
+                }
+            )
+
+    return frames.mapInPandas(process, schema=DECODED_FRAME_SCHEMA)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:

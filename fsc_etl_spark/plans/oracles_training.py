@@ -728,6 +728,58 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
+# Real-codec resize: the 12x8 P6 source's pixel buffer is the text
+# cycled to 288 bytes; nearest-neighbor 6x4 picks source pixel
+# (2y, 2x), i.e. the 3-byte substring at (2y*12 + 2x)*3 + 1. The
+# string_agg ordered by (y, x) rebuilds the raster scan, and md5 over
+# header+pixels is byte-exact vs the codec's canonical P6 encoding.
+TRAINING_ORACLES["multimodal_resize_codec"] = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         substring(repeat(text, CAST(ceil(288.0 / GREATEST(length(text), 1)) AS BIGINT)),
+                   1, 288) AS pixbuf
+  FROM documents
+),
+g AS (
+  SELECT media_id,
+         string_agg(substring(pixbuf, (y.y * 24 + x.x * 2) * 3 + 1, 3),
+                    '' ORDER BY y.y, x.x) AS rez
+  FROM m,
+       (SELECT range AS y FROM range(4)) y,
+       (SELECT range AS x FROM range(6)) x
+  GROUP BY media_id
+)
+SELECT media_id,
+       'image/x-portable-pixmap' AS mime,
+       CAST(6 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       CAST(83 AS BIGINT) AS n_bytes,
+       md5('P6' || chr(10) || '6 4' || chr(10) || '255' || chr(10) || rez) AS content_md5
+FROM g
+"""
+
+# Raw-video decode: frame f's pixel buffer is the cycled text's bytes
+# [f+1, f+96]; the decoder's px_sum must equal the ord() sum over that
+# exact range — any header mis-parse or slice drift changes it.
+TRAINING_ORACLES["multimodal_frame_decode"] = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         repeat(text, CAST(ceil(100.0 / GREATEST(length(text), 1)) AS BIGINT)) AS cyc
+  FROM documents
+),
+s AS (
+  SELECT media_id, f.frame_idx, substring(cyc, f.frame_idx + 1, 96) AS pix
+  FROM m, (SELECT range AS frame_idx FROM range(4)) f
+)
+SELECT media_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(8 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       CAST(list_sum(list_transform(range(1, 97), i -> ord(substring(pix, i, 1)))) AS BIGINT)
+         AS px_sum
+FROM s
+"""
+
 TRAINING_ORACLES["embed_truncate_norms"] = """
 WITH s AS (
   SELECT vec_id,

@@ -65,3 +65,97 @@ def test_documents_adapter_byte_lengths(spark, sf_smoke):
     # ASCII corpus: byte length == char count (n_chars column)
     bad = joined.filter("byte_len <> n_chars").count()
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# Real codec (imagecodec.py): PPM/BMP round trips + resize through Spark
+# ---------------------------------------------------------------------------
+
+
+def test_codec_roundtrips_and_resize_map():
+    import numpy as np
+
+    from fsc_etl_spark.operators.imagecodec import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+        resize_bytes,
+        resize_nearest,
+        sniff,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(8, 12, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+    # odd width exercises the BMP 4-byte row-stride padding
+    odd = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(odd)) == odd).all()
+    # PPM comments in the header are legal
+    assert (decode_ppm(b"P6\n# c\n12 8\n255\n" + img.tobytes()) == img).all()
+    # exact nearest-neighbor index map src=(dst*src)//dst
+    r = resize_nearest(img, 6, 4)
+    assert (r == img[np.ix_([0, 2, 4, 6], [0, 2, 4, 6, 8, 10])]).all()
+    # same-format re-encode, mime derived from magic
+    out, mime = resize_bytes(encode_ppm(img), 6, 4)
+    assert mime == "image/x-portable-pixmap" and (decode_ppm(out) == r).all()
+    out, mime = resize_bytes(encode_bmp(img), 6, 4)
+    assert mime == "image/bmp" and (decode_bmp(out) == r).all()
+    assert resize_bytes(b"plain text, not an image", 6, 4) is None
+    assert sniff(encode_ppm(img)) == "ppm" and sniff(encode_bmp(img)) == "bmp"
+
+
+def test_resize_images_routes_real_formats_and_fallback(spark):
+    import numpy as np
+
+    from fsc_etl_spark.operators.imagecodec import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+        resize_nearest,
+    )
+    from fsc_etl_spark.operators.multimodal import MEDIA_SCHEMA, resize_images
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(8, 12, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_ppm(img)), "application/octet-stream", {}),
+        (2, "image", bytearray(encode_bmp(img)), "application/octet-stream", {}),
+        (3, "image", bytearray(b"opaque-bytes"), "application/octet-stream", {}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in resize_images(media, 6, 4).collect()}
+    want = resize_nearest(img, 6, 4)
+    assert got[1]["mime"] == "image/x-portable-pixmap"
+    assert (decode_ppm(bytes(got[1]["content"])) == want).all()
+    assert got[2]["mime"] == "image/bmp"
+    assert (decode_bmp(bytes(got[2]["content"])) == want).all()
+    # unrecognized bytes keep the documented cycle-to-target fallback
+    assert got[3]["mime"] == "application/octet-stream"
+    assert len(got[3]["content"]) == 24
+
+
+def test_frame_decode_pipeline_exact(spark, sf_smoke):
+    """Raw concatenated-P6 video -> sample_frames slices exact frames
+    -> decode_frames parses them: px_sum equals a local numpy decode of
+    the same cycled-text construction."""
+    from fsc_etl_spark.operators.multimodal import (
+        decode_frames,
+        documents_as_ppm_video,
+        sample_frames,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").limit(20)
+    vids = documents_as_ppm_video(docs, width=8, height=4, n_frames=4)
+    out = decode_frames(sample_frames(vids, n_frames=4))
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {(r["media_id"], r["frame_idx"]): r for r in out.collect()}
+    assert len(got) == 4 * len(texts)
+    for (mid, fidx), r in got.items():
+        assert (r["width"], r["height"]) == (8, 4)
+        t = texts[mid].encode()
+        reps = -(-(96 + 4) // max(1, len(t)))
+        cyc = (t * reps)
+        assert r["px_sum"] == sum(cyc[fidx : fidx + 96])
