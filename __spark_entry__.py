@@ -43,21 +43,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §2.12.
 
     Ordered so a prefix sample covers the whole surface: the driver
-    checks roughly the first 50 entries, so the round-1-unverified
-    groups (training_data, streaming, tpch_more, partsupp) and the
-    three round-1 harness-shape fixes lead; the round-1-green
-    analytics queries follow.
-
-    ROUND-3 ROTATION NOTE: after round 2's CORRECTNESS lands, rotate
-    the prefix to the still-never-sampled tail — the training_data
-    tail (token_vocab_topk onward incl. mixture_resample_to_min,
-    multimodal_frame_sample/resize, embed_truncate_norms),
-    dedup_cluster_assign_star, zorder_key_demo, fuzzy_name_match,
-    full_outer_reconcile, event_pattern_match, cohort_retention,
-    event_transition_matrix, event_burst_islands,
-    streaming_heavy_hitters, and the analytics_more breadth queries
-    that fell outside both prior windows. Keep the prefix-pin test in
-    tests/test_entry_contract.py in sync.
+    checks roughly the first 50 entries. ROUND-3 ROTATION (VERDICT r2
+    item 1): the prefix is exactly the 46 queries that had no driver
+    CORRECTNESS row after rounds 1+2 (r1 ∪ r2 sample = 97 of 143),
+    plus this round's 3 new queries and the re-predicated
+    q9_product_profit — 50 slots. The other queries changed this round
+    (q22_idle_customers, surrogate_key_assign, heavy_hitter_users,
+    array_funcs_breadth) sit at 51-54 in case the driver samples
+    deeper; all are green in the local sf0.001/sf0.01 mirror either
+    way. After r3's CORRECTNESS lands every query in the repo will
+    have at least one driver-green row (except the 3 rows-only-by-
+    design ANN/sketch entries, which the driver records as weaker
+    rows-only checks). Keep tests/test_entry_contract.py's prefix-pin
+    test in sync with this list.
     """
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     merged.update(analytics.QUERIES)
@@ -70,37 +68,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(scale_ops.QUERIES)
 
     priority = [
-        # round-1 non-greens (fixed this round) — re-verify first
-        "q12_priority_by_status",
-        "approx_user_stats",
-        "array_agg_cust_years",
-        # array/map outputs stringified this round — verify the fix
-        "array_funcs_breadth",
-        "map_funcs_breadth",
-        # new-this-round scale patterns — unverified code goes inside
-        # the driver's sample window before long-green queries
-        # (zorder_key_demo stays in the tail: the window is full)
-        "bloom_pruned_join",
-        "heavy_hitter_users",
-        "reservoir_sample_per_source",
-        # round-1-unsampled groups; training_data last so its round-2
-        # additions (appended at its tail) sit at the sample boundary.
-        # embed_lsh_topk / embed_ivf_topk are rows-only by design (no
-        # oracle) — a prefix slot buys them almost nothing — and
-        # user_trend_slope_pandas shares its oracle with the built-in
-        # twin that keeps its slot; all three yield their slots to
-        # hash-checked queries and re-enter after the priority block.
-        *streaming_queries.QUERIES,
-        *tpch_more.QUERIES,
-        *tpch_partsupp.QUERIES,
-        *[
-            q
-            for q in training_data.QUERIES
-            if q
-            not in ("embed_lsh_topk", "embed_ivf_topk", "user_trend_slope_pandas")
-        ],
-        # round-1 tail additions that also never got a CORRECTNESS row
-        # (positions 51+ — covered if the driver samples past 50)
+        # --- the 46 never-driver-sampled queries (rounds 1+2) ---
+        "multimodal_frame_sample",
+        "multimodal_resize",
+        "corpus_curation",
+        "hash_stratified_sample",
+        "token_vocab_topk",
+        "mixture_resample_to_min",
+        "pack_chunks_by_source",
+        "minhash_jaccard_estimate",
+        "hash_split_counts",
+        "bigram_topk",
+        "source_doc_stats",
+        "embed_norm_stats",
+        "embed_truncate_norms",
+        "user_funnel",
+        "contamination_overlap",
+        "doc_repetition_stats",
+        "pii_redact_stats",
+        "domain_mix_weights",
+        "length_quantile_filter",
+        "cluster_canonical_doc",  # star-CC rebase this round
+        "tfidf_top_terms",
+        "containment_pairs",
+        "synth_docs_source",
+        "embed_quantize_stats",
+        "salted_source_stats",
         "window_frames_breadth",
         "scd2_user_value_history",
         "regex_null_funcs_breadth",
@@ -109,6 +102,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeseries_gapfill",
         "timeseries_locf",
         "histogram_price_buckets",
+        "full_outer_reconcile",
+        "event_transition_matrix",
+        "event_burst_islands",
+        "event_pattern_match",
+        "cohort_retention",
+        "dq_orders_report",
+        "rollup_incremental_merge",
+        "hll_daily_users",  # rows-only by design (HLL sketch)
+        "user_trend_slope_pandas",
+        "embed_lsh_topk",  # rows-only by design (ANN)
+        "embed_ivf_topk",  # rows-only by design (ANN)
+        "fuzzy_name_match",
+        "zorder_key_demo",
+        # --- new this round ---
+        "decile_bucket_scalable",
+        "multimodal_resize_codec",
+        "multimodal_frame_decode",
+        # --- changed this round: was 0-rows (0=0 oracle), now productive ---
+        "q9_product_profit",
+        # --- 51+: also changed this round, re-verified locally ---
+        "q22_idle_customers",
+        "surrogate_key_assign",
+        "heavy_hitter_users",
+        "array_funcs_breadth",
     ]
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in priority:

@@ -179,8 +179,14 @@ def decode_any(data: bytes) -> np.ndarray | None:
 
 def resize_bytes(data: bytes, width: int, height: int) -> tuple[bytes, str] | None:
     """Real decode -> nearest resize -> re-encode in the SAME format.
-    Returns (bytes, mime) or None when the input isn't PPM/BMP."""
-    img = decode_any(data)
+    Returns (bytes, mime) or None when the input isn't PPM/BMP —
+    including magic-byte false positives (e.g. text that happens to
+    start with 'BM' or 'P6 '), which fail header validation and fall
+    back rather than poison the batch."""
+    try:
+        img = decode_any(data)
+    except ValueError:
+        return None
     if img is None:
         return None
     out = resize_nearest(img, width, height)

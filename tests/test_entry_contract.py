@@ -36,29 +36,30 @@ def test_query_matches_oracle(spark, sf_smoke, name):
 
 def test_driver_sample_prefix_covers_priority_groups():
     """The driver oracle-checks roughly the first 50 queries() entries.
-    Round 1 left the training/streaming/TPC-H groups unsampled; the
-    ordering contract keeps them — and the round-1 harness-shape
-    fixes — inside the sample window."""
+    Round-3 rotation: the window is exactly the 46 queries with no
+    driver CORRECTNESS row after rounds 1+2, plus this round's new
+    and re-predicated queries — so after r3 every query has a
+    driver-green row."""
+    import json
+    from pathlib import Path
+
     names = list(entrymod.queries())
     prefix = set(names[:50])
-    for must_have in (
-        "q12_priority_by_status",
-        "approx_user_stats",
-        "array_agg_cust_years",
-        "streaming_multibatch_sessionize",
-        "streaming_hourly_rollup",
-        "q8_market_share",
-        "q2_min_cost_supplier",
-        "minhash_signature",
-        "lsh_near_dup_candidates",
-        "simhash_neardup_pairs",
-        "dedup_cluster_assign",
-        "multimodal_features",
-        # round-2 scale patterns — new code verifies before long-greens
-        "bloom_pruned_join",
-        "heavy_hitter_users",
-        "reservoir_sample_per_source",
-    ):
+    root = Path(__file__).resolve().parent.parent
+    sampled: set[str] = set()
+    for rec in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        p = root / rec
+        if p.exists():
+            sampled |= set(json.loads(p.read_text()))
+    never = [n for n in names if n not in sampled]
+    new_r3 = {
+        "decile_bucket_scalable",
+        "multimodal_resize_codec",
+        "multimodal_frame_decode",
+    }
+    missing = [n for n in never if n not in prefix and n not in new_r3]
+    assert not missing, f"never-sampled queries fell out of the driver window: {missing}"
+    for must_have in new_r3 | {"q9_product_profit", "cluster_canonical_doc"}:
         assert must_have in prefix, f"{must_have} fell out of the driver sample"
 
 

@@ -159,3 +159,12 @@ def test_frame_decode_pipeline_exact(spark, sf_smoke):
         reps = -(-(96 + 4) // max(1, len(t)))
         cyc = (t * reps)
         assert r["px_sum"] == sum(cyc[fidx : fidx + 96])
+
+
+def test_magic_false_positives_fall_back():
+    """Bytes that merely START like PPM/BMP but fail header validation
+    must fall back (None), not raise mid-batch."""
+    from fsc_etl_spark.operators.imagecodec import resize_bytes
+
+    for b in (b"P6 is a great format honestly", b"BM" + b"x" * 60, b"P6\n2 2\n255\nab"):
+        assert resize_bytes(b, 4, 4) is None
