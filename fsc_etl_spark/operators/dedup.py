@@ -467,66 +467,76 @@ def connected_components_star(
     round itself. Output equals min-label's (unique fixpoint):
     (doc_id, cluster_root) with root = component min.
     """
-    undirected = (
-        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
     # Canonical directed form: (child src, parent dst), parent < child.
+    # One distinct suffices — the symmetrize + keep-one-orientation
+    # already maps every input pair to a single canonical edge.
+    both = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionByName(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
     edges = (
-        undirected.filter(F.col("v") < F.col("u"))
+        both.filter(F.col("v") < F.col("u"))
         .select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .distinct()
         .localCheckpoint()
     )
 
     def star_round(e: DataFrame, large: bool) -> DataFrame:
+        # m(u) = min(Γ(u) ∪ {u}) as a WINDOW over the symmetrized
+        # adjacency, partitioned by u — one shuffle, computed in place
+        # on every adjacency row. The groupBy-then-join alternative
+        # costs two extra shuffles plus a self-join per round; at toy
+        # edge counts those fixed stage launches dominate the whole CC.
+        # Only the small-star (iteration-final) output is dedup'd:
+        # duplicate edges between the sub-rounds cannot change a window
+        # MIN, so the large-star distinct would be a wasted shuffle.
         sym = e.select("src", "dst").unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        mins = (
-            sym.groupBy("src")
-            .agg(F.min("dst").alias("mn"))
-            .select(
-                F.col("src").alias("u"),
-                F.least(F.col("src"), F.col("mn")).alias("m"),
-            )
-        )
-        # mins derives from sym — join by distinct column NAMES (u vs
-        # src) via equi-key rename, never by Column reference, to dodge
-        # the derived-self-join ambiguity.
-        if large:
-            emitted = (
-                sym.filter(F.col("dst") > F.col("src"))
-                .withColumnRenamed("src", "u")
-                .join(mins, "u")
-                .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            )
-        else:
-            smaller = (
-                sym.filter(F.col("dst") < F.col("src"))
-                .withColumnRenamed("src", "u")
-                .join(mins, "u")
-                .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            )
-            selfe = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
-            emitted = smaller.unionByName(selfe)
-        return (
-            emitted.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
-        )
+        from pyspark.sql import Window
 
+        m = F.least(F.col("src"), F.min("dst").over(Window.partitionBy("src")))
+        sm = sym.withColumn("m", m)
+        if large:
+            emitted = sm.filter(F.col("dst") > F.col("src")).select(
+                F.col("dst").alias("src"), F.col("m").alias("dst")
+            )
+            return emitted.filter(F.col("src") != F.col("dst"))
+        smaller = sm.filter(F.col("dst") < F.col("src")).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        )
+        # self-link (u, m(u)) once per adjacency row — the trailing
+        # distinct collapses the duplicates.
+        selfe = sm.select("src", F.col("m").alias("dst"))
+        emitted = smaller.unionByName(selfe)
+        return emitted.filter(F.col("src") != F.col("dst")).distinct()
+
+    # Convergence protocol (exact, but cheap in the common case): per
+    # iteration compute one (count, hash-sum) aggregate over the fresh
+    # edge set. Differing aggregates PROVE the set changed — continue
+    # with no join at all. Equal aggregates are only a hint (sums can
+    # collide), so the claim "fixpoint reached" is then verified
+    # exactly: with equal counts over distinct sets, one empty
+    # exceptAll direction implies set equality. Versus the naive
+    # two-exceptAll-per-round check this removes ~2 joins and 1
+    # checkpoint per non-final round; only one checkpoint per
+    # iteration keeps lineage bounded.
+    def stats_of(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("hs"),
+        ).first()
+        return row["n"], row["hs"]
+
+    prev_stats = stats_of(edges)
     converged = False
     for _ in range(max_iters):
-        after = star_round(star_round(edges, large=True), large=False)
-        changed = (
-            after.exceptAll(edges).limit(1).count() > 0
-            or edges.exceptAll(after).limit(1).count() > 0
-        )
-        edges = after
-        if not changed:
+        after = star_round(star_round(edges, large=True), large=False).localCheckpoint()
+        cur_stats = stats_of(after)
+        if cur_stats == prev_stats and after.exceptAll(edges).limit(1).count() == 0:
+            edges = after
             converged = True
             break
+        edges, prev_stats = after, cur_stats
     if not converged:
         # The docstring promises output identical to min-label; an
         # intermediate edge set silently returned here would be WRONG
