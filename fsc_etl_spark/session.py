@@ -74,3 +74,51 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# Object-store scheme -> standard public Hadoop connector settings.
+# Credentials are NEVER baked in: each value names the env var read at
+# call time, mirroring the credential-free provider-chain defaults the
+# OSS connectors document. (The reference mounts its cloud storage via
+# proprietary config the leak policy excludes; this generic hook is the
+# portable equivalent — completes S12 for real deployments.)
+_OBJECT_STORE_ENV = {
+    "s3a": {
+        "fs.s3a.access.key": "AWS_ACCESS_KEY_ID",
+        "fs.s3a.secret.key": "AWS_SECRET_ACCESS_KEY",
+        "fs.s3a.session.token": "AWS_SESSION_TOKEN",
+        "fs.s3a.endpoint": "AWS_ENDPOINT_URL",
+    },
+    "gs": {
+        "fs.gs.auth.service.account.json.keyfile": "GOOGLE_APPLICATION_CREDENTIALS",
+    },
+}
+
+
+def configure_object_store(
+    spark: SparkSession,
+    scheme: str = "s3a",
+    settings: dict[str, str] | None = None,
+) -> list[str]:
+    """Apply object-store filesystem configs to a live session's Hadoop
+    conf so ``spark.read.parquet("s3a://bucket/...")`` works.
+
+    Env-var driven (only vars that are actually set are applied — the
+    connectors' own provider chains remain the default) plus explicit
+    ``settings`` overrides for anything else (region, path-style
+    access, committers). Returns the list of keys applied, for logging.
+    Scale note: prefer the magic/directory committers and
+    ``fs.s3a.fast.upload`` style settings via ``settings`` on real
+    clusters; never list-then-read from the driver.
+    """
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    applied: list[str] = []
+    for key, env in _OBJECT_STORE_ENV.get(scheme, {}).items():
+        val = os.environ.get(env)
+        if val:
+            hconf.set(key, val)
+            applied.append(key)
+    for key, val in (settings or {}).items():
+        hconf.set(key, val)
+        applied.append(key)
+    return applied

@@ -151,3 +151,19 @@ def test_python_datasource_synth_docs(spark):
     again = {r.doc_id: (r.text, r.source) for r in
              spark.read.format("fsc_synth_docs").option("n", "200").option("partitions", "4").load().collect()}
     assert rows == again
+
+
+def test_configure_object_store_env_and_overrides(spark, monkeypatch):
+    from fsc_etl_spark.session import configure_object_store
+
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "test-key")
+    monkeypatch.delenv("AWS_SECRET_ACCESS_KEY", raising=False)
+    applied = configure_object_store(
+        spark, "s3a", settings={"fs.s3a.endpoint.region": "us-east-1"}
+    )
+    assert "fs.s3a.access.key" in applied          # set env var applied
+    assert "fs.s3a.secret.key" not in applied       # unset env var skipped
+    assert "fs.s3a.endpoint.region" in applied      # explicit override applied
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.access.key") == "test-key"
+    assert hconf.get("fs.s3a.endpoint.region") == "us-east-1"
