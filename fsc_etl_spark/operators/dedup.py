@@ -410,7 +410,16 @@ def connected_components_min_label(
     fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     edges = fwd.unionByName(rev).distinct().localCheckpoint()
-    labels = nodes.select(F.col(id_col), F.col(id_col).alias("root")).localCheckpoint()
+    # Propagate only over nodes that touch an edge: near-dup graphs
+    # are a sliver of the corpus, so the per-round label table (and
+    # its checkpoint) is edge-subgraph-sized, not corpus-sized.
+    # Singletons re-enter as their own root in the final left join.
+    labels = (
+        edges.select(F.col("src").alias(id_col))
+        .distinct()
+        .select(F.col(id_col), F.col(id_col).alias("root"))
+        .localCheckpoint()
+    )
     for _ in range(max_iters):
         lbl_src = labels.select(F.col(id_col).alias("src"), F.col("root").alias("src_root"))
         nbr = edges.join(lbl_src, "src").groupBy("dst").agg(F.min("src_root").alias("nbr_root"))
@@ -434,7 +443,14 @@ def connected_components_min_label(
         labels = nxt.drop("__changed")
         if converged:
             break
-    return labels.select(F.col(id_col), F.col("root").alias("cluster_root"))
+    return (
+        nodes.select(F.col(id_col))
+        .join(labels.withColumnRenamed("root", "__root"), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__root"), F.col(id_col)).alias("cluster_root"),
+        )
+    )
 
 
 def connected_components_star(
