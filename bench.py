@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "decile_bucket_scalable",
     "multimodal_resize_codec",
     "multimodal_frame_decode",
+    "segment_dedup_mask",
+    "bigram_lm_quality",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -795,3 +795,64 @@ SELECT vec_id,
        ROUND(prefix_sq / full_sq, 6) AS energy_ratio_16
 FROM s
 """
+
+# Segment-level keep-first dedup: identical 16-token windows dedup
+# globally on md5 with the (doc_id, seg_idx) tie-break. list_slice's
+# inclusive end mirrors Spark slice's (start, length) on in-range
+# windows; both truncate at the token-list end.
+TRAINING_ORACLES["segment_dedup_mask"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, seg_idx,
+         md5(array_to_string(list_slice(tk, seg_idx * 16 + 1, seg_idx * 16 + 16), ' '))
+           AS seg_hash
+  FROM (SELECT doc_id, tk,
+               unnest(range(CAST(ceil(len(tk) / 16.0) AS BIGINT))) AS seg_idx
+        FROM toks)
+),
+kept AS (
+  SELECT doc_id, seg_idx,
+         (ROW_NUMBER() OVER (PARTITION BY seg_hash ORDER BY doc_id, seg_idx) = 1) AS keep
+  FROM segs
+)
+SELECT doc_id,
+       COUNT(*) AS n_segments,
+       SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept
+FROM kept GROUP BY doc_id
+"""
+
+# Bigram-LM scoring: integer-scaled conditional probabilities
+# floor(1e9 * c_bigram / c_prefix) accumulate exactly (no float-sum
+# order sensitivity). c_bg * 1e9 stays under int64 through ~1e9
+# bigram occurrences per distinct bigram; beyond that, widen to
+# decimal as heavy_hitters_exact does.
+TRAINING_ORACLES["bigram_lm_quality"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+big AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bg
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks)
+),
+bgc AS (SELECT bg, COUNT(*) AS c_bg FROM big GROUP BY bg),
+pre AS (
+  SELECT string_split(bg, ' ')[1] AS w1, COUNT(*) AS c_pre
+  FROM big GROUP BY 1
+),
+scaled AS (
+  SELECT doc_id, (c_bg * 1000000000) // c_pre AS p_scaled
+  FROM big
+  JOIN bgc USING (bg)
+  JOIN pre ON string_split(bg, ' ')[1] = pre.w1
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(p_scaled) // COUNT(*) AS BIGINT) AS mean_p_e9
+FROM scaled GROUP BY doc_id
+"""

@@ -983,6 +983,99 @@ def synth_docs_source(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def segment_dedup_mask(spark: SparkSession, sf: str) -> DataFrame:
+    """Sub-document (segment-level) dedup with keep-first survivorship
+    — the FineWeb/RefinedWeb-style pass that strips boilerplate
+    repeated ACROSS documents while keeping each segment's first
+    occurrence. Documents split into fixed 16-token windows (the
+    fixture has no paragraph marks; the op is the same for any
+    segmenter); identical segments dedup globally by md5 with the
+    corpus-stable tie-break (doc_id, seg_idx).
+
+    Plan shape at 100 TB: explode to segments (map-side), ONE shuffle
+    on segment hash for the keep-first window (per-hash groups are
+    duplicate counts — bounded), then a per-doc re-aggregation. No
+    joins against the corpus, no global ordering.
+    """
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    n_seg = F.ceil(F.size(toks) / F.lit(16)).cast("int")
+    segs = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_seg - 1)).alias("seg_idx"),
+        toks.alias("toks"),
+    ).select(
+        "doc_id",
+        "seg_idx",
+        F.md5(F.array_join(F.slice(F.col("toks"), F.col("seg_idx") * 16 + 1, 16), " ")).alias(
+            "seg_hash"
+        ),
+    )
+    w = Window.partitionBy("seg_hash").orderBy("doc_id", "seg_idx")
+    kept = segs.select(
+        "doc_id",
+        "seg_idx",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+        )
+        .select("doc_id", "n_segments", "n_kept")
+    )
+
+
+def bigram_lm_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality scoring with a corpus-trained bigram
+    model: each document scores the mean conditional probability of
+    its bigrams, P(w2|w1) = count(w1 w2)/count(w1 ·) estimated from
+    the whole corpus. High-scoring docs read like the corpus; garbage
+    scores low — the filter-by-LM pass of a curation pipeline.
+
+    Exactness: probabilities are integer-scaled per bigram —
+    floor(1e9 · c_bigram / c_prefix) — so every per-doc accumulation
+    is exact bigint arithmetic with no float-sum order sensitivity;
+    the single final division happens once per doc. Counts tables are
+    vocab-bounded aggregates; the per-doc join shuffles on bigram —
+    two partial-agg shuffles + one keyed join, nothing quadratic.
+    """
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("tk"))
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("tk"), 1, F.greatest(F.size("tk") - 1, F.lit(0))),
+                F.slice(F.col("tk"), 2, F.greatest(F.size("tk") - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bg"),
+    )
+    bg_cnt = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    # prefix counts = bigram INSTANCES by first token (not unigram
+    # occurrences: the last token of a doc starts no bigram)
+    pre_cnt = (
+        big.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_pre"))
+    )
+    scaled = (
+        big.join(bg_cnt, "bg")
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(pre_cnt, "w1")
+        .select(
+            "doc_id",
+            F.expr("(c_bg * 1000000000L) div c_pre").alias("p_scaled"),
+        )
+    )
+    return scaled.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("sum(p_scaled) div count(1)").alias("mean_p_e9"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -1033,4 +1126,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "synth_docs_source": synth_docs_source,
     "embed_quantize_stats": embed_quantize_stats,
     "salted_source_stats": salted_source_stats,
+    "segment_dedup_mask": segment_dedup_mask,
+    "bigram_lm_quality": bigram_lm_quality,
 }

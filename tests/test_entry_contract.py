@@ -56,6 +56,8 @@ def test_driver_sample_prefix_covers_priority_groups():
         "decile_bucket_scalable",
         "multimodal_resize_codec",
         "multimodal_frame_decode",
+        "segment_dedup_mask",
+        "bigram_lm_quality",
     }
     missing = [n for n in never if n not in prefix and n not in new_r3]
     assert not missing, f"never-sampled queries fell out of the driver window: {missing}"
