@@ -52,16 +52,20 @@ def test_driver_sample_prefix_covers_priority_groups():
         if p.exists():
             sampled |= set(json.loads(p.read_text()))
     never = [n for n in names if n not in sampled]
-    new_r3 = {
+    # New round-3 queries: exempt from the never-sampled invariant
+    # (the driver could not have sampled them yet). The first three
+    # claimed prefix slots; the later two queue for the r4 rotation.
+    in_window = {
         "decile_bucket_scalable",
         "multimodal_resize_codec",
         "multimodal_frame_decode",
-        "segment_dedup_mask",
-        "bigram_lm_quality",
     }
-    missing = [n for n in never if n not in prefix and n not in new_r3]
+    next_rotation = {"segment_dedup_mask", "bigram_lm_quality"}
+    missing = [
+        n for n in never if n not in prefix and n not in in_window | next_rotation
+    ]
     assert not missing, f"never-sampled queries fell out of the driver window: {missing}"
-    for must_have in new_r3 | {"q9_product_profit", "cluster_canonical_doc"}:
+    for must_have in in_window | {"q9_product_profit", "cluster_canonical_doc"}:
         assert must_have in prefix, f"{must_have} fell out of the driver sample"
 
 
