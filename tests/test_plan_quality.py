@@ -24,6 +24,8 @@ PANDAS_OK = {
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_resize",
+    "multimodal_resize_codec",
+    "multimodal_frame_decode",
     "embed_cosine_topk_pandas",
     "user_trend_slope_pandas",
 }
