@@ -70,6 +70,12 @@ PROBE_QUERIES = [
     "heavy_hitter_users",       # pigeonhole candidates + recount
     "event_pattern_match",      # per-user ordered code strings + regex
     "cohort_retention",         # two aggs + user-keyed join
+    # round-3 additions
+    "decile_bucket_scalable",   # value-histogram deciles, no global sort
+    "cluster_canonical_doc",    # star CC + survivorship window
+    "segment_dedup_mask",       # segment-hash keep-first window
+    "bigram_lm_quality",        # vocab-bounded counts + keyed join
+    "multimodal_resize_codec",  # Arrow batch + real PPM codec
 ]
 
 
