@@ -1,0 +1,110 @@
+"""Edge cases for the round-3 operators: NTILE-equivalence on
+degenerate sizes, segment dedup on short docs, bigram scoring on
+minimal docs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+
+@pytest.mark.parametrize("n", [1, 7, 10, 11, 23])
+def test_decile_arithmetic_matches_ntile_at_any_size(spark, n):
+    """The integer split formula must equal NTILE(10) even when N < 10
+    (one row per bucket) and when N mod 10 != 0 (uneven buckets)."""
+    df = spark.createDataFrame(
+        [Row(c_custkey=i, c_acctbal=float(i % 5)) for i in range(n)]
+    )
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    want = {
+        (r["c_custkey"], r["nt"])
+        for r in df.withColumn("nt", F.ntile(10).over(w)).collect()
+    }
+
+    hist = df.groupBy("c_acctbal").agg(F.count(F.lit(1)).alias("cnt"))
+    cum_w = Window.orderBy("c_acctbal").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "c_acctbal", F.coalesce(F.sum("cnt").over(cum_w), F.lit(0)).alias("cum_before")
+    )
+    within = Window.partitionBy("c_acctbal").orderBy("c_custkey")
+    total = df.agg(F.count(F.lit(1)).alias("n_total"))
+    ranked = (
+        df.withColumn("rk_in", F.row_number().over(within))
+        .join(cum, "c_acctbal")
+        .crossJoin(F.broadcast(total))
+        .withColumn("rk", F.col("cum_before") + F.col("rk_in"))
+        .withColumn("q", F.expr("n_total div 10"))
+        .withColumn("r", F.col("n_total") % 10)
+    )
+    decile = F.when(
+        F.col("rk") <= F.col("r") * (F.col("q") + 1),
+        F.expr("(rk + q) div (q + 1)"),
+    ).otherwise(
+        F.col("r") + F.expr("(rk - r * (q + 1) + greatest(q, 1L) - 1) div greatest(q, 1L)")
+    )
+    got = {
+        (r["c_custkey"], r["decile"])
+        for r in ranked.withColumn("decile", decile).collect()
+    }
+    assert got == want
+
+
+def test_segment_dedup_short_and_duplicate_docs(spark, tmp_path):
+    """Docs under 16 tokens form exactly one segment; identical docs
+    keep only the lowest doc_id's segments."""
+    from fsc_etl_spark.plans import training_data
+
+    rows = [
+        Row(doc_id=1, text="alpha beta gamma", lang="en", source="s", n_chars=16),
+        Row(doc_id=2, text="alpha beta gamma", lang="en", source="s", n_chars=16),
+        Row(doc_id=3, text=" ".join(f"w{i}" for i in range(40)), lang="en", source="s", n_chars=200),
+    ]
+    p = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(rows).write.parquet(p)
+    out = {r["doc_id"]: r for r in training_data.segment_dedup_mask(spark, str(tmp_path)).collect()}
+    assert (out[1]["n_segments"], out[1]["n_kept"]) == (1, 1)
+    assert (out[2]["n_segments"], out[2]["n_kept"]) == (1, 0)  # exact dup loses
+    assert (out[3]["n_segments"], out[3]["n_kept"]) == (3, 3)  # 40 toks -> 3 windows
+
+
+def test_bigram_lm_scores_repetitive_above_unique(spark, tmp_path):
+    """A doc made of the corpus's dominant bigram scores the scaled
+    maximum; a doc of corpus-unique bigrams scores lower."""
+    from fsc_etl_spark.plans import training_data
+
+    common = "x y " * 20  # bigram (x,y) dominates prefix x
+    rows = [
+        Row(doc_id=1, text=common.strip(), lang="en", source="s", n_chars=80),
+        Row(doc_id=2, text="a b c d e f", lang="en", source="s", n_chars=11),
+    ]
+    p = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(rows).write.parquet(p)
+    out = {r["doc_id"]: r for r in training_data.bigram_lm_quality(spark, str(tmp_path)).collect()}
+    assert out[1]["n_bigrams"] == 39 and out[2]["n_bigrams"] == 5
+    # every unique bigram: p = 1e9 exactly; doc 1 mixes p(x y|x)=20/20
+    # and p(y x|y)=19/19 -> also 1e9; construct a true contrast:
+    assert out[1]["mean_p_e9"] == 10**9
+    assert out[2]["mean_p_e9"] == 10**9  # all prefixes unique too
+    # now a corpus where doc 2 shares prefixes with doc 1's bigrams
+    rows2 = rows + [
+        Row(doc_id=3, text="x q x r x s", lang="en", source="s", n_chars=11),
+    ]
+    spark.createDataFrame(rows2).write.mode("overwrite").parquet(p)
+    out2 = {r["doc_id"]: r for r in training_data.bigram_lm_quality(spark, str(tmp_path)).collect()}
+    # doc 3's 'x ?' bigrams each occur once among (20 + 3) 'x'-prefixed
+    # instances -> p = 1e9 // 23; its 'q x'/'r x' bigrams are unique.
+    assert out2[3]["mean_p_e9"] < out2[1]["mean_p_e9"]
+
+
+def test_star_cc_long_chain_still_converges_fast(spark):
+    """The window-based star rounds must label a 200-node path graph
+    correctly within the default iteration budget (the O(log n) claim)."""
+    from fsc_etl_spark.operators.dedup import connected_components_star
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(199)]
+    )
+    nodes = spark.range(200).select(F.col("id").alias("doc_id"))
+    got = {tuple(r) for r in connected_components_star(nodes, pairs).collect()}
+    assert got == {(i, 0) for i in range(200)}
