@@ -43,12 +43,21 @@ DEFAULT_NUM_HASHES = 5
 
 
 def _probe_positions(col: Column, num_bits: int, num_hashes: int) -> list[Column]:
-    """The k probe positions for one key: independent hashes via
-    xxhash64 seeded by the probe index (seed changes the hash family
-    member, matching how BloomFilterImpl derives its k functions)."""
+    """The k probe positions for one key via Kirsch-Mitzenmacher
+    double hashing: p_i = (h1 + i*h2) mod m from TWO xxhash64
+    evaluations instead of k — same asymptotic false-positive rate
+    (Kirsch & Mitzenmacher, "Less Hashing, Same Performance"), and the
+    probe side is the hot path (evaluated per fact row, map-side,
+    before any exchange). h2 is forced odd so the stride never
+    degenerates to a single position on the power-of-two m."""
+    # Reduce mod m BEFORE combining: (h1 + i*h2) mod m ==
+    # (h1 mod m + i*(h2 mod m)) mod m, and the reduced operands are
+    # < m ≤ 2^30, so the combination cannot overflow int64 under ANSI
+    # arithmetic. Oddness of h2 survives reduction mod a power of two.
+    h1 = F.pmod(F.xxhash64(col, F.lit(0)), F.lit(num_bits))
+    h2 = F.pmod(F.xxhash64(col, F.lit(1)).bitwiseOR(F.lit(1)), F.lit(num_bits))
     return [
-        F.pmod(F.xxhash64(col, F.lit(i)), F.lit(num_bits))
-        for i in range(num_hashes)
+        F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)) for i in range(num_hashes)
     ]
 
 
