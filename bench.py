@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     "multimodal_frame_decode",
     "segment_dedup_mask",
     "bigram_lm_quality",
+    "audio_clip_stats",
+    "audio_downsample_stats",
 ]
 
 ALL_QUERIES = entrymod.queries()

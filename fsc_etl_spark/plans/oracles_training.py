@@ -856,3 +856,36 @@ SELECT doc_id,
        CAST(SUM(p_scaled) // COUNT(*) AS BIGINT) AS mean_p_e9
 FROM scaled GROUP BY doc_id
 """
+
+# Audio stats: sample i = (byte_i - 128) * 256 over the UTF-8 text
+# bytes (ASCII fixture -> ord == byte). Integer-exact peak / energy /
+# frame count / floor-div microsecond duration reproduce the full
+# WAV encode -> decode -> analyze chain.
+TRAINING_ORACLES["audio_clip_stats"] = """
+WITH s AS (
+  SELECT doc_id, (ord(substring(text, i, 1)) - 128) * 256 AS smp
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents)
+)
+SELECT doc_id AS media_id,
+       COUNT(*) AS n_frames,
+       CAST(MAX(ABS(smp)) AS BIGINT) AS peak,
+       CAST(SUM(smp * smp) AS BIGINT) AS energy,
+       CAST(COUNT(*) * 1000000 // 16000 AS BIGINT) AS duration_us
+FROM s GROUP BY doc_id
+"""
+
+# Decimation keeps byte positions 1, 5, 9, ... (every 4th frame) and
+# divides the sample rate, so duration is computed at 4000 Hz.
+TRAINING_ORACLES["audio_downsample_stats"] = """
+WITH s AS (
+  SELECT doc_id, (ord(substring(text, i, 1)) - 128) * 256 AS smp
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents)
+  WHERE (i - 1) % 4 = 0
+)
+SELECT doc_id AS media_id,
+       COUNT(*) AS n_frames,
+       CAST(MAX(ABS(smp)) AS BIGINT) AS peak,
+       CAST(SUM(smp * smp) AS BIGINT) AS energy,
+       CAST(COUNT(*) * 1000000 // 4000 AS BIGINT) AS duration_us
+FROM s GROUP BY doc_id
+"""

@@ -364,6 +364,34 @@ def multimodal_frame_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def audio_clip_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio end-to-end: deterministic PCM WAV clips built from
+    document bytes through the genuine RIFF encoder, then decoded back
+    (chunk walk, frame reshape) and analyzed with integer-exact stats
+    (peak |sample|, energy = Σ sample², exact µs duration). The oracle
+    recomputes the stats from the text bytes — a mis-parsed header or
+    misaligned frame anywhere in encode→decode breaks the match."""
+    from fsc_etl_spark.operators.multimodal import analyze_audio, documents_as_wav_media
+
+    media = documents_as_wav_media(t(spark, sf, "documents"), sample_rate=16_000)
+    return analyze_audio(media).select(
+        "media_id", "n_frames", "peak", "energy", "duration_us"
+    )
+
+
+def audio_downsample_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Decimation path: decode, keep every 4th frame (deterministic —
+    output samples are exact input samples), stats at the divided
+    sample rate. Exercises the transform-after-decode shape every
+    audio pipeline has."""
+    from fsc_etl_spark.operators.multimodal import analyze_audio, documents_as_wav_media
+
+    media = documents_as_wav_media(t(spark, sf, "documents"), sample_rate=16_000)
+    return analyze_audio(media, downsample_factor=4).select(
+        "media_id", "n_frames", "peak", "energy", "duration_us"
+    )
+
+
 def hash_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic stratified downsampling — the corpus-rebalancing
     primitive (down-weight the over-represented language). md5 of the
@@ -1103,6 +1131,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize": multimodal_resize,
     "multimodal_resize_codec": multimodal_resize_codec,
     "multimodal_frame_decode": multimodal_frame_decode,
+    "audio_clip_stats": audio_clip_stats,
+    "audio_downsample_stats": audio_downsample_stats,
     "corpus_curation": corpus_curation,
     "hash_stratified_sample": hash_stratified_sample,
     "token_vocab_topk": token_vocab_topk,

@@ -60,7 +60,12 @@ def test_driver_sample_prefix_covers_priority_groups():
         "multimodal_resize_codec",
         "multimodal_frame_decode",
     }
-    next_rotation = {"segment_dedup_mask", "bigram_lm_quality"}
+    next_rotation = {
+        "segment_dedup_mask",
+        "bigram_lm_quality",
+        "audio_clip_stats",
+        "audio_downsample_stats",
+    }
     missing = [
         n for n in never if n not in prefix and n not in in_window | next_rotation
     ]

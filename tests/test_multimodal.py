@@ -168,3 +168,54 @@ def test_magic_false_positives_fall_back():
 
     for b in (b"P6 is a great format honestly", b"BM" + b"x" * 60, b"P6\n2 2\n255\nab"):
         assert resize_bytes(b, 4, 4) is None
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    import numpy as np
+
+    from fsc_etl_spark.operators.audiocodec import (
+        analyze,
+        decode_wav,
+        downsample,
+        encode_wav,
+        sniff,
+    )
+
+    rng = np.random.default_rng(5)
+    mono = rng.integers(-32768, 32768, size=300, dtype="<i2")
+    data = encode_wav(mono, 8000)
+    assert sniff(data)
+    got, rate = decode_wav(data)
+    assert rate == 8000 and (got[:, 0] == mono).all()
+    # stereo interleave round trip
+    stereo = rng.integers(-32768, 32768, size=(100, 2), dtype="<i2")
+    got2, _ = decode_wav(encode_wav(stereo, 44100))
+    assert (got2 == stereo).all()
+    # extra RIFF chunk before data must be skipped (chunk walk)
+    hdr_end = 36  # RIFF(12) + fmt(8+16)
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    patched = bytearray(data[:hdr_end] + extra + data[hdr_end:])
+    patched[4:8] = (len(patched) - 8).to_bytes(4, "little")
+    got3, _ = decode_wav(bytes(patched))
+    assert (got3[:, 0] == mono).all()
+    # 8-bit unsigned widens by centering
+    eight = (
+        b"RIFF" + (36 + 4).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        + b"data" + (4).to_bytes(4, "little") + bytes([0, 128, 255, 64])
+    )
+    got4, _ = decode_wav(eight)
+    assert got4[:, 0].tolist() == [(0 - 128) << 8, 0, (255 - 128) << 8, (64 - 128) << 8]
+    # integer-exact analysis + decimation
+    s = np.array([[100], [-200], [300], [-400], [500]], dtype="int64")
+    st = analyze(s, 1000)
+    assert st == {
+        "n_frames": 5,
+        "peak": 500,
+        "energy": 100**2 + 200**2 + 300**2 + 400**2 + 500**2,
+        "duration_us": 5000,
+    }
+    assert downsample(s, 2)[:, 0].tolist() == [100, 300, 500]

@@ -26,6 +26,8 @@ PANDAS_OK = {
     "multimodal_resize",
     "multimodal_resize_codec",
     "multimodal_frame_decode",
+    "audio_clip_stats",
+    "audio_downsample_stats",
     "embed_cosine_topk_pandas",
     "user_trend_slope_pandas",
 }
