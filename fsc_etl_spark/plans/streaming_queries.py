@@ -20,8 +20,10 @@ from __future__ import annotations
 import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from fsc_etl_spark import schemas
 
 from fsc_etl_spark.operators.merge import ParquetMergeTarget
 from fsc_etl_spark.streaming import (
@@ -259,6 +261,79 @@ def streaming_blocklist_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def streaming_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL sub-document dedup against historical state — the
+    production shape for continuous corpus ingestion: documents arrive
+    over 4 doc_id-ordered micro-batches; each batch's segments dedup
+    (a) within the batch by keep-first (doc_id, seg_idx) and (b)
+    against the accumulated seen-hash table from all prior batches,
+    via foreachBatch with a parquet state dir (exactly-once per epoch
+    given the idempotent append). Because arrival order == doc_id
+    order, the converged per-doc keep counts equal the batch
+    `segment_dedup_mask` oracle exactly. Raises unless >= 2 non-empty
+    micro-batches actually ran."""
+    import tempfile
+
+    from fsc_etl_spark.plans.training_data import segment_hashes
+    from fsc_etl_spark.streaming.pipeline import run_foreach_batch
+    from fsc_etl_spark.streaming.sources import (
+        stage_documents_as_files,
+        stream_parquet_dir,
+    )
+
+    staged = stage_documents_as_files(spark, sf, n_files=4)
+    docs = stream_parquet_dir(
+        spark, staged, schemas.DOCUMENTS, max_files_per_trigger=1
+    ).select("doc_id", "text")
+
+    base = tempfile.mkdtemp(prefix="fsc_segdedup_")
+    state_dir, results_dir = f"{base}/seen", f"{base}/out"
+    spark.createDataFrame([], "seg_hash string").write.parquet(state_dir)
+    batch_sizes: list[int] = []
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        batch_sizes.append(n)
+        if n == 0:
+            return
+        w = Window.partitionBy("seg_hash").orderBy("doc_id", "seg_idx")
+        seen = spark.read.schema("seg_hash string").parquet(state_dir)
+        segs = (
+            segment_hashes(batch_df)
+            .withColumn("first_in_batch", F.row_number().over(w) == 1)
+            .join(seen.withColumn("in_hist", F.lit(True)), "seg_hash", "left")
+            .withColumn(
+                "keep", F.col("first_in_batch") & F.col("in_hist").isNull()
+            )
+            .localCheckpoint()  # state/result writes must not re-read `seen` after we append to it
+        )
+        (
+            segs.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_segments"),
+                F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+            )
+            .write.mode("append")
+            .parquet(results_dir)
+        )
+        (
+            segs.filter("keep")
+            .select("seg_hash")
+            .distinct()
+            .write.mode("append")
+            .parquet(state_dir)
+        )
+
+    run_foreach_batch(docs, handle, output_mode="append")
+    if len([b for b in batch_sizes if b > 0]) < 2:
+        raise RuntimeError(
+            f"expected >=2 non-empty micro-batches, saw {batch_sizes!r}"
+        )
+    return spark.read.schema(
+        "doc_id bigint, n_segments bigint, n_kept bigint"
+    ).parquet(results_dir)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_multibatch_sessionize": streaming_multibatch_sessionize,
     "streaming_hourly_rollup": streaming_hourly_rollup,
@@ -270,6 +345,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_enrich_dim": streaming_enrich_dim,
     "streaming_blocklist_dedup": streaming_blocklist_dedup,
     "streaming_heavy_hitters": streaming_heavy_hitters,
+    "streaming_segment_dedup": streaming_segment_dedup,
 }
 
 
@@ -380,4 +456,31 @@ c AS (
 SELECT c.user_id, c.cnt
 FROM c, s, tot
 WHERE s.den * c.cnt >= s.num * tot.n
+"""
+
+# Converged incremental dedup state == the batch keep-first answer
+# (arrival order is doc_id order by construction of the staged files).
+STREAMING_ORACLES["streaming_segment_dedup"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, seg_idx,
+         md5(array_to_string(list_slice(tk, seg_idx * 16 + 1, seg_idx * 16 + 16), ' '))
+           AS seg_hash
+  FROM (SELECT doc_id, tk,
+               unnest(range(CAST(ceil(len(tk) / 16.0) AS BIGINT))) AS seg_idx
+        FROM toks)
+),
+kept AS (
+  SELECT doc_id, seg_idx,
+         (ROW_NUMBER() OVER (PARTITION BY seg_hash ORDER BY doc_id, seg_idx) = 1) AS keep
+  FROM segs
+)
+SELECT doc_id,
+       COUNT(*) AS n_segments,
+       SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept
+FROM kept GROUP BY doc_id
 """

@@ -1011,6 +1011,27 @@ def synth_docs_source(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def segment_hashes(docs: DataFrame, seg_tokens: int = 16) -> DataFrame:
+    """(doc_id, seg_idx, seg_hash): fixed token windows hashed with
+    md5 — the map-side stage shared by batch and streaming segment
+    dedup."""
+    toks = tokens(F.col("text"))
+    n_seg = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    return docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_seg - 1)).alias("seg_idx"),
+        toks.alias("toks"),
+    ).select(
+        "doc_id",
+        "seg_idx",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("toks"), F.col("seg_idx") * seg_tokens + 1, seg_tokens), " "
+            )
+        ).alias("seg_hash"),
+    )
+
+
 def segment_dedup_mask(spark: SparkSession, sf: str) -> DataFrame:
     """Sub-document (segment-level) dedup with keep-first survivorship
     — the FineWeb/RefinedWeb-style pass that strips boilerplate
@@ -1026,19 +1047,7 @@ def segment_dedup_mask(spark: SparkSession, sf: str) -> DataFrame:
     joins against the corpus, no global ordering.
     """
     docs = t(spark, sf, "documents").select("doc_id", "text")
-    toks = tokens(F.col("text"))
-    n_seg = F.ceil(F.size(toks) / F.lit(16)).cast("int")
-    segs = docs.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), n_seg - 1)).alias("seg_idx"),
-        toks.alias("toks"),
-    ).select(
-        "doc_id",
-        "seg_idx",
-        F.md5(F.array_join(F.slice(F.col("toks"), F.col("seg_idx") * 16 + 1, 16), " ")).alias(
-            "seg_hash"
-        ),
-    )
+    segs = segment_hashes(docs)
     w = Window.partitionBy("seg_hash").orderBy("doc_id", "seg_idx")
     kept = segs.select(
         "doc_id",

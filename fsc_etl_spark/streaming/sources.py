@@ -128,6 +128,35 @@ def stream_staged_events(
     )
 
 
+def stage_documents_as_files(
+    spark: SparkSession, sf_dir: str, n_files: int = 4, out_dir: str | None = None
+) -> str:
+    """Split the documents fixture into ``n_files`` doc_id-ordered
+    parquet files (sequential single-file appends, so listing order ==
+    modification order == id order) — the corpus-drop-prefix replay
+    harness for multi-batch ingest tests. Arrival order matching
+    doc_id order is what lets keep-first-by-arrival dedup reproduce
+    the batch keep-first-by-doc_id oracle exactly."""
+    import tempfile
+
+    from fsc_etl_spark.sources.readers import read_parquet_table
+
+    out = out_dir or tempfile.mkdtemp(prefix="fsc_docs_staged_")
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    step = (hi - lo) // n_files + 1
+    for i in range(n_files):
+        (
+            docs.filter(
+                (F.col("doc_id") >= lo + i * step) & (F.col("doc_id") < lo + (i + 1) * step)
+            )
+            .repartition(1)
+            .write.mode("append")
+            .parquet(out)
+        )
+    return out
+
+
 def stream_documents(
     spark: SparkSession,
     sf_dir: str,
