@@ -219,3 +219,76 @@ def test_wav_codec_roundtrip_and_chunk_walk():
         "duration_us": 5000,
     }
     assert downsample(s, 2)[:, 0].tolist() == [100, 300, 500]
+
+
+# ---------------------------------------------------------------------------
+# Property tests: codec round trips over random shapes/content
+# ---------------------------------------------------------------------------
+
+
+def test_codec_roundtrip_properties():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fsc_etl_spark.operators.audiocodec import decode_wav, encode_wav
+    from fsc_etl_spark.operators.imagecodec import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def image_roundtrip(w, h, seed):
+        img = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_ppm(encode_ppm(img)) == img).all()
+        assert (decode_bmp(encode_bmp(img)) == img).all()
+        # resize to own size is identity; resize output has exact shape
+        assert (resize_nearest(img, w, h) == img).all()
+        tw, th = max(1, w // 2), max(1, h // 3)
+        assert resize_nearest(img, tw, th).shape == (th, tw, 3)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(1, 500),
+        ch=st.integers(1, 2),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def wav_roundtrip(n, ch, rate, seed):
+        s = np.random.default_rng(seed).integers(-32768, 32768, size=(n, ch), dtype="<i2")
+        got, got_rate = decode_wav(encode_wav(s, rate))
+        assert got_rate == rate and (got == s).all()
+
+    image_roundtrip()
+    wav_roundtrip()
+
+
+def test_codec_truncation_raises_cleanly():
+    import numpy as np
+    import pytest as _pytest
+
+    from fsc_etl_spark.operators.audiocodec import decode_wav, encode_wav
+    from fsc_etl_spark.operators.imagecodec import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    for codec_bytes, decoder in (
+        (encode_ppm(img), decode_ppm),
+        (encode_bmp(img), decode_bmp),
+    ):
+        with _pytest.raises(ValueError):
+            decoder(codec_bytes[:-5])
+    with _pytest.raises(ValueError):
+        decode_wav(encode_wav(np.zeros(4, dtype="<i2"))[:20])
