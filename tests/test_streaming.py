@@ -267,3 +267,82 @@ def test_tws_twin_matches_apply_in_pandas_with_state(spark, sf_smoke):
         assert got == want
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_incremental_segment_dedup_resumes_from_checkpoint(spark, sf_smoke, tmp_path):
+    """The foreachBatch seen-hash state pattern must survive a stream
+    STOP + RESUME: run the first half of the corpus, tear the query
+    down, append the second half to the source prefix, re-run with the
+    SAME checkpoint and state dirs — the converged result must equal
+    the batch keep-first oracle over the whole corpus (no reprocessed
+    batch, no lost state)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fsc_etl_spark import schemas
+    from fsc_etl_spark.plans.training_data import segment_hashes
+    from fsc_etl_spark.sources.readers import read_parquet_table
+    from fsc_etl_spark.streaming.pipeline import run_foreach_batch
+    from fsc_etl_spark.streaming.sources import stream_parquet_dir
+
+    docs = read_parquet_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "seen")
+    results = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([], "seg_hash string").write.parquet(state)
+
+    def handle(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy("seg_hash").orderBy("doc_id", "seg_idx")
+        seen = spark.read.schema("seg_hash string").parquet(state)
+        segs = (
+            segment_hashes(batch_df)
+            .withColumn("first_in_batch", F.row_number().over(w) == 1)
+            .join(seen.withColumn("in_hist", F.lit(True)), "seg_hash", "left")
+            .withColumn("keep", F.col("first_in_batch") & F.col("in_hist").isNull())
+            .localCheckpoint()
+        )
+        segs.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+        ).write.mode("append").parquet(results)
+        segs.filter("keep").select("seg_hash").distinct().write.mode("append").parquet(state)
+
+    # phase 1: first half only, then the query terminates (AvailableNow)
+    docs.filter(F.col("doc_id") <= mid).repartition(1).write.mode("append").parquet(src)
+    stream1 = stream_parquet_dir(spark, src, schemas.DOCUMENTS, max_files_per_trigger=1)
+    run_foreach_batch(
+        stream1.select("doc_id", "text"), handle, checkpoint_dir=ckpt
+    )
+    n_phase1 = spark.read.parquet(results).count()
+    assert 0 < n_phase1 < docs.count()
+
+    # phase 2: append the rest, RESUME with the same checkpoint
+    docs.filter(F.col("doc_id") > mid).repartition(1).write.mode("append").parquet(src)
+    stream2 = stream_parquet_dir(spark, src, schemas.DOCUMENTS, max_files_per_trigger=1)
+    run_foreach_batch(
+        stream2.select("doc_id", "text"), handle, checkpoint_dir=ckpt
+    )
+
+    got = {
+        tuple(r)
+        for r in spark.read.schema(
+            "doc_id bigint, n_segments bigint, n_kept bigint"
+        ).parquet(results).collect()
+    }
+    w = Window.partitionBy("seg_hash").orderBy("doc_id", "seg_idx")
+    want = {
+        tuple(r)
+        for r in segment_hashes(docs)
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+        )
+        .collect()
+    }
+    assert got == want  # each doc exactly once => resume skipped nothing, repeated nothing
