@@ -210,3 +210,41 @@ def test_zorder_prunes_both_dimensions(spark, sf_correct):
     c_val = overlap_fraction(cpath, "value", v10, v20)
     assert z_val < 0.75, f"z-order failed to prune on value: {z_val}"
     assert c_val > 0.9, f"single-dim clustering unexpectedly pruned value: {c_val}"
+
+
+def test_partitioned_sink_enables_partition_pruning(spark, sf_smoke):
+    """A filter on the partition key of a write_partitioned() dataset
+    must prune at PLANNING time: the scan's PartitionFilters carries
+    the predicate, only the matching directories are listed, and no
+    data filter remains (directory dispatch, not row filtering) — the
+    property that turns a 100 TB date-partitioned table into a
+    one-partition read."""
+    import re
+
+    from fsc_etl_spark.sources.writers import write_partitioned
+
+    # read_parquet_table normalizes events.ts to a real timestamp
+    # whatever the fixture's parquet encoding (NANOS-as-long or MICROS)
+    ev = (
+        read_parquet_table(spark, sf_smoke, "events")
+        .select("event_id", "user_id", "value", "ts")
+        .withColumn("day", F.to_date("ts"))
+    )
+    n_days = ev.select("day").distinct().count()
+    assert n_days >= 3
+    path = os.path.join(tempfile.mkdtemp(prefix="fsc_part_"), "t")
+    write_partitioned(ev, path, partition_by=["day"], mode="overwrite")
+
+    one_day = ev.agg(F.min("day")).first()[0]
+    scan = spark.read.parquet(path).filter(F.col("day") == F.lit(one_day))
+    plan = _plan(scan)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1), plan
+    # the partition predicate must NOT degrade into a data-filter push
+    # (no PushedFilters line at all is also fine — pure dir dispatch)
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed is None or "day" not in pushed.group(1)
+    # row counts prove only that day's directory contributed
+    assert scan.count() == ev.filter(F.col("day") == F.lit(one_day)).count()
+    # pruned partition count visible in the formatted scan node
+    assert scan.count() < ev.count()
