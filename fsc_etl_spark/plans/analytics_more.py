@@ -203,10 +203,11 @@ def ntile_customer_deciles(spark: SparkSession, sf: str) -> DataFrame:
     """NTILE(10) deciles over account balance with a unique tie-break
     (c_acctbal, c_custkey) so bucket assignment is stable.
 
-    Scale note: a global ntile is a single-partition sort. At real
-    scale compute decile BOUNDARIES with approx_percentile (one
-    aggregate, no global sort) and bucket by range instead; this exact
-    form is for dimension-sized inputs."""
+    Scale note: a global ntile is a single-partition sort — this exact
+    form is for dimension-sized inputs. The scale-safe twin is
+    :func:`decile_bucket_scalable` below: bit-identical output from a
+    value-domain histogram + integer split arithmetic, no global row
+    sort."""
     w = Window.orderBy("c_acctbal", "c_custkey")
     return (
         t(spark, sf, "customer")
