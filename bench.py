@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "bigram_lm_quality",
     "audio_clip_stats",
     "audio_downsample_stats",
+    "vocab_coverage_stats",
 ]
 
 ALL_QUERIES = entrymod.queries()

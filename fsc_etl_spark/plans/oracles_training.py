@@ -889,3 +889,26 @@ SELECT doc_id AS media_id,
        CAST(COUNT(*) * 1000000 // 4000 AS BIGINT) AS duration_us
 FROM s GROUP BY doc_id
 """
+
+# Vocabulary coverage: top-16 tokens (the fixture vocabulary is ~31
+# tokens, so a larger vocab would cover everything and leave the OOV
+# path data-unexercised — a 0=0 oracle match proves nothing) by (count desc, token asc) is a
+# deterministic total order, so both engines pick the same vocab.
+TRAINING_ORACLES["vocab_coverage_stats"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                    x -> x <> '')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
+  ) ORDER BY cnt DESC, tok LIMIT 16
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS n_in_vocab,
+       SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+FROM tok LEFT JOIN vocab v USING (tok)
+GROUP BY doc_id
+"""

@@ -392,6 +392,36 @@ def audio_downsample_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def vocab_coverage_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-16 corpus tokens
+    (frequency desc, token asc — deterministic tie-break), then report
+    each document's in-vocab vs OOV token-instance counts — the
+    coverage audit run before freezing any tokenizer vocabulary.
+
+    Plan shape: one vocab-bounded count aggregate, a global top-k
+    (TakeOrderedAndProject — per-partition heaps, never a sort), the
+    16-row vocab broadcast back against the exploded tokens, one
+    per-doc re-aggregation. Counts are exact integers.
+    """
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(16)
+        .select("tok")
+    )
+    marked = tok.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(True))), "tok", "left"
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("in_vocab").isNotNull().cast("bigint")).alias("n_in_vocab"),
+        F.sum(F.col("in_vocab").isNull().cast("bigint")).alias("n_oov"),
+    )
+
+
 def hash_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic stratified downsampling — the corpus-rebalancing
     primitive (down-weight the over-represented language). md5 of the
@@ -1142,6 +1172,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frame_decode": multimodal_frame_decode,
     "audio_clip_stats": audio_clip_stats,
     "audio_downsample_stats": audio_downsample_stats,
+    "vocab_coverage_stats": vocab_coverage_stats,
     "corpus_curation": corpus_curation,
     "hash_stratified_sample": hash_stratified_sample,
     "token_vocab_topk": token_vocab_topk,

@@ -66,6 +66,7 @@ def test_driver_sample_prefix_covers_priority_groups():
         "audio_clip_stats",
         "audio_downsample_stats",
         "streaming_segment_dedup",
+        "vocab_coverage_stats",
     }
     missing = [
         n for n in never if n not in prefix and n not in in_window | next_rotation
