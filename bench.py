@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "audio_clip_stats",
     "audio_downsample_stats",
     "vocab_coverage_stats",
+    "udtf_ngram_topk",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -912,3 +912,7 @@ SELECT doc_id,
 FROM tok LEFT JOIN vocab v USING (tok)
 GROUP BY doc_id
 """
+
+# The UDTF path must reproduce the expression path bit-for-bit: same
+# oracle as bigram_topk.
+TRAINING_ORACLES["udtf_ngram_topk"] = TRAINING_ORACLES["bigram_topk"]

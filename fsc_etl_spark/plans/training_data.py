@@ -599,6 +599,29 @@ def bigram_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def udtf_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The Spark 4 Python UDTF surface: `ngrams` (functions/udtfs.py,
+    Arrow-batched) applied as a LATERAL table function from SQL, then
+    the same top-50 bigram count as :func:`bigram_topk` — so the UDTF
+    row-expansion path is verified against the identical oracle the
+    expression-based operator uses. UDTFs are the sanctioned boundary
+    for genuinely generative Python (custom parsers/tokenizers); hot
+    paths stay in built-in expressions."""
+    from fsc_etl_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    t(spark, sf, "documents").createOrReplaceTempView("docs_udtf_v")
+    return spark.sql(
+        """
+        SELECT t.ngram AS bigram, COUNT(*) AS freq
+        FROM docs_udtf_v d, LATERAL ngrams(lower(d.text), 2) t
+        GROUP BY t.ngram
+        ORDER BY freq DESC, bigram
+        LIMIT 50
+        """
+    )
+
+
 def source_doc_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source corpus profile: doc count, token budget, exact
     median document length. Exact percentile is fine per GROUP (one
@@ -1173,6 +1196,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_clip_stats": audio_clip_stats,
     "audio_downsample_stats": audio_downsample_stats,
     "vocab_coverage_stats": vocab_coverage_stats,
+    "udtf_ngram_topk": udtf_ngram_topk,
     "corpus_curation": corpus_curation,
     "hash_stratified_sample": hash_stratified_sample,
     "token_vocab_topk": token_vocab_topk,

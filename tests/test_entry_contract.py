@@ -67,6 +67,7 @@ def test_driver_sample_prefix_covers_priority_groups():
         "audio_downsample_stats",
         "streaming_segment_dedup",
         "vocab_coverage_stats",
+        "udtf_ngram_topk",
     }
     missing = [
         n for n in never if n not in prefix and n not in in_window | next_rotation

@@ -28,6 +28,7 @@ PANDAS_OK = {
     "multimodal_frame_decode",
     "audio_clip_stats",
     "audio_downsample_stats",
+    "udtf_ngram_topk",  # ArrowEvalPythonUDTF — the sanctioned Arrow UDTF boundary
     "embed_cosine_topk_pandas",
     "user_trend_slope_pandas",
 }
