@@ -48,6 +48,24 @@ def _salted_min(shingle_col: Column, salt: int) -> Column:
     return F.min(F.md5(F.concat(F.lit(f"s{salt}:"), shingle_col)))
 
 
+def _paired_min_exprs(k: int) -> list[Column]:
+    """k min-hash aggregates from ceil(k/2) materialized md5 columns:
+    one 128-bit md5 yields two independent 64-bit (16-hex) halves, so
+    hash work per shingle halves versus one md5 per signature slot —
+    statistically the same family as k salted md5s (Kirsch-Mitzenmacher
+    style reuse), and the dominant per-row cost of the whole MinHash
+    stage at corpus scale. Expects columns ``__h{j}`` bound upstream."""
+    out = []
+    for i in range(k):
+        j, half = divmod(i, 2)
+        out.append(
+            F.min(F.substring(F.col(f"__h{j}"), 1 if half == 0 else 17, 16)).alias(
+                f"mh{i}"
+            )
+        )
+    return out
+
+
 def minhash_signatures(
     docs: DataFrame,
     k: int = 8,
@@ -78,9 +96,18 @@ def minhash_signatures(
     sh = toked.select(
         F.col(id_col), F.explode(shingles_from_tokens(F.col("__tk"), shingle_n)).alias("sh")
     )
-    return sh.groupBy(id_col).agg(
-        *[_salted_min(F.col("sh"), i).alias(f"mh{i}") for i in range(k)]
+    # ceil(k/2) md5s materialized once per shingle row; each yields two
+    # 16-hex min slots (_paired_min_exprs) — half the hash work of one
+    # salted md5 per slot, which dominates this stage's cost.
+    n_md5 = (k + 1) // 2
+    hashed = sh.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"s{j}:"), F.col("sh"))).alias(f"__h{j}")
+            for j in range(n_md5)
+        ],
     )
+    return hashed.groupBy(id_col).agg(*_paired_min_exprs(k))
 
 
 def lsh_candidate_pairs(

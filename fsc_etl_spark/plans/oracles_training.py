@@ -90,7 +90,14 @@ _SHINGLES = f"""
 
 
 def _minhash_cols(k: int) -> str:
-    return ",\n".join(f"       MIN(md5('s{i}:' || sh)) AS mh{i}" for i in range(k))
+    # Mirrors operators/dedup._paired_min_exprs: md5 j yields slots
+    # 2j (hex chars 1-16) and 2j+1 (chars 17-32).
+    lines = []
+    for i in range(k):
+        j, half = divmod(i, 2)
+        start = 1 if half == 0 else 17
+        lines.append(f"       MIN(substr(md5('s{j}:' || sh), {start}, 16)) AS mh{i}")
+    return ",\n".join(lines)
 
 
 TRAINING_ORACLES["minhash_signature"] = f"""
