@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "audio_downsample_stats",
     "vocab_coverage_stats",
     "udtf_ngram_topk",
+    "orc_roundtrip_stats",
+    "binary_file_ingest",
 ]
 
 ALL_QUERIES = entrymod.queries()

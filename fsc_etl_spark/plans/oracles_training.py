@@ -923,3 +923,24 @@ GROUP BY doc_id
 # The UDTF path must reproduce the expression path bit-for-bit: same
 # oracle as bigram_topk.
 TRAINING_ORACLES["udtf_ngram_topk"] = TRAINING_ORACLES["bigram_topk"]
+
+TRAINING_ORACLES["orc_roundtrip_stats"] = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT lang) AS n_langs,
+       SUM(n_chars) AS sum_chars,
+       MIN(doc_id) AS min_id,
+       MAX(doc_id) AS max_id
+FROM documents GROUP BY source
+"""
+
+# binaryFile ingest of the deterministic 12x8 P6 clips: 12-byte header
+# + 288 cycled text bytes = 300 bytes; md5 over header || pixbuf.
+TRAINING_ORACLES["binary_file_ingest"] = """
+SELECT doc_id AS media_id,
+       CAST(300 AS BIGINT) AS n_bytes,
+       md5('P6' || chr(10) || '12 8' || chr(10) || '255' || chr(10) ||
+           substring(repeat(text, CAST(ceil(288.0 / GREATEST(length(text), 1)) AS BIGINT)),
+                     1, 288)) AS content_md5
+FROM documents WHERE doc_id < 200
+"""

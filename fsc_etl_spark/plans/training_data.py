@@ -422,6 +422,64 @@ def vocab_coverage_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def orc_roundtrip_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC source/sink parity (S5-family breadth): the documents
+    profile written as ORC (partitioned write, no coalesce) and read
+    back through the schema-first ORC reader, then aggregated — the
+    same vectorized columnar path as parquet, proving format choice is
+    orthogonal to every operator downstream. Oracle runs on the
+    original table: a lossy round trip would break counts or sums."""
+    import tempfile
+
+    from fsc_etl_spark.sources.readers import read_orc
+
+    docs = t(spark, sf, "documents").select("doc_id", "source", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="fsc_orc_") + "/documents_orc"
+    docs.write.mode("overwrite").orc(path)
+    back = read_orc(spark, path, schema=docs.schema)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def binary_file_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """The ``binaryFile`` media-ingest source end-to-end: real P6
+    image files on disk (one per document, bytes from the same
+    deterministic construction documents_as_ppm_media uses), scanned
+    as (path, length, content) rows, doc id parsed from the filename —
+    the standard first hop of any image/audio corpus before blobs land
+    in a media table. Byte-exact oracle: length + md5 recomputed from
+    the text construction."""
+    import os
+    import tempfile
+
+    from fsc_etl_spark.operators.multimodal import documents_as_ppm_media
+    from fsc_etl_spark.sources.readers import read_binary_files
+
+    media = documents_as_ppm_media(
+        t(spark, sf, "documents").filter(F.col("doc_id") < 200), width=12, height=8
+    )
+    d = tempfile.mkdtemp(prefix="fsc_binfiles_")
+    # Fixture staging (driver-side by design — writing loose media
+    # files is the PRECONDITION the binaryFile source exists to fix);
+    # the measured operator is the scan below.
+    for r in media.select("media_id", "content").collect():
+        with open(os.path.join(d, f"doc_{r['media_id']}.ppm"), "wb") as f:
+            f.write(bytes(r["content"]))
+    files = read_binary_files(spark, d, glob="*.ppm")
+    return files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.ppm$", 1)
+        .cast("bigint")
+        .alias("media_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
 def hash_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic stratified downsampling — the corpus-rebalancing
     primitive (down-weight the over-represented language). md5 of the
@@ -1197,6 +1255,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_downsample_stats": audio_downsample_stats,
     "vocab_coverage_stats": vocab_coverage_stats,
     "udtf_ngram_topk": udtf_ngram_topk,
+    "orc_roundtrip_stats": orc_roundtrip_stats,
+    "binary_file_ingest": binary_file_ingest,
     "corpus_curation": corpus_curation,
     "hash_stratified_sample": hash_stratified_sample,
     "token_vocab_topk": token_vocab_topk,

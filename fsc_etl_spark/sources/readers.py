@@ -125,6 +125,42 @@ def read_json(
     return df
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """ORC scan — the JVM-native columnar alternative to parquet, with
+    the same predicate-pushdown / column-pruning / vectorized-reader
+    behavior (Catalyst's OrcScan). Schema-first when given, like every
+    other reader here."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.orc(path)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """``binaryFile`` source: one row per file with (path,
+    modificationTime, length, content) — the standard ingest shape for
+    media blobs (images/audio/video) before they become binary columns
+    in a media table (operators/multimodal.py). The source never
+    splits a file, so partitioning is per-file; at scale, pack small
+    media into larger container files or ingest once into parquet."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def read_jdbc_query(spark: SparkSession, url: str, query: str, properties: dict[str, str] | None = None) -> DataFrame:
     """JDBC scan with full query pushdown (S7, ``main.py:252-271``).
 

@@ -68,6 +68,8 @@ def test_driver_sample_prefix_covers_priority_groups():
         "streaming_segment_dedup",
         "vocab_coverage_stats",
         "udtf_ngram_topk",
+        "orc_roundtrip_stats",
+        "binary_file_ingest",
     }
     missing = [
         n for n in never if n not in prefix and n not in in_window | next_rotation
