@@ -76,6 +76,9 @@ PROBE_QUERIES = [
     "segment_dedup_mask",       # segment-hash keep-first window
     "bigram_lm_quality",        # vocab-bounded counts + keyed join
     "multimodal_resize_codec",  # Arrow batch + real PPM codec
+    "audio_clip_stats",         # Arrow batch + real WAV codec
+    "vocab_coverage_stats",     # top-k vocab broadcast + per-doc agg
+    "udtf_ngram_topk",          # Arrow UDTF lateral expansion
 ]
 
 
