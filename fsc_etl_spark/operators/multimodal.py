@@ -193,6 +193,9 @@ def documents_as_ppm_media(docs: DataFrame, width: int = 12, height: int = 8) ->
     reps = F.ceil(F.lit(float(need)) / F.greatest(F.length("text"), F.lit(1))).cast("int")
     pixbuf = F.substring(F.repeat(F.col("text"), reps), 1, need)
     header = F.lit(f"P6\n{width} {height}\n255\n")
+    # empty documents carry no pixel bytes to cycle — skip them (a
+    # header-only P6 would be invalid; oracles filter the same way)
+    docs = docs.filter(F.length("text") > 0)
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -216,6 +219,7 @@ def documents_as_ppm_video(
     reps = F.ceil(
         F.lit(float(need + n_frames)) / F.greatest(F.length("text"), F.lit(1))
     ).cast("int")
+    docs = docs.filter(F.length("text") > 0)  # see documents_as_ppm_media
     cycled = F.repeat(F.col("text"), reps)
     frames = [
         F.concat(header, F.substring(cycled, f + 1, need)) for f in range(n_frames)
@@ -303,7 +307,14 @@ def documents_as_wav_media(docs: DataFrame, sample_rate: int = 16_000) -> DataFr
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(build, schema=MEDIA_SCHEMA)
+    # empty documents produce zero-sample clips whose per-clip stats
+    # rows would have no oracle twin (the byte-derived GROUP BY emits
+    # nothing) — skip them, matching the oracles' implicit filter
+    return (
+        docs.filter(F.length("text") > 0)
+        .select("doc_id", "text")
+        .mapInPandas(build, schema=MEDIA_SCHEMA)
+    )
 
 
 def analyze_audio(media: DataFrame, downsample_factor: int = 1) -> DataFrame:

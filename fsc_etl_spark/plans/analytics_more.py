@@ -243,6 +243,11 @@ def decile_bucket_scalable(spark: SparkSession, sf: str) -> DataFrame:
     division to drift at exact-multiple boundaries. Output is
     bit-identical to the NTILE oracle; nothing in the plan sorts more
     than the balance histogram on one partition.
+
+    Assumes a non-NULL bucketing column (account balances here): with
+    NULLs, Spark's default window order (NULLS FIRST) and DuckDB's
+    (NULLS LAST) rank them differently, so both the histogram and the
+    NTILE oracle would need an explicit NULL policy first.
     """
     cust = t(spark, sf, "customer").select("c_custkey", "c_acctbal")
     hist = cust.groupBy("c_acctbal").agg(F.count(F.lit(1)).alias("cnt"))

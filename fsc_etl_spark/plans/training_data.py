@@ -1128,7 +1128,10 @@ def segment_hashes(docs: DataFrame, seg_tokens: int = 16) -> DataFrame:
     dedup."""
     toks = tokens(F.col("text"))
     n_seg = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
-    return docs.select(
+    # Token-less docs form no segment (mirrors the oracle's empty
+    # range); without the filter, sequence(0, -1) would DESCEND and
+    # emit two garbage segments per empty doc.
+    return docs.filter(F.size(toks) > 0).select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), n_seg - 1)).alias("seg_idx"),
         toks.alias("toks"),

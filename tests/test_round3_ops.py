@@ -108,3 +108,39 @@ def test_star_cc_long_chain_still_converges_fast(spark):
     nodes = spark.range(200).select(F.col("id").alias("doc_id"))
     got = {tuple(r) for r in connected_components_star(nodes, pairs).collect()}
     assert got == {(i, 0) for i in range(200)}
+
+
+def test_empty_documents_are_skipped_consistently(spark, tmp_path):
+    """Empty/whitespace docs must drop out of every text->media/segment
+    construction the way the SQL oracles' empty ranges do — and must
+    never hit sequence(0, -1)'s descending surprise."""
+    from pyspark.sql import Row
+
+    from fsc_etl_spark.operators.multimodal import (
+        analyze_audio,
+        documents_as_ppm_media,
+        documents_as_wav_media,
+        sample_frames,
+        documents_as_ppm_video,
+    )
+    from fsc_etl_spark.plans.training_data import segment_hashes
+
+    rows = [
+        Row(doc_id=1, text="", lang="en", source="s", n_chars=0),
+        Row(doc_id=2, text="   ", lang="en", source="s", n_chars=3),
+        Row(doc_id=3, text="alpha beta", lang="en", source="s", n_chars=10),
+    ]
+    docs = spark.createDataFrame(rows)
+    # segments: only the real doc contributes, one window
+    segs = segment_hashes(docs.select("doc_id", "text")).collect()
+    assert {r["doc_id"] for r in segs} == {3} and len(segs) == 1
+    # PPM/WAV adapters skip empty-text docs (doc 2 has whitespace text,
+    # which is still bytes -> kept by media adapters, dropped by the
+    # token-based segmenter)
+    assert {r["media_id"] for r in documents_as_ppm_media(docs).collect()} == {2, 3}
+    assert {r["media_id"] for r in documents_as_wav_media(docs).collect()} == {2, 3}
+    vids = documents_as_ppm_video(docs)
+    frames = sample_frames(vids, n_frames=4)
+    stats = analyze_audio(documents_as_wav_media(docs)).collect()
+    assert {r["media_id"] for r in stats} == {2, 3}
+    assert frames.count() == 8  # 2 kept docs x 4 frames
