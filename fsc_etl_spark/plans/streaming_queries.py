@@ -334,6 +334,52 @@ def streaming_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     ).parquet(results_dir)
 
 
+def streaming_media_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING multimodal ingest: real P6 image files on disk tailed
+    by the ``binaryFile`` stream source (one row per newly listed
+    file), replayed as multiple micro-batches via maxFilesPerTrigger —
+    the watch-a-media-drop-prefix shape. Each file's identity is
+    verified byte-exactly downstream (id from filename, length, md5),
+    sharing binary_file_ingest's oracle. Raises unless >= 2 non-empty
+    micro-batches ran."""
+    import os
+    import tempfile
+
+    from fsc_etl_spark.operators.multimodal import documents_as_ppm_media
+    from fsc_etl_spark.plans.training_data import t
+    from fsc_etl_spark.streaming.pipeline import run_to_memory
+
+    media = documents_as_ppm_media(
+        t(spark, sf, "documents").filter(F.col("doc_id") < 200), width=12, height=8
+    )
+    d = tempfile.mkdtemp(prefix="fsc_stream_media_")
+    for r in media.select("media_id", "content").collect():
+        with open(os.path.join(d, f"doc_{r['media_id']}.ppm"), "wb") as f:
+            f.write(bytes(r["content"]))
+    stream = (
+        spark.readStream.format("binaryFile")
+        # streaming sources are schema-first; binaryFile's is fixed
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", "*.ppm")
+        .option("maxFilesPerTrigger", "64")
+        .load(d)
+    )
+    rows = stream.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.ppm$", 1)
+        .cast("bigint")
+        .alias("media_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+    batches: list[int] = []
+    out = run_to_memory(rows, output_mode="append", batch_counts=batches)
+    if len([b for b in batches if b > 0]) < 2:
+        raise RuntimeError(f"expected >=2 non-empty micro-batches, saw {batches!r}")
+    return out
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_multibatch_sessionize": streaming_multibatch_sessionize,
     "streaming_hourly_rollup": streaming_hourly_rollup,
@@ -346,6 +392,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_blocklist_dedup": streaming_blocklist_dedup,
     "streaming_heavy_hitters": streaming_heavy_hitters,
     "streaming_segment_dedup": streaming_segment_dedup,
+    "streaming_media_ingest": streaming_media_ingest,
 }
 
 
@@ -483,4 +530,14 @@ SELECT doc_id,
        COUNT(*) AS n_segments,
        SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept
 FROM kept GROUP BY doc_id
+"""
+
+# Same byte-exact identity oracle as the batch binary_file_ingest.
+STREAMING_ORACLES["streaming_media_ingest"] = """
+SELECT doc_id AS media_id,
+       CAST(300 AS BIGINT) AS n_bytes,
+       md5('P6' || chr(10) || '12 8' || chr(10) || '255' || chr(10) ||
+           substring(repeat(text, CAST(ceil(288.0 / GREATEST(length(text), 1)) AS BIGINT)),
+                     1, 288)) AS content_md5
+FROM documents WHERE doc_id < 200
 """

@@ -70,6 +70,7 @@ def test_driver_sample_prefix_covers_priority_groups():
         "udtf_ngram_topk",
         "orc_roundtrip_stats",
         "binary_file_ingest",
+        "streaming_media_ingest",
     }
     missing = [
         n for n in never if n not in prefix and n not in in_window | next_rotation
