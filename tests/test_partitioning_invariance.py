@@ -1,0 +1,56 @@
+"""Partitioning-invariance gate: results must not depend on how the
+scan splits the input files.
+
+Each sampled query runs twice — once at the default
+``spark.sql.files.maxPartitionBytes`` and once at 64 KB (forcing many
+splits, hence different partial-aggregation order and partition
+layout) — and the normalized result sets must be identical. This is
+the class of bug exact-decimal/integer accumulation exists to prevent
+(float partial sums reassociate under different split orders); a
+failure here would pass the DuckDB oracle on one layout and fail on
+another cluster's.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from fsc_etl_spark.testing import _norm_rows
+
+# Representative accumulation-heavy queries: decimal/int sums,
+# rationals at thresholds, windows, iterative clustering, top-k ties.
+INVARIANT_QUERIES = [
+    "q1_pricing_summary",
+    "stats_moments_breadth",
+    "user_trend_slope",
+    "median_price_by_status",
+    "heavy_hitter_users",
+    "decile_bucket_scalable",
+    "bigram_lm_quality",
+    "tfidf_top_terms",
+    "segment_dedup_mask",
+    "vocab_coverage_stats",
+    "dedup_cluster_assign",
+    "embed_norm_stats",
+    "token_vocab_topk",
+    "q11_important_stock",
+]
+
+
+def _normalized(spark, name: str, sf: str):
+    df = entrymod.queries()[name](spark, sf)
+    return _norm_rows(list(df.columns), [tuple(r) for r in df.collect()])
+
+
+@pytest.mark.parametrize("name", INVARIANT_QUERIES)
+def test_result_invariant_under_scan_splitting(spark, sf_smoke, name):
+    key = "spark.sql.files.maxPartitionBytes"
+    default = spark.conf.get(key)
+    base = _normalized(spark, name, sf_smoke)
+    try:
+        spark.conf.set(key, str(64 * 1024))
+        split = _normalized(spark, name, sf_smoke)
+    finally:
+        spark.conf.set(key, default)
+    assert base == split, f"{name}: result depends on scan partitioning"
