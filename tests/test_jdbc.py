@@ -106,3 +106,33 @@ def test_jdbc_query_pushdown_executes_in_engine(spark, derby_url):
     )
     row = out.first()
     assert (row[0], row[1]) == (4, 4)
+
+
+def test_partitioned_jdbc_read_parallel_and_equal(spark, derby_url):
+    """The parallel JDBC scan must actually split into numPartitions
+    concurrent range reads AND return exactly the single-connection
+    result — including rows OUTSIDE the [lower, upper] stride bounds
+    (they belong to the edge partitions, not nowhere)."""
+    from fsc_etl_spark.sources.readers import read_jdbc_partitioned
+
+    rows = [(i, float(i) / 7) for i in range(500)]
+    df_in = spark.createDataFrame(rows, "ID bigint, VAL double")
+    ensure_jdbc_table(
+        spark, derby_url, "PART_READ_T", df_in.schema, properties=DERBY_PROPS
+    )
+    df_in.write.mode("append").jdbc(derby_url, "PART_READ_T", properties=DERBY_PROPS)
+    # stride bounds deliberately INSIDE the data range: 0..499 data,
+    # bounds 100..400 — rows outside must still appear
+    df = read_jdbc_partitioned(
+        spark,
+        derby_url,
+        "PART_READ_T",
+        partition_column="ID",
+        lower_bound=100,
+        upper_bound=400,
+        num_partitions=4,
+        properties=DERBY_PROPS,
+    )
+    assert df.rdd.getNumPartitions() == 4
+    got = {(r["ID"], r["VAL"]) for r in df.collect()}
+    assert got == set(rows)
