@@ -56,6 +56,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     design ANN/sketch entries, which the driver records as weaker
     rows-only checks). Keep tests/test_entry_contract.py's prefix-pin
     test in sync with this list.
+
+    ROUND-4 ROTATION NOTE: after round 3's CORRECTNESS lands, put the
+    10 round-3 additions that had no prefix slot at the head of the
+    window — segment_dedup_mask, bigram_lm_quality, audio_clip_stats,
+    audio_downsample_stats, streaming_segment_dedup,
+    vocab_coverage_stats, udtf_ngram_topk, orc_roundtrip_stats,
+    binary_file_ingest, streaming_media_ingest — plus anything r3's
+    sample left non-green, then backfill with long-green queries. The
+    prefix-pin test derives the never-sampled set from the
+    CORRECTNESS_r0*.json files automatically; update its
+    in_window/next_rotation sets when rotating.
     """
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     merged.update(analytics.QUERIES)
