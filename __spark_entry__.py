@@ -62,7 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window — segment_dedup_mask, bigram_lm_quality, audio_clip_stats,
     audio_downsample_stats, streaming_segment_dedup,
     vocab_coverage_stats, udtf_ngram_topk, orc_roundtrip_stats,
-    binary_file_ingest, streaming_media_ingest — plus anything r3's
+    binary_file_ingest, streaming_media_ingest, kmeans_cluster_stats — plus anything r3's
     sample left non-green, then backfill with long-green queries. The
     prefix-pin test derives the never-sampled set from the
     CORRECTNESS_r0*.json files automatically; update its

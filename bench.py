@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "udtf_ngram_topk",
     "orc_roundtrip_stats",
     "binary_file_ingest",
+    "kmeans_cluster_stats",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -944,3 +944,76 @@ SELECT doc_id AS media_id,
                      1, 288)) AS content_md5
 FROM documents WHERE doc_id < 200
 """
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 2, dims: int = 64) -> str:
+    """CTE chain mirroring operators/clustering.kmeans_exact exactly:
+    quantize -> (assign -> update) x iters -> final assign -> stats.
+    Assignment ties break on cluster id; centroid means are truncating
+    integer division (// and Spark's div agree, including negatives);
+    empty clusters carry the previous centroid forward."""
+
+    def assign(n: int, prev: str) -> str:
+        return f"""
+d{n} AS (
+  SELECT q.vec_id, c.cid,
+         list_sum(list_transform(range(1, {dims + 1}),
+                  i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS dist
+  FROM q CROSS JOIN {prev} c
+),
+a{n} AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d{n}
+  ) WHERE rn = 1
+)"""
+
+    def update(n: int, prev: str) -> str:
+        return f"""
+s{n} AS (
+  SELECT cid, dim, CAST(SUM(val) // COUNT(*) AS BIGINT) AS m
+  FROM (
+    SELECT a{n}.cid, t.dim, q.v[t.dim] AS val
+    FROM a{n}
+    JOIN q USING (vec_id)
+    CROSS JOIN (SELECT unnest(range(1, {dims + 1})) AS dim) t
+  )
+  GROUP BY cid, dim
+),
+c{n} AS (
+  SELECT cid, list(m ORDER BY dim) AS v FROM s{n} GROUP BY cid
+  UNION ALL
+  SELECT cid, v FROM {prev}
+  WHERE cid NOT IN (SELECT DISTINCT cid FROM a{n})
+)"""
+
+    parts = [
+        f"""q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v
+  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    prev = "c0"
+    for n in range(1, iters + 1):
+        parts.append(assign(n, prev))
+        parts.append(update(n, prev))
+        prev = f"c{n}"
+    parts.append(assign(iters + 1, prev))
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT CAST(cid AS BIGINT) AS cluster_id,
+       COUNT(*) AS n_members,
+       CAST(SUM(dist) AS BIGINT) AS total_dist
+FROM a{iters + 1}
+GROUP BY cid
+"""
+
+
+TRAINING_ORACLES["kmeans_cluster_stats"] = _kmeans_oracle()

@@ -480,6 +480,21 @@ def binary_file_ingest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def kmeans_cluster_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic distributed K-Means (operators/clustering.py):
+    k=4 centroids seeded from the 4 lowest vec_ids, 2 exact-integer
+    Lloyd rounds over quantized embeddings, then a final assignment —
+    per-cluster member counts and total squared distance. The entire
+    iteration is reproduced by the oracle's CTE chain, making this an
+    ITERATIVE ML ALGORITHM under the same bit-exact gate as every SQL
+    query: quantization keeps distances and centroid means in int64,
+    ties break on cluster id, empty clusters carry their previous
+    centroid."""
+    from fsc_etl_spark.operators.clustering import kmeans_exact
+
+    return kmeans_exact(t(spark, sf, "embeddings"), k=4, iters=2)
+
+
 def hash_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic stratified downsampling — the corpus-rebalancing
     primitive (down-weight the over-represented language). md5 of the
@@ -1260,6 +1275,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udtf_ngram_topk": udtf_ngram_topk,
     "orc_roundtrip_stats": orc_roundtrip_stats,
     "binary_file_ingest": binary_file_ingest,
+    "kmeans_cluster_stats": kmeans_cluster_stats,
     "corpus_curation": corpus_curation,
     "hash_stratified_sample": hash_stratified_sample,
     "token_vocab_topk": token_vocab_topk,

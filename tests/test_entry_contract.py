@@ -71,6 +71,7 @@ def test_driver_sample_prefix_covers_priority_groups():
         "orc_roundtrip_stats",
         "binary_file_ingest",
         "streaming_media_ingest",
+        "kmeans_cluster_stats",
     }
     missing = [
         n for n in never if n not in prefix and n not in in_window | next_rotation

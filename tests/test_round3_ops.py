@@ -144,3 +144,44 @@ def test_empty_documents_are_skipped_consistently(spark, tmp_path):
     stats = analyze_audio(documents_as_wav_media(docs)).collect()
     assert {r["media_id"] for r in stats} == {2, 3}
     assert frames.count() == 8  # 2 kept docs x 4 frames
+
+
+def test_kmeans_exact_known_clusters_and_empty_carryover(spark):
+    """Two well-separated blobs must resolve into two clusters whose
+    members match the construction; centroids seeded on coincident
+    points exercise the tie-break and the empty-cluster carryover."""
+    from fsc_etl_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_exact,
+        quantize,
+        update_centroids,
+    )
+
+    # vec_ids 0,1 seed the centroids; blob A ~ 0.1, blob B ~ 0.4
+    rows = [
+        Row(vec_id=i, embedding=[0.1 + 0.001 * i] * 64, label=0) for i in range(5)
+    ] + [
+        Row(vec_id=10 + i, embedding=[0.4 + 0.001 * i] * 64, label=1) for i in range(5)
+    ]
+    emb = spark.createDataFrame(rows)
+    out = {r["cluster_id"]: r for r in kmeans_exact(emb, k=2, iters=2).collect()}
+    # seeds are vec_id 0 and 1 (both in blob A); after updates one
+    # centroid should capture blob B — both clusters non-trivial
+    assert set(out) == {0, 1}
+    assert sum(r["n_members"] for r in out.values()) == 10
+    assert {out[0]["n_members"], out[1]["n_members"]} == {5}
+
+    # identical points: all distances tie -> everything lands in
+    # cluster 0 (lowest id); cluster 1 empties and must carry its
+    # previous centroid without crashing the update
+    same = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[0.2] * 64, label=0) for i in range(4)]
+    )
+    q = same.select("vec_id", quantize(F.col("embedding")).alias("q"))
+    cents = [[25] * 64, [25] * 64]
+    assigned = assign_clusters(q, cents)
+    assert {r["cluster"] for r in assigned.collect()} == {0}
+    nxt = update_centroids(assigned, cents)
+    assert nxt[1] == cents[1]  # empty cluster kept previous centroid
+    out2 = {r["cluster_id"]: r["n_members"] for r in kmeans_exact(same, k=2, iters=1).collect()}
+    assert out2 == {0: 4}
