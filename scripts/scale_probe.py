@@ -79,6 +79,7 @@ PROBE_QUERIES = [
     "audio_clip_stats",         # Arrow batch + real WAV codec
     "vocab_coverage_stats",     # top-k vocab broadcast + per-doc agg
     "udtf_ngram_topk",          # Arrow UDTF lateral expansion
+    "kmeans_cluster_stats",     # iterative Lloyd rounds, broadcast centroids
 ]
 
 
