@@ -199,17 +199,23 @@ def test_zorder_prunes_both_dimensions(spark, sf_correct):
     v10, v20 = src.approxQuantile("value", [0.45, 0.55], 0.01)
     u_lo, u_hi = 700, 850
 
-    # user-dim predicate: both layouts should prune.
+    # Overlap fractions are quantized to 1/n_files and the exact file
+    # boundaries wobble with repartitionByRange's sampling (which sees
+    # whatever input split layout session history left) — so assert
+    # with a one-file margin and, most importantly, the CONTRASTS that
+    # carry the claim: z-order prunes BOTH dimensions, single-column
+    # clustering only its own.
     z_user = overlap_fraction(zpath, "user_id", u_lo, u_hi)
     c_user = overlap_fraction(cpath, "user_id", u_lo, u_hi)
-    assert z_user < 0.75
-    assert c_user < 0.5
+    assert z_user < 0.85, f"z-order failed to prune on user_id: {z_user}"
+    assert c_user < 0.6, f"clustering failed to prune its own column: {c_user}"
 
     # value-dim predicate: only the z-ordered layout can prune.
     z_val = overlap_fraction(zpath, "value", v10, v20)
     c_val = overlap_fraction(cpath, "value", v10, v20)
-    assert z_val < 0.75, f"z-order failed to prune on value: {z_val}"
+    assert z_val < 0.85, f"z-order failed to prune on value: {z_val}"
     assert c_val > 0.9, f"single-dim clustering unexpectedly pruned value: {c_val}"
+    assert z_val <= c_val - 0.15, f"no z-order advantage on value: {z_val} vs {c_val}"
 
 
 def test_partitioned_sink_enables_partition_pruning(spark, sf_smoke):
