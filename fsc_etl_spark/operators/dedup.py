@@ -437,6 +437,7 @@ def connected_components_min_label(
     fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     edges = fwd.unionByName(rev).distinct().localCheckpoint()
+    converged = False
     # Propagate only over nodes that touch an edge: near-dup graphs
     # are a sliver of the corpus, so the per-round label table (and
     # its checkpoint) is edge-subgraph-sized, not corpus-sized.
@@ -470,6 +471,17 @@ def connected_components_min_label(
         labels = nxt.drop("__changed")
         if converged:
             break
+    if not converged:
+        # Same contract as connected_components_star: an intermediate
+        # label table is WRONG cluster roots, not approximate ones —
+        # a component whose diameter exceeds max_iters would be split.
+        # Fail loudly instead of silently returning partial labels.
+        raise RuntimeError(
+            f"connected_components_min_label did not converge within "
+            f"max_iters={max_iters} rounds (graph diameter too large); "
+            f"labels would be incorrect — raise max_iters or use "
+            f"connected_components_star (O(log n) rounds)"
+        )
     return (
         nodes.select(F.col(id_col))
         .join(labels.withColumnRenamed("root", "__root"), id_col, "left")

@@ -207,6 +207,26 @@ def test_star_cc_logarithmic_on_chain(spark):
     assert all(r["cluster_root"] == 0 for r in out)
 
 
+def test_min_label_cc_raises_on_iteration_exhaustion(spark):
+    """A 16-node path graph with max_iters=3: the diameter (15) exceeds
+    the round budget, so min-label must raise rather than silently
+    return a split component (ADVICE r2 precedent for the star twin)."""
+    import pytest as _pytest
+
+    from fsc_etl_spark.operators.dedup import connected_components_min_label
+
+    n = 16
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_min_label(nodes, pairs, max_iters=3)
+    # And with enough rounds the same input labels the whole chain 0.
+    ok = connected_components_min_label(nodes, pairs, max_iters=20).collect()
+    assert len(ok) == n and all(r["cluster_root"] == 0 for r in ok)
+
+
 def test_star_cc_singletons_and_two_components(spark):
     from fsc_etl_spark.operators.dedup import connected_components_star
 
