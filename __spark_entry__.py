@@ -19,6 +19,7 @@ from fsc_etl_spark.plans import (
     analytics,
     analytics_ext,
     analytics_more,
+    graph_ops,
     scale_ops,
     streaming_queries,
     tpch_more,
@@ -62,7 +63,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window — segment_dedup_mask, bigram_lm_quality, audio_clip_stats,
     audio_downsample_stats, streaming_segment_dedup,
     vocab_coverage_stats, udtf_ngram_topk, orc_roundtrip_stats,
-    binary_file_ingest, streaming_media_ingest, kmeans_cluster_stats — plus anything r3's
+    binary_file_ingest, streaming_media_ingest, kmeans_cluster_stats,
+    pagerank_copurchase, triangle_count_coparts, bfs_hops_copurchase,
+    recursive_ancestor_depth, skyline_orders, value_anomaly_events —
+    plus anything r3's
     sample left non-green, then backfill with long-green queries. The
     prefix-pin test derives the never-sampled set from the
     CORRECTNESS_r0*.json files automatically; update its
@@ -77,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(training_data.QUERIES)
     merged.update(streaming_queries.QUERIES)
     merged.update(scale_ops.QUERIES)
+    merged.update(graph_ops.QUERIES)
 
     priority = [
         # --- the 46 never-driver-sampled queries (rounds 1+2) ---
@@ -158,4 +163,5 @@ def oracle_sql() -> dict[str, str]:
         **TRAINING_ORACLES,
         **STREAMING_ORACLES,
         **scale_ops.SCALE_ORACLES,
+        **graph_ops.GRAPH_ORACLES,
     }

@@ -138,6 +138,13 @@ BENCH_QUERIES = [
     "orc_roundtrip_stats",
     "binary_file_ingest",
     "kmeans_cluster_stats",
+    # graph / frontier / anomaly additions (appended)
+    "bfs_hops_copurchase",
+    "pagerank_copurchase",
+    "triangle_count_coparts",
+    "recursive_ancestor_depth",
+    "skyline_orders",
+    "value_anomaly_events",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -1,0 +1,250 @@
+"""Distributed graph primitives over edge DataFrames.
+
+No reference twin: the reference (a 549-line Databricks notebook ETL,
+/root/reference/main.py) has no graph operators. These extend
+SURVEY.md §2.12's training-pipeline surface — web-graph quality
+signals (PageRank-style authority, triangle/wedge density) are
+standard corpus-curation features for large-scale training data.
+
+Everything here is integer-exact: ranks are fixed-point BIGINT/
+DECIMAL, damping is an exact rational, and division is integer floor
+division — so results are bit-identical across engines, data layouts,
+and task-retry schedules (no float accumulation order-dependence),
+which is what lets the DuckDB oracles hash-match.
+
+Scale posture: each PageRank iteration is one shuffle-on-dst
+aggregation over the edge list (the same join shape GraphX/Pregel
+lowers to); the per-source degree join is computed once and reused.
+Triangle counting joins the canonical (lo < hi) edge list to itself
+on the shared middle vertex, then closes wedges with a semi join —
+never materialising anything bigger than the wedge set, which is the
+standard distributed algorithm (node-iterator join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: fixed-point scale for integer PageRank: rank 1.0 == 10^9 units.
+RANK_SCALE = 10**9
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iters: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    init_rank: int = RANK_SCALE,
+    every_node_has_inflow: bool = False,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank over directed ``(src, dst)``.
+
+    ``rank_{i+1}(v) = base + (d_num * sum_{u->v} (rank_i(u) div deg(u)))
+    div d_den`` with ``base = ((d_den - d_num) * init) div d_den`` —
+    all BIGINT floor arithmetic, so the result is exactly reproducible
+    (the small mass lost to flooring is the documented fixed-point
+    trade; relative ordering of authorities is what the score is for).
+
+    Nodes are the union of edge endpoints; every node is assumed to
+    have at least one out-edge (true for the symmetrised graphs built
+    by the plans layer — dangling-node mass redistribution is
+    deliberately out of scope for the fixed-point variant).
+
+    ``every_node_has_inflow=True`` skips the per-iteration nodes-side
+    left join (one fewer shuffle per round). ONLY safe when every node
+    has at least one in-edge — e.g. a symmetrised (undirected) graph —
+    otherwise inflow-less nodes silently drop from the result.
+
+    Returns (node, rank) with rank BIGINT in ``init_rank`` units.
+    """
+    edges = edges.select("src", "dst").distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Built once, reused by every iteration — and pre-hashed on src so
+    # the per-iteration rank join only shuffles the (small) rank side:
+    # the cached InMemoryRelation's HashPartitioning(src) satisfies the
+    # join's distribution requirement, so no edge re-shuffle per round.
+    edges_deg = edges.join(deg, "src").repartition(F.col("src")).persist()
+
+    base = ((damping_den - damping_num) * init_rank) // damping_den
+    ranks = nodes.withColumn("rank", F.lit(init_rank).cast("long"))
+    for _ in range(iters):
+        r = ranks.select(F.col("node").alias("__rn"), F.col("rank").alias("__rr"))
+        contrib = (
+            edges_deg.join(r, edges_deg["src"] == r["__rn"])
+            .select(F.col("dst").alias("node"), F.expr("__rr div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        damped = (
+            F.lit(base)
+            + F.expr(f"({damping_num} * coalesce(inflow, 0L)) div {damping_den}")
+        ).cast("long")
+        if every_node_has_inflow:
+            ranks = contrib.select("node", damped.alias("rank"))
+        else:
+            ranks = nodes.join(contrib, "node", "left").select(
+                "node", damped.alias("rank")
+            )
+    return ranks
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle census of an undirected graph.
+
+    ``edges`` is any (src, dst) pair list; it is canonicalised to
+    distinct ``lo < hi`` pairs (self-loops dropped). Returns one row:
+    ``n_nodes, n_edges, n_wedges, n_triangles`` — all BIGINT, so the
+    global clustering coefficient ``3*tri / wedges`` can be formed
+    downstream without baking a float division into the result.
+
+    All of n_nodes / n_edges / n_wedges fall out of ONE aggregate over
+    the degree table (sum(d) == 2·edges; wedges == sum d(d-1)/2), so
+    the census costs a single groupBy + scalar agg beyond the triangle
+    enumeration itself.
+    """
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        canon.select(F.col("lo").alias("node"))
+        .union(canon.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    census = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.coalesce(F.expr("sum(d) div 2"), F.lit(0).cast("long")).alias("n_edges"),
+        F.coalesce(
+            F.sum(F.expr("(d * (d - 1)) div 2")), F.lit(0).cast("long")
+        ).alias("n_wedges"),
+    )
+    # Degree-oriented enumeration (compact-forward): orient every edge
+    # from its lower-(degree, id) endpoint to the higher one, enumerate
+    # out-neighbor pairs at each pivot, close with a semi join. Max
+    # out-degree in the orientation is O(sqrt(m)), so the enumerated
+    # wedge set is ~m^1.5 worst-case and hub-proof in practice — far
+    # smaller than the naive sum d^2 wedge join under skew. Each
+    # triangle is counted exactly once, at its lowest-ordered vertex.
+    dl = deg.select(F.col("node").alias("lo"), F.col("d").alias("dlo"))
+    dh = deg.select(F.col("node").alias("hi"), F.col("d").alias("dhi"))
+    lo_first = (F.col("dlo") < F.col("dhi")) | (
+        (F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = (
+        canon.join(dl, "lo")
+        .join(dh, "hi")
+        .select(
+            F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+            F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+        )
+    )
+    o2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("w"))
+    pairs = (
+        oriented.join(o2, (oriented["u"] == o2["u2"]) & (oriented["v"] < o2["w"]))
+        .select(
+            F.least("v", "w").alias("__plo"), F.greatest("v", "w").alias("__phi")
+        )
+    )
+    e3 = canon.select(F.col("lo").alias("__clo"), F.col("hi").alias("__chi"))
+    closed = pairs.join(
+        e3,
+        (pairs["__plo"] == e3["__clo"]) & (pairs["__phi"] == e3["__chi"]),
+        "inner",
+    )
+    n_tri = closed.select(F.count(F.lit(1)).alias("n_triangles"))
+    return census.crossJoin(n_tri)
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Bounded-depth BFS over directed ``(src, dst)``: minimum hop
+    distance (0..max_hops) from any node in ``sources`` (a one-column
+    ``node`` frame).
+
+    Pregel-shaped frontier expansion: each round joins ONLY the new
+    frontier against the edge list (shuffle keyed on src), then
+    anti-joins the visited set — work per round is proportional to the
+    frontier, not the graph, and a node is labelled the first round it
+    is reached, which IS its minimum distance (no re-visits, no min
+    reduction needed). Integer hop counts, so exactly reproducible.
+
+    Returns (node, dist) for every node within ``max_hops``.
+    """
+    edges = edges.select("src", "dst").persist()  # scanned once per round
+    visited = sources.select("node").distinct().withColumn(
+        "dist", F.lit(0).cast("long")
+    )
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(h).cast("long"))
+            # each round's frontier is materialised once; without this
+            # the visited lineage is re-evaluated 2^h times (it feeds
+            # both the anti-join and the union)
+            .persist()
+        )
+        visited = visited.union(nxt)
+        frontier = nxt.select("node")
+    return visited
+
+
+def skyline_2d(
+    df: DataFrame,
+    minimize_col: str,
+    maximize_col: str,
+) -> DataFrame:
+    """Distributed 2-D Pareto frontier: rows where no other row is
+    <= on ``minimize_col`` AND >= on ``maximize_col`` with at least
+    one strict inequality.
+
+    Collapses to distinct (min_val -> max of max_val) first, then runs
+    the classic sort + prefix-max sweep — but two-phase, so no single
+    task sees the whole table: range-partition on the minimised
+    column, per-partition prefix max within each range, plus a
+    broadcast prefix max of earlier partitions' totals (same shape as
+    keys.surrogate_keys(mode="distributed")). The kept set is
+    invariant to the (sampled, nondeterministic) range boundaries
+    because "earlier partition" == "strictly smaller minimise key"
+    after the distinct-collapse.
+    """
+    best = df.groupBy(minimize_col).agg(F.max(maximize_col).alias(maximize_col))
+    ranged = best.repartitionByRange(F.col(minimize_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(minimize_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pmax = ranged.groupBy("__pid").agg(F.max(maximize_col).alias("__pm"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    # tiny frame: one row per shuffle partition
+    prefix = pmax.withColumn("__prev", F.max("__pm").over(w_off)).select("__pid", "__prev")
+    swept = (
+        ranged.withColumn("__local", F.max(maximize_col).over(w_in))
+        .join(F.broadcast(prefix), "__pid")
+        .withColumn("__dom", F.greatest(F.col("__local"), F.col("__prev")))
+    )
+    return (
+        swept.filter(F.col("__dom").isNull() | (F.col(maximize_col) > F.col("__dom")))
+        .select(minimize_col, maximize_col)
+    )

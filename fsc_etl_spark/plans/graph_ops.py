@@ -1,0 +1,248 @@
+"""Graph analytics queries: PageRank authority, triangle census,
+recursive reachability — driver-checkable with exact oracles.
+
+No reference twin: the reference engine (single-notebook Databricks
+ETL, /root/reference/main.py) has no graph surface; these extend
+SURVEY.md §2.12. All three are integer-exact by construction (see
+operators/graph.py), so the DuckDB oracles hash-match bit-for-bit:
+PageRank uses fixed-point BIGINT ranks with floor division, the
+triangle census is pure counting, and the recursive chain is integer
+halving — no floats anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fsc_etl_spark.operators.graph import (
+    RANK_SCALE,
+    bfs_hops,
+    pagerank_integer,
+    triangle_stats,
+)
+from fsc_etl_spark.sources.readers import read_parquet_table as t
+
+_PR_ITERS = 5
+_TOPK = 20
+
+
+def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetrised bipartite customer—part incidence: an edge both ways
+    between a customer and every part they ever ordered. One
+    orders⋈lineitem join (orderkey equi-join), then distinct — at
+    cluster scale both sides shuffle on orderkey once and the distinct
+    reuses the (cust, part) shuffle for the union's two projections.
+    """
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cnode"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("pnode"),
+        )
+        .distinct()
+    )
+    return cp.select(F.col("cnode").alias("src"), F.col("pnode").alias("dst")).union(
+        cp.select(F.col("pnode").alias("src"), F.col("cnode").alias("dst"))
+    )
+
+
+def pagerank_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 authorities of the customer—part co-purchase graph by
+    5-iteration integer PageRank (d = 85/100, rank scale 10^9).
+
+    Parts bought by many (well-connected) customers float to the top —
+    the classic corpus-authority signal, here over retail incidence.
+    Deterministic top-k: ties broken by node id, taken via
+    TakeOrderedAndProject (no global sort materialisation).
+    """
+    # symmetrised graph -> every node has in-edges, so the dense
+    # fast path (no per-iteration nodes join) is exact here
+    ranks = pagerank_integer(
+        _copurchase_edges(spark, sf), iters=_PR_ITERS, every_node_has_inflow=True
+    )
+    return ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(_TOPK)
+
+
+def triangle_count_coparts(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle census of the part co-occurrence graph (parts sharing
+    an order). One row: n_nodes, n_edges, n_wedges, n_triangles —
+    3·n_triangles / n_wedges is the global clustering coefficient,
+    left as exact integers so the driver hash is float-free.
+
+    At 100 TB the co-occurrence self-join is bounded per order (orders
+    have bounded line counts), and the wedge join is the standard
+    node-iterator algorithm — AQE skew-split handles hub parts.
+    """
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    li2 = li.select(
+        F.col("l_orderkey").alias("r_orderkey"), F.col("l_partkey").alias("r_partkey")
+    )
+    pairs = (
+        li.join(li2, (li["l_orderkey"] == li2["r_orderkey"]) & (li["l_partkey"] < li2["r_partkey"]))
+        .select(F.col("l_partkey").alias("src"), F.col("r_partkey").alias("dst"))
+        .distinct()
+    )
+    return triangle_stats(pairs)
+
+
+def bfs_hops_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Hop-distance histogram of a 3-round BFS from customer node
+    ``c0`` over the co-purchase graph (operators/graph.bfs_hops).
+
+    Frontier-proportional work per round — the 100 TB BFS shape — with
+    a first-reach == min-distance guarantee, verified against a
+    bounded-depth recursive-CTE oracle that takes MIN(d) over all
+    enumerated paths instead.
+    """
+    edges = _copurchase_edges(spark, sf)
+    src = spark.range(1).select(F.lit("c0").alias("node"))
+    reached = bfs_hops(edges, src, max_hops=3)
+    return reached.groupBy("dist").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
+
+
+def recursive_ancestor_depth(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive-CTE reachability (Spark 4 WITH RECURSIVE): walk every
+    customer key up its integer-halving ancestor chain (parent(k) =
+    k div 2) to the root 0 and histogram chain depths.
+
+    Exercises the engine's recursive-union execution — each step is
+    one self-union over the frontier, ~log2(max key) steps total, and
+    the per-step frontier shrinks monotonically. Integer-only, so the
+    DuckDB WITH RECURSIVE twin matches exactly.
+    """
+    return spark.sql(
+        f"""
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey AS start, c_custkey AS cur, CAST(0 AS BIGINT) AS depth
+          FROM parquet.`{sf}/customer.parquet`
+          UNION ALL
+          SELECT start, cur div 2, CAST(depth + 1 AS BIGINT) FROM chain WHERE cur > 0
+        )
+        SELECT depth,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(MIN(start) AS BIGINT) AS min_custkey,
+               CAST(MAX(start) AS BIGINT) AS max_custkey
+        FROM chain WHERE cur = 0
+        GROUP BY depth
+        """
+    )
+
+
+def _pagerank_oracle(iters: int = _PR_ITERS, topk: int = _TOPK) -> str:
+    """Unrolled CTE chain mirroring pagerank_integer exactly (same
+    fixed-point arithmetic; DuckDB's // is the same floor-on-positive
+    division as Spark's div)."""
+    base = (15 * RANK_SCALE) // 100
+    chain = [
+        f"""edges AS (
+  SELECT src, dst FROM (
+    SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                    'p' || CAST(l.l_partkey AS VARCHAR) AS dst
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  )
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM (
+    SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                    'p' || CAST(l.l_partkey AS VARCHAR) AS dst
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  )
+)""",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst AS node FROM edges)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({RANK_SCALE} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(iters):
+        chain.append(
+            f"""r{i + 1} AS (
+  SELECT n.node,
+         CAST({base} + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank // d.deg) AS inflow
+    FROM edges e JOIN deg d ON e.src = d.src JOIN r{i} r ON r.node = e.src
+    GROUP BY e.dst
+  ) i ON n.node = i.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(chain)
+        + f"\nSELECT node, rank FROM r{iters} ORDER BY rank DESC, node LIMIT {topk}"
+    )
+
+
+QUERIES = {
+    "bfs_hops_copurchase": bfs_hops_copurchase,
+    "pagerank_copurchase": pagerank_copurchase,
+    "recursive_ancestor_depth": recursive_ancestor_depth,
+    "triangle_count_coparts": triangle_count_coparts,
+}
+
+GRAPH_ORACLES = {
+    "bfs_hops_copurchase": """
+WITH RECURSIVE cp AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS cnode,
+                  'p' || CAST(l.l_partkey AS VARCHAR) AS pnode
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+  SELECT cnode AS src, pnode AS dst FROM cp
+  UNION ALL
+  SELECT pnode AS src, cnode AS dst FROM cp
+),
+bfs AS (
+  SELECT 'c0' AS node, CAST(0 AS BIGINT) AS d
+  UNION ALL
+  SELECT e.dst, CAST(b.d + 1 AS BIGINT) FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.d < 3
+),
+md AS (SELECT node, MIN(d) AS dist FROM bfs GROUP BY node)
+SELECT dist,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       MIN(node) AS min_node,
+       MAX(node) AS max_node
+FROM md GROUP BY dist
+""",
+    "pagerank_copurchase": _pagerank_oracle(),
+    "triangle_count_coparts": """
+WITH canon AS (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+nodes AS (SELECT lo AS node FROM canon UNION SELECT hi AS node FROM canon),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT lo AS node FROM canon UNION ALL SELECT hi AS node FROM canon)
+  GROUP BY node
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM canon) AS n_edges,
+  (SELECT CAST(COALESCE(SUM((d * (d - 1)) // 2), 0) AS BIGINT) FROM deg) AS n_wedges,
+  (SELECT CAST(COUNT(*) AS BIGINT)
+   FROM canon e1
+   JOIN canon e2 ON e1.hi = e2.lo
+   JOIN canon e3 ON e3.lo = e1.lo AND e3.hi = e2.hi) AS n_triangles
+""",
+    "recursive_ancestor_depth": """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS start, c_custkey AS cur, CAST(0 AS BIGINT) AS depth
+  FROM customer
+  UNION ALL
+  SELECT start, cur // 2, CAST(depth + 1 AS BIGINT) FROM chain WHERE cur > 0
+)
+SELECT depth,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(MIN(start) AS BIGINT) AS min_custkey,
+       CAST(MAX(start) AS BIGINT) AS max_custkey
+FROM chain WHERE cur = 0
+GROUP BY depth
+""",
+}

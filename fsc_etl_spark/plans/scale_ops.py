@@ -139,11 +139,70 @@ def fuzzy_name_match(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def skyline_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D Pareto frontier of orders: the price/recency trade-off curve
+    — (price, latest order date at that price) pairs not dominated by
+    any strictly cheaper price with an equal-or-later date.
+
+    Uses operators/graph.skyline_2d: distinct-collapse, then the
+    sort + prefix-max sweep run TWO-PHASE (range partition on price,
+    per-range prefix max + broadcast prefix of earlier ranges' maxes)
+    — no single task ever sees the whole table, unlike the naive
+    global-window sweep. Exact decimal prices so the frontier boundary
+    is bit-stable.
+    """
+    from fsc_etl_spark.operators.graph import skyline_2d
+
+    o = t(spark, sf, "orders").select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    sky = skyline_2d(o, "price", "odate")
+    return sky.select(F.col("price").cast("double").alias("price"), "odate")
+
+
+def value_anomaly_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type 3σ outliers over events.value with INTEGER-EXACT
+    statistics: values are fixed-point cents, and the z² > 9 test is
+    rearranged to avoid any division —
+
+        (n·v − s)² > 9·(n·q − s²)
+
+    with s = Σv, q = Σv² in DECIMAL(38,0), so the flag boundary is
+    bit-identical to the oracle (float mean/stddev would be
+    accumulation-order-dependent). One agg pass + a broadcast join of
+    the per-type stats row back onto the fact — map-side flagging, no
+    second shuffle.
+    """
+    ev = t(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("decimal(38,0)").alias("vc"),
+    )
+    dec = "decimal(38,0)"
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("vc").cast(dec).alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).cast(dec).alias("q"),
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    d = F.col("n") * F.col("vc") - F.col("s")
+    lhs = (d * d).cast(dec)
+    rhs = (F.lit(9).cast(dec) * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))).cast(dec)
+    return j.filter(lhs > rhs).select(
+        "event_id",
+        "event_type",
+        (F.col("vc").cast("double") / 100).alias("value"),
+    )
+
+
 QUERIES = {
     "bloom_pruned_join": bloom_pruned_join,
     "fuzzy_name_match": fuzzy_name_match,
     "heavy_hitter_users": heavy_hitter_users,
     "reservoir_sample_per_source": reservoir_sample_per_source,
+    "skyline_orders": skyline_orders,
+    "value_anomaly_events": value_anomaly_events,
     "zorder_key_demo": zorder_key_demo,
 }
 
@@ -197,6 +256,35 @@ SELECT a.p_name AS name_a,
 FROM names a JOIN names b
   ON a.blk = b.blk AND a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= 2
+""",
+    "skyline_orders": """
+WITH best AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         MAX(CAST(o_orderdate AS DATE)) AS odate
+  FROM orders GROUP BY 1
+)
+SELECT CAST(b.price AS DOUBLE) AS price, b.odate
+FROM best b
+WHERE NOT EXISTS (
+  SELECT 1 FROM best a WHERE a.price < b.price AND a.odate >= b.odate
+)
+""",
+    "value_anomaly_events": """
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS vc
+  FROM events
+),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         CAST(SUM(vc) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(vc * vc) AS DECIMAL(38,0)) AS q
+  FROM ev GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, CAST(e.vc AS DOUBLE) / 100 AS value
+FROM ev e JOIN stats t ON e.event_type = t.event_type
+WHERE (t.n * e.vc - t.s) * (t.n * e.vc - t.s) > 9 * (t.n * t.q - t.s * t.s)
 """,
     "zorder_key_demo": f"""
 WITH bins AS (

@@ -72,6 +72,12 @@ def test_driver_sample_prefix_covers_priority_groups():
         "binary_file_ingest",
         "streaming_media_ingest",
         "kmeans_cluster_stats",
+        "bfs_hops_copurchase",
+        "pagerank_copurchase",
+        "triangle_count_coparts",
+        "recursive_ancestor_depth",
+        "skyline_orders",
+        "value_anomaly_events",
     }
     missing = [
         n for n in never if n not in prefix and n not in in_window | next_rotation
