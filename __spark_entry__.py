@@ -65,7 +65,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     vocab_coverage_stats, udtf_ngram_topk, orc_roundtrip_stats,
     binary_file_ingest, streaming_media_ingest, kmeans_cluster_stats,
     pagerank_copurchase, triangle_count_coparts, bfs_hops_copurchase,
-    recursive_ancestor_depth, skyline_orders, value_anomaly_events —
+    recursive_ancestor_depth, skyline_orders, value_anomaly_events,
+    dpp_pruned_rollup —
     plus anything r3's
     sample left non-green, then backfill with long-green queries. The
     prefix-pin test derives the never-sampled set from the

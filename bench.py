@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "recursive_ancestor_depth",
     "skyline_orders",
     "value_anomaly_events",
+    "dpp_pruned_rollup",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -139,6 +139,45 @@ def fuzzy_name_match(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dpp_pruned_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic partition pruning end-to-end: events re-laid-out
+    partitioned by event_type, then joined to a conversion dim whose
+    qualifying keys only exist at runtime — Catalyst injects a
+    ``dynamicpruningexpression`` partition filter into the fact scan
+    (asserted by tests/test_plan_quality.py), so only the 2 conversion
+    partitions are ever read.
+
+    At 100 TB this is THE mechanism that keeps star joins from
+    scanning every date/type partition: the dim filter's key set is
+    broadcast once and reused as a scan-time partition predicate,
+    costing nothing beyond the broadcast the join already needs.
+    """
+    import tempfile
+
+    ev = t(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("vc"),
+    )
+    path = tempfile.mkdtemp(prefix="fsc_dpp_") + "/events_by_type"
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    conv = (
+        t(spark, sf, "events")
+        .select("event_type")
+        .distinct()
+        .filter(F.col("event_type").isin("purchase", "signup"))
+    )
+    return (
+        fact.join(F.broadcast(conv), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vc").alias("sum_cents"),
+        )
+    )
+
+
 def skyline_orders(spark: SparkSession, sf: str) -> DataFrame:
     """2-D Pareto frontier of orders: the price/recency trade-off curve
     — (price, latest order date at that price) pairs not dominated by
@@ -198,6 +237,7 @@ def value_anomaly_events(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES = {
     "bloom_pruned_join": bloom_pruned_join,
+    "dpp_pruned_rollup": dpp_pruned_rollup,
     "fuzzy_name_match": fuzzy_name_match,
     "heavy_hitter_users": heavy_hitter_users,
     "reservoir_sample_per_source": reservoir_sample_per_source,
@@ -256,6 +296,17 @@ SELECT a.p_name AS name_a,
 FROM names a JOIN names b
   ON a.blk = b.blk AND a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= 2
+""",
+    "dpp_pruned_rollup": """
+WITH conv AS (
+  SELECT DISTINCT event_type FROM events
+  WHERE event_type IN ('purchase', 'signup')
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events e JOIN conv c ON e.event_type = c.event_type
+GROUP BY e.event_type
 """,
     "skyline_orders": """
 WITH best AS (

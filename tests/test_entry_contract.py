@@ -78,6 +78,7 @@ def test_driver_sample_prefix_covers_priority_groups():
         "recursive_ancestor_depth",
         "skyline_orders",
         "value_anomaly_events",
+        "dpp_pruned_rollup",
     }
     missing = [
         n for n in never if n not in prefix and n not in in_window | next_rotation

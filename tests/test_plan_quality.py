@@ -304,3 +304,13 @@ def test_reservoir_uses_window_group_limit(spark, sf_smoke):
     instead of fully sorting each group."""
     plan = plan_of(spark, sf_smoke, "reservoir_sample_per_source")
     assert "WindowGroupLimit" in plan
+
+
+def test_dpp_rollup_scan_has_dynamic_pruning(spark, sf_smoke):
+    """The partitioned-fact ⋈ filtered-dim join must inject a
+    dynamicpruningexpression partition filter into the fact scan —
+    the mechanism that skips non-qualifying partitions at 100 TB.
+    (Executed plan, not explain: DPP subqueries materialize there.)"""
+    df = entrymod.queries()["dpp_pruned_rollup"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "no DPP filter on the fact scan"
