@@ -21,6 +21,7 @@ from fsc_etl_spark.plans import (
     analytics_more,
     graph_ops,
     scale_ops,
+    spark4_ops,
     streaming_queries,
     tpch_more,
     tpch_partsupp,
@@ -66,7 +67,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     binary_file_ingest, streaming_media_ingest, kmeans_cluster_stats,
     pagerank_copurchase, triangle_count_coparts, bfs_hops_copurchase,
     recursive_ancestor_depth, skyline_orders, value_anomaly_events,
-    dpp_pruned_rollup —
+    dpp_pruned_rollup, variant_props_stats,
+    sql_scripting_trimmed_mean —
     plus anything r3's
     sample left non-green, then backfill with long-green queries. The
     prefix-pin test derives the never-sampled set from the
@@ -83,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(streaming_queries.QUERIES)
     merged.update(scale_ops.QUERIES)
     merged.update(graph_ops.QUERIES)
+    merged.update(spark4_ops.QUERIES)
 
     priority = [
         # --- the 46 never-driver-sampled queries (rounds 1+2) ---
@@ -165,4 +168,5 @@ def oracle_sql() -> dict[str, str]:
         **STREAMING_ORACLES,
         **scale_ops.SCALE_ORACLES,
         **graph_ops.GRAPH_ORACLES,
+        **spark4_ops.SPARK4_ORACLES,
     }

@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "skyline_orders",
     "value_anomaly_events",
     "dpp_pruned_rollup",
+    "variant_props_stats",
+    "sql_scripting_trimmed_mean",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -1,0 +1,116 @@
+"""Spark 4-native SQL surfaces: the VARIANT semi-structured type and
+SQL scripting (BEGIN/END procedural blocks) — driver-checkable with
+exact DuckDB oracles.
+
+No reference twin: the reference (549-line Databricks notebook,
+/root/reference/main.py) predates both features; they extend
+SURVEY.md §2.12's engine-surface coverage. The recursive-CTE twin of
+this module lives in plans/graph_ops.recursive_ancestor_depth.
+
+Both queries keep every computed quantity integer/decimal-exact so
+the oracles hash-match: VARIANT extraction pulls BIGINTs, and the
+scripted loop iterates an integer floor-division mean (no float
+division anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fsc_etl_spark.sources.readers import read_parquet_table as t
+
+
+def variant_props_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """events.props parsed into Spark 4's VARIANT type, typed field
+    extraction via ``variant_get``, then a per-type rollup.
+
+    VARIANT is the shredded semi-structured path — unlike
+    ``get_json_object`` (string re-parse per access) the parse cost is
+    paid once and fields extract from the binary encoding, which is
+    the 100 TB answer for ragged JSON event payloads. The oracle reads
+    the same field with DuckDB's JSON extraction.
+    """
+    ev = t(spark, sf, "events").select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+def sql_scripting_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 SQL scripting (BEGIN/END, DECLARE, WHILE): an iterated
+    trimmed mean over order prices — each round recomputes the
+    floor-division mean of the values at or below the previous
+    threshold, a classic robust-statistic loop that pure one-shot SQL
+    cannot express without manual unrolling.
+
+    All arithmetic is integer cents with ``div`` (floor on positives),
+    so the three-round fixpoint is bit-identical to the oracle's
+    unrolled CTE chain. The script runs on the engine; only the final
+    SELECT's result comes back.
+    """
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    vc = (
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    src = f"parquet.`{sf}/orders.parquet`"
+    return spark.sql(
+        f"""
+        BEGIN
+          DECLARE thr BIGINT DEFAULT 0;
+          DECLARE i INT DEFAULT 0;
+          SET thr = (SELECT sum({vc}) div count(*) FROM {src});
+          WHILE i < 2 DO
+            SET thr = (SELECT sum({vc}) div count(*) FROM {src}
+                       WHERE {vc} <= thr);
+            SET i = i + 1;
+          END WHILE;
+          SELECT thr AS trimmed_mean_cents,
+                 (SELECT CAST(count(*) AS BIGINT) FROM {src}
+                  WHERE {vc} <= thr) AS n_below;
+        END
+        """
+    )
+
+
+QUERIES = {
+    "sql_scripting_trimmed_mean": sql_scripting_trimmed_mean,
+    "variant_props_stats": variant_props_stats,
+}
+
+SPARK4_ORACLES = {
+    "variant_props_stats": """
+WITH ev AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM ev GROUP BY event_type
+""",
+    "sql_scripting_trimmed_mean": """
+WITH base AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+  FROM orders
+),
+t0 AS (SELECT SUM(vc) // COUNT(*) AS thr FROM base),
+t1 AS (SELECT SUM(vc) // COUNT(*) AS thr FROM base, t0 WHERE vc <= t0.thr),
+t2 AS (SELECT SUM(vc) // COUNT(*) AS thr FROM base, t1 WHERE vc <= t1.thr)
+SELECT CAST(t2.thr AS BIGINT) AS trimmed_mean_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_below
+FROM base, t2 WHERE vc <= t2.thr
+GROUP BY t2.thr
+""",
+}

@@ -80,6 +80,13 @@ PROBE_QUERIES = [
     "vocab_coverage_stats",     # top-k vocab broadcast + per-doc agg
     "udtf_ngram_topk",          # Arrow UDTF lateral expansion
     "kmeans_cluster_stats",     # iterative Lloyd rounds, broadcast centroids
+    # graph / frontier / DPP batch
+    "pagerank_copurchase",      # 5 Pregel rounds over the edge list
+    "triangle_count_coparts",   # degree-oriented wedge enumeration
+    "bfs_hops_copurchase",      # frontier-proportional BFS rounds
+    "skyline_orders",           # two-phase prefix-max sweep
+    "value_anomaly_events",     # one agg + broadcast flag join
+    "dpp_pruned_rollup",        # partitioned relayout + DPP scan
 ]
 
 

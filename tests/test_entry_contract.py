@@ -79,6 +79,8 @@ def test_driver_sample_prefix_covers_priority_groups():
         "skyline_orders",
         "value_anomaly_events",
         "dpp_pruned_rollup",
+        "variant_props_stats",
+        "sql_scripting_trimmed_mean",
     }
     missing = [
         n for n in never if n not in prefix and n not in in_window | next_rotation
