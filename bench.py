@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "dpp_pruned_rollup",
     "variant_props_stats",
     "sql_scripting_trimmed_mean",
+    "lateral_topk_orders",
 ]
 
 ALL_QUERIES = entrymod.queries()

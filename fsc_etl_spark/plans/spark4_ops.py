@@ -80,12 +80,45 @@ def sql_scripting_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def lateral_topk_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery (per-customer top-3 orders by
+    price): the SQL-native form of top-k-per-group. Catalyst
+    decorrelates this into a ranked window with a pushed group limit —
+    the same physical shape as the explicit Window API twin
+    (`window_topk_per_group`) — so the lateral syntax costs nothing
+    at scale. Deterministic: ties broken by order key.
+    """
+    return spark.sql(
+        f"""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM parquet.`{sf}/customer.parquet` c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM parquet.`{sf}/orders.parquet` o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+        ) t
+        """
+    )
+
+
 QUERIES = {
+    "lateral_topk_orders": lateral_topk_orders,
     "sql_scripting_trimmed_mean": sql_scripting_trimmed_mean,
     "variant_props_stats": variant_props_stats,
 }
 
 SPARK4_ORACLES = {
+    "lateral_topk_orders": """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+) t
+""",
     "variant_props_stats": """
 WITH ev AS (
   SELECT event_type,

@@ -81,6 +81,7 @@ def test_driver_sample_prefix_covers_priority_groups():
         "dpp_pruned_rollup",
         "variant_props_stats",
         "sql_scripting_trimmed_mean",
+        "lateral_topk_orders",
     }
     missing = [
         n for n in never if n not in prefix and n not in in_window | next_rotation
