@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "variant_props_stats",
     "sql_scripting_trimmed_mean",
     "lateral_topk_orders",
+    "xml_roundtrip_stats",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -102,13 +102,51 @@ def lateral_topk_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def xml_roundtrip_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Native XML source/sink parity (Spark 4 built-in, S5-family
+    breadth): the documents profile written as row-tagged XML
+    (partitioned write, no coalesce) and read back schema-first, then
+    aggregated. Same invariant as the ORC twin
+    (training_data.orc_roundtrip_stats): the oracle runs on the
+    ORIGINAL parquet table, so a lossy round trip breaks the hash.
+    """
+    import tempfile
+
+    docs = t(spark, sf, "documents").select("doc_id", "source", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="fsc_xml_") + "/documents_xml"
+    docs.write.format("xml").option("rowTag", "doc").mode("overwrite").save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema(docs.schema)
+        .load(path)
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("lang")).alias("n_langs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 QUERIES = {
     "lateral_topk_orders": lateral_topk_orders,
+    "xml_roundtrip_stats": xml_roundtrip_stats,
     "sql_scripting_trimmed_mean": sql_scripting_trimmed_mean,
     "variant_props_stats": variant_props_stats,
 }
 
 SPARK4_ORACLES = {
+    "xml_roundtrip_stats": """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM documents GROUP BY source
+""",
     "lateral_topk_orders": """
 SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
 FROM customer c,
