@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "sql_scripting_trimmed_mean",
     "lateral_topk_orders",
     "xml_roundtrip_stats",
+    "session_window_stats",
 ]
 
 ALL_QUERIES = entrymod.queries()

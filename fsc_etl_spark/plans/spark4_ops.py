@@ -130,14 +130,70 @@ def xml_roundtrip_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def session_window_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """The engine-native session operator: ``session_window(ts, gap)``
+    groups each user's events into gap-separated sessions inside ONE
+    aggregation (SessionWindow exec — sort within user partition, no
+    self-join), versus the manual lag+cumsum islands the
+    `sessionize_events` twin builds from window primitives.
+
+    Gap semantics pinned by the oracle: a new session starts when the
+    gap is >= 30 minutes exactly (Spark merges only on strict window
+    overlap). Value sums in exact cents.
+    """
+    ev = t(spark, sf, "events").select(
+        "user_id",
+        "ts",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("vc"),
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vc").alias("sum_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
 QUERIES = {
     "lateral_topk_orders": lateral_topk_orders,
+    "session_window_stats": session_window_stats,
     "xml_roundtrip_stats": xml_roundtrip_stats,
     "sql_scripting_trimmed_mean": sql_scripting_trimmed_mean,
     "variant_props_stats": variant_props_stats,
 }
 
 SPARK4_ORACLES = {
+    "session_window_stats": """
+WITH ev AS (
+  SELECT user_id, ts,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   < INTERVAL 30 MINUTE
+              THEN 0 ELSE 1 END AS new_s,
+         event_id
+  FROM events
+),
+g AS (
+  SELECT user_id, ts, vc,
+         SUM(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sid
+  FROM ev
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(vc) AS BIGINT) AS sum_cents
+FROM g GROUP BY user_id, sid
+""",
     "xml_roundtrip_stats": """
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -83,6 +83,7 @@ def test_driver_sample_prefix_covers_priority_groups():
         "sql_scripting_trimmed_mean",
         "lateral_topk_orders",
         "xml_roundtrip_stats",
+        "session_window_stats",
     }
     missing = [
         n for n in never if n not in prefix and n not in in_window | next_rotation
