@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "lateral_topk_orders",
     "xml_roundtrip_stats",
     "session_window_stats",
+    "ewma_user_value",
+    "file_provenance_stats",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -235,9 +235,66 @@ def value_anomaly_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def ewma_user_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact EWMA (α = 1/2) of each user's event values in time
+    order: s₁ = v₁, sₜ = (sₜ₋₁ + vₜ) >> 1 — a sequential recurrence no
+    window frame can express (flooring makes it non-associative), so
+    it's computed as a per-user fold (`F.aggregate`) over the
+    time-sorted cents array.
+
+    Scale shape: ONE shuffle on user_id; per-group state is bounded by
+    events-per-user (never the table); no global ordering anywhere.
+    Arithmetic shift == floor division in both engines (negatives
+    included), so the fold is bit-identical to the DuckDB
+    ``list_reduce`` twin.
+    """
+    ev = t(spark, sf, "events").select(
+        "user_id",
+        F.struct(
+            F.col("ts"),
+            F.col("event_id"),
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("vc"),
+        ).alias("s"),
+    )
+    g = ev.groupBy("user_id").agg(F.array_sort(F.collect_list("s")).alias("a"))
+    return g.select(
+        "user_id",
+        F.size("a").cast("long").alias("n_events"),
+        F.aggregate(
+            F.slice("a", 2, F.size("a") - 1),
+            F.element_at("a", 1)["vc"],
+            lambda acc, x: F.shiftright(acc + x["vc"], 1),
+        ).alias("ewma_cents"),
+    )
+
+
+def file_provenance_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Scan-level provenance via the hidden ``_metadata`` struct: rows
+    grouped by source file with key-range stats — the debugging /
+    incremental-reprocessing primitive (which files fed a partition,
+    what key range does each file cover) that costs nothing because
+    the file name is scan-local metadata, not a stored column.
+
+    The fixture is one file per table at every sf, so the oracle pins
+    the literal basename; on a multi-file table the same query yields
+    per-file min/max key ranges (the z-order layout queries use that
+    form for pruning evidence).
+    """
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        F.col("_metadata.file_name").alias("file_name"), "l_orderkey"
+    )
+    return li.groupBy("file_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_orderkey").alias("min_okey"),
+        F.max("l_orderkey").alias("max_okey"),
+    )
+
+
 QUERIES = {
     "bloom_pruned_join": bloom_pruned_join,
     "dpp_pruned_rollup": dpp_pruned_rollup,
+    "ewma_user_value": ewma_user_value,
+    "file_provenance_stats": file_provenance_stats,
     "fuzzy_name_match": fuzzy_name_match,
     "heavy_hitter_users": heavy_hitter_users,
     "reservoir_sample_per_source": reservoir_sample_per_source,
@@ -296,6 +353,25 @@ SELECT a.p_name AS name_a,
 FROM names a JOIN names b
   ON a.blk = b.blk AND a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= 2
+""",
+    "ewma_user_value": """
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(list_reduce(list(vc ORDER BY ts, event_id),
+                        (acc, x) -> (acc + x) // 2) AS BIGINT) AS ewma_cents
+FROM ev GROUP BY user_id
+""",
+    "file_provenance_stats": """
+SELECT 'lineitem.parquet' AS file_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(l_orderkey) AS BIGINT) AS min_okey,
+       CAST(MAX(l_orderkey) AS BIGINT) AS max_okey
+FROM lineitem
 """,
     "dpp_pruned_rollup": """
 WITH conv AS (

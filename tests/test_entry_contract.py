@@ -84,6 +84,8 @@ def test_driver_sample_prefix_covers_priority_groups():
         "lateral_topk_orders",
         "xml_roundtrip_stats",
         "session_window_stats",
+        "ewma_user_value",
+        "file_provenance_stats",
     }
     missing = [
         n for n in never if n not in prefix and n not in in_window | next_rotation
