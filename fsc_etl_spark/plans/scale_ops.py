@@ -244,9 +244,11 @@ def ewma_user_value(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: ONE shuffle on user_id; per-group state is bounded by
     events-per-user (never the table); no global ordering anywhere.
-    Arithmetic shift == floor division in both engines (negatives
-    included), so the fold is bit-identical to the DuckDB
-    ``list_reduce`` twin.
+    Arithmetic shift is FLOOR division — DuckDB's integer ``//``
+    TRUNCATES on negatives (−9//2 = −4, not −5), so the twin spells
+    the floor explicitly as ``floor((acc+x)/2)`` (exact: the running
+    state is bounded by max |v|, far under 2^52). Parity including
+    negatives is pinned by tests/test_scale_ops.py.
     """
     ev = t(spark, sf, "events").select(
         "user_id",
@@ -363,7 +365,8 @@ WITH ev AS (
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(list_reduce(list(vc ORDER BY ts, event_id),
-                        (acc, x) -> (acc + x) // 2) AS BIGINT) AS ewma_cents
+                        (acc, x) -> CAST(floor((acc + x) / 2) AS BIGINT))
+            AS BIGINT) AS ewma_cents
 FROM ev GROUP BY user_id
 """,
     "file_provenance_stats": """

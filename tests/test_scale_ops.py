@@ -195,3 +195,65 @@ def test_zorder_empty_and_all_null_fall_back_to_compact(spark):
     allnull.write.parquet(p2)
     zorder_by(spark, p2, "a", "b", n_files=2)
     assert spark.read.parquet(p2).count() == 50
+
+
+def _ewma_ref(values):
+    # s1 = v1; s_t = floor((s_{t-1} + v_t) / 2) — floor, not trunc,
+    # so negatives round toward -inf exactly like arithmetic shift.
+    import math
+
+    s = values[0]
+    for v in values[1:]:
+        s = math.floor((s + v) / 2)
+    return s
+
+
+def test_ewma_fold_matches_reference_with_negatives(spark):
+    """The fixtures have no negative values, so pin the shift ==
+    floor-division semantics here: -3 >> 1 must be -2 (floor), not -1
+    (truncation), in both the fold and the oracle's // twin."""
+    rows = [
+        # (user, t, vc) — user 1 mixes signs, user 2 is all-negative,
+        # user 3 is a single event (init-only fold)
+        (1, 1, 10), (1, 2, -3), (1, 3, 7), (1, 4, -11),
+        (2, 1, -5), (2, 2, -4), (2, 3, -1),
+        (3, 1, -7),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, t long, vc long")
+    g = df.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("t", "vc"))).alias("a")
+    )
+    out = g.select(
+        "user_id",
+        F.aggregate(
+            F.slice("a", 2, F.size("a") - 1),
+            F.element_at("a", 1)["vc"],
+            lambda acc, x: F.shiftright(acc + x["vc"], 1),
+        ).alias("s"),
+    )
+    got = {r["user_id"]: r["s"] for r in out.collect()}
+    by_user = {}
+    for u, _, v in rows:
+        by_user.setdefault(u, []).append(v)
+    assert got == {u: _ewma_ref(vs) for u, vs in by_user.items()}
+    # and the literal floor identity the oracle relies on
+    assert got[2] == _ewma_ref([-5, -4, -1]) == -3
+    assert (-3 >> 1) == -2  # arithmetic shift is floor
+
+
+def test_ewma_duckdb_twin_agrees_on_negatives():
+    """DuckDB's integer // TRUNCATES on negatives ((-9)//2 == -4), so
+    the oracle must spell floor((acc+x)/2) to match Spark's arithmetic
+    shift. This pins the exact lambda form the oracle uses."""
+    import duckdb
+
+    r = duckdb.sql(
+        """
+        SELECT list_reduce(list(v ORDER BY t),
+                           (acc, x) -> CAST(floor((acc + x) / 2) AS BIGINT))
+        FROM (VALUES (1, -5), (2, -4), (3, -1)) AS tv(t, v)
+        """
+    ).fetchone()[0]
+    assert r == -3
+    # and the documented divergence of the naive // form
+    assert duckdb.sql("SELECT (-9) // 2").fetchone()[0] == -4
