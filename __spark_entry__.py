@@ -70,7 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dpp_pruned_rollup, variant_props_stats,
     sql_scripting_trimmed_mean, lateral_topk_orders,
     xml_roundtrip_stats, session_window_stats, ewma_user_value,
-    file_provenance_stats —
+    file_provenance_stats, table_checksum_buckets —
     plus anything r3's
     sample left non-green, then backfill with long-green queries. The
     prefix-pin test derives the never-sampled set from the

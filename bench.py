@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "session_window_stats",
     "ewma_user_value",
     "file_provenance_stats",
+    "table_checksum_buckets",
 ]
 
 ALL_QUERIES = entrymod.queries()

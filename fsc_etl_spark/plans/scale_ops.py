@@ -235,6 +235,40 @@ def value_anomaly_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def table_checksum_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Anti-entropy table validation: per-bucket row counts and content
+    checksums over orders — the replication/migration equality check
+    that compares two 100 TB table copies by exchanging 64 rows
+    instead of joining rows. Each row contributes a 60-bit md5 digest
+    of its canonical text form; a bucket checksum is the SUM of
+    digests (order-independent, partitioning-invariant), so any
+    changed/missing/extra row flips its bucket and the mismatching
+    bucket localizes the diff for a narrow re-scan.
+
+    Checksums ride as DECIMAL(38,0)-summed strings so the value is
+    exact across engines at any row count.
+    """
+    o = t(spark, sf, "orders")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(row_repr), 1, 15), 16, 10).cast("decimal(38,0)")
+    return (
+        o.select((F.col("o_orderkey") % 64).alias("bucket"), h.alias("h"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").cast("decimal(38,0)").cast("string").alias("checksum"),
+        )
+    )
+
+
 def ewma_user_value(spark: SparkSession, sf: str) -> DataFrame:
     """Integer-exact EWMA (α = 1/2) of each user's event values in time
     order: s₁ = v₁, sₜ = (sₜ₋₁ + vₜ) >> 1 — a sequential recurrence no
@@ -297,6 +331,7 @@ QUERIES = {
     "dpp_pruned_rollup": dpp_pruned_rollup,
     "ewma_user_value": ewma_user_value,
     "file_provenance_stats": file_provenance_stats,
+    "table_checksum_buckets": table_checksum_buckets,
     "fuzzy_name_match": fuzzy_name_match,
     "heavy_hitter_users": heavy_hitter_users,
     "reservoir_sample_per_source": reservoir_sample_per_source,
@@ -355,6 +390,23 @@ SELECT a.p_name AS name_a,
 FROM names a JOIN names b
   ON a.blk = b.blk AND a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= 2
+""",
+    "table_checksum_buckets": """
+WITH r AS (
+  SELECT o_orderkey % 64 AS bucket,
+         CAST(CAST(('0x' || substr(md5(
+           CAST(o_orderkey AS VARCHAR) || '|' ||
+           CAST(o_custkey AS VARCHAR) || '|' ||
+           o_orderstatus || '|' ||
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+           strftime(o_orderdate, '%Y-%m-%d') || '|' ||
+           o_orderpriority), 1, 15)) AS BIGINT) AS DECIMAL(38,0)) AS h
+  FROM orders
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CAST(SUM(h) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+FROM r GROUP BY bucket
 """,
     "ewma_user_value": """
 WITH ev AS (

@@ -86,6 +86,7 @@ def test_driver_sample_prefix_covers_priority_groups():
         "session_window_stats",
         "ewma_user_value",
         "file_provenance_stats",
+        "table_checksum_buckets",
     }
     missing = [
         n for n in never if n not in prefix and n not in in_window | next_rotation
