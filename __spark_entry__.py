@@ -20,6 +20,7 @@ from fsc_etl_spark.plans import (
     analytics_ext,
     analytics_more,
     graph_ops,
+    incremental,
     scale_ops,
     spark4_ops,
     streaming_queries,
@@ -70,7 +71,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dpp_pruned_rollup, variant_props_stats,
     sql_scripting_trimmed_mean, lateral_topk_orders,
     xml_roundtrip_stats, session_window_stats, ewma_user_value,
-    file_provenance_stats, table_checksum_buckets —
+    file_provenance_stats, table_checksum_buckets,
+    incremental_join_maintenance, pit_feature_join —
     plus anything r3's
     sample left non-green, then backfill with long-green queries. The
     prefix-pin test derives the never-sampled set from the
@@ -88,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(scale_ops.QUERIES)
     merged.update(graph_ops.QUERIES)
     merged.update(spark4_ops.QUERIES)
+    merged.update(incremental.QUERIES)
 
     priority = [
         # --- the 46 never-driver-sampled queries (rounds 1+2) ---
@@ -171,4 +174,5 @@ def oracle_sql() -> dict[str, str]:
         **scale_ops.SCALE_ORACLES,
         **graph_ops.GRAPH_ORACLES,
         **spark4_ops.SPARK4_ORACLES,
+        **incremental.INCREMENTAL_ORACLES,
     }

@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "ewma_user_value",
     "file_provenance_stats",
     "table_checksum_buckets",
+    "incremental_join_maintenance",
+    "pit_feature_join",
 ]
 
 ALL_QUERIES = entrymod.queries()

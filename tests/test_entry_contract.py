@@ -87,6 +87,8 @@ def test_driver_sample_prefix_covers_priority_groups():
         "ewma_user_value",
         "file_provenance_stats",
         "table_checksum_buckets",
+        "incremental_join_maintenance",
+        "pit_feature_join",
     }
     missing = [
         n for n in never if n not in prefix and n not in in_window | next_rotation
