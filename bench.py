@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "table_checksum_buckets",
     "incremental_join_maintenance",
     "pit_feature_join",
+    "partition_backfill_rewrite",
+    "merge_schema_read",
 ]
 
 ALL_QUERIES = entrymod.queries()

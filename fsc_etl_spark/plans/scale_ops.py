@@ -235,6 +235,77 @@ def value_anomaly_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def partition_backfill_rewrite(spark: SparkSession, sf: str) -> DataFrame:
+    """Idempotent single-partition backfill via DYNAMIC partition
+    overwrite: events land partitioned by event_type, then the 'error'
+    partition alone is rewritten with corrected (doubled) values under
+    ``partitionOverwriteMode=dynamic`` — the overwrite replaces only
+    partitions present in the incoming frame, leaving every other
+    partition's files untouched (static mode would have truncated the
+    whole table; the oracle's post-state hash would catch that).
+
+    This is THE daily-backfill primitive at 100 TB: rewrite one bad
+    day/type in place, never touch (or re-shuffle) the other 10k
+    partitions.
+    """
+    import tempfile
+
+    ev = t(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("vc"),
+    )
+    path = tempfile.mkdtemp(prefix="fsc_backfill_") + "/events_by_type"
+    ev.write.partitionBy("event_type").parquet(path)
+    fixed = ev.filter(F.col("event_type") == "error").withColumn(
+        "vc", F.col("vc") * 2
+    )
+    (
+        fixed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("vc").alias("sum_cents"),
+    )
+
+
+def merge_schema_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-evolved scan: two parquet batches with different columns
+    (an old batch with ``vc``, a new batch that added ``prio``) read
+    back in one scan with ``mergeSchema=true`` — the union schema
+    materializes with NULLs for each batch's missing column, the
+    schema-on-read contract every long-lived 100 TB table relies on.
+    """
+    import tempfile
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("vc"),
+        "o_orderpriority",
+    )
+    path = tempfile.mkdtemp(prefix="fsc_mergeschema_") + "/orders_evolved"
+    old = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "vc")
+    new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "vc", F.col("o_orderpriority").alias("prio")
+    )
+    old.write.parquet(path + "/b=1")
+    new.write.parquet(path + "/b=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        path + "/b=1", path + "/b=2"
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("vc").alias("n_with_vc"),
+        F.count("prio").alias("n_with_prio"),
+        F.sum("vc").alias("sum_cents"),
+        F.count_distinct(F.col("prio")).alias("n_prios"),
+    )
+
+
 def table_checksum_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """Anti-entropy table validation: per-bucket row counts and content
     checksums over orders — the replication/migration equality check
@@ -331,6 +402,8 @@ QUERIES = {
     "dpp_pruned_rollup": dpp_pruned_rollup,
     "ewma_user_value": ewma_user_value,
     "file_provenance_stats": file_provenance_stats,
+    "merge_schema_read": merge_schema_read,
+    "partition_backfill_rewrite": partition_backfill_rewrite,
     "table_checksum_buckets": table_checksum_buckets,
     "fuzzy_name_match": fuzzy_name_match,
     "heavy_hitter_users": heavy_hitter_users,
@@ -390,6 +463,30 @@ SELECT a.p_name AS name_a,
 FROM names a JOIN names b
   ON a.blk = b.blk AND a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= 2
+""",
+    "partition_backfill_rewrite": """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                * CASE WHEN event_type = 'error' THEN 2 ELSE 1 END)
+            AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type
+""",
+    "merge_schema_read": """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+         o_orderpriority
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(vc) AS BIGINT) AS n_with_vc,
+       CAST(COUNT(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS BIGINT)
+         AS n_with_prio,
+       CAST(SUM(vc) AS BIGINT) AS sum_cents,
+       CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END)
+            AS BIGINT) AS n_prios
+FROM o
 """,
     "table_checksum_buckets": """
 WITH r AS (

@@ -89,6 +89,8 @@ def test_driver_sample_prefix_covers_priority_groups():
         "table_checksum_buckets",
         "incremental_join_maintenance",
         "pit_feature_join",
+        "partition_backfill_rewrite",
+        "merge_schema_read",
     }
     missing = [
         n for n in never if n not in prefix and n not in in_window | next_rotation
