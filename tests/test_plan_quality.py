@@ -314,3 +314,18 @@ def test_dpp_rollup_scan_has_dynamic_pruning(spark, sf_smoke):
     df = entrymod.queries()["dpp_pruned_rollup"](spark, sf_smoke)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), "no DPP filter on the fact scan"
+
+
+def test_skyline_sweep_is_range_partitioned(spark, sf_smoke):
+    """The skyline prefix-max sweep must run over a range partitioning
+    of the minimised column (the two-phase shape) — a plan without
+    RangePartitioning would mean the sweep collapsed to one task."""
+    plan = plan_of(spark, sf_smoke, "skyline_orders")
+    assert "rangepartitioning" in plan.lower(), "skyline lost its range phase"
+
+
+def test_session_window_uses_merging_sessions_exec(spark, sf_smoke):
+    """session_window must lower to the native MergingSessions operator
+    (one aggregation pass), not a join or generic window fallback."""
+    plan = plan_of(spark, sf_smoke, "session_window_stats")
+    assert "MergingSessions" in plan, "session_window did not use MergingSessions"
