@@ -35,6 +35,15 @@ INVARIANT_QUERIES = [
     "embed_norm_stats",
     "token_vocab_topk",
     "q11_important_stock",
+    # round-3 late batch: sequential fold, digest sums, exact-threshold
+    # flags, two-phase sweeps, iterative integer graph state
+    "ewma_user_value",
+    "table_checksum_buckets",
+    "value_anomaly_events",
+    "skyline_orders",
+    "pagerank_copurchase",
+    "session_window_stats",
+    "pit_feature_join",
 ]
 
 
