@@ -161,3 +161,121 @@ def test_skyline_single_row(spark):
     assert [(r["price"], r["odate"]) for r in skyline_2d(df, "price", "odate").collect()] == [
         (4, 4)
     ]
+
+
+# ---- property-based checks vs pure-Python references ----
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+PROP_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).map(
+        lambda t: (f"n{t[0]}", f"n{t[1]}")
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _py_triangles(pairs):
+    es = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    nodes = sorted({n for e in es for n in e})
+    import itertools
+
+    deg = {n: sum(1 for e in es if n in e) for n in nodes}
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    tris = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in es and (b, c) in es and (a, c) in es
+    )
+    return len(nodes), len(es), wedges, tris
+
+
+@given(pairs=edge_lists)
+@settings(**PROP_SETTINGS)
+def test_triangle_stats_matches_bruteforce(spark, pairs):
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    row = triangle_stats(df).collect()[0]
+    assert (
+        row["n_nodes"],
+        row["n_edges"],
+        row["n_wedges"],
+        row["n_triangles"],
+    ) == _py_triangles(pairs)
+
+
+def _py_pagerank(pairs, iters):
+    edges = sorted(set(pairs))
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    rank = {n: 10**9 for n in nodes}
+    base = (15 * 10**9) // 100
+    for _ in range(iters):
+        inflow = {n: 0 for n in nodes}
+        for s, ds in out.items():
+            c = rank[s] // len(ds)
+            for d in ds:
+                inflow[d] += c
+        rank = {n: base + (85 * inflow[n]) // 100 for n in nodes}
+    return rank
+
+
+@given(pairs=edge_lists)
+@settings(**PROP_SETTINGS)
+def test_pagerank_matches_reference(spark, pairs):
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank_integer(df, iters=3).collect()}
+    assert got == _py_pagerank(pairs, 3)
+
+
+def _py_bfs(pairs, sources, max_hops):
+    adj = {}
+    for s, d in set(pairs):
+        adj.setdefault(s, set()).add(d)
+    dist = {s: 0 for s in sources}
+    frontier = set(sources)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    nxt.add(v)
+        for v in nxt:
+            dist[v] = h
+        frontier = nxt
+    return dist
+
+
+@given(pairs=edge_lists, max_hops=st.integers(1, 4))
+@settings(**PROP_SETTINGS)
+def test_bfs_matches_reference(spark, pairs, max_hops):
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    src = spark.createDataFrame([("n0",), ("n5",)], "node string")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_hops(df, src, max_hops=max_hops).collect()
+    }
+    assert got == _py_bfs(pairs, ["n0", "n5"], max_hops)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)), min_size=1, max_size=20
+    )
+)
+@settings(**PROP_SETTINGS)
+def test_skyline_matches_bruteforce_property(spark, rows):
+    df = spark.createDataFrame(rows, "price long, odate long")
+    got = sorted(
+        (r["price"], r["odate"]) for r in skyline_2d(df, "price", "odate").collect()
+    )
+    assert got == _brute_skyline(rows)
