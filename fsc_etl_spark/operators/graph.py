@@ -58,7 +58,9 @@ def pagerank_integer(
 
     Returns (node, rank) with rank BIGINT in ``init_rank`` units.
     """
-    edges = edges.select("src", "dst").distinct()
+    # distinct edges persist: the degree build, the edge-degree join,
+    # and (in the general path) the nodes union all re-read this frame
+    edges = edges.select("src", "dst").distinct().persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
