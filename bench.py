@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "pit_feature_join",
     "partition_backfill_rewrite",
     "merge_schema_read",
+    "k_anonymity_audit",
 ]
 
 ALL_QUERIES = entrymod.queries()

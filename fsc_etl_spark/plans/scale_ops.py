@@ -235,6 +235,29 @@ def value_anomaly_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def k_anonymity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit over the (mktsegment, nationkey) quasi-
+    identifier pair: every equivalence class with its population and
+    an at-risk flag (class size < k = 5) — the pre-release privacy
+    gate for user-derived training tables (companion to the
+    `pii_redact_stats` content scrub).
+
+    One exact group-by; at 100 TB the class table is quasi-identifier-
+    domain-sized (tiny), so the audit is a single shuffle regardless
+    of row count.
+    """
+    c = t(spark, sf, "customer").select("c_mktsegment", "c_nationkey")
+    cls = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return cls.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "class_size",
+        (F.col("class_size") < 5).alias("at_risk"),
+    )
+
+
 def partition_backfill_rewrite(spark: SparkSession, sf: str) -> DataFrame:
     """Idempotent single-partition backfill via DYNAMIC partition
     overwrite: events land partitioned by event_type, then the 'error'
@@ -402,6 +425,7 @@ QUERIES = {
     "dpp_pruned_rollup": dpp_pruned_rollup,
     "ewma_user_value": ewma_user_value,
     "file_provenance_stats": file_provenance_stats,
+    "k_anonymity_audit": k_anonymity_audit,
     "merge_schema_read": merge_schema_read,
     "partition_backfill_rewrite": partition_backfill_rewrite,
     "table_checksum_buckets": table_checksum_buckets,
@@ -463,6 +487,12 @@ SELECT a.p_name AS name_a,
 FROM names a JOIN names b
   ON a.blk = b.blk AND a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= 2
+""",
+    "k_anonymity_audit": """
+SELECT c_mktsegment, c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       COUNT(*) < 5 AS at_risk
+FROM customer GROUP BY c_mktsegment, c_nationkey
 """,
     "partition_backfill_rewrite": """
 SELECT event_type,

@@ -91,6 +91,7 @@ def test_driver_sample_prefix_covers_priority_groups():
         "pit_feature_join",
         "partition_backfill_rewrite",
         "merge_schema_read",
+        "k_anonymity_audit",
     }
     missing = [
         n for n in never if n not in prefix and n not in in_window | next_rotation
