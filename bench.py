@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "partition_backfill_rewrite",
     "merge_schema_read",
     "k_anonymity_audit",
+    "mixture_temperature_sample",
 ]
 
 ALL_QUERIES = entrymod.queries()

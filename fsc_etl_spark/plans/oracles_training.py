@@ -690,6 +690,24 @@ FROM documents GROUP BY source
 # against the identical recursive-CTE clustering oracle.
 TRAINING_ORACLES["dedup_cluster_assign_star"] = TRAINING_ORACLES["dedup_cluster_assign"]
 
+TRAINING_ORACLES["mixture_temperature_sample"] = """
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM documents GROUP BY source
+),
+m AS (SELECT MIN(n_src) AS n_min FROM c),
+kept AS (
+  SELECT d.source AS source, CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM documents d JOIN c ON d.source = c.source, m
+  WHERE CAST(CAST((\'0x\' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7)) AS BIGINT) AS HUGEINT)
+        * CAST((\'0x\' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+        * c.n_src
+        < CAST(m.n_min AS HUGEINT) * 72057594037927936
+  GROUP BY d.source
+)
+SELECT c.source, c.n_src, COALESCE(kept.n_kept, CAST(0 AS BIGINT)) AS n_kept
+FROM c LEFT JOIN kept ON c.source = kept.source
+"""
+
 TRAINING_ORACLES["mixture_resample_to_min"] = """
 WITH c AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM documents GROUP BY source

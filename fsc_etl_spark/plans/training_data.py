@@ -510,6 +510,49 @@ def hash_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     return docs.filter(keep).select("doc_id", "lang", "source", "n_chars")
 
 
+def mixture_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-2 mixture sampling: downsample each source toward
+    the geometric mean ``sqrt(n_src·n_min)`` — the standard softening
+    between proportional (T=1) and equalized (T=∞) pretraining
+    mixtures — with NO square root and NO RNG anywhere.
+
+    Keep rule: ``h²·n_src < n_min·2^56`` with h = 28 bits of
+    md5(doc_id). P(keep) = sqrt(n_min/n_src) exactly (to 2^-28
+    granularity), so E[kept] = sqrt(n_src·n_min); the inequality is
+    pure DECIMAL(38,0)/HUGEINT integer arithmetic (h²·n ≤ 2^56·n stays
+    far under 38 digits at any corpus size), bit-reproducible across
+    engines, runs, and partitionings.
+
+    Scale shape: same as mixture_resample_to_min — two scalar/tiny
+    broadcasts onto a map-side filter; the corpus never shuffles.
+    """
+    docs = t(spark, sf, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    mn = counts.agg(F.min("n_src").alias("n_min"))
+    dec = "decimal(38,0)"
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10).cast(
+        dec
+    )
+    kept = (
+        docs.join(F.broadcast(counts), "source")
+        .join(F.broadcast(mn))
+        .filter(
+            h * h * F.col("n_src").cast(dec)
+            < F.col("n_min").cast(dec) * F.lit(2**56).cast(dec)
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        counts.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_src",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        )
+    )
+
+
 def mixture_resample_to_min(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic mixture rebalancing: downsample every source to
     the SMALLEST source's size, the equalize step of a pretraining
@@ -1280,6 +1323,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_stratified_sample": hash_stratified_sample,
     "token_vocab_topk": token_vocab_topk,
     "mixture_resample_to_min": mixture_resample_to_min,
+    "mixture_temperature_sample": mixture_temperature_sample,
     "pack_chunks_by_source": pack_chunks_by_source,
     "minhash_jaccard_estimate": minhash_jaccard_estimate,
     "hash_split_counts": hash_split_counts,
