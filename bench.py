@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "merge_schema_read",
     "k_anonymity_audit",
     "mixture_temperature_sample",
+    "shuffle_hash_join_stats",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -235,6 +235,28 @@ def value_anomaly_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def shuffle_hash_join_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-strategy control surface: orders⋈customer forced to
+    SHUFFLE_HASH via hint — hash-build per partition, NO sort phase on
+    either side (plan-asserted in tests/test_plan_quality.py), the
+    right call when both sides are big but the per-partition build
+    side fits in memory and sorting 100 TB just to merge would
+    dominate. Result is strategy-independent, which is exactly what
+    the oracle hash proves.
+    """
+    o = t(spark, sf, "orders").select(
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("vc"),
+    )
+    c = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    joined = o.join(c.hint("shuffle_hash"), o["o_custkey"] == c["c_custkey"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("vc").alias("min_cents"),
+        F.max("vc").alias("max_cents"),
+    )
+
+
 def k_anonymity_audit(spark: SparkSession, sf: str) -> DataFrame:
     """k-anonymity audit over the (mktsegment, nationkey) quasi-
     identifier pair: every equivalence class with its population and
@@ -432,6 +454,7 @@ QUERIES = {
     "fuzzy_name_match": fuzzy_name_match,
     "heavy_hitter_users": heavy_hitter_users,
     "reservoir_sample_per_source": reservoir_sample_per_source,
+    "shuffle_hash_join_stats": shuffle_hash_join_stats,
     "skyline_orders": skyline_orders,
     "value_anomaly_events": value_anomaly_events,
     "zorder_key_demo": zorder_key_demo,
@@ -565,6 +588,14 @@ SELECT e.event_type,
        CAST(SUM(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events e JOIN conv c ON e.event_type = c.event_type
 GROUP BY e.event_type
+""",
+    "shuffle_hash_join_stats": """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS min_cents,
+       CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS max_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
 """,
     "skyline_orders": """
 WITH best AS (

@@ -93,6 +93,7 @@ def test_driver_sample_prefix_covers_priority_groups():
         "merge_schema_read",
         "k_anonymity_audit",
         "mixture_temperature_sample",
+        "shuffle_hash_join_stats",
     }
     missing = [
         n for n in never if n not in prefix and n not in in_window | next_rotation

@@ -329,3 +329,10 @@ def test_session_window_uses_merging_sessions_exec(spark, sf_smoke):
     (one aggregation pass), not a join or generic window fallback."""
     plan = plan_of(spark, sf_smoke, "session_window_stats")
     assert "MergingSessions" in plan, "session_window did not use MergingSessions"
+
+
+def test_shuffle_hash_hint_is_honored(spark, sf_smoke):
+    """The SHUFFLE_HASH hint must produce a ShuffledHashJoin (no sort
+    phase), not fall back to sort-merge."""
+    plan = plan_of(spark, sf_smoke, "shuffle_hash_join_stats")
+    assert "ShuffledHashJoin" in plan, "shuffle_hash hint not honored"
