@@ -75,7 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     incremental_join_maintenance, pit_feature_join,
     partition_backfill_rewrite, merge_schema_read,
     k_anonymity_audit, mixture_temperature_sample,
-    shuffle_hash_join_stats —
+    shuffle_hash_join_stats, pagerank_weighted_copurchase —
     plus anything r3's
     sample left non-green, then backfill with long-green queries. The
     prefix-pin test derives the never-sampled set from the

@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "k_anonymity_audit",
     "mixture_temperature_sample",
     "shuffle_hash_join_stats",
+    "pagerank_weighted_copurchase",
 ]
 
 ALL_QUERIES = entrymod.queries()

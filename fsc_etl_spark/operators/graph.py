@@ -37,6 +37,7 @@ def pagerank_integer(
     damping_den: int = 100,
     init_rank: int = RANK_SCALE,
     every_node_has_inflow: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over directed ``(src, dst)``.
 
@@ -56,17 +57,35 @@ def pagerank_integer(
     has at least one in-edge — e.g. a symmetrised (undirected) graph —
     otherwise inflow-less nodes silently drop from the result.
 
+    ``weight_col`` names a positive BIGINT edge-weight column: a
+    source's rank then splits proportionally, each edge receiving
+    ``(rank · w) div W_src`` (W_src = the source's total out-weight)
+    — still pure floor arithmetic, so still bit-reproducible. None
+    (default) is the unweighted equal-split. With weights the caller
+    must pass unique (src, dst) pairs (no distinct is applied), and
+    rank·w must stay under 2^63 (rank ≤ n_nodes·init, so fine until
+    n_nodes·w approaches 2^33 at the default scale — cast the rank
+    chain to decimal beyond that).
+
     Returns (node, rank) with rank BIGINT in ``init_rank`` units.
     """
-    # distinct edges persist: the degree build, the edge-degree join,
-    # and (in the general path) the nodes union all re-read this frame
-    edges = edges.select("src", "dst").distinct().persist()
+    if weight_col is None:
+        edges = edges.select("src", "dst").distinct().withColumn(
+            "__w", F.lit(1).cast("long")
+        )
+    else:
+        edges = edges.select(
+            "src", "dst", F.col(weight_col).cast("long").alias("__w")
+        )
+    # distinct/weighted edges persist: the degree build, the edge-
+    # degree join, and (general path) the nodes union all re-read this
+    edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = edges.groupBy("src").agg(F.sum("__w").alias("deg"))
     # Built once, reused by every iteration — and pre-hashed on src so
     # the per-iteration rank join only shuffles the (small) rank side:
     # the cached InMemoryRelation's HashPartitioning(src) satisfies the
@@ -79,7 +98,10 @@ def pagerank_integer(
         r = ranks.select(F.col("node").alias("__rn"), F.col("rank").alias("__rr"))
         contrib = (
             edges_deg.join(r, edges_deg["src"] == r["__rn"])
-            .select(F.col("dst").alias("node"), F.expr("__rr div deg").alias("c"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(__rr * __w) div deg").alias("c"),
+            )
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )

@@ -96,6 +96,42 @@ def pagerank_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def pagerank_weighted_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted twin of `pagerank_copurchase`: each customer—part edge
+    carries its purchase multiplicity (lineitem co-occurrence count),
+    so rank flows proportionally to how OFTEN the pair traded, not
+    just that it did. Same fixed-point integer arithmetic —
+    ``(rank·w) div W_out`` per edge — same long-node-key iteration,
+    same deterministic top-20.
+    """
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_partkey") * 2 + 1).alias("pnode"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .persist()
+    )
+    edges = cp.select(
+        F.col("cnode").alias("src"), F.col("pnode").alias("dst"), "w"
+    ).union(cp.select(F.col("pnode").alias("src"), F.col("cnode").alias("dst"), "w"))
+    ranks = pagerank_integer(
+        edges, iters=_PR_ITERS, every_node_has_inflow=True, weight_col="w"
+    )
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), F.expr("node div 2").cast("string")),
+    ).otherwise(F.concat(F.lit("p"), F.expr("(node - 1) div 2").cast("string")))
+    return (
+        ranks.select(label.alias("node"), "rank")
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(_TOPK)
+    )
+
+
 def triangle_count_coparts(spark: SparkSession, sf: str) -> DataFrame:
     """Triangle census of the part co-occurrence graph (parts sharing
     an order). One row: n_nodes, n_edges, n_wedges, n_triangles —
@@ -207,9 +243,49 @@ def _pagerank_oracle(iters: int = _PR_ITERS, topk: int = _TOPK) -> str:
     )
 
 
+def _pagerank_weighted_oracle(iters: int = _PR_ITERS, topk: int = _TOPK) -> str:
+    """Unrolled weighted CTE chain: contrib = (rank·w) // W_out."""
+    base = (15 * RANK_SCALE) // 100
+    chain = [
+        """pairs AS (
+  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS cnode,
+         'p' || CAST(l.l_partkey AS VARCHAR) AS pnode,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+)""",
+        """edges AS (
+  SELECT cnode AS src, pnode AS dst, w FROM pairs
+  UNION ALL
+  SELECT pnode AS src, cnode AS dst, w FROM pairs
+)""",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst AS node FROM edges)",
+        "deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({RANK_SCALE} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(iters):
+        chain.append(
+            f"""r{i + 1} AS (
+  SELECT n.node,
+         CAST({base} + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM((r.rank * e.w) // d.deg) AS inflow
+    FROM edges e JOIN deg d ON e.src = d.src JOIN r{i} r ON r.node = e.src
+    GROUP BY e.dst
+  ) i ON n.node = i.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(chain)
+        + f"\nSELECT node, rank FROM r{iters} ORDER BY rank DESC, node LIMIT {topk}"
+    )
+
+
 QUERIES = {
     "bfs_hops_copurchase": bfs_hops_copurchase,
     "pagerank_copurchase": pagerank_copurchase,
+    "pagerank_weighted_copurchase": pagerank_weighted_copurchase,
     "recursive_ancestor_depth": recursive_ancestor_depth,
     "triangle_count_coparts": triangle_count_coparts,
 }
@@ -240,6 +316,7 @@ SELECT dist,
 FROM md GROUP BY dist
 """,
     "pagerank_copurchase": _pagerank_oracle(),
+    "pagerank_weighted_copurchase": _pagerank_weighted_oracle(),
     "triangle_count_coparts": """
 WITH canon AS (
   SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi

@@ -94,6 +94,7 @@ def test_driver_sample_prefix_covers_priority_groups():
         "k_anonymity_audit",
         "mixture_temperature_sample",
         "shuffle_hash_join_stats",
+        "pagerank_weighted_copurchase",
     }
     missing = [
         n for n in never if n not in prefix and n not in in_window | next_rotation

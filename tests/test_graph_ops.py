@@ -279,3 +279,33 @@ def test_skyline_matches_bruteforce_property(spark, rows):
         (r["price"], r["odate"]) for r in skyline_2d(df, "price", "odate").collect()
     )
     assert got == _brute_skyline(rows)
+
+
+def test_pagerank_weighted_hand_computed(spark):
+    # a->b w=3, a->c w=1, c->a w=1: W_a=4, W_c=1; one iteration:
+    # b gets (1e9*3) div 4, c gets (1e9*1) div 4, a gets 1e9.
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1), ("c", "a", 1)],
+        "src string, dst string, w long",
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(edges, iters=1, weight_col="w").collect()
+    }
+    assert got == {"a": 10**9, "b": 787_500_000, "c": 362_500_000}
+
+
+def test_pagerank_constant_weights_equal_unweighted(spark):
+    # floor((r*k)/(k*d)) == floor(r/d): constant weights must cancel
+    # exactly, flooring included.
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    unw = spark.createDataFrame(pairs, "src string, dst string")
+    k7 = spark.createDataFrame(
+        [(s, d, 7) for s, d in pairs], "src string, dst string, w long"
+    )
+    r1 = {r["node"]: r["rank"] for r in pagerank_integer(unw, iters=3).collect()}
+    r2 = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(k7, iters=3, weight_col="w").collect()
+    }
+    assert r1 == r2
