@@ -75,7 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     incremental_join_maintenance, pit_feature_join,
     partition_backfill_rewrite, merge_schema_read,
     k_anonymity_audit, mixture_temperature_sample,
-    shuffle_hash_join_stats, pagerank_weighted_copurchase —
+    shuffle_hash_join_stats, pagerank_weighted_copurchase,
+    json_roundtrip_stats, nested_roundtrip_stats —
     plus anything r3's
     sample left non-green, then backfill with long-green queries. The
     prefix-pin test derives the never-sampled set from the

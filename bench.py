@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "mixture_temperature_sample",
     "shuffle_hash_join_stats",
     "pagerank_weighted_copurchase",
+    "json_roundtrip_stats",
+    "nested_roundtrip_stats",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -438,8 +438,60 @@ def full_outer_reconcile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def json_roundtrip_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-lines source/sink parity (completes the format matrix with
+    parquet/ORC/XML/CSV/binary): the documents profile written as
+    partitioned JSON lines and read back schema-first, then
+    aggregated — oracle runs on the ORIGINAL table, so any lossy
+    round trip (type coercion, encoding) breaks the hash.
+    """
+    import tempfile
+
+    docs = t(spark, sf, "documents").select("doc_id", "source", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="fsc_json_") + "/documents_json"
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(docs.schema).json(path)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("lang")).alias("n_langs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def nested_roundtrip_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Denormalize → renormalize round trip: each customer's orders
+    collected into a sorted array-of-structs (the nested lakehouse
+    document shape), then re-flattened with ``inline`` and aggregated.
+    The oracle runs on the flat originals, so the nest/unnest pair
+    must be lossless — including struct field order and the
+    deterministic array sort.
+    """
+    o = t(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("vc"),
+    )
+    nested = o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list(F.struct("o_orderkey", "vc"))).alias("orders")
+    )
+    flat = nested.select(
+        "o_custkey", F.size("orders").cast("long").alias("n_orders"), F.inline("orders")
+    )
+    return flat.groupBy("o_custkey").agg(
+        F.max("n_orders").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_flat"),
+        F.sum("vc").alias("sum_cents"),
+        F.min("o_orderkey").alias("min_okey"),
+        F.max("o_orderkey").alias("max_okey"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_order_stats": cube_order_stats,
+    "json_roundtrip_stats": json_roundtrip_stats,
+    "nested_roundtrip_stats": nested_roundtrip_stats,
     "full_outer_reconcile": full_outer_reconcile,
     "event_transition_matrix": event_transition_matrix,
     "event_burst_islands": event_burst_islands,
@@ -463,6 +515,31 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 EXT_ORACLES: dict[str, str] = {}
+
+EXT_ORACLES["json_roundtrip_stats"] = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM documents GROUP BY source
+"""
+
+EXT_ORACLES["nested_roundtrip_stats"] = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+  FROM orders
+)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_flat,
+       CAST(SUM(vc) AS BIGINT) AS sum_cents,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_okey,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_okey
+FROM o GROUP BY o_custkey
+"""
 
 EXT_ORACLES["full_outer_reconcile"] = """
 WITH a AS (

@@ -95,6 +95,8 @@ def test_driver_sample_prefix_covers_priority_groups():
         "mixture_temperature_sample",
         "shuffle_hash_join_stats",
         "pagerank_weighted_copurchase",
+        "json_roundtrip_stats",
+        "nested_roundtrip_stats",
     }
     missing = [
         n for n in never if n not in prefix and n not in in_window | next_rotation
