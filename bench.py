@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "pagerank_weighted_copurchase",
     "json_roundtrip_stats",
     "nested_roundtrip_stats",
+    "holt_user_forecast",
 ]
 
 ALL_QUERIES = entrymod.queries()

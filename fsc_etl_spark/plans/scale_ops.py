@@ -420,6 +420,84 @@ def ewma_user_value(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_HOLT_W = 2**31
+_HOLT_OFF_L = 2**29
+_HOLT_OFF_B = 2**30
+_HOLT_RAWMAX = 2**40  # raw seeds are cents (< 2^40); packed states are >= 2^60
+
+
+def holt_user_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt double-exponential smoothing (α = β = 1/2) per user, as an
+    integer-exact fold — the TWO-state sequential recurrence
+
+        l_t = floor((v_t + l_{t-1} + b_{t-1}) / 2)
+        b_t = floor(((l_t − l_{t-1}) + b_{t-1}) / 2)
+
+    that no window frame or single-value fold can express. The (l, b)
+    pair rides through ``F.aggregate`` packed into one BIGINT:
+    ``(l + 2^29)·2^31 + (b + 2^30)`` — both components offset positive
+    so unpack is a SHIFT and a positive modulo, bit-exact in both
+    engines (a double division would lose bits past 2^53, and a
+    negative integer div would TRUNCATE in Spark but FLOOR in DuckDB;
+    the positive packing sidesteps both, while the two halvings use
+    arithmetic shift / explicit floor, which agree on negatives). The
+    first fold element is the raw first value (< 2^40, unambiguously
+    distinguishable from any packed state ≥ 2^60), seeding l₁ = v₁,
+    b₁ = 0.
+
+    Output: final level, trend, and one-step forecast (l + b) in
+    cents, per user. Scale shape: identical to ewma_user_value — one
+    shuffle, per-group state bounded by events-per-user.
+    """
+    ev = t(spark, sf, "events").select(
+        "user_id",
+        F.struct(
+            F.col("ts"),
+            F.col("event_id"),
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("vc"),
+        ).alias("s"),
+    )
+    g = ev.groupBy("user_id").agg(F.array_sort(F.collect_list("s")).alias("a"))
+
+    def step(acc, x):
+        is_raw = acc < F.lit(_HOLT_RAWMAX)
+        l = F.when(is_raw, acc).otherwise(
+            F.shiftright(acc, 31) - F.lit(_HOLT_OFF_L)
+        )
+        b = F.when(is_raw, F.lit(0).cast("long")).otherwise(
+            (acc % F.lit(_HOLT_W)) - F.lit(_HOLT_OFF_B)
+        )
+        newl = F.shiftright(x["vc"] + l + b, 1)
+        newb = F.shiftright((newl - l) + b, 1)
+        return (newl + F.lit(_HOLT_OFF_L)) * F.lit(_HOLT_W) + (
+            newb + F.lit(_HOLT_OFF_B)
+        )
+
+    folded = g.select(
+        "user_id",
+        F.size("a").cast("long").alias("n_events"),
+        F.aggregate(
+            F.slice("a", 2, F.size("a") - 1),
+            F.element_at("a", 1)["vc"],
+            step,
+        ).alias("acc"),
+    )
+    is_raw = F.col("acc") < F.lit(_HOLT_RAWMAX)
+    l = F.when(is_raw, F.col("acc")).otherwise(
+        F.shiftright(F.col("acc"), 31) - F.lit(_HOLT_OFF_L)
+    )
+    b = F.when(is_raw, F.lit(0).cast("long")).otherwise(
+        (F.col("acc") % F.lit(_HOLT_W)) - F.lit(_HOLT_OFF_B)
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        l.alias("level_cents"),
+        b.alias("trend_cents"),
+        (l + b).alias("forecast_cents"),
+    )
+
+
 def file_provenance_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Scan-level provenance via the hidden ``_metadata`` struct: rows
     grouped by source file with key-range stats — the debugging /
@@ -447,6 +525,7 @@ QUERIES = {
     "dpp_pruned_rollup": dpp_pruned_rollup,
     "ewma_user_value": ewma_user_value,
     "file_provenance_stats": file_provenance_stats,
+    "holt_user_forecast": holt_user_forecast,
     "k_anonymity_audit": k_anonymity_audit,
     "merge_schema_read": merge_schema_read,
     "partition_backfill_rewrite": partition_backfill_rewrite,
@@ -570,6 +649,42 @@ SELECT user_id,
                         (acc, x) -> CAST(floor((acc + x) / 2) AS BIGINT))
             AS BIGINT) AS ewma_cents
 FROM ev GROUP BY user_id
+""",
+    "holt_user_forecast": """
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+  FROM events
+),
+folded AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         list_reduce(list(vc ORDER BY ts, event_id), (acc, x) ->
+           CASE WHEN acc < 1099511627776 THEN
+             (CAST(floor((x + acc) / 2) AS BIGINT) + 536870912) * 2147483648
+             + (CAST(floor((CAST(floor((x + acc) / 2) AS BIGINT) - acc) / 2) AS BIGINT)
+                + 1073741824)
+           ELSE
+             (CAST(floor((x + (acc // 2147483648) + (acc % 2147483648)
+                          - 1610612736) / 2) AS BIGINT) + 536870912) * 2147483648
+             + (CAST(floor((
+                  CAST(floor((x + (acc // 2147483648) + (acc % 2147483648)
+                              - 1610612736) / 2) AS BIGINT)
+                  - (acc // 2147483648) + (acc % 2147483648) - 536870912
+                ) / 2) AS BIGINT) + 1073741824)
+           END
+         ) AS acc
+  FROM ev GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(CASE WHEN acc < 1099511627776 THEN acc
+                 ELSE (acc // 2147483648) - 536870912 END AS BIGINT) AS level_cents,
+       CAST(CASE WHEN acc < 1099511627776 THEN 0
+                 ELSE (acc % 2147483648) - 1073741824 END AS BIGINT) AS trend_cents,
+       CAST(CASE WHEN acc < 1099511627776 THEN acc
+                 ELSE ((acc // 2147483648) - 536870912)
+                      + ((acc % 2147483648) - 1073741824) END AS BIGINT) AS forecast_cents
+FROM folded
 """,
     "file_provenance_stats": """
 SELECT 'lineitem.parquet' AS file_name,

@@ -97,6 +97,7 @@ def test_driver_sample_prefix_covers_priority_groups():
         "pagerank_weighted_copurchase",
         "json_roundtrip_stats",
         "nested_roundtrip_stats",
+        "holt_user_forecast",
     }
     missing = [
         n for n in never if n not in prefix and n not in in_window | next_rotation

@@ -257,3 +257,64 @@ def test_ewma_duckdb_twin_agrees_on_negatives():
     assert r == -3
     # and the documented divergence of the naive // form
     assert duckdb.sql("SELECT (-9) // 2").fetchone()[0] == -4
+
+
+def _holt_ref(values):
+    import math
+
+    l, b = values[0], 0
+    for v in values[1:]:
+        nl = math.floor((v + l + b) / 2)
+        b = math.floor(((nl - l) + b) / 2)
+        l = nl
+    return l, b
+
+
+def test_holt_packed_fold_matches_reference(spark):
+    """The packed-BIGINT (level, trend) fold must reproduce the plain
+    two-variable recurrence — including declining series where the
+    trend goes negative and the floors bite."""
+    from fsc_etl_spark.plans.scale_ops import (
+        _HOLT_OFF_B,
+        _HOLT_OFF_L,
+        _HOLT_RAWMAX,
+        _HOLT_W,
+    )
+
+    series = {
+        1: [1000, 1100, 1250, 1400, 1600],   # rising trend
+        2: [5000, 4000, 3100, 2050, 900],    # falling -> negative trend
+        3: [700],                            # single element (raw seed)
+        4: [0, 0, 3, 0, 0, 7],               # sparse/zero-heavy
+    }
+    rows = [(u, i, v) for u, vs in series.items() for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "user_id long, t long, vc long")
+    g = df.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("t", "vc"))).alias("a")
+    )
+
+    def step(acc, x):
+        is_raw = acc < F.lit(_HOLT_RAWMAX)
+        l = F.when(is_raw, acc).otherwise(F.shiftright(acc, 31) - F.lit(_HOLT_OFF_L))
+        b = F.when(is_raw, F.lit(0).cast("long")).otherwise(
+            (acc % F.lit(_HOLT_W)) - F.lit(_HOLT_OFF_B)
+        )
+        newl = F.shiftright(x["vc"] + l + b, 1)
+        newb = F.shiftright((newl - l) + b, 1)
+        return (newl + F.lit(_HOLT_OFF_L)) * F.lit(_HOLT_W) + (newb + F.lit(_HOLT_OFF_B))
+
+    out = g.select(
+        "user_id",
+        F.aggregate(
+            F.slice("a", 2, F.size("a") - 1), F.element_at("a", 1)["vc"], step
+        ).alias("acc"),
+    )
+    got = {}
+    for r in out.collect():
+        acc = r["acc"]
+        if acc < _HOLT_RAWMAX:
+            got[r["user_id"]] = (acc, 0)
+        else:
+            got[r["user_id"]] = ((acc >> 31) - _HOLT_OFF_L, (acc % _HOLT_W) - _HOLT_OFF_B)
+    assert got == {u: _holt_ref(vs) for u, vs in series.items()}
+    assert got[2][1] < 0  # the falling series really exercised negative trend
