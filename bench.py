@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "json_roundtrip_stats",
     "nested_roundtrip_stats",
     "holt_user_forecast",
+    "embed_dim_median_stats",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -690,6 +690,17 @@ FROM documents GROUP BY source
 # against the identical recursive-CTE clustering oracle.
 TRAINING_ORACLES["dedup_cluster_assign_star"] = TRAINING_ORACLES["dedup_cluster_assign"]
 
+TRAINING_ORACLES["embed_dim_median_stats"] = """
+SELECT CAST(i - 1 AS INTEGER) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(median(CAST(embedding[i] AS DOUBLE)), 4) AS med,
+       MIN(CAST(embedding[i] AS DOUBLE)) AS vmin,
+       MAX(CAST(embedding[i] AS DOUBLE)) AS vmax,
+       CAST(SUM(CASE WHEN embedding[i] < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+GROUP BY 1
+"""
+
 TRAINING_ORACLES["mixture_temperature_sample"] = """
 WITH c AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM documents GROUP BY source

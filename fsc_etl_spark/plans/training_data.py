@@ -510,6 +510,29 @@ def hash_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     return docs.filter(keep).select("doc_id", "lang", "source", "n_chars")
 
 
+def embed_dim_median_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-DIMENSION embedding statistics (the normalization-prep axis
+    orthogonal to embed_norm_stats' per-row norms): posexplode each
+    vector, then per dimension the exact median (percentile_cont,
+    rounded 4dp per the repo's interpolation-ulp rule), extrema, and
+    the integer count of negative components.
+
+    Scale shape: explode is map-side (rows × dims), then ONE shuffle
+    on the 64-value dim key — per-dim state is a quantile over a
+    column slice, the classic feature-scaling pass.
+    """
+    e = t(spark, sf, "embeddings").select(
+        F.posexplode("embedding").alias("dim", "v")
+    )
+    return e.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.median(F.col("v").cast("double")), 4).alias("med"),
+        F.min(F.col("v").cast("double")).alias("vmin"),
+        F.max(F.col("v").cast("double")).alias("vmax"),
+        F.sum(F.when(F.col("v") < 0, 1).otherwise(0)).alias("n_negative"),
+    )
+
+
 def mixture_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Temperature-2 mixture sampling: downsample each source toward
     the geometric mean ``sqrt(n_src·n_min)`` — the standard softening
@@ -1323,6 +1346,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_stratified_sample": hash_stratified_sample,
     "token_vocab_topk": token_vocab_topk,
     "mixture_resample_to_min": mixture_resample_to_min,
+    "embed_dim_median_stats": embed_dim_median_stats,
     "mixture_temperature_sample": mixture_temperature_sample,
     "pack_chunks_by_source": pack_chunks_by_source,
     "minhash_jaccard_estimate": minhash_jaccard_estimate,

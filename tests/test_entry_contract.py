@@ -98,6 +98,7 @@ def test_driver_sample_prefix_covers_priority_groups():
         "json_roundtrip_stats",
         "nested_roundtrip_stats",
         "holt_user_forecast",
+        "embed_dim_median_stats",
     }
     missing = [
         n for n in never if n not in prefix and n not in in_window | next_rotation
