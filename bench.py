@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "nested_roundtrip_stats",
     "holt_user_forecast",
     "embed_dim_median_stats",
+    "value_drift_buckets",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -257,6 +257,67 @@ def shuffle_hash_join_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def value_drift_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-drift monitor between the first and second half of
+    the event log: per value-bucket counts for each half plus a drift
+    flag from the EXACT integer inequality
+
+        |h1·N2 − h2·N1| · 500 > N1·N2
+
+    (relative-frequency gap > 0.2%) — the PSI/chi-square alternative
+    that needs no logs or float division, so the flag boundary is
+    bit-identical to the oracle. Products ride DECIMAL(38,0) so the
+    cross terms cannot wrap at petabyte row counts.
+
+    Split point: the exact median event id (a monotone proxy for
+    arrival order), one scalar broadcast; bucketing is map-side; one
+    shuffle on the 5-value bucket key.
+    """
+    ev = t(spark, sf, "events").select(
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("vc"),
+    )
+    m = ev.agg(F.median("event_id").alias("m"))
+    bucket = (
+        F.when(F.col("vc") < 500, 0)
+        .when(F.col("vc") < 1000, 1)
+        .when(F.col("vc") < 2000, 2)
+        .when(F.col("vc") < 4000, 3)
+        .otherwise(4)
+    )
+    b = ev.join(F.broadcast(m)).select(
+        bucket.alias("bucket"),
+        F.when(F.col("event_id") < F.col("m"), 1).otherwise(0).alias("is_first"),
+    )
+    tot = b.agg(
+        F.sum("is_first").alias("n1"),
+        F.sum(F.lit(1) - F.col("is_first")).alias("n2"),
+    )
+    dec = "decimal(38,0)"
+    g = (
+        b.join(F.broadcast(tot))
+        .groupBy("bucket", "n1", "n2")
+        .agg(
+            F.sum("is_first").alias("h1"),
+            F.sum(F.lit(1) - F.col("is_first")).alias("h2"),
+        )
+    )
+    lhs = (
+        F.abs(
+            F.col("h1").cast(dec) * F.col("n2").cast(dec)
+            - F.col("h2").cast(dec) * F.col("n1").cast(dec)
+        )
+        * F.lit(500).cast(dec)
+    )
+    rhs = F.col("n1").cast(dec) * F.col("n2").cast(dec)
+    return g.select(
+        "bucket",
+        F.col("h1").cast("long").alias("h1"),
+        F.col("h2").cast("long").alias("h2"),
+        (lhs > rhs).alias("drifted"),
+    )
+
+
 def k_anonymity_audit(spark: SparkSession, sf: str) -> DataFrame:
     """k-anonymity audit over the (mktsegment, nationkey) quasi-
     identifier pair: every equivalence class with its population and
@@ -536,6 +597,7 @@ QUERIES = {
     "shuffle_hash_join_stats": shuffle_hash_join_stats,
     "skyline_orders": skyline_orders,
     "value_anomaly_events": value_anomaly_events,
+    "value_drift_buckets": value_drift_buckets,
     "zorder_key_demo": zorder_key_demo,
 }
 
@@ -589,6 +651,32 @@ SELECT a.p_name AS name_a,
 FROM names a JOIN names b
   ON a.blk = b.blk AND a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= 2
+""",
+    "value_drift_buckets": """
+WITH ev AS (
+  SELECT event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+  FROM events
+),
+cut AS (SELECT median(event_id) AS m FROM ev),
+b AS (
+  SELECT CASE WHEN vc < 500 THEN 0 WHEN vc < 1000 THEN 1
+              WHEN vc < 2000 THEN 2 WHEN vc < 4000 THEN 3 ELSE 4 END AS bucket,
+         CASE WHEN event_id < (SELECT m FROM cut) THEN 1 ELSE 0 END AS is_first
+  FROM ev
+),
+tot AS (
+  SELECT CAST(SUM(is_first) AS BIGINT) AS n1,
+         CAST(SUM(1 - is_first) AS BIGINT) AS n2
+  FROM b
+)
+SELECT bucket,
+       CAST(SUM(is_first) AS BIGINT) AS h1,
+       CAST(SUM(1 - is_first) AS BIGINT) AS h2,
+       ABS(CAST(SUM(is_first) AS DECIMAL(38,0)) * t.n2
+           - CAST(SUM(1 - is_first) AS DECIMAL(38,0)) * t.n1) * 500
+         > CAST(t.n1 AS DECIMAL(38,0)) * t.n2 AS drifted
+FROM b, tot t GROUP BY bucket, t.n1, t.n2
 """,
     "k_anonymity_audit": """
 SELECT c_mktsegment, c_nationkey,

@@ -99,6 +99,7 @@ def test_driver_sample_prefix_covers_priority_groups():
         "nested_roundtrip_stats",
         "holt_user_forecast",
         "embed_dim_median_stats",
+        "value_drift_buckets",
     }
     missing = [
         n for n in never if n not in prefix and n not in in_window | next_rotation
