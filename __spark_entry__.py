@@ -78,7 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shuffle_hash_join_stats, pagerank_weighted_copurchase,
     json_roundtrip_stats, nested_roundtrip_stats,
     holt_user_forecast, embed_dim_median_stats,
-    value_drift_buckets —
+    value_drift_buckets, inverted_index_stats, pmi_top_bigrams —
     plus anything r3's
     sample left non-green, then backfill with long-green queries. The
     prefix-pin test derives the never-sampled set from the

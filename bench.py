@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     "holt_user_forecast",
     "embed_dim_median_stats",
     "value_drift_buckets",
+    "inverted_index_stats",
+    "pmi_top_bigrams",
 ]
 
 ALL_QUERIES = entrymod.queries()

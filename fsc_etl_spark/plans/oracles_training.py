@@ -690,6 +690,55 @@ FROM documents GROUP BY source
 # against the identical recursive-CTE clustering oracle.
 TRAINING_ORACLES["dedup_cluster_assign_star"] = TRAINING_ORACLES["dedup_cluster_assign"]
 
+TRAINING_ORACLES["inverted_index_stats"] = f"""
+WITH posts AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS.replace("trim(text)", "trim(lower(text))")})) AS term
+  FROM documents
+),
+idx AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         list_sort(list(doc_id)) AS postings
+  FROM posts GROUP BY term
+)
+SELECT term, df,
+       CAST(postings[1] AS BIGINT) AS first_doc,
+       CAST(postings[-1] AS BIGINT) AS last_doc,
+       array_to_string(postings[1:10], ',') AS head_postings
+FROM idx
+"""
+
+TRAINING_ORACLES["pmi_top_bigrams"] = f"""
+WITH words AS (
+  SELECT {_TOKS.replace("trim(text)", "trim(lower(text))")} AS w FROM documents
+),
+uni AS (
+  SELECT u AS w1, CAST(COUNT(*) AS BIGINT) AS nx
+  FROM (SELECT unnest(w) AS u FROM words) GROUP BY u
+),
+nt AS (SELECT CAST(SUM(nx) AS BIGINT) AS n_total FROM uni),
+nb AS (SELECT CAST(SUM(GREATEST(len(w) - 1, 0)) AS BIGINT) AS nb_total FROM words),
+grams AS (
+  SELECT unnest(list_transform(range(1, len(w)),
+                i -> array_to_string(w[CAST(i AS BIGINT):CAST(i + 1 AS BIGINT)], ' '))) AS bigram
+  FROM words WHERE len(w) >= 2
+),
+gc AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS nxy
+  FROM grams GROUP BY bigram HAVING COUNT(*) >= 5
+),
+scored AS (
+  SELECT g.bigram, g.nxy,
+         CAST((CAST(g.nxy AS HUGEINT) * nt.n_total * nt.n_total * 100)
+              // (CAST(u1.nx AS HUGEINT) * u2.nx * nb.nb_total) AS BIGINT) AS pmi_score
+  FROM gc g
+  JOIN uni u1 ON u1.w1 = string_split(g.bigram, ' ')[1]
+  JOIN uni u2 ON u2.w1 = string_split(g.bigram, ' ')[2]
+  CROSS JOIN nt CROSS JOIN nb
+)
+SELECT bigram, nxy, pmi_score
+FROM scored ORDER BY pmi_score DESC, bigram LIMIT 20
+"""
+
 TRAINING_ORACLES["embed_dim_median_stats"] = """
 SELECT CAST(i - 1 AS INTEGER) AS dim,
        CAST(COUNT(*) AS BIGINT) AS n,

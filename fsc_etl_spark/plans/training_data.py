@@ -738,6 +738,93 @@ def bigram_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def inverted_index_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index build (the IR/retrieval core structure): term →
+    sorted posting list of doc ids (set semantics — one posting per
+    document), reported as document frequency, posting range, and the
+    first ten postings (stringified so the driver's row canonicalizer
+    gets hashable cells, same rule as array_funcs_breadth).
+
+    Scale shape: distinct-terms explode is map-side; ONE shuffle on
+    term; posting lists are bounded by document frequency, and a real
+    deployment shards hot terms by posting-range — the df column is
+    exactly the stat that drives that sharding decision.
+    """
+    docs = t(spark, sf, "documents")
+    posts = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.lower(F.col("text"))))).alias("term"),
+    )
+    idx = posts.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
+    return idx.select(
+        "term",
+        "df",
+        F.element_at("postings", 1).alias("first_doc"),
+        F.element_at("postings", -1).alias("last_doc"),
+        F.array_join(F.slice("postings", 1, 10), ",").alias("head_postings"),
+    )
+
+
+def pmi_top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 word associations by pointwise mutual information —
+    WITHOUT logs or float division: ranking by PMI is ranking by the
+    rational nxy·N²/(nx·ny·Nb), so the score is the fixed-point floor
+    ``(nxy·N²·100) div (nx·ny·Nb)`` in DECIMAL(38,0), bit-identical
+    across engines and a total order with the bigram tiebreak.
+    Support floor nxy ≥ 5 keeps rare-pair noise out of the top list.
+
+    Scale shape: one unigram shuffle, one bigram shuffle, two scalar
+    broadcasts (N, Nb); the two unigram joins attach to the
+    support-filtered (small) bigram side.
+    """
+    docs = t(spark, sf, "documents")
+    toked = docs.select(tokens(F.lower(F.col("text"))).alias("tk")).persist()
+    uni = (
+        toked.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("nx"))
+    )
+    n_tot = uni.agg(F.sum("nx").alias("n_total"))
+    nb_tot = toked.select(
+        F.greatest(F.size("tk") - 1, F.lit(0)).alias("nb")
+    ).agg(F.sum("nb").alias("nb_total"))
+    grams = (
+        toked.select(F.explode(shingles_from_tokens(F.col("tk"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("nxy"))
+        .filter(F.col("nxy") >= 5)
+    )
+    parts = grams.select(
+        "bigram",
+        "nxy",
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("nx").alias("nx1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("nx").alias("nx2"))
+    dec = "decimal(38,0)"
+    joined = (
+        parts.join(u1, "w1")
+        .join(u2, "w2")
+        .join(F.broadcast(n_tot))
+        .join(F.broadcast(nb_tot))
+    )
+    score = F.expr(
+        "CAST((CAST(nxy AS DECIMAL(38,0)) * CAST(n_total AS DECIMAL(38,0))"
+        " * CAST(n_total AS DECIMAL(38,0)) * 100)"
+        " div (CAST(nx1 AS DECIMAL(38,0)) * CAST(nx2 AS DECIMAL(38,0))"
+        " * CAST(nb_total AS DECIMAL(38,0))) AS BIGINT)"
+    )
+    return (
+        joined.select("bigram", "nxy", score.alias("pmi_score"))
+        .orderBy(F.col("pmi_score").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
 def udtf_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
     """The Spark 4 Python UDTF surface: `ngrams` (functions/udtfs.py,
     Arrow-batched) applied as a LATERAL table function from SQL, then
@@ -1347,6 +1434,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_vocab_topk": token_vocab_topk,
     "mixture_resample_to_min": mixture_resample_to_min,
     "embed_dim_median_stats": embed_dim_median_stats,
+    "inverted_index_stats": inverted_index_stats,
+    "pmi_top_bigrams": pmi_top_bigrams,
     "mixture_temperature_sample": mixture_temperature_sample,
     "pack_chunks_by_source": pack_chunks_by_source,
     "minhash_jaccard_estimate": minhash_jaccard_estimate,

@@ -100,6 +100,8 @@ def test_driver_sample_prefix_covers_priority_groups():
         "holt_user_forecast",
         "embed_dim_median_stats",
         "value_drift_buckets",
+        "inverted_index_stats",
+        "pmi_top_bigrams",
     }
     missing = [
         n for n in never if n not in prefix and n not in in_window | next_rotation
