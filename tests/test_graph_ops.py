@@ -309,3 +309,18 @@ def test_pagerank_constant_weights_equal_unweighted(spark):
         for r in pagerank_integer(k7, iters=3, weight_col="w").collect()
     }
     assert r1 == r2
+
+
+def test_pagerank_empty_graph(spark):
+    edges = _edges(spark, []).filter(F.lit(False))
+    assert pagerank_integer(edges, iters=2).count() == 0
+    assert (
+        pagerank_integer(edges, iters=2, every_node_has_inflow=True).count() == 0
+    )
+
+
+def test_bfs_empty_edges(spark):
+    edges = _edges(spark, []).filter(F.lit(False))
+    src = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"] for r in bfs_hops(edges, src, max_hops=3).collect()}
+    assert got == {"a": 0}
