@@ -192,6 +192,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        # Clean slate per query: accumulated persisted frames from
+        # earlier queries otherwise LRU-evict a later query's own
+        # caches mid-plan, adding arbitrary recomputation noise.
+        spark.catalog.clearCache()
         timings[name] = round(run_query(spark, name, sf_dir), 4)
 
     total = round(sum(timings.values()), 3)

@@ -269,15 +269,20 @@ def value_drift_buckets(spark: SparkSession, sf: str) -> DataFrame:
     bit-identical to the oracle. Products ride DECIMAL(38,0) so the
     cross terms cannot wrap at petabyte row counts.
 
-    Split point: the exact median event id (a monotone proxy for
-    arrival order), one scalar broadcast; bucketing is map-side; one
-    shuffle on the 5-value bucket key.
+    Split point: the id-range midpoint ``(min+max) div 2`` (a monotone
+    proxy for arrival order over the dense event ids) — an O(1)
+    min/max aggregate, NOT an exact median, which would buffer every
+    id on one reducer at 100 TB (the 10x probe measured that variant
+    at 9.2x; this one is a plain scan-reduce). One scalar broadcast;
+    bucketing is map-side; one shuffle on the 5-value bucket key.
     """
     ev = t(spark, sf, "events").select(
         "event_id",
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("vc"),
     )
-    m = ev.agg(F.median("event_id").alias("m"))
+    m = ev.agg(
+        F.expr("(min(event_id) + max(event_id)) div 2").alias("m")
+    )
     bucket = (
         F.when(F.col("vc") < 500, 0)
         .when(F.col("vc") < 1000, 1)
@@ -658,7 +663,7 @@ WITH ev AS (
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
   FROM events
 ),
-cut AS (SELECT median(event_id) AS m FROM ev),
+cut AS (SELECT (MIN(event_id) + MAX(event_id)) // 2 AS m FROM ev),
 b AS (
   SELECT CASE WHEN vc < 500 THEN 0 WHEN vc < 1000 THEN 1
               WHEN vc < 2000 THEN 2 WHEN vc < 4000 THEN 3 ELSE 4 END AS bucket,

@@ -87,6 +87,18 @@ PROBE_QUERIES = [
     "skyline_orders",           # two-phase prefix-max sweep
     "value_anomaly_events",     # one agg + broadcast flag join
     "dpp_pruned_rollup",        # partitioned relayout + DPP scan
+    # round-3 final batch
+    "pagerank_weighted_copurchase",  # weighted Pregel rounds
+    "ewma_user_value",          # per-key sequential fold
+    "holt_user_forecast",       # packed two-state fold
+    "table_checksum_buckets",   # digest sums per bucket
+    "incremental_join_maintenance",  # delta-decomposed join
+    "pit_feature_join",         # as-of union sweep
+    "session_window_stats",     # MergingSessions aggregation
+    "value_drift_buckets",      # half-vs-half histogram compare
+    "mixture_temperature_sample",    # integer keep-rule sampling
+    "inverted_index_stats",     # posting-list build
+    "pmi_top_bigrams",          # rational association ranking
 ]
 
 
@@ -163,6 +175,13 @@ def time_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in PROBE_QUERIES:
+        # Clean slate per query: without this, the persisted frames of
+        # every EARLIER probed query crowd executor memory, and by the
+        # time a cache-heavy query runs at 10x its own warm-pass cache
+        # has been LRU-evicted mid-plan — the measurement then includes
+        # arbitrary recomputation (observed: the triangle census
+        # jumping 29s -> 64s at 10x purely from cross-query eviction).
+        spark.catalog.clearCache()
         # Warm pass first: codegen compilation and scan-index caches
         # land here, not in the measured pass (otherwise the 1x side,
         # which always runs first, eats every first-touch cost and the
