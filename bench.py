@@ -169,6 +169,8 @@ BENCH_QUERIES = [
     "value_drift_buckets",
     "inverted_index_stats",
     "pmi_top_bigrams",
+    # round-4 additions (appended — earlier names/order unchanged)
+    "pagerank_dangling_redistribute",
 ]
 
 ALL_QUERIES = entrymod.queries()

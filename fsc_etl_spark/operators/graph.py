@@ -38,6 +38,8 @@ def pagerank_integer(
     init_rank: int = RANK_SCALE,
     every_node_has_inflow: bool = False,
     weight_col: str | None = None,
+    dangling: str = "error",
+    validate: bool = True,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over directed ``(src, dst)``.
 
@@ -47,28 +49,43 @@ def pagerank_integer(
     (the small mass lost to flooring is the documented fixed-point
     trade; relative ordering of authorities is what the score is for).
 
-    Nodes are the union of edge endpoints; every node is assumed to
-    have at least one out-edge (true for the symmetrised graphs built
-    by the plans layer — dangling-node mass redistribution is
-    deliberately out of scope for the fixed-point variant).
+    Nodes are the union of edge endpoints. ``dangling`` controls nodes
+    with no out-edge:
+
+    - ``"error"`` (default): an input-validation aggregate counts them
+      and raises ``ValueError`` — a general-graph caller never silently
+      loses rank mass.
+    - ``"drop"``: their mass is not propagated (the classic simplified
+      recurrence; exactly mirrors oracles/tests that model inflow from
+      out-edge owners only).
+    - ``"redistribute"``: per round the total dangling rank ``D`` is
+      spread evenly — every node's inflow gains ``D div n_nodes``
+      (floor) before damping. Still pure BIGINT arithmetic, still
+      bit-reproducible.
 
     ``every_node_has_inflow=True`` skips the per-iteration nodes-side
-    left join (one fewer shuffle per round). ONLY safe when every node
-    has at least one in-edge — e.g. a symmetrised (undirected) graph —
-    otherwise inflow-less nodes silently drop from the result.
+    left join (one fewer shuffle per round) AND the dangling check —
+    ONLY safe for graphs where every node has both in- and out-edges,
+    e.g. a symmetrised (undirected) graph, where dangling nodes are
+    structurally impossible.
 
     ``weight_col`` names a positive BIGINT edge-weight column: a
     source's rank then splits proportionally, each edge receiving
     ``(rank · w) div W_src`` (W_src = the source's total out-weight)
     — still pure floor arithmetic, so still bit-reproducible. None
     (default) is the unweighted equal-split. With weights the caller
-    must pass unique (src, dst) pairs (no distinct is applied), and
-    rank·w must stay under 2^63 (rank ≤ n_nodes·init, so fine until
-    n_nodes·w approaches 2^33 at the default scale — cast the rank
-    chain to decimal beyond that).
+    must pass unique (src, dst) pairs (no distinct is applied) and
+    rank·w must stay under 2^63; ``validate=True`` (default) enforces
+    both with one aggregate over the weighted edge list (duplicate
+    pairs → ValueError; conservative overflow bound
+    ``max_w · 2·n_edges · init < 2^63`` → ValueError). Trusted callers
+    that construct unique pairs structurally (e.g. via groupBy) may
+    pass ``validate=False`` to skip that one job.
 
     Returns (node, rank) with rank BIGINT in ``init_rank`` units.
     """
+    if dangling not in ("error", "drop", "redistribute"):
+        raise ValueError(f"dangling must be error|drop|redistribute, got {dangling!r}")
     if weight_col is None:
         edges = edges.select("src", "dst").distinct().withColumn(
             "__w", F.lit(1).cast("long")
@@ -80,20 +97,71 @@ def pagerank_integer(
     # distinct/weighted edges persist: the degree build, the edge-
     # degree join, and (general path) the nodes union all re-read this
     edges = edges.persist()
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
     deg = edges.groupBy("src").agg(F.sum("__w").alias("deg"))
+
+    if weight_col is not None and validate:
+        chk = edges.agg(
+            F.count(F.lit(1)).alias("ne"),
+            F.count_distinct(F.struct("src", "dst")).alias("nd"),
+            F.max("__w").alias("mw"),
+        ).first()
+        if chk["ne"] and chk["nd"] != chk["ne"]:
+            edges.unpersist()
+            raise ValueError(
+                f"weighted PageRank requires unique (src, dst) pairs: "
+                f"{chk['ne'] - chk['nd']} duplicate edge(s) found"
+            )
+        # rank(v) <= sum(ranks) <= n_nodes*init <= 2*n_edges*init, so
+        # rank*w stays in BIGINT if max_w * 2*ne * init < 2^63.
+        if chk["mw"] is not None and chk["mw"] * 2 * chk["ne"] * init_rank >= 2**63:
+            edges.unpersist()
+            raise ValueError(
+                "weighted PageRank rank*weight may overflow BIGINT: "
+                f"max_w={chk['mw']}, n_edges={chk['ne']}, init={init_rank} — "
+                "rescale weights or init_rank, or cast the rank chain to decimal"
+            )
+
     # Built once, reused by every iteration — and pre-hashed on src so
     # the per-iteration rank join only shuffles the (small) rank side:
     # the cached InMemoryRelation's HashPartitioning(src) satisfies the
     # join's distribution requirement, so no edge re-shuffle per round.
     edges_deg = edges.join(deg, "src").repartition(F.col("src")).persist()
 
+    dangling_nodes = None
+    n_nodes = None
+    if every_node_has_inflow:
+        # symmetrised contract: src set == dst set == node set, so the
+        # out-edge owners ARE the nodes and dangling is impossible.
+        nodes = deg.select(F.col("src").alias("node"))
+    else:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
+        dangling_nodes = nodes.join(
+            deg.select(F.col("src").alias("node")), "node", "left_anti"
+        ).persist()
+        if dangling != "drop":
+            n_dangling = dangling_nodes.count()
+            if n_dangling and dangling == "error":
+                for df in (edges, nodes, dangling_nodes):
+                    df.unpersist()
+                raise ValueError(
+                    f"{n_dangling} node(s) have no out-edge; their rank mass "
+                    "would be lost. Pass dangling='drop' to accept that, "
+                    "dangling='redistribute' for exact even redistribution, "
+                    "or symmetrise the graph."
+                )
+            if dangling == "redistribute":
+                n_nodes = nodes.count()
+
     base = ((damping_den - damping_num) * init_rank) // damping_den
     ranks = nodes.withColumn("rank", F.lit(init_rank).cast("long"))
+    redistribute = (
+        dangling == "redistribute" and dangling_nodes is not None and n_nodes
+    )
     for _ in range(iters):
         r = ranks.select(F.col("node").alias("__rn"), F.col("rank").alias("__rr"))
         contrib = (
@@ -111,11 +179,47 @@ def pagerank_integer(
         ).cast("long")
         if every_node_has_inflow:
             ranks = contrib.select("node", damped.alias("rank"))
+        elif redistribute:
+            # total dangling rank this round, spread evenly: one tiny
+            # aggregate (dangling set is persisted) broadcast to all.
+            share = ranks.join(dangling_nodes, "node", "left_semi").agg(
+                F.expr(f"coalesce(sum(rank), 0L) div {n_nodes}").alias("__share")
+            )
+            ranks = (
+                nodes.join(contrib, "node", "left")
+                .crossJoin(F.broadcast(share))
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.expr(
+                            f"({damping_num} * (coalesce(inflow, 0L) + __share)) "
+                            f"div {damping_den}"
+                        )
+                    ).cast("long").alias("rank"),
+                )
+            )
         else:
             ranks = nodes.join(contrib, "node", "left").select(
                 "node", damped.alias("rank")
             )
-    return ranks
+        if redistribute:
+            # share + next round's contrib each re-read ranks: without
+            # a per-round materialisation the lineage doubles per
+            # iteration (2^iters re-evaluation).
+            ranks = ranks.localCheckpoint(eager=True)
+    # Materialise the result and release every interned cache so a
+    # long-lived session doesn't accumulate executor storage (the
+    # returned frame's lineage is truncated, so it no longer needs
+    # them).
+    out = ranks.localCheckpoint(eager=True)
+    edges.unpersist()
+    edges_deg.unpersist()
+    if not every_node_has_inflow:
+        nodes.unpersist()
+    if dangling_nodes is not None:
+        dangling_nodes.unpersist()
+    return out
 
 
 def triangle_stats(edges: DataFrame) -> DataFrame:
@@ -188,7 +292,12 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         "inner",
     )
     n_tri = closed.select(F.count(F.lit(1)).alias("n_triangles"))
-    return census.crossJoin(n_tri)
+    # One-row result: materialise it and drop the canon/deg caches so
+    # repeated calls in a long-lived session don't leak storage.
+    out = census.crossJoin(n_tri).localCheckpoint(eager=True)
+    canon.unpersist()
+    deg.unpersist()
+    return out
 
 
 def bfs_hops(
@@ -214,6 +323,7 @@ def bfs_hops(
         "dist", F.lit(0).cast("long")
     )
     frontier = visited.select("node")
+    frontiers: list[DataFrame] = []
     for h in range(1, max_hops + 1):
         nxt = (
             frontier.join(edges, frontier["node"] == edges["src"])
@@ -226,9 +336,17 @@ def bfs_hops(
             # both the anti-join and the union)
             .persist()
         )
+        frontiers.append(nxt)
         visited = visited.union(nxt)
         frontier = nxt.select("node")
-    return visited
+    # Materialise, then release the per-round frontier caches and the
+    # edge cache — the truncated-lineage result no longer needs them,
+    # so long-lived sessions don't leak executor storage.
+    out = visited.localCheckpoint(eager=True)
+    edges.unpersist()
+    for f in frontiers:
+        f.unpersist()
+    return out
 
 
 def skyline_2d(

@@ -27,12 +27,19 @@ _PR_ITERS = 5
 _TOPK = 20
 
 
-def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
+def _copurchase_edges(
+    spark: SparkSession, sf: str
+) -> tuple[DataFrame, DataFrame]:
     """Symmetrised bipartite customer—part incidence: an edge both ways
     between a customer and every part they ever ordered. One
     orders⋈lineitem join (orderkey equi-join), then distinct — at
     cluster scale both sides shuffle on orderkey once and the distinct
     reuses the (cust, part) shuffle for the union's two projections.
+
+    Returns ``(edges, cp)`` where ``cp`` is the persisted incidence
+    frame — the caller must ``cp.unpersist()`` once the consuming
+    operator has materialised (the graph operators checkpoint their
+    results eagerly, so this is safe immediately after they return).
     """
     o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
     li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
@@ -49,9 +56,10 @@ def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
         # re-executes 4-6x and dominates the whole query's wall time
         .persist()
     )
-    return cp.select(F.col("cnode").alias("src"), F.col("pnode").alias("dst")).union(
-        cp.select(F.col("pnode").alias("src"), F.col("cnode").alias("dst"))
-    )
+    edges = cp.select(
+        F.col("cnode").alias("src"), F.col("pnode").alias("dst")
+    ).union(cp.select(F.col("pnode").alias("src"), F.col("cnode").alias("dst")))
+    return edges, cp
 
 
 def pagerank_copurchase(spark: SparkSession, sf: str) -> DataFrame:
@@ -85,6 +93,7 @@ def pagerank_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     # symmetrised graph -> every node has in-edges, so the dense
     # fast path (no per-iteration nodes join) is exact here
     ranks = pagerank_integer(edges, iters=_PR_ITERS, every_node_has_inflow=True)
+    cp.unpersist()  # ranks is checkpointed eagerly; the cache is done
     label = F.when(
         F.col("node") % 2 == 0,
         F.concat(F.lit("c"), F.expr("node div 2").cast("string")),
@@ -118,9 +127,18 @@ def pagerank_weighted_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     edges = cp.select(
         F.col("cnode").alias("src"), F.col("pnode").alias("dst"), "w"
     ).union(cp.select(F.col("pnode").alias("src"), F.col("cnode").alias("dst"), "w"))
+    # validate=False: (src, dst) uniqueness is structural (groupBy
+    # above) and weights are bounded lineitem multiplicities, so the
+    # validation aggregate would re-prove an invariant the plan
+    # already guarantees.
     ranks = pagerank_integer(
-        edges, iters=_PR_ITERS, every_node_has_inflow=True, weight_col="w"
+        edges,
+        iters=_PR_ITERS,
+        every_node_has_inflow=True,
+        weight_col="w",
+        validate=False,
     )
+    cp.unpersist()  # ranks is checkpointed eagerly; the cache is done
     label = F.when(
         F.col("node") % 2 == 0,
         F.concat(F.lit("c"), F.expr("node div 2").cast("string")),
@@ -163,14 +181,41 @@ def bfs_hops_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     bounded-depth recursive-CTE oracle that takes MIN(d) over all
     enumerated paths instead.
     """
-    edges = _copurchase_edges(spark, sf)
+    edges, cp = _copurchase_edges(spark, sf)
     src = spark.range(1).select(F.lit("c0").alias("node"))
     reached = bfs_hops(edges, src, max_hops=3)
+    cp.unpersist()  # reached is checkpointed eagerly; the cache is done
     return reached.groupBy("dist").agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
     )
+
+
+_DANGLING_ITERS = 3
+
+
+def pagerank_dangling_redistribute(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dangling-mass PageRank over the DIRECTED customer→nation
+    membership graph (every customer points at its nation; nations
+    have no out-edges, so ~25 sink nodes hold rank that the simplified
+    recurrence would silently drop).
+
+    Exercises ``pagerank_integer(dangling="redistribute")``: per round
+    the sinks' total rank is spread evenly — every node's inflow gains
+    ``D div n_nodes`` before damping, all BIGINT floor arithmetic, so
+    the unrolled-CTE oracle matches bit-for-bit. Top-20 deterministic
+    (rank desc, node asc).
+    """
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    edges = c.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    ranks = pagerank_integer(
+        edges, iters=_DANGLING_ITERS, dangling="redistribute"
+    )
+    return ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(_TOPK)
 
 
 def recursive_ancestor_depth(spark: SparkSession, sf: str) -> DataFrame:
@@ -282,9 +327,53 @@ def _pagerank_weighted_oracle(iters: int = _PR_ITERS, topk: int = _TOPK) -> str:
     )
 
 
+def _pagerank_dangling_oracle(iters: int = _DANGLING_ITERS, topk: int = _TOPK) -> str:
+    """Unrolled CTE mirroring pagerank_integer(dangling="redistribute")
+    on the customer→nation graph: per round, share_i = (sum of sink
+    ranks) // n_nodes is added to every node's inflow before damping."""
+    base = (15 * RANK_SCALE) // 100
+    chain = [
+        """edges AS (
+  SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+                  'n' || CAST(c_nationkey AS VARCHAR) AS dst
+  FROM customer
+)""",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst AS node FROM edges)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes)",
+        f"r0 AS (SELECT node, CAST({RANK_SCALE} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(iters):
+        chain.append(
+            f"""s{i} AS (
+  SELECT (SELECT COALESCE(SUM(r.rank), 0)
+          FROM r{i} r LEFT JOIN deg d ON r.node = d.src
+          WHERE d.src IS NULL) // n_nodes AS share
+  FROM nn
+)"""
+        )
+        chain.append(
+            f"""r{i + 1} AS (
+  SELECT n.node,
+         CAST({base} + (85 * (COALESCE(i.inflow, 0) + s.share)) // 100 AS BIGINT) AS rank
+  FROM nodes n CROSS JOIN s{i} s LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank // d.deg) AS inflow
+    FROM edges e JOIN deg d ON e.src = d.src JOIN r{i} r ON r.node = e.src
+    GROUP BY e.dst
+  ) i ON n.node = i.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(chain)
+        + f"\nSELECT node, rank FROM r{iters} ORDER BY rank DESC, node LIMIT {topk}"
+    )
+
+
 QUERIES = {
     "bfs_hops_copurchase": bfs_hops_copurchase,
     "pagerank_copurchase": pagerank_copurchase,
+    "pagerank_dangling_redistribute": pagerank_dangling_redistribute,
     "pagerank_weighted_copurchase": pagerank_weighted_copurchase,
     "recursive_ancestor_depth": recursive_ancestor_depth,
     "triangle_count_coparts": triangle_count_coparts,
@@ -316,6 +405,7 @@ SELECT dist,
 FROM md GROUP BY dist
 """,
     "pagerank_copurchase": _pagerank_oracle(),
+    "pagerank_dangling_redistribute": _pagerank_dangling_oracle(),
     "pagerank_weighted_copurchase": _pagerank_weighted_oracle(),
     "triangle_count_coparts": """
 WITH canon AS (

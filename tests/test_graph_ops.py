@@ -233,7 +233,10 @@ def _py_pagerank(pairs, iters):
 @settings(**PROP_SETTINGS)
 def test_pagerank_matches_reference(spark, pairs):
     df = spark.createDataFrame(pairs, "src string, dst string")
-    got = {r["node"]: r["rank"] for r in pagerank_integer(df, iters=3).collect()}
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(df, iters=3, dangling="drop").collect()
+    }
     assert got == _py_pagerank(pairs, 3)
 
 
@@ -290,7 +293,9 @@ def test_pagerank_weighted_hand_computed(spark):
     )
     got = {
         r["node"]: r["rank"]
-        for r in pagerank_integer(edges, iters=1, weight_col="w").collect()
+        for r in pagerank_integer(
+            edges, iters=1, weight_col="w", dangling="drop"
+        ).collect()
     }
     assert got == {"a": 10**9, "b": 787_500_000, "c": 362_500_000}
 
@@ -324,3 +329,101 @@ def test_bfs_empty_edges(spark):
     src = spark.createDataFrame([("a",)], "node string")
     got = {r["node"]: r["dist"] for r in bfs_hops(edges, src, max_hops=3).collect()}
     assert got == {"a": 0}
+
+
+def test_pagerank_dangling_default_raises(spark):
+    # b is a sink: the general path must reject it loudly by default.
+    edges = _edges(spark, [("a", "b")])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no out-edge"):
+        pagerank_integer(edges, iters=1)
+
+
+def test_pagerank_redistribute_hand_computed(spark):
+    # a->b, b dangling; n_nodes=2, init=1e9, base=150e6.
+    # r1: share=5e8; a = 150e6 + 85*5e8//100 = 575e6
+    #     b = 150e6 + 85*(1e9+5e8)//100 = 1_425e6
+    # r2: share=1_425e6//2=712.5e6; inflow(b)=575e6
+    #     a = 150e6 + 85*712_500_000//100 = 755_625_000
+    #     b = 150e6 + 85*(575e6+712.5e6)//100 = 1_244_375_000
+    edges = _edges(spark, [("a", "b")])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(edges, iters=2, dangling="redistribute").collect()
+    }
+    assert got == {"a": 755_625_000, "b": 1_244_375_000}
+
+
+def test_pagerank_redistribute_no_dangling_equals_drop(spark):
+    # With no sinks the share is 0 every round: redistribute == drop.
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    edges = _edges(spark, pairs)
+    drop = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(edges, iters=3, dangling="drop").collect()
+    }
+    redis = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(edges, iters=3, dangling="redistribute").collect()
+    }
+    assert drop == redis
+
+
+def _py_pagerank_redistribute(pairs, iters):
+    edges = sorted(set(pairs))
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    rank = {n: 10**9 for n in nodes}
+    base = (15 * 10**9) // 100
+    for _ in range(iters):
+        share = sum(rank[n] for n in nodes if n not in out) // len(nodes)
+        inflow = {n: 0 for n in nodes}
+        for s, ds in out.items():
+            c = rank[s] // len(ds)
+            for d in ds:
+                inflow[d] += c
+        rank = {n: base + (85 * (inflow[n] + share)) // 100 for n in nodes}
+    return rank
+
+
+@given(pairs=edge_lists)
+@settings(**PROP_SETTINGS)
+def test_pagerank_redistribute_matches_reference(spark, pairs):
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(df, iters=3, dangling="redistribute").collect()
+    }
+    assert got == _py_pagerank_redistribute(pairs, 3)
+
+
+def test_pagerank_weighted_duplicate_pairs_raise(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 2), ("a", "b", 3), ("b", "a", 1)],
+        "src string, dst string, w long",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unique"):
+        pagerank_integer(edges, iters=1, weight_col="w", dangling="drop")
+
+
+def test_pagerank_weighted_overflow_bound_raises(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 2**40), ("b", "a", 2**40)], "src string, dst string, w long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overflow"):
+        pagerank_integer(edges, iters=1, weight_col="w")
+
+
+def test_pagerank_invalid_dangling_mode(spark):
+    edges = _edges(spark, [("a", "b"), ("b", "a")])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dangling must be"):
+        pagerank_integer(edges, iters=1, dangling="bogus")
