@@ -6,12 +6,15 @@ Arrow-batched pandas iterators over ``mapInPandas`` — the only layer
 of this engine where Python touches row data, and it does so in
 columnar batches, never row-at-a-time.
 
-Codec status: uncompressed formats (PPM P6, 24-bit BMP) go through a
-REAL pure-Python codec (operators/imagecodec.py) — genuine decode,
-nearest-neighbor resize, re-encode, byte-exact and oracle-checked.
+Codec status: uncompressed formats go through REAL pure-Python codecs
+— images (PPM P6, 24-bit BMP: operators/imagecodec.py) get genuine
+decode / nearest-neighbor resize / re-encode, and audio (RIFF/WAVE
+PCM: operators/audiocodec.py) gets a genuine chunk walk + frame
+reshape; resize, frame-decode, clip analysis AND feature extraction
+all run on the real decode, byte-exact and oracle-checked.
 Compressed formats would need PIL/ffmpeg, which this container ships
-without, so those inputs take a deterministic import-gated fallback;
-the Spark-side contract (schemas, Arrow batch iteration, partitioning,
+without, so those inputs take a deterministic fallback; the
+Spark-side contract (schemas, Arrow batch iteration, partitioning,
 output shapes) is identical on both paths — swap the fallback for the
 real library call and nothing else changes.
 """
@@ -46,26 +49,70 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+#: modulus keeping integer-derived feature entries exactly
+#: representable in float32 (< 2^24)
+_FEAT_MOD = 1_000_003
+
+
 def _fake_decode(content: bytes) -> list[float]:
-    """Deterministic stand-in for a real decoder's feature vector.
-
-    Real implementation would be e.g. PIL.Image.open + model forward;
-    neither is installed here, so we derive a stable 4-dim summary
-    from the bytes themselves (keeps tests meaningful end-to-end).
-    """
-    try:
-        import PIL.Image  # noqa: F401  (not in this container)
-
-        raise NotImplementedError("real decoder path not wired in this environment")
-    except ImportError:
-        pass
+    """Deterministic fallback feature vector for UNRECOGNIZED formats
+    (compressed codecs would need PIL/ffmpeg, which this container
+    ships without): a stable 4-dim summary of the bytes themselves, so
+    opaque inputs still flow through the same Arrow contract."""
     n = len(content)
     s = sum(content[:256])
     return [float(n), float(n % 256), float(s % 997), float(content[0] if n else 0)]
 
 
+def _decode_feature(content: bytes) -> list[float]:
+    """REAL decode for the formats the in-repo codecs understand.
+
+    - P6 PPM / 24-bit BMP (operators/imagecodec.py): genuine header
+      parse + pixel reshape; feature = [width, height,
+      px_sum mod 1_000_003, first pixel byte].
+    - RIFF/WAVE PCM (operators/audiocodec.py): genuine chunk walk +
+      frame reshape; feature = [n_frames, peak |sample|,
+      energy mod 1_000_003, sample_rate].
+    - anything else: the deterministic ``_fake_decode`` fallback.
+
+    Every entry is an integer < 2^24 cast to float, so the vector is
+    exactly representable in float32 and SQL-oracle-checkable.
+    """
+    from fsc_etl_spark.operators import audiocodec, imagecodec
+
+    fmt = imagecodec.sniff(bytes(content))
+    if fmt == "ppm" or fmt == "bmp":
+        img = (
+            imagecodec.decode_ppm(bytes(content))
+            if fmt == "ppm"
+            else imagecodec.decode_bmp(bytes(content))
+        )
+        h, w = img.shape[:2]
+        first = int(img.reshape(-1)[0]) if img.size else 0
+        return [
+            float(w),
+            float(h),
+            float(int(img.sum(dtype="int64")) % _FEAT_MOD),
+            float(first),
+        ]
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        samples, rate = audiocodec.decode_wav(bytes(content))
+        stats = audiocodec.analyze(samples, rate)
+        return [
+            float(stats["n_frames"]),
+            float(stats["peak"]),
+            float(stats["energy"] % _FEAT_MOD),
+            float(rate),
+        ]
+    return _fake_decode(content)
+
+
 def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
     """Decode/feature-extract each media item via mapInPandas.
+
+    Recognized formats (P6 PPM, 24-bit BMP, RIFF/WAVE PCM) go through
+    the REAL in-repo codecs — see :func:`_decode_feature`; only
+    unrecognized bytes take the deterministic fallback.
 
     Arrow streams ``content`` in columnar batches; each batch is
     processed vectorized-per-column in one Python call. At scale the
@@ -83,7 +130,7 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
                     "kind": pdf["kind"],
                     "byte_len": content.map(len).astype("int64"),
                     "checksum": content.map(lambda b: sum(b) % 2**31).astype("int64"),
-                    "feature": content.map(_fake_decode),
+                    "feature": content.map(_decode_feature),
                 }
             )
 

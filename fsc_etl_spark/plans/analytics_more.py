@@ -18,8 +18,9 @@ Scale notes (100 TB posture):
   reduction, not before;
 - the EXISTS / IN shapes compile to left-semi hash joins (no row
   explosion, no distinct needed);
-- ntile's global window is single-partition by construction — the
-  docstring points at the approx-quantile alternative for real scale.
+- the NTILE decile surface is lowered to a value-domain histogram +
+  integer split arithmetic (decile_bucket_scalable) — bit-identical to
+  the global NTILE window without a single-partition full-table sort.
 """
 
 from __future__ import annotations
@@ -203,27 +204,19 @@ def ntile_customer_deciles(spark: SparkSession, sf: str) -> DataFrame:
     """NTILE(10) deciles over account balance with a unique tie-break
     (c_acctbal, c_custkey) so bucket assignment is stable.
 
-    Scale note: a global ntile is a single-partition sort — this exact
-    form is for dimension-sized inputs. The scale-safe twin is
-    :func:`decile_bucket_scalable` below: bit-identical output from a
-    value-domain histogram + integer split arithmetic, no global row
-    sort."""
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return (
-        t(spark, sf, "customer")
-        .withColumn("decile", F.ntile(10).over(w))
-        .groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("c_acctbal").alias("min_bal"),
-            F.max("c_acctbal").alias("max_bal"),
-        )
-    )
+    The headline NTILE surface — but lowered to the global-sort-free
+    histogram decomposition (:func:`decile_bucket_scalable`), which is
+    bit-identical to ``NTILE(10) OVER (ORDER BY c_acctbal, c_custkey)``
+    (same oracle) without ever moving the full table through one
+    partition. The literal ``F.ntile`` window form this replaces is
+    preserved (and equivalence-tested against this plan) in
+    tests/test_round3_ops.py; no ``queries()`` entry carries an
+    unpartitioned full-table sort."""
+    return decile_bucket_scalable(spark, sf)
 
 
 def decile_bucket_scalable(spark: SparkSession, sf: str) -> DataFrame:
-    """NTILE(10)-identical deciles WITHOUT a global row sort — the
-    scale-safe twin :func:`ntile_customer_deciles`'s docstring promises.
+    """NTILE(10)-identical deciles WITHOUT a global row sort.
 
     Decomposition of the global rank over (c_acctbal, c_custkey):
 

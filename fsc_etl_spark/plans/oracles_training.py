@@ -263,15 +263,34 @@ ranked AS (
 SELECT label, id_a, id_b AS nn_id, cos AS nn_cos FROM ranked WHERE rn = 1
 """
 
-# checksum mirrors the Arrow-UDF stub: sum of UTF-8 bytes mod 2^31.
+# Real P6 decode twin: the media is documents_as_ppm_media's 12x8
+# canonical P6 (300 bytes = 12-byte header + 288 cycled text bytes).
+# 507 is the ord-sum of the header "P6\n12 8\n255\n"; pxsum is the
+# ord-sum of the cycled pixel buffer — checksum and every feature
+# entry derive from those two integers exactly as the codec does.
 # Documents are ASCII, so codepoints == bytes.
 TRAINING_ORACLES["multimodal_features"] = """
-SELECT doc_id AS media_id,
+WITH m AS (
+  SELECT doc_id AS media_id,
+         substring(repeat(text, CAST(ceil(288.0 / GREATEST(length(text), 1)) AS BIGINT)),
+                   1, 288) AS pixbuf
+  FROM documents WHERE length(text) > 0
+),
+s AS (
+  SELECT media_id, pixbuf,
+         CAST(list_sum(list_transform(range(1, 289),
+                i -> ord(substring(pixbuf, CAST(i AS INTEGER), 1)))) AS BIGINT) AS pxsum
+  FROM m
+)
+SELECT media_id,
        'image' AS kind,
-       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-       CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1),
-                i -> ord(substr(text, CAST(i AS INTEGER), 1)))), 0) % 2147483648 AS BIGINT) AS checksum
-FROM documents
+       CAST(300 AS BIGINT) AS byte_len,
+       CAST((507 + pxsum) % 2147483648 AS BIGINT) AS checksum,
+       CAST(12 AS DOUBLE) AS feat_w,
+       CAST(8 AS DOUBLE) AS feat_h,
+       CAST(pxsum % 1000003 AS DOUBLE) AS feat_pxmod,
+       CAST(ord(substring(pixbuf, 1, 1)) AS DOUBLE) AS feat_first
+FROM s
 """
 
 # Same simplified GPT-2-ish pre-tokenizer pattern as

@@ -269,11 +269,28 @@ def corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Binary-column decode plumbing through mapInPandas (Arrow
-    batches); features dropped here so the oracle can mirror the
-    scalar outputs in pure SQL."""
-    media = documents_as_media(t(spark, sf, "documents"))
-    return extract_features(media).select("media_id", "kind", "byte_len", "checksum")
+    """REAL feature extraction: documents rendered as genuine P6
+    images (operators/multimodal.documents_as_ppm_media), decoded by
+    the in-repo codec inside extract_features — the feature vector is
+    [width, height, px_sum mod 1_000_003, first pixel byte] from the
+    ACTUAL pixel decode, not a byte-summary stub. The entries surface
+    as typed scalar columns so the DuckDB oracle re-derives every one
+    from text byte arithmetic (any header mis-parse or pixel-slice
+    drift changes them)."""
+    from fsc_etl_spark.operators.multimodal import documents_as_ppm_media
+
+    media = documents_as_ppm_media(t(spark, sf, "documents"))
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "byte_len",
+        "checksum",
+        F.element_at("feature", 1).cast("double").alias("feat_w"),
+        F.element_at("feature", 2).cast("double").alias("feat_h"),
+        F.element_at("feature", 3).cast("double").alias("feat_pxmod"),
+        F.element_at("feature", 4).cast("double").alias("feat_first"),
+    )
 
 
 def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:

@@ -292,3 +292,29 @@ def test_codec_truncation_raises_cleanly():
             decoder(codec_bytes[:-5])
     with _pytest.raises(ValueError):
         decode_wav(encode_wav(np.zeros(4, dtype="<i2"))[:20])
+
+
+def test_extract_features_real_decode_paths(spark):
+    """Recognized formats must go through the REAL codecs: a P6 image
+    reports its true dimensions/pixel sum, a WAV clip its true frame
+    count/peak/rate; unknown bytes keep the deterministic fallback."""
+    import numpy as np
+
+    from fsc_etl_spark.operators.audiocodec import encode_wav
+    from fsc_etl_spark.operators.imagecodec import encode_ppm
+
+    img = np.arange(2 * 3 * 3, dtype="u1").reshape(2, 3, 3)  # h=2, w=3
+    ppm = encode_ppm(img)
+    samples = np.array([[100], [-200], [300]], dtype="<i2")
+    wav = encode_wav(samples, 8000)
+    rows = [
+        (1, "image", bytearray(ppm), "image/x-portable-pixmap", {}),
+        (2, "audio", bytearray(wav), "audio/wav", {}),
+        (3, "image", bytearray(b"\x89PNG fake"), "image/png", {}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert got[1] == [3.0, 2.0, float(int(img.sum()) % 1_000_003), 0.0]
+    assert got[2] == [3.0, 300.0, float((100**2 + 200**2 + 300**2) % 1_000_003), 8000.0]
+    n = len(b"\x89PNG fake")
+    assert got[3] == [float(n), float(n % 256), float(sum(b"\x89PNG fake") % 997), 137.0]

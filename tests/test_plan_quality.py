@@ -271,6 +271,19 @@ def test_length_filter_window_confined_to_histogram(spark, sf_smoke):
     assert plan.count("SinglePartition") == 1
 
 
+def test_ntile_headline_has_no_global_row_sort(spark, sf_smoke):
+    """The headline NTILE query is lowered to the histogram
+    decomposition: no ntile window function, no full-table
+    single-partition sort. The only SinglePartition exchanges feed
+    the (value-domain-bounded) balance histogram window and the
+    scalar row-count aggregate."""
+    plan = plan_of(spark, sf_smoke, "ntile_customer_deciles")
+    assert "ntile(" not in plan, "headline deciles must not use a global NTILE window"
+    assert plan.count("SinglePartition") == 2
+    # the tie-group row_number stays partitioned by balance
+    assert "row_number()" in plan
+
+
 def test_cluster_canonical_rank_uses_window_group_limit(spark, sf_smoke):
     """row_number()=1 survivorship must push the per-cluster top-1
     limit into the shuffle (WindowGroupLimit), so only candidate
