@@ -445,10 +445,10 @@ def json_roundtrip_stats(spark: SparkSession, sf: str) -> DataFrame:
     aggregated — oracle runs on the ORIGINAL table, so any lossy
     round trip (type coercion, encoding) breaks the hash.
     """
-    import tempfile
+    from fsc_etl_spark.scratch import scratch_path
 
     docs = t(spark, sf, "documents").select("doc_id", "source", "lang", "n_chars")
-    path = tempfile.mkdtemp(prefix="fsc_json_") + "/documents_json"
+    path = scratch_path("json") + "/documents_json"
     docs.write.mode("overwrite").json(path)
     back = spark.read.schema(docs.schema).json(path)
     return back.groupBy("source").agg(

@@ -152,14 +152,14 @@ def dpp_pruned_rollup(spark: SparkSession, sf: str) -> DataFrame:
     broadcast once and reused as a scan-time partition predicate,
     costing nothing beyond the broadcast the join already needs.
     """
-    import tempfile
+    from fsc_etl_spark.scratch import scratch_path
 
     ev = t(spark, sf, "events").select(
         "event_id",
         "event_type",
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("vc"),
     )
-    path = tempfile.mkdtemp(prefix="fsc_dpp_") + "/events_by_type"
+    path = scratch_path("dpp") + "/events_by_type"
     ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
     fact = spark.read.parquet(path)
     conv = (
@@ -359,15 +359,15 @@ def partition_backfill_rewrite(spark: SparkSession, sf: str) -> DataFrame:
     day/type in place, never touch (or re-shuffle) the other 10k
     partitions.
     """
-    import tempfile
+    from fsc_etl_spark.scratch import scratch_path
 
     ev = t(spark, sf, "events").select(
         "event_id",
         "event_type",
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("vc"),
     )
-    path = tempfile.mkdtemp(prefix="fsc_backfill_") + "/events_by_type"
-    ev.write.partitionBy("event_type").parquet(path)
+    path = scratch_path("backfill") + "/events_by_type"
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
     fixed = ev.filter(F.col("event_type") == "error").withColumn(
         "vc", F.col("vc") * 2
     )
@@ -391,20 +391,20 @@ def merge_schema_read(spark: SparkSession, sf: str) -> DataFrame:
     materializes with NULLs for each batch's missing column, the
     schema-on-read contract every long-lived 100 TB table relies on.
     """
-    import tempfile
+    from fsc_etl_spark.scratch import scratch_path
 
     o = t(spark, sf, "orders").select(
         "o_orderkey",
         (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("vc"),
         "o_orderpriority",
     )
-    path = tempfile.mkdtemp(prefix="fsc_mergeschema_") + "/orders_evolved"
+    path = scratch_path("mergeschema") + "/orders_evolved"
     old = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "vc")
     new = o.filter(F.col("o_orderkey") % 2 == 1).select(
         "o_orderkey", "vc", F.col("o_orderpriority").alias("prio")
     )
-    old.write.parquet(path + "/b=1")
-    new.write.parquet(path + "/b=2")
+    old.write.mode("overwrite").parquet(path + "/b=1")
+    new.write.mode("overwrite").parquet(path + "/b=2")
     back = spark.read.option("mergeSchema", "true").parquet(
         path + "/b=1", path + "/b=2"
     )
@@ -571,18 +571,31 @@ def file_provenance_stats(spark: SparkSession, sf: str) -> DataFrame:
     what key range does each file cover) that costs nothing because
     the file name is scan-local metadata, not a stored column.
 
-    The fixture is one file per table at every sf, so the oracle pins
-    the literal basename; on a multi-file table the same query yields
-    per-file min/max key ranges (the z-order layout queries use that
-    form for pruning evidence).
+    The per-file grouping is then folded to LAYOUT-INDEPENDENT totals
+    so the oracle holds however the fixture is laid out (one file or
+    many, any basename): summed per-file counts must equal the table
+    count (catches double-reads), the per-file key ranges must cover
+    the table's range, and every contributing file name must carry the
+    parquet suffix (catches a mis-read ``_metadata`` column). The
+    per-file form itself (name → count/range) is what a debugging
+    session would show; it is inherently layout-bound, so only its
+    invariants are oracle-pinned.
     """
-    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+    li = t(spark, sf, "lineitem").select(
         F.col("_metadata.file_name").alias("file_name"), "l_orderkey"
     )
-    return li.groupBy("file_name").agg(
+    per_file = li.groupBy("file_name").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("l_orderkey").alias("min_okey"),
         F.max("l_orderkey").alias("max_okey"),
+    )
+    return per_file.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.min("min_okey").alias("min_okey"),
+        F.max("max_okey").alias("max_okey"),
+        F.min(
+            F.when(F.col("file_name").endswith(".parquet"), 1).otherwise(0)
+        ).cast("bigint").alias("all_parquet_files"),
     )
 
 
@@ -780,10 +793,10 @@ SELECT user_id, n_events,
 FROM folded
 """,
     "file_provenance_stats": """
-SELECT 'lineitem.parquet' AS file_name,
-       CAST(COUNT(*) AS BIGINT) AS n_rows,
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(MIN(l_orderkey) AS BIGINT) AS min_okey,
-       CAST(MAX(l_orderkey) AS BIGINT) AS max_okey
+       CAST(MAX(l_orderkey) AS BIGINT) AS max_okey,
+       CAST(1 AS BIGINT) AS all_parquet_files
 FROM lineitem
 """,
     "dpp_pruned_rollup": """

@@ -56,28 +56,40 @@ def sql_scripting_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
     unrolled CTE chain. The script runs on the engine; only the final
     SELECT's result comes back.
     """
-    spark.conf.set("spark.sql.scripting.enabled", "true")
     vc = (
         "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
     )
     src = f"parquet.`{sf}/orders.parquet`"
-    return spark.sql(
-        f"""
-        BEGIN
-          DECLARE thr BIGINT DEFAULT 0;
-          DECLARE i INT DEFAULT 0;
-          SET thr = (SELECT sum({vc}) div count(*) FROM {src});
-          WHILE i < 2 DO
-            SET thr = (SELECT sum({vc}) div count(*) FROM {src}
-                       WHERE {vc} <= thr);
-            SET i = i + 1;
-          END WHILE;
-          SELECT thr AS trimmed_mean_cents,
-                 (SELECT CAST(count(*) AS BIGINT) FROM {src}
-                  WHERE {vc} <= thr) AS n_below;
-        END
-        """
-    )
+    # Scripting is enabled only around the script call: the statement
+    # body executes eagerly inside spark.sql (verified — the returned
+    # frame collects fine after the restore), so flipping the conf
+    # back never changes SQL semantics for later queries on the
+    # shared session.
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            f"""
+            BEGIN
+              DECLARE thr BIGINT DEFAULT 0;
+              DECLARE i INT DEFAULT 0;
+              SET thr = (SELECT sum({vc}) div count(*) FROM {src});
+              WHILE i < 2 DO
+                SET thr = (SELECT sum({vc}) div count(*) FROM {src}
+                           WHERE {vc} <= thr);
+                SET i = i + 1;
+              END WHILE;
+              SELECT thr AS trimmed_mean_cents,
+                     (SELECT CAST(count(*) AS BIGINT) FROM {src}
+                      WHERE {vc} <= thr) AS n_below;
+            END
+            """
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
 
 
 def lateral_topk_orders(spark: SparkSession, sf: str) -> DataFrame:
@@ -110,10 +122,10 @@ def xml_roundtrip_stats(spark: SparkSession, sf: str) -> DataFrame:
     (training_data.orc_roundtrip_stats): the oracle runs on the
     ORIGINAL parquet table, so a lossy round trip breaks the hash.
     """
-    import tempfile
+    from fsc_etl_spark.scratch import scratch_path
 
     docs = t(spark, sf, "documents").select("doc_id", "source", "lang", "n_chars")
-    path = tempfile.mkdtemp(prefix="fsc_xml_") + "/documents_xml"
+    path = scratch_path("xml") + "/documents_xml"
     docs.write.format("xml").option("rowTag", "doc").mode("overwrite").save(path)
     back = (
         spark.read.format("xml")

@@ -446,12 +446,12 @@ def orc_roundtrip_stats(spark: SparkSession, sf: str) -> DataFrame:
     same vectorized columnar path as parquet, proving format choice is
     orthogonal to every operator downstream. Oracle runs on the
     original table: a lossy round trip would break counts or sums."""
-    import tempfile
+    from fsc_etl_spark.scratch import scratch_path
 
     from fsc_etl_spark.sources.readers import read_orc
 
     docs = t(spark, sf, "documents").select("doc_id", "source", "lang", "n_chars")
-    path = tempfile.mkdtemp(prefix="fsc_orc_") + "/documents_orc"
+    path = scratch_path("orc") + "/documents_orc"
     docs.write.mode("overwrite").orc(path)
     back = read_orc(spark, path, schema=docs.schema)
     return back.groupBy("source").agg(
