@@ -835,11 +835,17 @@ def pmi_top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
         " div (CAST(nx1 AS DECIMAL(38,0)) * CAST(nx2 AS DECIMAL(38,0))"
         " * CAST(nb_total AS DECIMAL(38,0))) AS BIGINT)"
     )
-    return (
+    out = (
         joined.select("bigram", "nxy", score.alias("pmi_score"))
         .orderBy(F.col("pmi_score").desc(), F.col("bigram"))
         .limit(20)
+        # materialise the 20-row result so the token cache (read by the
+        # unigram, bigram, and Nb branches) can be released immediately
+        # — long-lived sessions must not accumulate executor storage
+        .localCheckpoint(eager=True)
     )
+    toked.unpersist()
+    return out
 
 
 def udtf_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:

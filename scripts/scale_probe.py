@@ -99,6 +99,9 @@ PROBE_QUERIES = [
     "mixture_temperature_sample",    # integer keep-rule sampling
     "inverted_index_stats",     # posting-list build
     "pmi_top_bigrams",          # rational association ranking
+    # round-4 additions
+    "pagerank_dangling_redistribute",  # per-round sink-mass aggregate
+    "multimodal_features",      # real P6 decode in Arrow batches
 ]
 
 

@@ -44,6 +44,14 @@ INVARIANT_QUERIES = [
     "pagerank_copurchase",
     "session_window_stats",
     "pit_feature_join",
+    # round-4 batch: fixed-point rational ranking at the support floor,
+    # division-free drift flags, class-size privacy gate, packed
+    # two-state fold, dangling-mass redistribution rounds
+    "pmi_top_bigrams",
+    "value_drift_buckets",
+    "k_anonymity_audit",
+    "holt_user_forecast",
+    "pagerank_dangling_redistribute",
 ]
 
 
