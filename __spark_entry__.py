@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_feature_join",
         # --- new this round ---
         "pagerank_dangling_redistribute",  # exact dangling-mass variant
+        "embed_pq_topk",  # rows-only by design (PQ/ADC ANN)
         # --- changed this round (results or plan re-derived) ---
         "multimodal_features",  # real codec-backed decode (was stub)
         "ntile_customer_deciles",  # rebased on the scale-safe histogram path

@@ -315,6 +315,158 @@ def ivf_topk(
     )
 
 
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    train_fraction: float = 1.0,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the memory-bound third tier beside LSH buckets and IVF
+    cells: each corpus vector compresses to ``n_subspaces`` byte-sized
+    codes (64-dim float -> 8 bytes at the defaults, a 32x reduction),
+    and query scoring reads ONLY the codes.
+
+    Pipeline:
+
+    - split dimensions into ``n_subspaces`` contiguous sub-vectors and
+      fit one ``n_codes``-centroid K-Means codebook per subspace
+      (seeded per subspace; ``train_fraction`` < 1 fits on the same
+      deterministic md5 sample rule as :func:`ivf_topk`);
+    - ENCODE map-side: each vector's code per subspace is the argmin
+      distance against the broadcast literal codebook — pure
+      expressions, no shuffle, no Python (this is the write-once step:
+      at 100 TB the codes persist as a bytes column and the floats
+      never need re-reading);
+    - SCORE map-side (ADC): per query, the partial dot product of
+      every (subspace, code) pair is precomputed into a lookup table;
+      a corpus vector's approximate score is then ``n_subspaces``
+      array lookups — no float vector access;
+    - top ``refine * k`` candidates per query by ADC score, then exact
+      cosine re-rank of that bounded set to ``k`` (same rounding +
+      tie-break discipline as the exact path).
+
+    Approximate by design (quantization error), so no SQL oracle:
+    recall vs :func:`cosine_topk` is asserted in
+    tests/test_dedup_similarity.py, and the driver records a rows-only
+    check. Output schema matches the other ANN tiers:
+    (query_id, vec_id, cos, rank).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    def normalize(col: Column) -> Column:
+        n = l2_norm(col)
+        return F.transform(col, lambda x: x / n)
+
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sub = dim // n_subspaces
+
+    c_norm = corpus.select(
+        F.col(id_col), normalize(_as_double(F.col(vec_col))).alias("c_vec")
+    )
+    train_src = c_norm
+    if train_fraction < 1.0:
+        bucket = (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+            .cast("long")
+        )
+        train_src = c_norm.filter(bucket < F.lit(int(train_fraction * 65536)))
+    # one codebook per subspace: centers as plain Python lists so the
+    # encode/score steps below are literal expressions (broadcast by
+    # construction, nothing to join)
+    codebooks: list[list[list[float]]] = []
+    for s in range(n_subspaces):
+        train = train_src.select(
+            array_to_vector(
+                F.slice("c_vec", s * sub + 1, sub)
+            ).alias("features")
+        )
+        model = KMeans(k=n_codes, seed=seed + s, featuresCol="features").fit(train)
+        codebooks.append(
+            [[float(x) for x in c] for c in (list(v) for v in model.clusterCenters())]
+        )
+
+    def lit_arr(vals: list[float]) -> Column:
+        return F.array(*[F.lit(v) for v in vals])
+
+    def sub_dot(sub_col: Column, cent: list[float]) -> Column:
+        return dot(sub_col, lit_arr(cent))
+
+    def encode_code(vec: Column, s: int) -> Column:
+        """argmin_c ||x_s - cent||^2 == argmax_c (x_s . cent - |cent|^2/2);
+        first-max (lowest code) tie-break via array_position."""
+        sub_col = F.slice(vec, s * sub + 1, sub)
+        scores = F.array(
+            *[
+                sub_dot(sub_col, cent) - F.lit(sum(x * x for x in cent) / 2.0)
+                for cent in codebooks[s]
+            ]
+        )
+        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+    encoded = c_norm.select(
+        id_col,
+        "c_vec",
+        F.array(*[encode_code(F.col("c_vec"), s) for s in range(n_subspaces)]).alias(
+            "codes"
+        ),
+    )
+
+    q_norm = queries.select(
+        F.col(id_col).alias(query_id_col),
+        normalize(_as_double(F.col(vec_col))).alias("q_vec"),
+    )
+    # ADC lookup table: lut[s][c] = q_s . codebook[s][c]
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    sub_dot(F.slice("q_vec", s * sub + 1, sub), cent)
+                    for cent in codebooks[s]
+                ]
+            )
+            for s in range(n_subspaces)
+        ]
+    )
+    q_tab = q_norm.select(query_id_col, "q_vec", lut.alias("lut"))
+
+    cand = (
+        encoded.crossJoin(F.broadcast(q_tab))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        # codes are 0-based; [] indexing on arrays is 0-based in Spark SQL
+        .withColumn(
+            "adc",
+            F.expr(
+                "aggregate(zip_with(codes, lut, (c, t) -> t[c]), 0D, (acc, x) -> acc + x)"
+            ),
+        )
+    )
+    w_adc = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc").desc(), F.col(id_col).asc()
+    )
+    refined = (
+        cand.withColumn("arank", F.row_number().over(w_adc))
+        .filter(F.col("arank") <= refine * k)
+        .withColumn("cos", F.round(dot(F.col("q_vec"), F.col("c_vec")), ROUND_DIGITS))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+    )
+
+
 def nearest_neighbor_within_group(
     emb: DataFrame,
     group_col: str = "label",

@@ -166,6 +166,20 @@ def embed_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3)
 
 
+def embed_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_topk): 64-dim
+    vectors compressed to 8 subspace codes, ADC lookup-table scoring,
+    exact re-rank of the top-4k candidates. The memory-bound scale
+    tier beside LSH buckets and IVF cells. No SQL oracle (quantization
+    is approximate by design); recall vs the exact path is asserted in
+    tests/test_dedup_similarity.py and the driver records rows-only."""
+    from fsc_etl_spark.operators.similarity import pq_topk
+
+    emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq_topk(emb, queries, k=5, n_subspaces=8, n_codes=16, refine=4)
+
+
 def embed_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -1440,6 +1454,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_nn_within_label": embed_nn_within_label,
     "embed_lsh_topk": embed_lsh_topk,
     "embed_ivf_topk": embed_ivf_topk,
+    "embed_pq_topk": embed_pq_topk,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,

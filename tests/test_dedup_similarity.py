@@ -237,3 +237,40 @@ def test_star_cc_singletons_and_two_components(spark):
     got = {(r["doc_id"], r["cluster_root"]) for r in connected_components_star(nodes, pairs).collect()}
     want = {(0, 0), (1, 1), (4, 1), (2, 1), (7, 7), (9, 7), (8, 7), (3, 3), (5, 5), (6, 6)}
     assert got == want
+
+
+def test_pq_topk_recall_against_exact(emb):
+    """Tight clusters quantize cleanly: with 4 subspaces over the
+    16-dim fixture and plenty of codes, the ADC ranking's refined
+    top-3 should recover the exact neighbors (>= 2/3 guards against a
+    codebook split through a cluster)."""
+    from fsc_etl_spark.operators.similarity import pq_topk
+
+    queries = emb.filter(F.col("vec_id").isin(0, 10, 20))
+    exact = cosine_topk(emb, queries, k=3)
+    approx = pq_topk(emb, queries, k=3, n_subspaces=4, n_codes=8, refine=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 2 / 3
+
+
+def test_pq_topk_output_contract(emb):
+    """Schema/rank discipline matches the other ANN tiers: k rows per
+    query, ranks 1..k, self excluded, cos rounded to 6 decimals."""
+    from fsc_etl_spark.operators.similarity import pq_topk
+
+    queries = emb.filter(F.col("vec_id") == 0)
+    rows = pq_topk(emb, queries, k=3, n_subspaces=4, n_codes=8).collect()
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]
+    assert all(r["query_id"] == 0 and r["vec_id"] != 0 for r in rows)
+    assert all(abs(r["cos"]) <= 1.0 + 1e-9 for r in rows)
+
+
+def test_pq_topk_rejects_indivisible_dims(emb):
+    from fsc_etl_spark.operators.similarity import pq_topk
+
+    queries = emb.filter(F.col("vec_id") == 0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_topk(emb, queries, k=3, n_subspaces=5)
