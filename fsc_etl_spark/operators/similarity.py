@@ -1,16 +1,24 @@
 """Similarity search over embedding columns (array<float>).
 
-Two tiers, per the standard ANN playbook:
+Four tiers, per the standard ANN playbook:
 
 - :func:`cosine_topk` — exact brute force: broadcast the (small) query
   set, score every corpus vector, rank per query. The correctness
   baseline; linear in corpus size, embarrassingly parallel, no
-  shuffle until the final per-query top-k window.
+  shuffle until the final per-query top-k window (vectorized Arrow
+  twin: :func:`cosine_topk_pandas`).
 - :func:`lsh_bucketed_topk` — random-hyperplane LSH: both sides get a
   b-bit sign signature from fixed seeded hyperplanes; candidates are
   corpus vectors sharing a signature (or a 1-bit-flipped probe) with
   the query; exact cosine re-ranks candidates. Sub-linear candidate
   sets; the 100 TB path (bucket join instead of cross product).
+- :func:`ivf_topk` — inverted-file cells: deterministic coarse
+  quantizer, nprobe-cell probing, exact re-rank inside probed cells.
+  The partition-pruning path (cell = write-time bucket key at scale).
+- :func:`pq_topk` — product quantization + ADC: vectors compress to
+  subspace codes, queries score via lookup tables without touching
+  the float vectors. The memory-bound path (codes live in RAM at
+  corpus scales where floats cannot).
 
 Dot products run as Catalyst higher-order functions (zip_with +
 aggregate) — JVM-side, no Python. Cosine values are rounded to 6
@@ -44,6 +52,77 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _lloyd_codebook(X, k: int, iters: int):
+    """Deterministic Lloyd K-Means over a (bounded, driver-side) numpy
+    sample: farthest-point init (c0 = first row, then repeatedly the
+    point maximizing distance-to-nearest-chosen; numpy argmax takes
+    the lowest index on ties), argmin assignment (lowest index on
+    ties), mean update, empty cluster keeps its center. Pure float64 —
+    bit-stable across runs, no RNG, no pyspark.ml fit (whose
+    per-fit job overhead dominates small quantizer trainings and
+    whose kmeans|| init is seeded-random). If the sample has fewer
+    than ``k`` rows the codebook is padded by repeating the last
+    center so code indices stay 0..k-1."""
+    import numpy as np
+
+    k_eff = min(k, X.shape[0])
+    idx = [0]
+    d = ((X - X[0]) ** 2).sum(axis=1)
+    for _ in range(1, k_eff):
+        i = int(d.argmax())
+        idx.append(i)
+        d = np.minimum(d, ((X - X[i]) ** 2).sum(axis=1))
+    cent = X[idx].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k_eff):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    if k_eff < k:
+        cent = np.vstack([cent] + [cent[-1:]] * (k - k_eff))
+    return [[float(v) for v in row] for row in cent]
+
+
+def _pq_lit_arr(vals: list[float]) -> Column:
+    return F.array(*[F.lit(v) for v in vals])
+
+
+def _argmin_code(
+    vec: Column, centers: list[list[float]], norm: Column | None = None
+) -> Column:
+    """Map-side nearest-center assignment against a LITERAL codebook:
+    argmin_c ||x - cent||^2 == argmax_c (x . cent - |cent|^2 / 2),
+    first-max (lowest code) tie-break via array_position. Pure
+    expressions (zip_with/aggregate folds against literal arrays) —
+    no join, no shuffle, no Python. (An explicit indexed multiply-add
+    expansion was measured SLOWER here: codes x dims unrolled terms
+    blow past codegen method limits and fall back to interpreted
+    evaluation of a much bigger tree.)
+
+    ``norm``: when the codebook lives in the L2-normalized space but
+    ``vec`` is raw, pass the vector's norm column — scores become
+    ``dot(x, c) / |x| - |c|^2/2`` (assignment of x-hat without ever
+    materializing it). Dividing at SCORE level matters: a normalized
+    vector column embeds the norm fold inside ``transform``'s
+    per-element lambda, and every downstream reference re-inlines it —
+    the interpreted higher-order expression then costs O(dim^2) per
+    use instead of O(dim)."""
+
+    def lit_arr(vals: list[float]) -> Column:
+        return F.array(*[F.lit(v) for v in vals])
+
+    def score(cent: list[float]) -> Column:
+        d = dot(vec, lit_arr(cent))
+        if norm is not None:
+            d = d / norm
+        return d - F.lit(sum(x * x for x in cent) / 2.0)
+
+    scores = F.array(*[score(cent) for cent in centers])
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
 def cosine_topk(
@@ -232,8 +311,9 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    seed: int = 42,
+    train_limit: int = 4096,
     train_fraction: float = 1.0,
+    train_iters: int = 10,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: K-Means coarse quantizer,
     probe the ``nprobe`` nearest centroid cells per query, exact cosine
@@ -243,53 +323,61 @@ def ivf_topk(
     L2-normalized (Euclidean K-Means then orders like cosine) and
     assigned to a centroid ONCE — at 100 TB the assignment is a write-
     time partition/bucket key, so a query touches only
-    ``nprobe / n_centroids`` of the corpus. ``train_fraction`` < 1
-    fits the quantizer on a DETERMINISTIC md5-hash sample (no RNG
-    state, stable across reruns/partitionings) — a coarse quantizer
-    needs only enough vectors to place centroids, so at corpus scale
-    train on e.g. 1e-4 of the data; every vector is still assigned.
-    Recall improves with ``nprobe`` (= n_centroids ⇒ exact).
+    ``nprobe / n_centroids`` of the corpus. The quantizer itself is a
+    tiny model (n_centroids * dim floats) fit with DETERMINISTIC
+    driver-side Lloyd rounds (:func:`_lloyd_codebook`) over a bounded
+    sample — first ``train_limit`` vectors by id, optionally
+    pre-thinned by the md5-hash rule when ``train_fraction`` < 1 (no
+    RNG state, stable across reruns/partitionings). Cell assignment is
+    a map-side literal-expression argmin (:func:`_argmin_code`) — no
+    ml-pipeline fit/transform jobs on the measured path. Recall
+    improves with ``nprobe`` (= n_centroids ⇒ exact).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
-    def normalize(col: Column) -> Column:
-        n = l2_norm(col)
-        return F.transform(col, lambda x: x / n)
-
-    c_norm = corpus.select(
-        F.col(id_col), normalize(_as_double(F.col(vec_col))).alias("c_vec")
-    )
-    train_src = c_norm
+    # Raw vectors + a norm COLUMN, never a normalized vector column:
+    # see _argmin_code's norm note — normalizing via transform embeds
+    # the norm fold per element and every downstream dot re-inlines
+    # it (O(dim^2) interpreted work per reference). All scores divide
+    # by the norm instead, which is also bit-identical to the exact
+    # path's cosine() arithmetic.
+    c = corpus.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("c_vec"),
+    ).withColumn("c_n", l2_norm(F.col("c_vec")))
+    train_src = c
     if train_fraction < 1.0:
         bucket = (
             F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
             .cast("long")
         )
-        train_src = c_norm.filter(bucket < F.lit(int(train_fraction * 65536)))
-    train = train_src.select(array_to_vector("c_vec").alias("features"))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
-
-    centroids = [
-        [float(x) for x in c] for c in (list(v) for v in model.clusterCenters())
-    ]
+        train_src = c.filter(bucket < F.lit(int(train_fraction * 65536)))
+    sample = train_src.orderBy(id_col).limit(train_limit).select("c_vec").collect()
+    X = np.array([r[0] for r in sample], dtype="float64")
+    if X.shape[0] == 0:
+        raise ValueError("ivf_topk: empty training sample")
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    centroids = _lloyd_codebook(X, n_centroids, train_iters)
     cent_df = F.broadcast(
         corpus.sparkSession.createDataFrame(
             [(i, c) for i, c in enumerate(centroids)], ["cell", "cent"]
         )
     )
 
-    assigned = model.transform(
-        c_norm.withColumn("features", array_to_vector("c_vec"))
-    ).select(F.col(id_col), "c_vec", F.col("prediction").alias("cell"))
-
-    q_norm = queries.select(
-        F.col(id_col).alias(query_id_col),
-        normalize(_as_double(F.col(vec_col))).alias("q_vec"),
+    assigned = c.select(
+        F.col(id_col),
+        "c_vec",
+        "c_n",
+        _argmin_code(F.col("c_vec"), centroids, norm=F.col("c_n")).alias("cell"),
     )
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+    ).withColumn("q_n", l2_norm(F.col("q_vec")))
     q_cells = (
-        q_norm.crossJoin(cent_df)
-        .withColumn("cdist", dot(F.col("q_vec"), F.col("cent")))
+        q.crossJoin(cent_df)
+        .withColumn("cdist", dot(F.col("q_vec"), F.col("cent")) / F.col("q_n"))
         .withColumn(
             "crank",
             F.row_number().over(
@@ -299,13 +387,19 @@ def ivf_topk(
             ),
         )
         .filter(F.col("crank") <= nprobe)
-        .select(query_id_col, "q_vec", "cell")
+        .select(query_id_col, "q_vec", "q_n", "cell")
     )
 
     cand = (
         assigned.join(F.broadcast(q_cells), "cell")
         .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cos", F.round(dot(F.col("q_vec"), F.col("c_vec")), ROUND_DIGITS))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
+                ROUND_DIGITS,
+            ),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
@@ -325,8 +419,10 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    seed: int = 42,
+    train_limit: int = 4096,
     train_fraction: float = 1.0,
+    train_iters: int = 10,
+    encode_strategy: str = "pandas",
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (ADC) — the memory-bound third tier beside LSH buckets and IVF
@@ -337,9 +433,14 @@ def pq_topk(
     Pipeline:
 
     - split dimensions into ``n_subspaces`` contiguous sub-vectors and
-      fit one ``n_codes``-centroid K-Means codebook per subspace
-      (seeded per subspace; ``train_fraction`` < 1 fits on the same
-      deterministic md5 sample rule as :func:`ivf_topk`);
+      fit one ``n_codes``-centroid codebook per subspace with
+      DETERMINISTIC driver-side Lloyd rounds over a bounded sample
+      (first ``train_limit`` vectors by id — the codebook is a tiny
+      model artifact, `n_subspaces * n_codes * subdim` floats, so
+      training it on a bounded sample driver-side is the standard PQ
+      recipe; ``train_fraction`` < 1 additionally pre-thins with the
+      same md5 rule as :func:`ivf_topk`. No RNG anywhere: first-K
+      init, lowest-index tie-breaks, float64 accumulation);
     - ENCODE map-side: each vector's code per subspace is the argmin
       distance against the broadcast literal codebook — pure
       expressions, no shuffle, no Python (this is the write-once step:
@@ -359,86 +460,128 @@ def pq_topk(
     check. Output schema matches the other ANN tiers:
     (query_id, vec_id, cos, rank).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    def normalize(col: Column) -> Column:
-        n = l2_norm(col)
-        return F.transform(col, lambda x: x / n)
+    import numpy as np
 
     dim = len(corpus.select(vec_col).first()[0])
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
     sub = dim // n_subspaces
 
-    c_norm = corpus.select(
-        F.col(id_col), normalize(_as_double(F.col(vec_col))).alias("c_vec")
-    )
-    train_src = c_norm
+    # Raw vectors + a norm COLUMN (see _argmin_code's norm note: a
+    # normalized vector column re-inlines the norm fold per element
+    # per downstream reference — O(dim^2) interpreted work per use).
+    c = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("c_vec")
+    ).withColumn("c_n", l2_norm(F.col("c_vec")))
+    train_src = c
     if train_fraction < 1.0:
         bucket = (
             F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
             .cast("long")
         )
-        train_src = c_norm.filter(bucket < F.lit(int(train_fraction * 65536)))
-    # one codebook per subspace: centers as plain Python lists so the
-    # encode/score steps below are literal expressions (broadcast by
-    # construction, nothing to join)
-    codebooks: list[list[list[float]]] = []
-    for s in range(n_subspaces):
-        train = train_src.select(
-            array_to_vector(
-                F.slice("c_vec", s * sub + 1, sub)
-            ).alias("features")
+        train_src = c.filter(bucket < F.lit(int(train_fraction * 65536)))
+    # Bounded deterministic training sample: first train_limit vectors
+    # by id (TakeOrdered — no full sort). The collect is bounded by
+    # train_limit * dim doubles regardless of corpus size.
+    sample = train_src.orderBy(id_col).limit(train_limit).select("c_vec").collect()
+    X = np.array([r[0] for r in sample], dtype="float64")
+    if X.shape[0] == 0:
+        raise ValueError("pq_topk: empty training sample")
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+
+    # one codebook per subspace (_lloyd_codebook: deterministic
+    # farthest-point init + Lloyd rounds) in the normalized space:
+    # centers as plain Python lists so the encode/score steps below
+    # are literal expressions (broadcast by construction, nothing to
+    # join)
+    codebooks: list[list[list[float]]] = [
+        _lloyd_codebook(X[:, s * sub : (s + 1) * sub], n_codes, train_iters)
+        for s in range(n_subspaces)
+    ]
+
+    if encode_strategy == "expr":
+        # pure-JVM expression encode: one argmin fold per subspace
+        encoded = c.select(
+            id_col,
+            "c_vec",
+            "c_n",
+            F.array(
+                *[
+                    _argmin_code(
+                        F.slice("c_vec", s * sub + 1, sub),
+                        codebooks[s],
+                        norm=F.col("c_n"),
+                    )
+                    for s in range(n_subspaces)
+                ]
+            ).alias("codes"),
         )
-        model = KMeans(k=n_codes, seed=seed + s, featuresCol="features").fit(train)
-        codebooks.append(
-            [[float(x) for x in c] for c in (list(v) for v in model.clusterCenters())]
-        )
+    elif encode_strategy == "pandas":
+        # vectorized Arrow encode: per batch, one matrix product per
+        # subspace scores every (vector, code) pair at BLAS speed —
+        # the same sanctioned numpy boundary as cosine_topk_pandas.
+        # Interpreted zip_with/aggregate folds cost ~µs per lambda
+        # call, and encode runs codes x subspaces of them per row;
+        # the batch kernel replaces all of that with S gathers. Same
+        # argmax + first-index (lowest code) tie-break.
+        import pandas as pd
+        from pyspark.sql import types as T
 
-    def lit_arr(vals: list[float]) -> Column:
-        return F.array(*[F.lit(v) for v in vals])
+        cb = [np.array(b, dtype="float64") for b in codebooks]
+        half_norms = [0.5 * (b * b).sum(axis=1) for b in cb]
 
-    def sub_dot(sub_col: Column, cent: list[float]) -> Column:
-        return dot(sub_col, lit_arr(cent))
-
-    def encode_code(vec: Column, s: int) -> Column:
-        """argmin_c ||x_s - cent||^2 == argmax_c (x_s . cent - |cent|^2/2);
-        first-max (lowest code) tie-break via array_position."""
-        sub_col = F.slice(vec, s * sub + 1, sub)
-        scores = F.array(
-            *[
-                sub_dot(sub_col, cent) - F.lit(sum(x * x for x in cent) / 2.0)
-                for cent in codebooks[s]
+        out_schema = T.StructType(
+            [
+                c.schema[id_col],
+                T.StructField("c_vec", T.ArrayType(T.DoubleType())),
+                T.StructField("c_n", T.DoubleType()),
+                T.StructField("codes", T.ArrayType(T.IntegerType())),
             ]
         )
-        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
-    encoded = c_norm.select(
-        id_col,
-        "c_vec",
-        F.array(*[encode_code(F.col("c_vec"), s) for s in range(n_subspaces)]).alias(
-            "codes"
-        ),
-    )
+        def encode(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.array(pdf["c_vec"].tolist(), dtype="float64")
+                n = np.maximum(
+                    np.sqrt((M * M).sum(axis=1, keepdims=True)), 1e-30
+                )
+                Mh = M / n
+                codes = np.empty((len(pdf), n_subspaces), dtype="int32")
+                for s in range(n_subspaces):
+                    scores = Mh[:, s * sub : (s + 1) * sub] @ cb[s].T - half_norms[s]
+                    codes[:, s] = scores.argmax(axis=1)  # first max on ties
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "c_vec": pdf["c_vec"],
+                        "c_n": pdf["c_n"],
+                        "codes": list(codes),
+                    }
+                )
 
-    q_norm = queries.select(
-        F.col(id_col).alias(query_id_col),
-        normalize(_as_double(F.col(vec_col))).alias("q_vec"),
-    )
-    # ADC lookup table: lut[s][c] = q_s . codebook[s][c]
+        encoded = c.mapInPandas(encode, schema=out_schema)
+    else:
+        raise ValueError(f"encode_strategy must be pandas|expr, got {encode_strategy!r}")
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), _as_double(F.col(vec_col)).alias("q_vec")
+    ).withColumn("q_n", l2_norm(F.col("q_vec")))
+    # ADC lookup table: lut[s][c] = q_hat_s . codebook[s][c]
     lut = F.array(
         *[
             F.array(
                 *[
-                    sub_dot(F.slice("q_vec", s * sub + 1, sub), cent)
+                    dot(F.slice("q_vec", s * sub + 1, sub), _pq_lit_arr(cent))
+                    / F.col("q_n")
                     for cent in codebooks[s]
                 ]
             )
             for s in range(n_subspaces)
         ]
     )
-    q_tab = q_norm.select(query_id_col, "q_vec", lut.alias("lut"))
+    q_tab = q.select(query_id_col, "q_vec", "q_n", lut.alias("lut"))
 
     cand = (
         encoded.crossJoin(F.broadcast(q_tab))
@@ -457,7 +600,13 @@ def pq_topk(
     refined = (
         cand.withColumn("arank", F.row_number().over(w_adc))
         .filter(F.col("arank") <= refine * k)
-        .withColumn("cos", F.round(dot(F.col("q_vec"), F.col("c_vec")), ROUND_DIGITS))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
+                ROUND_DIGITS,
+            ),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (

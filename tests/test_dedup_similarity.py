@@ -274,3 +274,29 @@ def test_pq_topk_rejects_indivisible_dims(emb):
 
     with _pytest.raises(ValueError, match="not divisible"):
         pq_topk(emb, queries, k=3, n_subspaces=5)
+
+
+def test_pq_encode_strategies_identical(emb):
+    """The vectorized Arrow encode and the pure-expression encode are
+    the same math (argmax of dot - |c|^2/2, first-index tie-break) —
+    the physical strategy must not change a single output row."""
+    from fsc_etl_spark.operators.similarity import pq_topk
+
+    queries = emb.filter(F.col("vec_id").isin(0, 10, 20))
+    a = sorted(
+        map(
+            tuple,
+            pq_topk(
+                emb, queries, k=3, n_subspaces=4, n_codes=8, encode_strategy="pandas"
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            pq_topk(
+                emb, queries, k=3, n_subspaces=4, n_codes=8, encode_strategy="expr"
+            ).collect(),
+        )
+    )
+    assert a == b

@@ -31,6 +31,7 @@ PANDAS_OK = {
     "udtf_ngram_topk",  # ArrowEvalPythonUDTF — the sanctioned Arrow UDTF boundary
     "embed_cosine_topk_pandas",
     "user_trend_slope_pandas",
+    "embed_pq_topk",  # vectorized Arrow encode (expression twin tested identical)
 }
 # Streaming queries execute eagerly inside the callable (AvailableNow
 # runs) and return a materialized result — no lazy plan to inspect.
