@@ -172,6 +172,8 @@ BENCH_QUERIES = [
     # round-4 additions (appended — earlier names/order unchanged)
     "pagerank_dangling_redistribute",
     "embed_pq_topk",
+    "chunk_overlap_docs",
+    "padding_waste_stats",
     # round-4 full-surface expansion: every remaining batch query, so
     # the bench covers the whole queries() surface. Still off-bench,
     # each with a documented reason: the 12 streaming_* queries (their

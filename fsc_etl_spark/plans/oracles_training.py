@@ -1114,3 +1114,53 @@ GROUP BY cid
 
 
 TRAINING_ORACLES["kmeans_cluster_stats"] = _kmeans_oracle()
+
+# Sliding-window chunk geometry + byte-exact chunk text: the window
+# math is pure integer arithmetic mirrored term-for-term, and the
+# chunk md5 re-slices the same whitespace token list — an off-by-one
+# in either engine's window/stride breaks the hash.
+TRAINING_ORACLES["chunk_overlap_docs"] = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+  FROM documents WHERE length(text) > 0
+),
+n AS (
+  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM tk
+  WHERE len(tk) > 0
+),
+c AS (
+  SELECT doc_id, tk, n,
+         CASE WHEN n <= 64 THEN 1 ELSE ((n - 64 + 47) // 48) + 1 END AS n_chunks
+  FROM n
+),
+x AS (
+  SELECT doc_id, tk, n, CAST(u.i AS BIGINT) AS chunk_idx
+  FROM c, LATERAL (SELECT unnest(range(c.n_chunks)) AS i) u
+)
+SELECT doc_id,
+       chunk_idx,
+       CAST(chunk_idx * 48 AS BIGINT) AS start_tok,
+       CAST(LEAST(64, n - chunk_idx * 48) AS BIGINT) AS chunk_len,
+       md5(array_to_string(
+             tk[CAST(chunk_idx * 48 + 1 AS INTEGER)
+                : CAST(chunk_idx * 48 + LEAST(64, n - chunk_idx * 48) AS INTEGER)],
+             ' ')) AS chunk_md5
+FROM x
+"""
+
+TRAINING_ORACLES["padding_waste_stats"] = r"""
+WITH tk AS (
+  SELECT CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n
+  FROM documents WHERE length(text) > 0
+),
+nz AS (SELECT n FROM tk WHERE n > 0),
+b AS (SELECT ((n + 31) // 32) * 32 AS bucket, n FROM nz)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS sum_tokens,
+       CAST(bucket * COUNT(*) - SUM(n) AS BIGINT) AS pad_tokens,
+       CAST((SUM(n) * 10000) // (bucket * COUNT(*)) AS BIGINT) AS utilization_bp
+FROM b GROUP BY bucket
+"""

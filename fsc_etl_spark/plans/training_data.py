@@ -423,6 +423,95 @@ def audio_downsample_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: sliding-window chunking geometry: 64-token windows, stride 48
+#: (16-token overlap) — the standard RAG / pretraining chunk shape.
+CHUNK_WINDOW = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_overlap_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL sliding-window chunking — the row-exploding prep step every
+    RAG / pretraining pipeline runs: each document becomes
+    ``ceil((T - W) / S) + 1`` chunk rows (window W=64 tokens, stride
+    S=48, so consecutive chunks share 16 tokens), each carrying its
+    exact token span and an md5 of the chunk text.
+
+    All geometry is integer arithmetic (``(T - W + S - 1) div S + 1``,
+    no float ceil), and the chunk text is rebuilt by slicing the
+    token array — so the DuckDB oracle reproduces every chunk
+    byte-for-byte and any off-by-one in the window math breaks the
+    hash. Scale shape: map-side explode proportional to output
+    chunks; no shuffle at all.
+    """
+    docs = t(spark, sf, "documents").filter(F.length("text") > 0)
+    w, s = CHUNK_WINDOW, CHUNK_STRIDE
+    tk = (
+        docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+        .withColumn("n", F.size("tk").cast("bigint"))
+        .filter(F.col("n") > 0)
+    )
+    n_chunks = F.when(F.col("n") <= w, F.lit(1).cast("bigint")).otherwise(
+        F.expr(f"((n - {w} + {s - 1}) div {s}) + 1")
+    )
+    chunked = tk.withColumn("n_chunks", n_chunks).select(
+        "doc_id",
+        "tk",
+        "n",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_chunks") - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    start = F.col("chunk_idx") * s
+    clen = F.least(F.lit(w).cast("bigint"), F.col("n") - start)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        start.cast("bigint").alias("start_tok"),
+        clen.cast("bigint").alias("chunk_len"),
+        F.md5(
+            F.array_join(
+                F.slice("tk", (start + 1).cast("int"), clen.cast("int")), " "
+            ).cast("binary")
+        ).alias("chunk_md5"),
+    )
+
+
+def padding_waste_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-length bucketing for batch scheduling: documents grouped
+    into 32-token-multiple buckets (the pad-to-multiple convention),
+    reporting per bucket how many tokens the padded batch would carry
+    vs how many are real — the padding-efficiency audit run before
+    picking packing/bucketing parameters for a training run.
+
+    Integer-exact: bucket = ((T + 31) div 32) * 32, waste =
+    bucket * n_docs - sum(T), utilization in basis points via integer
+    division. One map-side bucket assignment + one shuffle (the
+    groupBy) at any corpus size.
+    """
+    docs = t(spark, sf, "documents").filter(F.length("text") > 0)
+    tk = docs.select(token_count(F.col("text")).alias("n")).filter(F.col("n") > 0)
+    bucket = F.expr("((n + 31) div 32) * 32")
+    return (
+        tk.select(bucket.alias("bucket"), "n")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "sum_tokens",
+            (F.col("bucket") * F.col("n_docs") - F.col("sum_tokens")).alias(
+                "pad_tokens"
+            ),
+            F.expr("(sum_tokens * 10000) div (bucket * n_docs)").alias(
+                "utilization_bp"
+            ),
+        )
+    )
+
+
 def vocab_coverage_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Tokenizer-vocabulary coverage: build the top-16 corpus tokens
     (frequency desc, token asc — deterministic tie-break), then report
@@ -1455,6 +1544,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_lsh_topk": embed_lsh_topk,
     "embed_ivf_topk": embed_ivf_topk,
     "embed_pq_topk": embed_pq_topk,
+    "chunk_overlap_docs": chunk_overlap_docs,
+    "padding_waste_stats": padding_waste_stats,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,

@@ -52,6 +52,7 @@ INVARIANT_QUERIES = [
     "k_anonymity_audit",
     "holt_user_forecast",
     "pagerank_dangling_redistribute",
+    "padding_waste_stats",
 ]
 
 
