@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pq_topk",  # rows-only by design (PQ/ADC ANN)
         "chunk_overlap_docs",  # sliding-window chunking (RAG/pretraining prep)
         "padding_waste_stats",  # token-length bucketing / padding audit
+        "table_profile_stats",  # ANALYZE-style exact column profile
         # --- changed this round (results or plan re-derived) ---
         "multimodal_features",  # real codec-backed decode (was stub)
         "ntile_customer_deciles",  # rebased on the scale-safe histogram path

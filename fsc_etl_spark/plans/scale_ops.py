@@ -80,6 +80,53 @@ def reservoir_sample_per_source(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def table_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """ANALYZE-style column profile of ``orders`` — per column: row
+    count, null count, EXACT distinct count, min and max — the stats
+    collection pass a cost-based optimizer (or a data-quality gate)
+    runs per table.
+
+    One pass, one shuffle: the columns UNPIVOT into (col_name, val)
+    rows — values rendered in an order-preserving canonical string
+    form (non-negative numerics zero-padded to fixed width, dates as
+    ISO strings) so a single string min/max/count_distinct aggregate
+    profiles every column at once. At 100 TB this is ~n_cols x rows
+    of map-side expansion into ONE groupBy(col_name) — no per-column
+    scan loop, no driver iteration; the canonical form keeps the
+    whole pass in two HashAggregates.
+    """
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")  # noqa: E731
+    o = t(spark, sf, "orders").select(
+        pad("o_orderkey").alias("o_orderkey"),
+        pad("o_custkey").alias("o_custkey"),
+        F.lpad(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .cast("string"),
+            20,
+            "0",
+        ).alias("o_totalprice_cents"),
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        F.col("o_orderpriority").alias("o_orderpriority"),
+    )
+    cols = list(o.columns)
+    stacked = o.select(
+        F.expr(
+            "stack({n}, {pairs}) AS (col_name, val)".format(
+                n=len(cols),
+                pairs=", ".join(f"'{c}', {c}" for c in cols),
+            )
+        )
+    )
+    return stacked.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("val")).alias("n_nulls"),
+        F.count_distinct("val").alias("ndv"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
 def zorder_key_demo(spark: SparkSession, sf: str) -> DataFrame:
     """The Morton/Z-order key primitive behind maintenance.zorder_by,
     driver-verified with FIXED bin boundaries (the production path
@@ -616,10 +663,36 @@ QUERIES = {
     "skyline_orders": skyline_orders,
     "value_anomaly_events": value_anomaly_events,
     "value_drift_buckets": value_drift_buckets,
+    "table_profile_stats": table_profile_stats,
     "zorder_key_demo": zorder_key_demo,
 }
 
 SCALE_ORACLES = {
+    "table_profile_stats": """
+WITH o AS (
+  SELECT lpad(CAST(o_orderkey AS VARCHAR), 20, '0') AS o_orderkey,
+         lpad(CAST(o_custkey AS VARCHAR), 20, '0') AS o_custkey,
+         lpad(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR),
+              20, '0') AS o_totalprice_cents,
+         CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+         o_orderpriority
+  FROM orders
+),
+s AS (
+  SELECT 'o_orderkey' AS col_name, o_orderkey AS val FROM o
+  UNION ALL SELECT 'o_custkey', o_custkey FROM o
+  UNION ALL SELECT 'o_totalprice_cents', o_totalprice_cents FROM o
+  UNION ALL SELECT 'o_orderdate', o_orderdate FROM o
+  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM o
+)
+SELECT col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(val) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT val) AS BIGINT) AS ndv,
+       MIN(val) AS min_val,
+       MAX(val) AS max_val
+FROM s GROUP BY col_name
+""",
     "bloom_pruned_join": """
 SELECT
   l_returnflag,

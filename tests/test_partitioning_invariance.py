@@ -53,6 +53,7 @@ INVARIANT_QUERIES = [
     "holt_user_forecast",
     "pagerank_dangling_redistribute",
     "padding_waste_stats",
+    "table_profile_stats",
 ]
 
 
