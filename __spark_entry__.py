@@ -55,11 +55,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (multimodal_features — real codec-backed decode; the scale-safe
     deciles headline) and long-green sentinels to fill the window.
     After r4's CORRECTNESS lands, every query in the repo has at
-    least one driver-green row (except the 3 rows-only-by-design
+    least one driver-green row (except the rows-only-by-design
     ANN/sketch entries, recorded as weaker rows-only checks). Keep
     tests/test_entry_contract.py's prefix-pin test in sync with this
     list; it derives the never-sampled set from CORRECTNESS_r0*.json
     automatically.
+
+    ROUND-5 ROTATION NOTE: after r4's CORRECTNESS lands, the only
+    queries without a driver row should be whatever r4's ~50-slot
+    sample missed (if it sampled fewer than this list's head) — the
+    prefix-pin test recomputes the set from CORRECTNESS_r0{1..4}.json;
+    put any stragglers first, then backfill with long-green sentinels.
+    The five round-4 additions (pagerank_dangling_redistribute,
+    embed_pq_topk, chunk_overlap_docs, padding_waste_stats,
+    table_profile_stats) and the two re-derived queries
+    (multimodal_features, ntile_customer_deciles) sit at slots 42-48
+    and must stay in-window until green.
     """
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     merged.update(analytics.QUERIES)

@@ -185,3 +185,53 @@ def test_kmeans_exact_known_clusters_and_empty_carryover(spark):
     assert nxt[1] == cents[1]  # empty cluster kept previous centroid
     out2 = {r["cluster_id"]: r["n_members"] for r in kmeans_exact(same, k=2, iters=1).collect()}
     assert out2 == {0: 4}
+
+
+# ---- round-4: sliding-window chunk geometry vs a python reference ----
+
+def _py_chunks(tokens_list, w=64, s=48):
+    t = len(tokens_list)
+    if t == 0:
+        return []
+    n = 1 if t <= w else (t - w + s - 1) // s + 1
+    out = []
+    for i in range(n):
+        start = i * s
+        ln = min(w, t - start)
+        out.append((i, start, ln, " ".join(tokens_list[start : start + ln])))
+    return out
+
+
+def test_chunk_overlap_matches_python_reference(spark, tmp_path):
+    """Window/stride math and chunk text must equal the brute-force
+    reference on boundary sizes: below, at, and just past the window,
+    at an exact stride multiple, and long enough for 3+ chunks."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from fsc_etl_spark.plans.training_data import chunk_overlap_docs
+
+    sizes = [1, 63, 64, 65, 112, 113, 160, 200]
+    rows = [
+        Row(
+            doc_id=i,
+            text=" ".join(f"w{i}x{j}" for j in range(n)),
+            lang="en",
+            source="s",
+            n_chars=1,
+        )
+        for i, n in enumerate(sizes)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{sf}/documents.parquet")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["start_tok"], r["chunk_len"], r["chunk_md5"])
+        for r in chunk_overlap_docs(spark, sf).collect()
+    }
+    want = {}
+    for i, n in enumerate(sizes):
+        toks = [f"w{i}x{j}" for j in range(n)]
+        for idx, start, ln, text in _py_chunks(toks):
+            want[(i, idx)] = (start, ln, hashlib.md5(text.encode()).hexdigest())
+    assert got == want
