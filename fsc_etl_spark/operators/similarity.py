@@ -139,14 +139,24 @@ def cosine_topk(
     partition-parallel with no shuffle until the top-k window, which
     partitions by query id.
     """
+    # per-side norm columns: one fold per row instead of two per pair;
+    # bit-identical to cosine() (same dot/(sqrt*sqrt) ordering)
     q = queries.select(
         F.col(id_col).alias(query_id_col), _as_double(F.col(vec_col)).alias("q_vec")
-    )
-    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("c_vec"))
+    ).withColumn("q_n", l2_norm(F.col("q_vec")))
+    c = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("c_vec")
+    ).withColumn("c_n", l2_norm(F.col("c_vec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), ROUND_DIGITS))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
+                ROUND_DIGITS,
+            ),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
@@ -288,15 +298,25 @@ def cosine_near_dup_pairs(
     """
     a_cols = [F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")]
     b_cols = [F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")]
+    # per-side norm columns: one fold per row instead of two folds per
+    # pair; bit-identical to cosine() (same dot/(sqrt*sqrt) ordering)
     if block_col is not None:
-        a = emb.select(F.col(block_col), *a_cols)
-        b = emb.select(F.col(block_col), *b_cols)
+        a = emb.select(F.col(block_col), *a_cols).withColumn("na", l2_norm(F.col("va")))
+        b = emb.select(F.col(block_col), *b_cols).withColumn("nb", l2_norm(F.col("vb")))
         pairs = a.join(b, block_col)
     else:
-        pairs = emb.select(*a_cols).crossJoin(emb.select(*b_cols))
+        a = emb.select(*a_cols).withColumn("na", l2_norm(F.col("va")))
+        b = emb.select(*b_cols).withColumn("nb", l2_norm(F.col("vb")))
+        pairs = a.crossJoin(b)
     return (
         pairs.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), ROUND_DIGITS))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                ROUND_DIGITS,
+            ),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -625,16 +645,27 @@ def nearest_neighbor_within_group(
     """Each vector's single nearest neighbor within its group — the
     embedding-cosine near-dup primitive (group = blocking key). The
     self-join shuffles both sides on the group column only."""
+    # Norms are computed ONCE per row on each side of the join (the
+    # shuffle materializes them), not once per pair: per-pair work
+    # drops from three interpreted folds (dot + 2 norms) to one, and
+    # the value is bit-identical — same expression over the same row,
+    # same dot/(sqrt*sqrt) ordering as cosine().
     a = emb.select(
         F.col(group_col), F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
-    )
+    ).withColumn("na", l2_norm(F.col("va")))
     b = emb.select(
         F.col(group_col), F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
-    )
+    ).withColumn("nb", l2_norm(F.col("vb")))
     pairs = (
         a.join(b, group_col)
         .filter(F.col("id_a") != F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), ROUND_DIGITS))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                ROUND_DIGITS,
+            ),
+        )
     )
     w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b").asc())
     return (
