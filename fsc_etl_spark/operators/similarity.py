@@ -260,17 +260,31 @@ def lsh_bucketed_topk(
     at scale, write the corpus bucketed by signature to skip even
     that.
     """
-    q = queries.select(
-        F.col(id_col).alias(query_id_col),
-        _as_double(F.col(vec_col)).alias("q_vec"),
-    ).withColumn("sig", hyperplane_signature(F.col("q_vec"), hyperplanes))
-    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("c_vec")).withColumn(
-        "sig", hyperplane_signature(F.col("c_vec"), hyperplanes)
+    # per-side norm columns: one fold per row instead of two per pair;
+    # bit-identical to cosine() (same dot/(sqrt*sqrt) ordering)
+    q = (
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            _as_double(F.col(vec_col)).alias("q_vec"),
+        )
+        .withColumn("sig", hyperplane_signature(F.col("q_vec"), hyperplanes))
+        .withColumn("q_n", l2_norm(F.col("q_vec")))
+    )
+    c = (
+        corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("c_vec"))
+        .withColumn("sig", hyperplane_signature(F.col("c_vec"), hyperplanes))
+        .withColumn("c_n", l2_norm(F.col("c_vec")))
     )
     cand = (
         c.join(F.broadcast(q), "sig")
         .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), ROUND_DIGITS))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
+                ROUND_DIGITS,
+            ),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
