@@ -86,6 +86,11 @@ def pagerank_integer(
     """
     if dangling not in ("error", "drop", "redistribute"):
         raise ValueError(f"dangling must be error|drop|redistribute, got {dangling!r}")
+    if every_node_has_inflow and dangling == "redistribute":
+        raise ValueError(
+            "every_node_has_inflow asserts the graph has no dangling nodes "
+            "(so there is no mass to redistribute) — drop one of the two flags"
+        )
     if weight_col is None:
         edges = edges.select("src", "dst").distinct().withColumn(
             "__w", F.lit(1).cast("long")

@@ -427,3 +427,13 @@ def test_pagerank_invalid_dangling_mode(spark):
 
     with _pytest.raises(ValueError, match="dangling must be"):
         pagerank_integer(edges, iters=1, dangling="bogus")
+
+
+def test_pagerank_conflicting_flags_raise(spark):
+    edges = _edges(spark, [("a", "b"), ("b", "a")])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no dangling nodes"):
+        pagerank_integer(
+            edges, iters=1, every_node_has_inflow=True, dangling="redistribute"
+        )
