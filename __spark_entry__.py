@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_overlap_docs",  # sliding-window chunking (RAG/pretraining prep)
         "padding_waste_stats",  # token-length bucketing / padding audit
         "table_profile_stats",  # ANALYZE-style exact column profile
+        "kcore_copurchase",  # k-core graph-density quality filter
         # --- changed this round (results or plan re-derived) ---
         "multimodal_features",  # real codec-backed decode (was stub)
         "ntile_customer_deciles",  # rebased on the scale-safe histogram path

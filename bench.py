@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "chunk_overlap_docs",
     "padding_waste_stats",
     "table_profile_stats",
+    "kcore_copurchase",
     # round-4 full-surface expansion: every remaining batch query, so
     # the bench covers the whole queries() surface. Still off-bench,
     # each with a documented reason: the 12 streaming_* queries (their

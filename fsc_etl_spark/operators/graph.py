@@ -363,6 +363,76 @@ def bfs_hops(
     return out
 
 
+def kcore_degrees(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+) -> DataFrame:
+    """k-core of an undirected graph by fixed-round peeling: repeatedly
+    drop every node whose current degree is below ``k`` (with all its
+    edges) until no such node remains. Classic corpus/graph quality
+    filter — the k-core is the maximal subgraph of minimum degree k.
+
+    ``edges`` is any (src, dst) pair list; it is canonicalised to
+    distinct undirected edges (self-loops dropped). Exactly ``rounds``
+    peel rounds run — peeling is monotone, so rounds past the fixpoint
+    are no-ops and the result equals the true k-core whenever the
+    fixpoint is reached within ``rounds``; a final degree aggregate
+    ASSERTS that (minimum surviving degree >= k) and raises
+    ``ValueError`` otherwise, so a caller can never mistake a partial
+    peel for the core. The fixed unroll is what lets a SQL oracle
+    mirror the computation CTE-for-CTE (same shape as the unrolled
+    PageRank oracles).
+
+    Scale shape: each round is one degree aggregation (shuffle on
+    node) plus two anti joins removing edges incident to peeled nodes
+    — work proportional to the surviving edge set, which shrinks
+    monotonically. Each round's survivors are materialised eagerly
+    (localCheckpoint): the round reads its predecessor three times
+    (degree agg + both anti joins), so an un-truncated logical plan
+    would grow 3^rounds — the checkpoint keeps both the plan tree and
+    the execution linear in ``rounds``. Integer-only, so
+    bit-reproducible.
+
+    Returns (node, core_deg): every k-core node with its within-core
+    degree (BIGINT). Empty frame if the k-core is empty.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+    )
+    # symmetric directed form: degree(v) == out-degree(v), and removing
+    # a node means dropping rows where it appears on EITHER side.
+    cur = canon.select(F.col("lo").alias("src"), F.col("hi").alias("dst")).union(
+        canon.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        bad = deg.filter(F.col("d") < k).select(F.col("src").alias("__bad"))
+        cur = (
+            cur.join(bad, cur["src"] == bad["__bad"], "left_anti")
+            .join(bad, cur["dst"] == bad["__bad"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    out = cur.groupBy("src").agg(F.count(F.lit(1)).alias("core_deg")).select(
+        F.col("src").alias("node"), F.col("core_deg").cast("long").alias("core_deg")
+    ).localCheckpoint(eager=True)
+    low = out.agg(F.min("core_deg").alias("m")).first()["m"]
+    if low is not None and low < k:
+        raise ValueError(
+            f"k-core peel did not converge in {rounds} rounds "
+            f"(minimum surviving degree {low} < k={k}); increase rounds"
+        )
+    return out
+
+
 def skyline_2d(
     df: DataFrame,
     minimize_col: str,

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from fsc_etl_spark.operators.graph import (
     RANK_SCALE,
     bfs_hops,
+    kcore_degrees,
     pagerank_integer,
     triangle_stats,
 )
@@ -218,6 +219,54 @@ def pagerank_dangling_redistribute(spark: SparkSession, sf: str) -> DataFrame:
     return ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(_TOPK)
 
 
+_KCORE_K = 20
+_KCORE_ROUNDS = 8
+
+
+def kcore_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree histogram of the 20-core of the customer—part co-purchase
+    graph (operators/graph.kcore_degrees): nodes surviving 8 fixed
+    peel rounds of "drop degree < 20", with a fail-loud convergence
+    assert so the output IS the true k-core.
+
+    The k-core is the standard graph-density quality filter (documents
+    /pages embedded in a dense interaction core are high-signal); here
+    it keeps customers with >= 20 distinct parts whose parts are
+    themselves co-bought by >= 20 surviving customers, cascading.
+
+    Nodes iterate as BIGINT (2·custkey / 2·partkey+1) — eight rounds
+    of shuffling longs, not strings — and render to 'c…'/'p…' labels
+    only in the final histogram, where the oracle's string min/max
+    tiebreak applies. The unrolled-CTE oracle mirrors the peel
+    round-for-round (rounds past the fixpoint are no-ops on both
+    sides).
+    """
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    deg = kcore_degrees(cp, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), F.expr("node div 2").cast("string")),
+    ).otherwise(F.concat(F.lit("p"), F.expr("(node - 1) div 2").cast("string")))
+    return (
+        deg.select(label.alias("node"), "core_deg")
+        .groupBy("core_deg")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+    )
+
+
 def recursive_ancestor_depth(spark: SparkSession, sf: str) -> DataFrame:
     """Recursive-CTE reachability (Spark 4 WITH RECURSIVE): walk every
     customer key up its integer-halving ancestor chain (parent(k) =
@@ -370,8 +419,60 @@ def _pagerank_dangling_oracle(iters: int = _DANGLING_ITERS, topk: int = _TOPK) -
     )
 
 
+def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    """Unrolled CTE chain mirroring kcore_degrees round-for-round:
+    per round, drop every edge incident to a node whose current degree
+    is below k. Rounds past the fixpoint are no-ops, matching the
+    Spark side's fixed unroll + convergence assert. Every per-round
+    CTE is MATERIALIZED: each round references its predecessor three
+    times (degree + both NOT EXISTS), so DuckDB's default inlining
+    would expand the tree 3^rounds deep and exhaust file handles on
+    the leaf parquet scans."""
+    chain = [
+        """cp AS MATERIALIZED (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS cnode,
+                  'p' || CAST(l.l_partkey AS VARCHAR) AS pnode
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)""",
+        """e0 AS MATERIALIZED (
+  SELECT cnode AS src, pnode AS dst FROM cp
+  UNION ALL
+  SELECT pnode AS src, cnode AS dst FROM cp
+)""",
+    ]
+    for i in range(rounds):
+        chain.append(
+            f"b{i} AS MATERIALIZED "
+            f"(SELECT src FROM e{i} GROUP BY src HAVING COUNT(*) < {k})"
+        )
+        chain.append(
+            f"""e{i + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{i} e
+  WHERE NOT EXISTS (SELECT 1 FROM b{i} b WHERE b.src = e.src)
+    AND NOT EXISTS (SELECT 1 FROM b{i} b WHERE b.src = e.dst)
+)"""
+        )
+    chain.append(
+        f"""d AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+  FROM e{rounds} GROUP BY src
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(chain)
+        + """
+SELECT core_deg,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       MIN(node) AS min_node,
+       MAX(node) AS max_node
+FROM d GROUP BY core_deg"""
+    )
+
+
 QUERIES = {
     "bfs_hops_copurchase": bfs_hops_copurchase,
+    "kcore_copurchase": kcore_copurchase,
     "pagerank_copurchase": pagerank_copurchase,
     "pagerank_dangling_redistribute": pagerank_dangling_redistribute,
     "pagerank_weighted_copurchase": pagerank_weighted_copurchase,
@@ -404,6 +505,7 @@ SELECT dist,
        MAX(node) AS max_node
 FROM md GROUP BY dist
 """,
+    "kcore_copurchase": _kcore_oracle(),
     "pagerank_copurchase": _pagerank_oracle(),
     "pagerank_dangling_redistribute": _pagerank_dangling_oracle(),
     "pagerank_weighted_copurchase": _pagerank_weighted_oracle(),

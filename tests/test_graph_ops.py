@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from fsc_etl_spark.operators.graph import (
     bfs_hops,
+    kcore_degrees,
     pagerank_integer,
     skyline_2d,
     triangle_stats,
@@ -427,6 +428,72 @@ def test_pagerank_invalid_dangling_mode(spark):
 
     with _pytest.raises(ValueError, match="dangling must be"):
         pagerank_integer(edges, iters=1, dangling="bogus")
+
+
+def _py_kcore(pairs, k):
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    while True:
+        bad = [n for n, s in adj.items() if len(s) < k]
+        if not bad:
+            break
+        for n in bad:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    return {n: len(s) for n, s in adj.items() if s}
+
+
+def test_kcore_known_graph(spark):
+    # K4 on a-d plus a pendant path e-f: the 2-core is exactly the K4.
+    pairs = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+        ("d", "e"), ("e", "f"),
+    ]
+    got = {
+        (r["node"], r["core_deg"])
+        for r in kcore_degrees(_edges(spark, pairs), k=2).collect()
+    }
+    assert got == {("a", 3), ("b", 3), ("c", 3), ("d", 3)}
+
+
+def test_kcore_empty_core_and_empty_input(spark):
+    pairs = [("a", "b"), ("b", "c")]  # a path: 2-core is empty
+    assert kcore_degrees(_edges(spark, pairs), k=2).count() == 0
+    empty = _edges(spark, [("a", "a")])  # self-loop only -> no edges
+    assert kcore_degrees(empty, k=1).count() == 0
+
+
+def test_kcore_nonconvergence_raises(spark):
+    # a 6-chain peels one layer per round from each end: rounds=1 is
+    # not enough for k=2 and must fail loud, not return a partial peel
+    pairs = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    with pytest.raises(ValueError, match="did not converge"):
+        kcore_degrees(_edges(spark, pairs), k=2, rounds=1)
+    assert kcore_degrees(_edges(spark, pairs), k=2, rounds=3).count() == 0
+
+
+def test_kcore_invalid_params_raise(spark):
+    e = _edges(spark, [("a", "b")])
+    with pytest.raises(ValueError, match="k must be"):
+        kcore_degrees(e, k=0)
+    with pytest.raises(ValueError, match="rounds must be"):
+        kcore_degrees(e, k=1, rounds=0)
+
+
+@given(pairs=edge_lists, k=st.integers(1, 4))
+@settings(**PROP_SETTINGS)
+def test_kcore_matches_reference(spark, pairs, k):
+    got = {
+        (r["node"], r["core_deg"])
+        for r in kcore_degrees(_edges(spark, pairs), k=k, rounds=12).collect()
+    }
+    assert got == set(_py_kcore(pairs, k).items())
 
 
 def test_pagerank_conflicting_flags_raise(spark):
