@@ -66,11 +66,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sample missed (if it sampled fewer than this list's head) — the
     prefix-pin test recomputes the set from CORRECTNESS_r0{1..4}.json;
     put any stragglers first, then backfill with long-green sentinels.
-    The five round-4 additions (pagerank_dangling_redistribute,
+    The round-4 additions in-window (pagerank_dangling_redistribute,
     embed_pq_topk, chunk_overlap_docs, padding_waste_stats,
-    table_profile_stats) and the two re-derived queries
-    (multimodal_features, ntile_customer_deciles) sit at slots 42-48
-    and must stay in-window until green.
+    table_profile_stats, kcore_copurchase, cms_topk_users) and the
+    two re-derived queries (multimodal_features,
+    ntile_customer_deciles) sit at slots 42-50 and must stay
+    in-window until green; hll_register_build and pps_token_sample
+    are new but deferred to r5 (window full — put them FIRST in the
+    r5 rotation).
     """
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     merged.update(analytics.QUERIES)
@@ -142,6 +145,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "padding_waste_stats",  # token-length bucketing / padding audit
         "table_profile_stats",  # ANALYZE-style exact column profile
         "kcore_copurchase",  # k-core graph-density quality filter
+        "cms_topk_users",  # count-min sketch, hash-verified
+        # (hll_register_build and pps_token_sample are also new this
+        # round but the ~50-slot window is full — they are explicitly
+        # deferred to the r5 stragglers-first rotation; the defer list
+        # is pinned in tests/test_entry_contract.py)
         # --- changed this round (results or plan re-derived) ---
         "multimodal_features",  # real codec-backed decode (was stub)
         "ntile_customer_deciles",  # rebased on the scale-safe histogram path

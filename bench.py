@@ -176,6 +176,9 @@ BENCH_QUERIES = [
     "padding_waste_stats",
     "table_profile_stats",
     "kcore_copurchase",
+    "cms_topk_users",
+    "hll_register_build",
+    "pps_token_sample",
     # round-4 full-surface expansion: every remaining batch query, so
     # the bench covers the whole queries() surface. Still off-bench,
     # each with a documented reason: the 12 streaming_* queries (their

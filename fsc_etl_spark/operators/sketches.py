@@ -1,0 +1,148 @@
+"""Deterministic mergeable sketches: count-min and HyperLogLog
+registers, built from an md5 hash family so every counter/register is
+integer-exact and bit-reproducible — the same construction an ANSI-SQL
+oracle can replay, which upgrades the sketch family from rows-only
+checks to full hash parity.
+
+No reference twin: the reference engine (a single-notebook Databricks
+ETL, /root/reference/main.py) has no sketch surface; these extend
+SURVEY.md §2.12's training-pipeline operators (approximate counting /
+distinct estimation are the standard first pass over web-scale event
+and document streams).
+
+Scale shape: both sketches are pure map-side partial aggregations —
+the count-min build collapses to d·w counter cells and the HLL build
+to 2^p register cells BEFORE the exchange (Spark's partial hash
+aggregate), so the shuffle moves a bounded few-KB state per task no
+matter how many input rows there are. That bounded-state merge is the
+whole point of sketches at 100 TB, and it falls out of groupBy on the
+(row, bucket) key with built-in expressions only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: count-min geometry: 4 hash rows x 64 counters. Small width on
+#: purpose — the test fixtures have O(100) distinct keys, and a sketch
+#: wider than the key space would never collide, leaving the min-of-
+#: rows estimate untested.
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+#: HLL precision: 2^6 = 64 registers; hash is 60 usable md5 bits, so
+#: the rank field is the remaining 54 bits.
+HLL_P_BITS = 6
+HLL_BUCKETS = 1 << HLL_P_BITS
+HLL_RANK_BITS = 60 - HLL_P_BITS
+
+
+def _cms_bucket(key: F.Column, j: int) -> F.Column:
+    """Row-j counter index for a key: 60 md5 bits mod the row width.
+    Mirrored textually by the oracle's ('0x'||substr(md5(...)))::BIGINT
+    idiom — identical md5, identical truncation, identical mod."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cms{j}:"), key)), 1, 15), 16, 10
+    ).cast("long")
+    return (h % CMS_WIDTH).alias(f"b{j}")
+
+
+def cms_build(df: DataFrame, key_col: str, weight_col: str | None = None) -> DataFrame:
+    """Count-min counter table over ``df[key_col]`` (cast to string):
+    one row per (hash-row j, bucket b) with the total weight landing
+    there. ``weight_col`` (BIGINT) pre-aggregated inputs are supported
+    because count-min is additive — building from per-key counts or
+    from raw rows yields identical counters.
+
+    Returns (j, b, total) — at most CMS_DEPTH · CMS_WIDTH rows.
+    """
+    key = F.col(key_col).cast("string")
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).cast("long").alias("j"), _cms_bucket(key, j).alias("b"))
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("jb"),
+        w.alias("__w"),
+    )
+    return (
+        pairs.groupBy(F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+        .agg(F.sum("__w").alias("total"))
+    )
+
+
+def cms_estimate(keys: DataFrame, counters: DataFrame, key_col: str) -> DataFrame:
+    """Point estimate for every row of ``keys``: the minimum of the
+    key's CMS_DEPTH counters (the classic count-min upper bound —
+    never below the true count). ``counters`` is broadcast (bounded at
+    d·w rows), so the probe is one map-side join + a groupBy on the
+    key the caller already carries.
+
+    Returns ``keys``' columns plus ``est_cnt`` (BIGINT).
+    """
+    key = F.col(key_col).cast("string")
+    probe = keys.select(
+        *keys.columns,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).cast("long").alias("j"), _cms_bucket(key, j).alias("b"))
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("jb"),
+    ).select(*keys.columns, F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+    return (
+        probe.join(F.broadcast(counters), ["j", "b"])
+        .groupBy(*keys.columns)
+        .agg(F.min("total").alias("est_cnt"))
+    )
+
+
+def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
+    """Dense HyperLogLog register file over ``df[key_col]``: for each
+    of the 2^p buckets (selected by the low p bits of a 60-bit md5
+    hash), the maximum over keys of ``rank = 1 + leading zeros`` of
+    the remaining rank bits. Registers are pure integers — the float
+    harmonic-mean estimate is a downstream fold the caller can apply —
+    so the construction itself hash-matches an oracle that replays the
+    same md5/bin arithmetic.
+
+    rank uses ``bin()`` (identical minimal-width semantics in Spark
+    and DuckDB): a rank-field value v > 0 has ``length(bin(v))``
+    significant bits, so its leading-zero count within RANK_BITS is
+    ``RANK_BITS - length(bin(v))``; v = 0 means all RANK_BITS are
+    zero (rank = RANK_BITS + 1 — ``bin(0) = '0'`` needs the special
+    case on both sides).
+
+    Returns (bucket, register): exactly one row per non-empty bucket.
+    """
+    hashed = df.select(
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("__h")
+    )
+    # integer div, NOT `/`: float division loses bits above 2^53 and
+    # the hash is 60 bits wide.
+    fields = hashed.select(
+        (F.col("__h") % HLL_BUCKETS).alias("bucket"),
+        F.expr(f"__h div {HLL_BUCKETS}").alias("__v"),
+    )
+    rank = (
+        F.when(F.col("__v") == 0, F.lit(HLL_RANK_BITS + 1))
+        .otherwise(F.lit(HLL_RANK_BITS) - F.length(F.bin(F.col("__v"))) + 1)
+        .cast("long")
+        .alias("rank")
+    )
+    return (
+        fields.select("bucket", rank)
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("register"))
+    )

@@ -375,6 +375,31 @@ WHERE CASE WHEN lang = 'en'
            ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80' END
 """
 
+# Mirrors operators/sampling.pps_systematic: exclusive prefix sum of
+# token weights ordered by doc_id; stride = max(total div 50, 1);
+# a row is drawn (cb+w)//stride - cb//stride times.
+TRAINING_ORACLES["pps_token_sample"] = f"""
+WITH w AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT GREATEST(SUM(n_tokens) // 50, 1) AS stride FROM w
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cb
+  FROM w
+)
+SELECT doc_id, n_tokens,
+       CAST((cb + n_tokens) // stride - cb // stride AS BIGINT) AS n_hits
+FROM c, s
+WHERE (cb + n_tokens) // stride - cb // stride >= 1
+"""
+
 TRAINING_ORACLES["token_vocab_topk"] = r"""
 WITH toks AS (
   SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),

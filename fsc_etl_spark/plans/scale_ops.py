@@ -18,6 +18,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fsc_etl_spark.operators.bloom import bloom_pruned_semi_join
+from fsc_etl_spark.operators.sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    HLL_BUCKETS,
+    HLL_RANK_BITS,
+    cms_build,
+    cms_estimate,
+    hll_registers,
+)
 from fsc_etl_spark.operators.skew import heavy_hitters_exact
 from fsc_etl_spark.sources.readers import read_parquet_table as t
 
@@ -646,7 +655,49 @@ def file_provenance_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def cms_topk_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min-sketch top-20 users by estimated event count, with
+    the true count beside the estimate (operators/sketches.cms_build /
+    cms_estimate; d=4 md5 rows x w=64 counters).
+
+    The sketch build is one map-side partial aggregation collapsing to
+    d·w = 256 counter cells before the exchange — the 100 TB shape:
+    per-task sketch state is bounded and merges by addition, so the
+    shuffle is O(cells), not O(rows). The probe broadcasts the counter
+    table. Estimates are deterministic integers (md5 hash family), so
+    the DuckDB twin — which builds the SAME counters from per-user
+    counts, exact by additivity — hash-matches, including the
+    guaranteed est_cnt >= exact_cnt overestimate.
+    """
+    ev = t(spark, sf, "events").select("user_id")
+    counters = cms_build(ev, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = cms_estimate(exact, counters, "user_id")
+    return (
+        est.select("user_id", "est_cnt", "exact_cnt")
+        .orderBy(F.col("est_cnt").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+
+
+def hll_register_build(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense HyperLogLog register file over events.user_id
+    (operators/sketches.hll_registers; p=6, 64 registers, 60-bit md5
+    hashes). Registers are the max leading-zero rank per bucket —
+    pure integers, so unlike the harmonic-mean estimate (whose float
+    fold is order-dependent) the sketch STATE itself is verified
+    bit-for-bit against the oracle replaying the same md5/bin
+    arithmetic. Map-side max-merge to <= 64 cells before the exchange;
+    `hll_daily_users` remains the approx_count_distinct consumer
+    (rows-only by design).
+    """
+    ev = t(spark, sf, "events").select("user_id")
+    return hll_registers(ev, "user_id")
+
+
 QUERIES = {
+    "cms_topk_users": cms_topk_users,
+    "hll_register_build": hll_register_build,
     "bloom_pruned_join": bloom_pruned_join,
     "dpp_pruned_rollup": dpp_pruned_rollup,
     "ewma_user_value": ewma_user_value,
@@ -667,7 +718,51 @@ QUERIES = {
     "zorder_key_demo": zorder_key_demo,
 }
 
+#: mirrors operators/sketches exactly: same md5 strings, same 15-hex
+#: truncation, same mod widths; counters built from per-user counts
+#: (identical by additivity).
+_CMS_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM events GROUP BY user_id
+),
+probe AS (
+  SELECT c.user_id, c.exact_cnt, j.j,
+         ('0x' || substr(md5(
+            'cms' || CAST(j.j AS VARCHAR) || ':' || CAST(c.user_id AS VARCHAR)
+          ), 1, 15))::BIGINT % {CMS_WIDTH} AS b
+  FROM c CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS j) j
+),
+counters AS (
+  SELECT j, b, SUM(exact_cnt) AS total FROM probe GROUP BY j, b
+),
+est AS (
+  SELECT p.user_id, p.exact_cnt, CAST(MIN(ct.total) AS BIGINT) AS est_cnt
+  FROM probe p JOIN counters ct ON ct.j = p.j AND ct.b = p.b
+  GROUP BY p.user_id, p.exact_cnt
+)
+SELECT user_id, est_cnt, exact_cnt
+FROM est
+ORDER BY est_cnt DESC, user_id
+LIMIT 20
+"""
+
+_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+  FROM events
+),
+f AS (SELECT hh % {HLL_BUCKETS} AS bucket, hh // {HLL_BUCKETS} AS v FROM h)
+SELECT bucket,
+       CAST(MAX(CASE WHEN v = 0 THEN {HLL_RANK_BITS + 1}
+                     ELSE {HLL_RANK_BITS} - length(bin(v)) + 1 END) AS BIGINT)
+         AS register
+FROM f GROUP BY bucket
+"""
+
 SCALE_ORACLES = {
+    "cms_topk_users": _CMS_ORACLE,
+    "hll_register_build": _HLL_ORACLE,
     "table_profile_stats": """
 WITH o AS (
   SELECT lpad(CAST(o_orderkey AS VARCHAR), 20, '0') AS o_orderkey,

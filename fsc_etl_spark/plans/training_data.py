@@ -39,6 +39,7 @@ from fsc_etl_spark.operators.dedup import (
     simhash_neardup_pairs as _simhash_pairs,
 )
 from fsc_etl_spark.operators.multimodal import documents_as_media, extract_features
+from fsc_etl_spark.operators.sampling import pps_systematic
 from fsc_etl_spark.operators.trend import group_trend_slope
 from fsc_etl_spark.operators.similarity import (
     cosine_near_dup_pairs,
@@ -628,6 +629,27 @@ def hash_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     keep = F.when(F.col("lang") == "en", h2 < F.lit("1a")).otherwise(h2 < F.lit("80"))
     return docs.filter(keep).select("doc_id", "lang", "source", "n_chars")
+
+
+def pps_token_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Systematic PPS sample of ~50 documents proportional to token
+    count (operators/sampling.pps_systematic): the corpus-curation
+    draw where the SAMPLED TOKEN BUDGET, not the document count,
+    tracks the target distribution — long documents are drawn with
+    probability proportional to their length (w >= stride guarantees
+    selection, with multiplicity).
+
+    No RNG: the draw is fully determined by the weights and the
+    doc_id order, so the window-cumsum SQL twin hash-matches exactly.
+    The prefix sum is the two-phase range-partitioned decomposition —
+    no global single-partition sort (the 100 TB contract; plan
+    asserted in tests/test_plan_quality.py).
+    """
+    docs = t(spark, sf, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    picked = pps_systematic(docs, "n_tokens", ["doc_id"], n_target=50)
+    return picked.select("doc_id", "n_tokens", "n_hits")
 
 
 def embed_dim_median_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -1560,6 +1582,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_cluster_stats": kmeans_cluster_stats,
     "corpus_curation": corpus_curation,
     "hash_stratified_sample": hash_stratified_sample,
+    "pps_token_sample": pps_token_sample,
     "token_vocab_topk": token_vocab_topk,
     "mixture_resample_to_min": mixture_resample_to_min,
     "embed_dim_median_stats": embed_dim_median_stats,

@@ -54,6 +54,10 @@ INVARIANT_QUERIES = [
     "pagerank_dangling_redistribute",
     "padding_waste_stats",
     "table_profile_stats",
+    "kcore_copurchase",
+    "cms_topk_users",
+    "hll_register_build",
+    "pps_token_sample",
 ]
 
 

@@ -1,0 +1,128 @@
+"""Unit tests for operators/sketches.py: count-min and HLL-register
+construction pinned against pure-Python md5 references, plus the
+count-min overestimate guarantee and additivity (raw rows vs
+pre-aggregated weights build identical counters).
+
+The plans-layer twins (cms_topk_users, hll_register_build) are
+oracle-checked by tests/test_entry_contract.py like every queries()
+entry; these tests pin the operator semantics on inputs small enough
+to verify by hand.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fsc_etl_spark.operators.sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    HLL_BUCKETS,
+    HLL_RANK_BITS,
+    cms_build,
+    cms_estimate,
+    hll_registers,
+)
+
+PROP_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+key_lists = st.lists(st.integers(0, 30).map(str), min_size=1, max_size=40)
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_cms(keys):
+    counters = Counter()
+    for k in keys:
+        for j in range(CMS_DEPTH):
+            counters[(j, _h60(f"cms{j}:{k}") % CMS_WIDTH)] += 1
+    return counters
+
+
+def _py_cms_estimate(key, counters):
+    return min(
+        counters.get((j, _h60(f"cms{j}:{key}") % CMS_WIDTH), 0)
+        for j in range(CMS_DEPTH)
+    )
+
+
+def _py_hll(keys):
+    regs = {}
+    for k in keys:
+        h = _h60(str(k))
+        bucket, v = h % HLL_BUCKETS, h // HLL_BUCKETS
+        rank = HLL_RANK_BITS + 1 if v == 0 else HLL_RANK_BITS - v.bit_length() + 1
+        regs[bucket] = max(regs.get(bucket, 0), rank)
+    return regs
+
+
+@given(keys=key_lists)
+@settings(**PROP_SETTINGS)
+def test_cms_build_matches_reference(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {(r["j"], r["b"]): r["total"] for r in cms_build(df, "k").collect()}
+    assert got == dict(_py_cms(keys))
+
+
+@given(keys=key_lists)
+@settings(**PROP_SETTINGS)
+def test_cms_estimate_matches_reference_and_overestimates(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    counters = cms_build(df, "k")
+    exact = Counter(keys)
+    uniq = df.distinct()
+    got = {r["k"]: r["est_cnt"] for r in cms_estimate(uniq, counters, "k").collect()}
+    py_counters = _py_cms(keys)
+    for k, cnt in exact.items():
+        assert got[k] == _py_cms_estimate(k, py_counters)
+        assert got[k] >= cnt  # the count-min upper-bound guarantee
+
+
+def test_cms_additivity_weighted_equals_raw(spark):
+    keys = ["a", "b", "a", "c", "a", "b"]
+    raw = spark.createDataFrame([(k,) for k in keys], "k string")
+    pre = spark.createDataFrame(
+        list(Counter(keys).items()), "k string, cnt long"
+    )
+    from_raw = {(r["j"], r["b"]): r["total"] for r in cms_build(raw, "k").collect()}
+    from_pre = {
+        (r["j"], r["b"]): r["total"]
+        for r in cms_build(pre, "k", weight_col="cnt").collect()
+    }
+    assert from_raw == from_pre
+
+
+@given(keys=key_lists)
+@settings(**PROP_SETTINGS)
+def test_hll_registers_match_reference(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {r["bucket"]: r["register"] for r in hll_registers(df, "k").collect()}
+    assert got == _py_hll(keys)
+
+
+def test_hll_registers_duplicate_insensitive(spark):
+    once = spark.createDataFrame([("x",), ("y",)], "k string")
+    thrice = spark.createDataFrame([("x",)] * 3 + [("y",)] * 2, "k string")
+    a = {r["bucket"]: r["register"] for r in hll_registers(once, "k").collect()}
+    b = {r["bucket"]: r["register"] for r in hll_registers(thrice, "k").collect()}
+    assert a == b
+
+
+def test_cms_plan_is_partial_aggregate(spark):
+    """The sketch build must collapse map-side: the aggregate on
+    (j, b) has a partial_count/partial-sum phase before the exchange
+    (bounded per-task state — the 100 TB contract)."""
+    df = spark.range(100).select(F.col("id").cast("string").alias("k"))
+    plan = cms_build(df, "k")._jdf.queryExecution().executedPlan().toString()
+    first_agg = plan.index("HashAggregate")
+    assert "Exchange" in plan[first_agg:], plan
