@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "cms_topk_users",
     "hll_register_build",
     "pps_token_sample",
+    "bucketed_join_rollup",
     # round-4 full-surface expansion: every remaining batch query, so
     # the bench covers the whole queries() surface. Still off-bench,
     # each with a documented reason: the 12 streaming_* queries (their

@@ -655,6 +655,49 @@ def file_provenance_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def bucketed_join_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Co-located fact⋈fact join: orders and lineitem are written
+    bucketed 8-ways on the order key (external tables under the
+    deterministic scratch path), then joined and rolled up WITHOUT any
+    Exchange above the scans — both sides' bucket layout satisfies the
+    join's distribution requirement at read time.
+
+    At 100 TB this is THE repeated-join play: pay the bucketing
+    shuffle once at ingest, then every daily orders⋈lineitem join
+    reads matching buckets locally (tests/test_layout_skew.py asserts
+    the no-Exchange plan for this exact layout; this query makes the
+    result itself driver-checkable). The result is layout- and
+    strategy-independent, so it hash-matches the plain join oracle —
+    the final rollup's own exchange (different key) remains, as it
+    would on any layout.
+    """
+    from fsc_etl_spark.scratch import scratch_path
+
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    li = t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    base = scratch_path("bucketed")
+    for name, df in (("fsc_b_orders", o), ("fsc_b_lineitem", li)):
+        (
+            df.write.mode("overwrite")
+            .option("path", f"{base}/{name}")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(name)
+        )
+    joined = spark.table("fsc_b_orders").join(
+        spark.table("fsc_b_lineitem"), "o_orderkey"
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("price_cents").alias("sum_price_cents"),
+    )
+
+
 def cms_topk_users(spark: SparkSession, sf: str) -> DataFrame:
     """Count-min-sketch top-20 users by estimated event count, with
     the true count beside the estimate (operators/sketches.cms_build /
@@ -696,6 +739,7 @@ def hll_register_build(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "bucketed_join_rollup": bucketed_join_rollup,
     "cms_topk_users": cms_topk_users,
     "hll_register_build": hll_register_build,
     "bloom_pruned_join": bloom_pruned_join,
@@ -761,6 +805,14 @@ FROM f GROUP BY bucket
 """
 
 SCALE_ORACLES = {
+    "bucketed_join_rollup": """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS sum_price_cents
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""",
     "cms_topk_users": _CMS_ORACLE,
     "hll_register_build": _HLL_ORACLE,
     "table_profile_stats": """

@@ -59,7 +59,11 @@ def test_driver_sample_prefix_covers_priority_groups():
     # Late round-4 additions that no longer fit the full 50-slot
     # window: explicitly deferred to the round-5 stragglers-first
     # rotation (see the ROUND-5 ROTATION NOTE in __spark_entry__).
-    deferred_to_r5 = {"hll_register_build", "pps_token_sample"}
+    deferred_to_r5 = {
+        "hll_register_build",
+        "pps_token_sample",
+        "bucketed_join_rollup",
+    }
     missing = [n for n in never if n not in prefix and n not in deferred_to_r5]
     assert not missing, f"never-sampled queries fell out of the driver window: {missing}"
     # Queries whose results/plans changed in round 4 must sit in the

@@ -65,6 +65,26 @@ def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
     assert "Exchange" not in _plan(agg), "bucketed groupBy must not shuffle"
 
 
+def test_bucketed_join_rollup_query_plan(spark, sf_smoke):
+    """The queries() entry `bucketed_join_rollup` must actually use
+    the bucket layout: bucketed scans feed the join with no Exchange
+    below it — the only Exchange in the whole plan is the final
+    rollup's (different key), regardless of layout."""
+    from fsc_etl_spark.plans.scale_ops import bucketed_join_rollup
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(bucketed_join_rollup(spark, sf_smoke))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan, "join inputs must be bucketed scans"
+    # formatted plans list each node twice (tree + details); count the
+    # tree form "Exchange (n)" so the rollup's is the only one
+    assert plan.count("Exchange (") == 1, plan
+
+
 def test_salted_aggregate_matches_direct(spark, sf_smoke):
     li = read_parquet_table(spark, sf_smoke, "lineitem")
     direct = {
