@@ -180,6 +180,8 @@ BENCH_QUERIES = [
     "hll_register_build",
     "pps_token_sample",
     "bucketed_join_rollup",
+    "hll_estimate_users",
+    "hll_merge_halves",
     # round-4 full-surface expansion: every remaining batch query, so
     # the bench covers the whole queries() surface. Still off-bench,
     # each with a documented reason: the 12 streaming_* queries (their

@@ -146,3 +146,59 @@ def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("rank").alias("register"))
     )
+
+
+def hll_merge(*register_frames: DataFrame) -> DataFrame:
+    """Union HLL sketches: per-bucket max of the registers. This is
+    the mergeability that makes the sketch distributed — partial
+    sketches built per partition / per day / per shard combine into
+    exactly the sketch of the unioned input (max is associative,
+    commutative, idempotent). Bit-exact, so a merged sketch
+    hash-matches the single-pass oracle over the union.
+    """
+    if not register_frames:
+        raise ValueError("hll_merge needs at least one register frame")
+    u = register_frames[0]
+    for f in register_frames[1:]:
+        u = u.unionByName(f)
+    return u.groupBy("bucket").agg(F.max("register").alias("register"))
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """Raw HyperLogLog estimate ``alpha_m · m² / sum_b 2^(-reg_b)``
+    from a register frame (empty buckets contribute 2^0 = 1).
+
+    Floats, but still hash-exact across engines: every ``2^-reg`` term
+    is an exact dyadic rational and the harmonic sum folds over the
+    registers in BUCKET ORDER (sorted collect + ``aggregate``), so
+    both engines perform the identical IEEE additions in the identical
+    sequence — order is what float reproducibility needs, not integer
+    arithmetic. The bias constant is the same double literal
+    expression on both sides. Raw estimate only (no small/large-range
+    corrections — those need ``ln``, whose libm parity is not
+    guaranteed).
+
+    One row: (n_used_buckets, harmonic_sum, hll_estimate).
+    """
+    m = HLL_BUCKETS
+    folded = registers.agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "register"))).alias("rs"),
+        F.count(F.lit(1)).alias("nb"),
+    ).select(
+        F.col("nb").alias("n_used_buckets"),
+        (
+            F.aggregate(
+                F.col("rs"),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + F.pow(F.lit(2.0), -x["register"].cast("double")),
+            )
+            + (F.lit(m) - F.col("nb")).cast("double")
+        ).alias("harmonic_sum"),
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    return folded.select(
+        "n_used_buckets",
+        "harmonic_sum",
+        (alpha * m * m / F.col("harmonic_sum")).alias("hll_estimate"),
+    )

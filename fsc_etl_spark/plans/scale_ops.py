@@ -25,6 +25,8 @@ from fsc_etl_spark.operators.sketches import (
     HLL_RANK_BITS,
     cms_build,
     cms_estimate,
+    hll_estimate,
+    hll_merge,
     hll_registers,
 )
 from fsc_etl_spark.operators.skew import heavy_hitters_exact
@@ -738,8 +740,40 @@ def hll_register_build(spark: SparkSession, sf: str) -> DataFrame:
     return hll_registers(ev, "user_id")
 
 
+def hll_estimate_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-verified HyperLogLog ESTIMATE of distinct events.user_id,
+    beside the exact count (operators/sketches.hll_estimate). The
+    float estimate is reproduced bit-for-bit by the oracle because
+    the harmonic sum folds dyadic 2^-register terms in bucket order —
+    identical IEEE additions in identical sequence — making even the
+    approximate-aggregate surface hash-checkable (hll_daily_users
+    remains the engine-native approx_count_distinct consumer,
+    rows-only by design).
+    """
+    ev = t(spark, sf, "events").select("user_id")
+    regs = hll_registers(ev, "user_id")
+    exact = ev.agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    return exact.crossJoin(F.broadcast(hll_estimate(regs)))
+
+
+def hll_merge_halves(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch mergeability, hash-proven: build separate HLL register
+    files over the even and odd event_id halves, merge them with
+    per-bucket max (operators/sketches.hll_merge) — and hash-match
+    the oracle's SINGLE-PASS sketch over all events. Equality of the
+    merged and direct sketches is exactly the property that lets
+    partial sketches combine across partitions/days/shards at 100 TB.
+    """
+    ev = t(spark, sf, "events").select("event_id", "user_id")
+    even = hll_registers(ev.filter(F.col("event_id") % 2 == 0), "user_id")
+    odd = hll_registers(ev.filter(F.col("event_id") % 2 == 1), "user_id")
+    return hll_merge(even, odd)
+
+
 QUERIES = {
     "bucketed_join_rollup": bucketed_join_rollup,
+    "hll_estimate_users": hll_estimate_users,
+    "hll_merge_halves": hll_merge_halves,
     "cms_topk_users": cms_topk_users,
     "hll_register_build": hll_register_build,
     "bloom_pruned_join": bloom_pruned_join,
@@ -804,6 +838,50 @@ SELECT bucket,
 FROM f GROUP BY bucket
 """
 
+#: registers CTE shared by the estimate/merge twins (same md5/bin
+#: arithmetic as _HLL_ORACLE).
+_HLL_REGS_CTE = f"""
+h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+  FROM events
+),
+f AS (SELECT hh % {HLL_BUCKETS} AS bucket, hh // {HLL_BUCKETS} AS v FROM h),
+regs AS (
+  SELECT bucket,
+         MAX(CASE WHEN v = 0 THEN {HLL_RANK_BITS + 1}
+                  ELSE {HLL_RANK_BITS} - length(bin(v)) + 1 END) AS register
+  FROM f GROUP BY bucket
+)
+"""
+
+_HLL_EST_ORACLE = f"""
+WITH {_HLL_REGS_CTE},
+lst AS (
+  SELECT list(register ORDER BY bucket) AS rs,
+         CAST(COUNT(*) AS BIGINT) AS nb
+  FROM regs
+),
+folded AS (
+  SELECT nb AS n_used_buckets,
+         list_reduce(
+           list_prepend(0.0, [power(2.0, -CAST(r AS DOUBLE)) for r in rs]),
+           (a, b) -> a + b
+         ) + CAST({HLL_BUCKETS} - nb AS DOUBLE) AS harmonic_sum
+  FROM lst
+)
+SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS n_exact,
+       n_used_buckets,
+       harmonic_sum,
+       (0.7213 / (1.0 + 1.079 / {float(HLL_BUCKETS)})) * {HLL_BUCKETS} * {HLL_BUCKETS}
+         / harmonic_sum AS hll_estimate
+FROM folded
+"""
+
+_HLL_MERGE_ORACLE = f"""
+WITH {_HLL_REGS_CTE}
+SELECT bucket, CAST(register AS BIGINT) AS register FROM regs
+"""
+
 SCALE_ORACLES = {
     "bucketed_join_rollup": """
 SELECT o.o_orderpriority,
@@ -814,6 +892,8 @@ FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
 """,
     "cms_topk_users": _CMS_ORACLE,
+    "hll_estimate_users": _HLL_EST_ORACLE,
+    "hll_merge_halves": _HLL_MERGE_ORACLE,
     "hll_register_build": _HLL_ORACLE,
     "table_profile_stats": """
 WITH o AS (

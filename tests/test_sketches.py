@@ -25,6 +25,8 @@ from fsc_etl_spark.operators.sketches import (
     HLL_RANK_BITS,
     cms_build,
     cms_estimate,
+    hll_estimate,
+    hll_merge,
     hll_registers,
 )
 
@@ -116,6 +118,48 @@ def test_hll_registers_duplicate_insensitive(spark):
     a = {r["bucket"]: r["register"] for r in hll_registers(once, "k").collect()}
     b = {r["bucket"]: r["register"] for r in hll_registers(thrice, "k").collect()}
     assert a == b
+
+
+@given(keys=key_lists, split=st.integers(1, 5))
+@settings(**PROP_SETTINGS)
+def test_hll_merge_equals_single_pass(spark, keys, split):
+    """Mergeability: per-bucket max of partial sketches == the sketch
+    of the unioned input, for ANY partition of the keys."""
+    whole = spark.createDataFrame([(k,) for k in keys], "k string")
+    parts = [
+        spark.createDataFrame(
+            [(k,) for i, k in enumerate(keys) if i % split == j], "k string"
+        )
+        for j in range(split)
+    ]
+    merged = hll_merge(*[hll_registers(p, "k") for p in parts])
+    direct = hll_registers(whole, "k")
+    a = {r["bucket"]: r["register"] for r in merged.collect()}
+    b = {r["bucket"]: r["register"] for r in direct.collect()}
+    assert a == b
+
+
+def test_hll_estimate_matches_reference(spark):
+    keys = [str(i) for i in range(200)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    row = hll_estimate(hll_registers(df, "k")).first()
+    regs = _py_hll(keys)
+    s = sum(2.0 ** -r for _, r in sorted(regs.items())) + (HLL_BUCKETS - len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / HLL_BUCKETS)
+    est = alpha * HLL_BUCKETS * HLL_BUCKETS / s
+    assert row["n_used_buckets"] == len(regs)
+    assert row["harmonic_sum"] == s
+    # raw estimate lands within the expected ~13% relative error band
+    # for m=64 (1.04/sqrt(64)) with a generous margin
+    assert abs(row["hll_estimate"] - 200) / 200 < 0.4
+    assert row["hll_estimate"] == est
+
+
+def test_hll_merge_requires_input():
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one"):
+        hll_merge()
 
 
 def test_cms_plan_is_partial_aggregate(spark):
