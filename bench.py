@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     "bucketed_join_rollup",
     "hll_estimate_users",
     "hll_merge_halves",
+    "csv_corrupt_quarantine",
+    "embed_mmr_select",
     # round-4 full-surface expansion: every remaining batch query, so
     # the bench covers the whole queries() surface. Still off-bench,
     # each with a documented reason: the 12 streaming_* queries (their

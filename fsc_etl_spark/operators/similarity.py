@@ -166,6 +166,110 @@ def cosine_topk(
     )
 
 
+def mmr_select(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Max-marginal-relevance diverse top-k: greedily pick the item
+    maximizing ``λ·rel(i) − (1−λ)·max_{j∈S} sim(i, j)`` — relevance to
+    the query balanced against similarity to what is already selected.
+    The standard diverse-sampling / dedup-aware retrieval primitive
+    for corpus curation (pick informative AND non-redundant examples).
+
+    Deterministic: rel and sim are 6dp-rounded cosines, λ is the exact
+    rational lam_num/lam_den evaluated as the same double expression
+    on both engines, ties break by id — so the unrolled greedy is
+    bit-reproducible and a round-for-round CTE oracle hash-matches.
+
+    Scale shape: each of the k rounds is one distributed re-score of
+    the candidate corpus against the (≤ k-row, broadcast) selected
+    set, then a TakeOrdered(1) — work is O(k · corpus), never a pair
+    materialization. The selected vectors ride on the driver (bounded
+    k·d floats, same contract as the K-Means centroid collect).
+    Candidates persist across rounds; released before returning.
+
+    Returns (sel_rank, id, rel_cos, mmr_score) — one row per pick, in
+    selection order.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    lam = F.lit(lam_num) / F.lit(lam_den)
+    one_minus = F.lit(lam_den - lam_num) / F.lit(lam_den)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = (
+        corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("c_vec"))
+        .withColumn("c_n", l2_norm(F.col("c_vec")))
+        .withColumn("q_vec", q)
+        .withColumn("q_n", l2_norm(F.col("q_vec")))
+        .withColumn(
+            "rel",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
+                ROUND_DIGITS,
+            ),
+        )
+        .select(id_col, "c_vec", "c_n", "rel")
+        .persist()
+    )
+    picked: list = []  # (id, vector, norm, rel) driver-side, bounded k rows
+    spark = corpus.sparkSession
+    for t in range(k):
+        if picked:
+            sel = spark.createDataFrame(
+                [(p[0], p[1], p[2]) for p in picked],
+                "__sid long, s_vec array<double>, s_n double",
+            )
+            sims = (
+                cand.join(F.broadcast(sel), F.col(id_col) != F.col("__sid"))
+                .withColumn(
+                    "sim",
+                    F.round(
+                        dot(F.col("c_vec"), F.col("s_vec"))
+                        / (F.col("c_n") * F.col("s_n")),
+                        ROUND_DIGITS,
+                    ),
+                )
+                # first() is safe: c_vec/c_n/rel are constant within an
+                # id group (they came off the same candidate row) — and
+                # grouping on the scalar id avoids shuffling array keys
+                .groupBy(id_col)
+                .agg(
+                    F.max("sim").alias("max_sim"),
+                    F.first("c_vec").alias("c_vec"),
+                    F.first("c_n").alias("c_n"),
+                    F.first("rel").alias("rel"),
+                )
+                .filter(~F.col(id_col).isin([p[0] for p in picked]))
+            )
+        else:
+            sims = cand.withColumn("max_sim", F.lit(0.0))
+        best = (
+            sims.withColumn(
+                "score",
+                F.round(lam * F.col("rel") - one_minus * F.col("max_sim"), ROUND_DIGITS),
+            )
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append(
+            (best[id_col], list(best["c_vec"]), best["c_n"], best["rel"], best["score"])
+        )
+    cand.unpersist()
+    return spark.createDataFrame(
+        [
+            (t + 1, p[0], p[3], p[4])
+            for t, p in enumerate(picked)
+        ],
+        f"sel_rank long, {id_col} long, rel_cos double, mmr_score double",
+    )
+
+
 def cosine_topk_pandas(
     corpus: DataFrame,
     queries: DataFrame,

@@ -350,6 +350,55 @@ FROM gated g JOIN keep k ON g.fp = k.fp AND g.doc_id = k.doc_id
 # built-in cosine path — it shares that oracle verbatim.
 TRAINING_ORACLES["embed_cosine_topk_pandas"] = TRAINING_ORACLES["embed_cosine_topk"]
 
+
+def _mmr_oracle(k: int = 5) -> str:
+    """Unrolled greedy MMR mirroring operators/similarity.mmr_select
+    round-for-round: 6dp-rounded cosines, score = 7/10·rel −
+    3/10·max-sim-to-picked (0.0 on the first round), ties by vec_id.
+    """
+
+    def sim(pj: str) -> str:
+        return (
+            f"ROUND(list_dot_product(c.v, {pj}.v) / (c.n * {pj}.n), 6)"
+        )
+
+    chain = [
+        f"e AS (SELECT vec_id, {_DV} AS v FROM embeddings)",
+        "q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id = 0)",
+        """c AS (
+  SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS n,
+         ROUND(list_dot_product(q.qv, e.v)
+               / (q.qn * sqrt(list_dot_product(e.v, e.v))), 6) AS rel
+  FROM e, q WHERE e.vec_id <> 0
+)""",
+        """p1 AS (
+  SELECT vec_id, v, n, rel, ROUND(7/10 * rel - 3/10 * 0.0, 6) AS score
+  FROM c ORDER BY score DESC, vec_id LIMIT 1
+)""",
+    ]
+    for t in range(2, k + 1):
+        prev = [f"p{j}" for j in range(1, t)]
+        sims = ", ".join(sim(p) for p in prev)
+        not_in = ", ".join(f"{p}.vec_id" for p in prev)
+        chain.append(
+            f"""p{t} AS (
+  SELECT c.vec_id, c.v, c.n, c.rel,
+         ROUND(7/10 * c.rel - 3/10 * GREATEST({sims}), 6) AS score
+  FROM c, {', '.join(prev)}
+  WHERE c.vec_id NOT IN ({not_in})
+  ORDER BY score DESC, c.vec_id LIMIT 1
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS sel_rank, vec_id, rel AS rel_cos, "
+        f"score AS mmr_score FROM p{t}"
+        for t in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(chain) + "\n" + selects
+
+
+TRAINING_ORACLES["embed_mmr_select"] = _mmr_oracle()
+
 TRAINING_ORACLES["user_trend_slope"] = """
 WITH daily AS (
   SELECT user_id,

@@ -740,6 +740,65 @@ def hll_register_build(spark: SparkSession, sf: str) -> DataFrame:
     return hll_registers(ev, "user_id")
 
 
+def csv_corrupt_quarantine(spark: SparkSession, sf: str) -> DataFrame:
+    """PERMISSIVE-mode ingest hardening: a CSV staged from orders with
+    deterministic corruption (every o_orderkey % 97 == 0 row gets a
+    non-numeric price field), read back under an explicit typed schema
+    with ``columnNameOfCorruptRecord`` — malformed rows land in the
+    quarantine column instead of failing the scan, clean rows keep
+    their types. The split is the standard bad-records sidecar every
+    production ingest needs: aggregate the clean side, account for the
+    quarantined side (count + raw-line extrema).
+
+    At 100 TB the scan stays a single pass: the corrupt-record routing
+    is per-row inside the CSV parser (no second read, no Python), and
+    both sides reduce map-side to one summary row.
+    """
+    from fsc_etl_spark.scratch import scratch_path
+
+    src = t(spark, sf, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        "o_orderpriority",
+    )
+    line = F.when(
+        F.col("o_orderkey") % 97 == 0,
+        F.concat_ws(",", F.col("o_orderkey").cast("string"), F.lit("??"), F.col("o_orderpriority")),
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.col("cents").cast("string"),
+            F.col("o_orderpriority"),
+        )
+    )
+    path = scratch_path("quarantine") + "/orders_csv"
+    src.select(line.alias("value")).write.mode("overwrite").text(path)
+    parsed = spark.read.csv(
+        path,
+        schema="o_orderkey LONG, cents LONG, o_orderpriority STRING, _corrupt_record STRING",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    # Spark disallows plans whose scan projects ONLY the internal
+    # corrupt-record column (the quarantine count below does exactly
+    # that); materializing the parse first is the documented pattern.
+    ).localCheckpoint(eager=True)
+    clean = parsed.filter(F.col("_corrupt_record").isNull())
+    bad = parsed.filter(F.col("_corrupt_record").isNotNull())
+    c = clean.agg(
+        F.count(F.lit(1)).alias("n_clean"),
+        F.sum("cents").alias("sum_price_cents"),
+    )
+    q = bad.agg(
+        F.count(F.lit(1)).alias("n_quarantined"),
+        F.min("_corrupt_record").alias("min_corrupt"),
+        F.max("_corrupt_record").alias("max_corrupt"),
+    )
+    return c.crossJoin(q)
+
+
 def hll_estimate_users(spark: SparkSession, sf: str) -> DataFrame:
     """Hash-verified HyperLogLog ESTIMATE of distinct events.user_id,
     beside the exact count (operators/sketches.hll_estimate). The
@@ -772,6 +831,7 @@ def hll_merge_halves(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES = {
     "bucketed_join_rollup": bucketed_join_rollup,
+    "csv_corrupt_quarantine": csv_corrupt_quarantine,
     "hll_estimate_users": hll_estimate_users,
     "hll_merge_halves": hll_merge_halves,
     "cms_topk_users": cms_topk_users,
@@ -892,6 +952,24 @@ FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
 """,
     "cms_topk_users": _CMS_ORACLE,
+    "csv_corrupt_quarantine": """
+WITH src AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         o_orderpriority
+  FROM orders
+),
+q AS (
+  SELECT CAST(o_orderkey AS VARCHAR) || ',??,' || o_orderpriority AS line
+  FROM src WHERE o_orderkey % 97 = 0
+),
+c AS (SELECT * FROM src WHERE o_orderkey % 97 <> 0)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_clean,
+       (SELECT CAST(SUM(cents) AS BIGINT) FROM c) AS sum_price_cents,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n_quarantined,
+       (SELECT MIN(line) FROM q) AS min_corrupt,
+       (SELECT MAX(line) FROM q) AS max_corrupt
+""",
     "hll_estimate_users": _HLL_EST_ORACLE,
     "hll_merge_halves": _HLL_MERGE_ORACLE,
     "hll_register_build": _HLL_ORACLE,

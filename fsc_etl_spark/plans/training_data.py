@@ -47,6 +47,7 @@ from fsc_etl_spark.operators.similarity import (
     cosine_topk_pandas,
     ivf_topk,
     lsh_bucketed_topk,
+    mmr_select,
     nearest_neighbor_within_group,
 )
 from fsc_etl_spark.sources.readers import read_parquet_table as t
@@ -629,6 +630,21 @@ def hash_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     keep = F.when(F.col("lang") == "en", h2 < F.lit("1a")).otherwise(h2 < F.lit("80"))
     return docs.filter(keep).select("doc_id", "lang", "source", "n_chars")
+
+
+def embed_mmr_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Max-marginal-relevance selection of 5 diverse neighbors for
+    query vector 0 (operators/similarity.mmr_select, λ = 7/10): each
+    round re-scores the corpus distributed — relevance minus
+    similarity to the already-picked set — and takes the argmax. The
+    diverse-retrieval / non-redundant-sampling primitive; the
+    unrolled greedy hash-matches a round-for-round CTE oracle because
+    rel/sim are 6dp-rounded cosines and ties break by vec_id.
+    """
+    emb = t(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    return mmr_select(corpus, [float(x) for x in qv], k=5)
 
 
 def pps_token_sample(spark: SparkSession, sf: str) -> DataFrame:
@@ -1559,6 +1575,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_tokens": text_bpe_tokens,
     "dedup_embed_neardup": dedup_embed_neardup,
     "embed_cosine_topk": embed_cosine_topk,
+    "embed_mmr_select": embed_mmr_select,
     "embed_cosine_topk_pandas": embed_cosine_topk_pandas,
     "user_trend_slope": user_trend_slope,
     "user_trend_slope_pandas": user_trend_slope_pandas,

@@ -102,6 +102,13 @@ PROBE_QUERIES = [
     # round-4 additions
     "pagerank_dangling_redistribute",  # per-round sink-mass aggregate
     "multimodal_features",      # real P6 decode in Arrow batches
+    # round-4 late batch
+    "kcore_copurchase",         # fixed-round degree peel
+    "cms_topk_users",           # map-side sketch build + broadcast probe
+    "hll_register_build",       # bounded-cell max-merge
+    "hll_merge_halves",         # partial-sketch union
+    "pps_token_sample",         # two-phase weighted prefix sum
+    "bucketed_join_rollup",     # bucketed write + co-located join
 ]
 
 

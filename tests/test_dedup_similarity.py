@@ -300,3 +300,72 @@ def test_pq_encode_strategies_identical(emb):
         )
     )
     assert a == b
+
+
+def _py_mmr(rows, qv, k, lam=0.7, one_minus=0.3):
+    """Greedy MMR reference with 6dp-rounded cosines, ties by id.
+    Rounds HALF_UP on the shortest decimal repr — Python's built-in
+    round() is half-EVEN and diverges from Spark/DuckDB in the last
+    digit."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return r6(d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))))
+
+    allv = dict(rows)
+    rel = {i: cos(qv, v) for i, v in rows}
+    remaining = sorted(allv)
+    picked = []
+    for _ in range(k):
+        best = None
+        for i in remaining:
+            ms = max((cos(allv[i], allv[p]) for p, _ in picked), default=0.0)
+            # one_minus is the independent 3/10 double, NOT 1.0 - lam
+            # (0.30000000000000004) — mirroring the operator's exact
+            # rational lam_den-lam_num over lam_den
+            score = r6(lam * rel[i] - one_minus * ms)
+            if best is None or score > best[1]:
+                best = (i, score)
+        picked.append(best)
+        remaining.remove(best[0])
+    return picked
+
+
+def test_mmr_select_matches_greedy_reference(emb):
+    from fsc_etl_spark.operators.similarity import mmr_select
+
+    rows = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in emb.collect()]
+    qv = dict(rows)[0]
+    corpus_rows = [(i, v) for i, v in rows if i != 0]
+    got = mmr_select(emb.filter(F.col("vec_id") != 0), qv, k=4).collect()
+    assert [r["sel_rank"] for r in got] == [1, 2, 3, 4]
+    expected = _py_mmr(corpus_rows, qv, 4)
+    assert [(r["vec_id"], r["mmr_score"]) for r in got] == expected
+
+
+def test_mmr_select_diversifies_across_clusters(emb):
+    """Plain top-k picks everything from the query's own tight
+    cluster; diversity-weighted MMR (λ = 3/10, so the redundancy
+    penalty dominates the ~1.0 within-cluster sims) must reach into
+    the other clusters."""
+    from fsc_etl_spark.operators.similarity import mmr_select
+
+    rows = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    corpus = emb.filter(F.col("vec_id") != 0)
+    topk_only = mmr_select(corpus, rows[0], k=4, lam_num=10, lam_den=10).collect()
+    assert {r["vec_id"] // 10 for r in topk_only} == {0}  # pure-relevance control
+    got = mmr_select(corpus, rows[0], k=4, lam_num=3, lam_den=10).collect()
+    labels = {r["vec_id"] // 10 for r in got}
+    assert len(labels) >= 2, f"MMR picked only cluster(s) {labels}"
+
+
+def test_mmr_select_invalid_k_raises(emb):
+    from fsc_etl_spark.operators.similarity import mmr_select
+
+    with pytest.raises(ValueError, match="k must be"):
+        mmr_select(emb, [0.0] * 16, k=0)
