@@ -73,8 +73,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ntile_customer_deciles) sit at slots 42-50 and must stay
     in-window until green; hll_register_build, hll_estimate_users,
     hll_merge_halves, pps_token_sample, bucketed_join_rollup,
-    csv_corrupt_quarantine and embed_mmr_select are new but deferred
-    to r5 (window full — put them FIRST in the r5 rotation).
+    csv_corrupt_quarantine, embed_mmr_select and cms_merge_halves
+    are new but deferred to r5 (window full — put them FIRST in the
+    r5 rotation).
     """
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     merged.update(analytics.QUERIES)
@@ -149,10 +150,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk_users",  # count-min sketch, hash-verified
         # (hll_register_build, hll_estimate_users, hll_merge_halves,
         # pps_token_sample, bucketed_join_rollup,
-        # csv_corrupt_quarantine and embed_mmr_select are also new
-        # this round but the ~50-slot window is full — they are
-        # explicitly deferred to the r5 stragglers-first rotation;
-        # the defer list is pinned in tests/test_entry_contract.py)
+        # csv_corrupt_quarantine, embed_mmr_select and
+        # cms_merge_halves are also new this round but the ~50-slot
+        # window is full — they are explicitly deferred to the r5
+        # stragglers-first rotation; the defer list is pinned in
+        # tests/test_entry_contract.py)
         # --- changed this round (results or plan re-derived) ---
         "multimodal_features",  # real codec-backed decode (was stub)
         "ntile_customer_deciles",  # rebased on the scale-safe histogram path

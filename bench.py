@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "hll_merge_halves",
     "csv_corrupt_quarantine",
     "embed_mmr_select",
+    "cms_merge_halves",
     # round-4 full-surface expansion: every remaining batch query, so
     # the bench covers the whole queries() surface. Still off-bench,
     # each with a documented reason: the 12 streaming_* queries (their

@@ -148,6 +148,21 @@ def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def cms_merge(*counter_frames: DataFrame) -> DataFrame:
+    """Union count-min sketches: per-cell SUM of the counters —
+    count-min's mergeability (counters are additive), the property
+    that lets per-partition / per-day partial sketches combine into
+    exactly the sketch of the unioned input. Bit-exact (BIGINT sums),
+    so a merged sketch hash-matches the single-pass oracle.
+    """
+    if not counter_frames:
+        raise ValueError("cms_merge needs at least one counter frame")
+    u = counter_frames[0]
+    for f in counter_frames[1:]:
+        u = u.unionByName(f)
+    return u.groupBy("j", "b").agg(F.sum("total").alias("total"))
+
+
 def hll_merge(*register_frames: DataFrame) -> DataFrame:
     """Union HLL sketches: per-bucket max of the registers. This is
     the mergeability that makes the sketch distributed — partial

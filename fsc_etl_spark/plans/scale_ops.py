@@ -25,6 +25,7 @@ from fsc_etl_spark.operators.sketches import (
     HLL_RANK_BITS,
     cms_build,
     cms_estimate,
+    cms_merge,
     hll_estimate,
     hll_merge,
     hll_registers,
@@ -815,6 +816,20 @@ def hll_estimate_users(spark: SparkSession, sf: str) -> DataFrame:
     return exact.crossJoin(F.broadcast(hll_estimate(regs)))
 
 
+def cms_merge_halves(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min mergeability, hash-proven: counter tables built
+    separately over the even and odd event_id halves SUM per cell
+    (operators/sketches.cms_merge) into exactly the single-pass
+    sketch over all events — the oracle. Additive merge is what lets
+    per-partition partial sketches combine at 100 TB with a bounded
+    d·w-cell exchange.
+    """
+    ev = t(spark, sf, "events").select("event_id", "user_id")
+    even = cms_build(ev.filter(F.col("event_id") % 2 == 0), "user_id")
+    odd = cms_build(ev.filter(F.col("event_id") % 2 == 1), "user_id")
+    return cms_merge(even, odd)
+
+
 def hll_merge_halves(spark: SparkSession, sf: str) -> DataFrame:
     """Sketch mergeability, hash-proven: build separate HLL register
     files over the even and odd event_id halves, merge them with
@@ -831,6 +846,7 @@ def hll_merge_halves(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES = {
     "bucketed_join_rollup": bucketed_join_rollup,
+    "cms_merge_halves": cms_merge_halves,
     "csv_corrupt_quarantine": csv_corrupt_quarantine,
     "hll_estimate_users": hll_estimate_users,
     "hll_merge_halves": hll_merge_halves,
@@ -952,6 +968,20 @@ FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
 """,
     "cms_topk_users": _CMS_ORACLE,
+    "cms_merge_halves": f"""
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+),
+probe AS (
+  SELECT c.cnt, j.j,
+         ('0x' || substr(md5(
+            'cms' || CAST(j.j AS VARCHAR) || ':' || CAST(c.user_id AS VARCHAR)
+          ), 1, 15))::BIGINT % {CMS_WIDTH} AS b
+  FROM c CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS j) j
+)
+SELECT j, b, CAST(SUM(cnt) AS BIGINT) AS total FROM probe GROUP BY j, b
+""",
     "csv_corrupt_quarantine": """
 WITH src AS (
   SELECT o_orderkey,

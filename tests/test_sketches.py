@@ -170,3 +170,33 @@ def test_cms_plan_is_partial_aggregate(spark):
     plan = cms_build(df, "k")._jdf.queryExecution().executedPlan().toString()
     first_agg = plan.index("HashAggregate")
     assert "Exchange" in plan[first_agg:], plan
+
+
+@given(keys=key_lists, split=st.integers(1, 4))
+@settings(**PROP_SETTINGS)
+def test_cms_merge_equals_single_pass(spark, keys, split):
+    """Mergeability: per-cell sum of partial sketches == the sketch
+    of the unioned input, for ANY partition of the keys."""
+    from fsc_etl_spark.operators.sketches import cms_merge
+
+    whole = spark.createDataFrame([(k,) for k in keys], "k string")
+    parts = [
+        spark.createDataFrame(
+            [(k,) for i, k in enumerate(keys) if i % split == j], "k string"
+        )
+        for j in range(split)
+    ]
+    merged = cms_merge(*[cms_build(p, "k") for p in parts])
+    direct = cms_build(whole, "k")
+    a = {(r["j"], r["b"]): r["total"] for r in merged.collect()}
+    b = {(r["j"], r["b"]): r["total"] for r in direct.collect()}
+    assert a == b
+
+
+def test_cms_merge_requires_input():
+    import pytest
+
+    from fsc_etl_spark.operators.sketches import cms_merge
+
+    with pytest.raises(ValueError, match="at least one"):
+        cms_merge()
