@@ -338,6 +338,32 @@ def test_skyline_sweep_is_range_partitioned(spark, sf_smoke):
     assert "rangepartitioning" in plan.lower(), "skyline lost its range phase"
 
 
+def test_pps_prefix_sum_is_range_partitioned(spark, sf_smoke):
+    """pps_token_sample's exclusive prefix sum must be the two-phase
+    range-partitioned decomposition: a RangePartitioning exchange for
+    the per-partition running sums, and the only unpartitioned window
+    is over the tiny one-row-per-partition offset frame — never a
+    full-table single-partition sort."""
+    plan = plan_of(spark, sf_smoke, "pps_token_sample")
+    assert "rangepartitioning" in plan.lower(), "PPS lost its range phase"
+    # the per-row running sum must be partitioned on __pid; the only
+    # SinglePartition exchanges are the two contract-tiny frames (the
+    # one-row-per-partition offsets window and the scalar stride agg)
+    # — a global window over the documents table would add a third
+    assert "windowspecdefinition(__pid" in plan, plan
+    assert plan.lower().count("singlepartition") <= 2, plan
+
+
+def test_kcore_anti_joins_not_cartesian(spark, sf_smoke):
+    """kcore_copurchase's peel rounds are materialized eagerly, so the
+    returned plan is the final histogram over a checkpointed RDD —
+    assert it stays a plain aggregate (no lingering join/sort over the
+    full edge set in the RESULT plan) and runs partition-parallel."""
+    plan = plan_of(spark, sf_smoke, "kcore_copurchase")
+    assert "Scan ExistingRDD" in plan, "kcore result must be checkpoint-backed"
+    assert "CartesianProduct" not in plan
+
+
 def test_session_window_uses_merging_sessions_exec(spark, sf_smoke):
     """session_window must lower to the native MergingSessions operator
     (one aggregation pass), not a join or generic window fallback."""
