@@ -220,32 +220,24 @@ def mmr_select(
     spark = corpus.sparkSession
     for t in range(k):
         if picked:
-            sel = spark.createDataFrame(
-                [(p[0], p[1], p[2]) for p in picked],
-                "__sid long, s_vec array<double>, s_n double",
-            )
-            sims = (
-                cand.join(F.broadcast(sel), F.col(id_col) != F.col("__sid"))
-                .withColumn(
-                    "sim",
-                    F.round(
-                        dot(F.col("c_vec"), F.col("s_vec"))
-                        / (F.col("c_n") * F.col("s_n")),
-                        ROUND_DIGITS,
-                    ),
+            # the picked set is <= k rows of d floats — small enough to
+            # ride in the plan as literal arrays, so the per-round
+            # re-score is a pure map + TakeOrdered with NO join, NO
+            # shuffle (the earlier broadcast-join + groupBy form spent
+            # its time on join/aggregate stage launches). Arithmetic is
+            # identical: the same dot-fold against the same doubles.
+            sim_terms = [
+                F.round(
+                    dot(F.col("c_vec"), F.array(*[F.lit(x) for x in p[1]]))
+                    / (F.col("c_n") * F.lit(p[2])),
+                    ROUND_DIGITS,
                 )
-                # first() is safe: c_vec/c_n/rel are constant within an
-                # id group (they came off the same candidate row) — and
-                # grouping on the scalar id avoids shuffling array keys
-                .groupBy(id_col)
-                .agg(
-                    F.max("sim").alias("max_sim"),
-                    F.first("c_vec").alias("c_vec"),
-                    F.first("c_n").alias("c_n"),
-                    F.first("rel").alias("rel"),
-                )
-                .filter(~F.col(id_col).isin([p[0] for p in picked]))
-            )
+                for p in picked
+            ]
+            max_sim = sim_terms[0] if len(sim_terms) == 1 else F.greatest(*sim_terms)
+            sims = cand.filter(
+                ~F.col(id_col).isin([p[0] for p in picked])
+            ).withColumn("max_sim", max_sim)
         else:
             sims = cand.withColumn("max_sim", F.lit(0.0))
         best = (
