@@ -71,11 +71,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     table_profile_stats, kcore_copurchase, cms_topk_users) and the
     two re-derived queries (multimodal_features,
     ntile_customer_deciles) sit at slots 42-50 and must stay
-    in-window until green; hll_register_build, hll_estimate_users,
-    hll_merge_halves, pps_token_sample, bucketed_join_rollup,
-    csv_corrupt_quarantine, embed_mmr_select and cms_merge_halves
-    are new but deferred to r5 (window full — put them FIRST in the
-    r5 rotation).
+    in-window until green; the other round-4 late additions (the
+    deferred_to_r5 set pinned in tests/test_entry_contract.py:
+    hll_register_build, hll_estimate_users, hll_merge_halves,
+    pps_token_sample, bucketed_join_rollup, csv_corrupt_quarantine,
+    embed_mmr_select, cms_merge_halves, token_budget_schedule,
+    token_simpson_quality, streaming_cms_counts) are new but
+    deferred to r5 (window full — put them FIRST in the r5
+    rotation).
     """
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     merged.update(analytics.QUERIES)
@@ -149,12 +152,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_copurchase",  # k-core graph-density quality filter
         "cms_topk_users",  # count-min sketch, hash-verified
         # (hll_register_build, hll_estimate_users, hll_merge_halves,
-        # pps_token_sample, bucketed_join_rollup,
-        # csv_corrupt_quarantine, embed_mmr_select and
-        # cms_merge_halves are also new this round but the ~50-slot
-        # window is full — they are explicitly deferred to the r5
-        # stragglers-first rotation; the defer list is pinned in
-        # tests/test_entry_contract.py)
+        # (the other round-4 late additions — see the deferred_to_r5
+        # set pinned in tests/test_entry_contract.py — are new but
+        # the ~50-slot window is full; they are explicitly deferred
+        # to the r5 stragglers-first rotation)
         # --- changed this round (results or plan re-derived) ---
         "multimodal_features",  # real codec-backed decode (was stub)
         "ntile_customer_deciles",  # rebased on the scale-safe histogram path

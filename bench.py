@@ -185,6 +185,8 @@ BENCH_QUERIES = [
     "csv_corrupt_quarantine",
     "embed_mmr_select",
     "cms_merge_halves",
+    "token_budget_schedule",
+    "token_simpson_quality",
     # round-4 full-surface expansion: every remaining batch query, so
     # the bench covers the whole queries() surface. Still off-bench,
     # each with a documented reason: the 12 streaming_* queries (their

@@ -449,6 +449,54 @@ FROM c, s
 WHERE (cb + n_tokens) // stride - cb // stride >= 1
 """
 
+# Mirrors token_budget_schedule: exact integer split of the 200k
+# budget by source-name rank, then div/mod epoch decomposition.
+TRAINING_ORACLES["token_budget_schedule"] = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS avail_tokens
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT *, CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT) AS rk
+  FROM per_src
+),
+b AS (
+  SELECT source, n_docs, avail_tokens,
+         CAST(200000 // n
+              + CASE WHEN rk <= 200000 % n THEN 1 ELSE 0 END AS BIGINT)
+           AS budget_tokens
+  FROM ranked
+)
+SELECT source, n_docs, avail_tokens, budget_tokens,
+       CAST(budget_tokens // avail_tokens AS BIGINT) AS full_epochs,
+       CAST(budget_tokens % avail_tokens AS BIGINT) AS partial_tokens
+FROM b
+"""
+
+TRAINING_ORACLES["token_simpson_quality"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+counts AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY doc_id, tok
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS coll
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       CAST((coll * 1000000) // (n_tokens * (n_tokens - 1)) AS BIGINT)
+         AS simpson_ppm
+FROM per_doc WHERE n_tokens >= 2
+"""
+
 TRAINING_ORACLES["token_vocab_topk"] = r"""
 WITH toks AS (
   SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),

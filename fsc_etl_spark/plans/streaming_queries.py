@@ -232,6 +232,31 @@ def streaming_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def streaming_cms_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch maintained by the STREAMING aggregation state
+    store: the d·w counter cells update incrementally across 4
+    replayed micro-batches (guarded — raises unless >= 2 non-empty
+    batches ran), and the final complete-mode snapshot provably
+    equals the one-pass batch sketch (count-min is additive, so
+    per-batch increments commute) — the live-sketch-table shape a
+    100 TB event firehose feeds, with bounded state (256 cells) no
+    matter the input rate. Same oracle as the batch merge twin.
+    """
+    from fsc_etl_spark.operators.sketches import cms_build
+    from fsc_etl_spark.streaming import stage_events_as_files, stream_staged_events
+
+    staged = stage_events_as_files(spark, sf, n_files=4)
+    ev = stream_staged_events(spark, staged, max_files_per_trigger=1)
+    counters = cms_build(ev.select("user_id"), "user_id")
+    batches: list[int] = []
+    snap = run_to_memory(counters, output_mode="complete", batch_counts=batches)
+    if len([b for b in batches if b > 0]) < 2:
+        raise RuntimeError(
+            f"expected >=2 non-empty micro-batches, saw {batches!r}"
+        )
+    return snap.select("j", "b", "total")
+
+
 def streaming_blocklist_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """STREAM-STATIC ANTI JOIN: incoming documents are dropped when
     their content fingerprint matches a static blocklist (the
@@ -393,6 +418,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_heavy_hitters": streaming_heavy_hitters,
     "streaming_segment_dedup": streaming_segment_dedup,
     "streaming_media_ingest": streaming_media_ingest,
+    "streaming_cms_counts": streaming_cms_counts,
 }
 
 
@@ -540,4 +566,24 @@ SELECT doc_id AS media_id,
            substring(repeat(text, CAST(ceil(288.0 / GREATEST(length(text), 1)) AS BIGINT)),
                      1, 288)) AS content_md5
 FROM documents WHERE doc_id < 200
+"""
+
+# Same single-pass counter oracle as the batch cms_merge_halves twin
+# (count-min additivity: per-batch streaming increments == one pass).
+from fsc_etl_spark.operators.sketches import CMS_DEPTH as _CMS_D
+from fsc_etl_spark.operators.sketches import CMS_WIDTH as _CMS_W
+
+STREAMING_ORACLES["streaming_cms_counts"] = f"""
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+),
+probe AS (
+  SELECT c.cnt, j.j,
+         ('0x' || substr(md5(
+            'cms' || CAST(j.j AS VARCHAR) || ':' || CAST(c.user_id AS VARCHAR)
+          ), 1, 15))::BIGINT % {_CMS_W} AS b
+  FROM c CROSS JOIN (SELECT unnest(range({_CMS_D})) AS j) j
+)
+SELECT j, b, CAST(SUM(cnt) AS BIGINT) AS total FROM probe GROUP BY j, b
 """

@@ -1226,6 +1226,86 @@ def domain_mix_weights(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_TOKEN_BUDGET = 200_000
+
+
+def token_budget_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """Epoch/repeat scheduling for a fixed training-token budget:
+    split a 200k-token budget evenly across sources (exact integer
+    split — the first ``budget mod n`` sources in name order carry the
+    remainder), then per source the number of FULL passes over its
+    available tokens (``budget div avail``), the leftover partial-pass
+    tokens, and the shortfall when even one pass exceeds… none here —
+    the repeat factor is how many epochs of a small source the
+    schedule asks for, the standard lever when a high-quality source
+    is smaller than its budget share (repeats > 1 == multi-epoch).
+
+    All BIGINT arithmetic; one partial-agg shuffle to per-source
+    totals plus a bounded window over the per-source rows.
+    """
+    docs = t(spark, sf, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("avail_tokens"),
+    )
+    w = Window.partitionBy()
+    rn = Window.orderBy("source")
+    scheduled = (
+        per_src.withColumn("__n", F.count(F.lit(1)).over(w))
+        # bounded: one row per source
+        .withColumn("__rk", F.row_number().over(rn))
+        .withColumn(
+            "budget_tokens",
+            (
+                F.expr(f"{_TOKEN_BUDGET} div __n")
+                + F.when(
+                    F.col("__rk") <= F.expr(f"{_TOKEN_BUDGET} % __n"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).cast("long"),
+        )
+        .withColumn(
+            "full_epochs", F.expr("budget_tokens div avail_tokens").cast("long")
+        )
+        .withColumn(
+            "partial_tokens", F.expr("budget_tokens % avail_tokens").cast("long")
+        )
+    )
+    return scheduled.select(
+        "source", "n_docs", "avail_tokens", "budget_tokens",
+        "full_epochs", "partial_tokens",
+    )
+
+
+def token_simpson_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document token-diversity score: the Simpson collision index
+    over the token distribution, ``sum c_i(c_i-1) / (N(N-1))`` in
+    parts-per-million — an integer-exact repetitiveness signal (a doc
+    that repeats one token scores 1e6; all-distinct scores 0) that
+    needs no logs, so no float entropy to drift on. Standard quality
+    gate beside length/stopword ratios.
+
+    Map-side explode to (doc, token) pairs, one shuffle to per-(doc,
+    token) counts, one to per-doc sums — the same two-level shape as
+    the repetition profiler, linear at any corpus size.
+    """
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    counts = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.expr("c * (c - 1)")).alias("coll"),
+    )
+    return per_doc.filter(F.col("n_tokens") >= 2).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.expr("(coll * 1000000) div (n_tokens * (n_tokens - 1))")
+        .cast("long")
+        .alias("simpson_ppm"),
+    )
+
+
 def length_quantile_filter(spark: SparkSession, sf: str) -> DataFrame:
     """Length-distribution trimming: drop every token-length class
     wholly inside the bottom or top 5% of corpus mass, keep the rest.
@@ -1618,6 +1698,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition_stats": doc_repetition_stats,
     "pii_redact_stats": pii_redact_stats,
     "domain_mix_weights": domain_mix_weights,
+    "token_budget_schedule": token_budget_schedule,
+    "token_simpson_quality": token_simpson_quality,
     "length_quantile_filter": length_quantile_filter,
     "cluster_canonical_doc": cluster_canonical_doc,
     "tfidf_top_terms": tfidf_top_terms,

@@ -68,6 +68,9 @@ def test_driver_sample_prefix_covers_priority_groups():
         "csv_corrupt_quarantine",
         "embed_mmr_select",
         "cms_merge_halves",
+        "token_budget_schedule",
+        "token_simpson_quality",
+        "streaming_cms_counts",
     }
     missing = [n for n in never if n not in prefix and n not in deferred_to_r5]
     assert not missing, f"never-sampled queries fell out of the driver window: {missing}"
