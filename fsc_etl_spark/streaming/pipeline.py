@@ -93,7 +93,16 @@ def run_to_memory(
     boundaries.
     """
     name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="fsc_ckpt_")
+    # Deterministic per-(tag, pid) checkpoint, CLEARED each call: a
+    # streaming checkpoint must be fresh per run (a stale offset log
+    # would mark the staged files already-processed), and mkdtemp per
+    # call accumulated one abandoned checkpoint per sweep invocation.
+    import shutil
+
+    from fsc_etl_spark.scratch import scratch_path
+
+    ckpt = scratch_path("stream_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)

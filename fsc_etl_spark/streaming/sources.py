@@ -89,12 +89,22 @@ def stage_events_as_files(
     ``ts`` column is written as a real timestamp (normalized by the
     batch reader whatever the fixture encoding), so readers use
     EVENTS_STAGED.
-    """
-    import tempfile
 
+    The default output is the deterministic per-(tag, pid) scratch
+    path — cleared and restaged on each invocation, because staging
+    APPENDS ``n_files`` sequential files and a stale copy would
+    double the batch count (a fresh ``mkdtemp`` per call leaked a
+    fixture copy per sweep/bench invocation — the same accumulation
+    the layout-rewrite queries had).
+    """
+    import shutil
+
+    from fsc_etl_spark.scratch import scratch_path
     from fsc_etl_spark.sources.readers import read_parquet_table
 
-    out = out_dir or tempfile.mkdtemp(prefix="fsc_events_staged_")
+    out = out_dir or scratch_path(f"events_staged_{n_files}")
+    if out_dir is None:
+        shutil.rmtree(out, ignore_errors=True)
     ev = read_parquet_table(spark, sf_dir, "events")
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
     span_us = max(1, int((hi - lo).total_seconds() * 1_000_000) + 1)
@@ -136,12 +146,19 @@ def stage_documents_as_files(
     modification order == id order) — the corpus-drop-prefix replay
     harness for multi-batch ingest tests. Arrival order matching
     doc_id order is what lets keep-first-by-arrival dedup reproduce
-    the batch keep-first-by-doc_id oracle exactly."""
-    import tempfile
+    the batch keep-first-by-doc_id oracle exactly.
 
+    Defaults to the cleared per-(tag, pid) scratch path — see
+    stage_events_as_files for why (append staging + stale copies
+    would double batch counts; mkdtemp leaked a copy per call)."""
+    import shutil
+
+    from fsc_etl_spark.scratch import scratch_path
     from fsc_etl_spark.sources.readers import read_parquet_table
 
-    out = out_dir or tempfile.mkdtemp(prefix="fsc_docs_staged_")
+    out = out_dir or scratch_path(f"docs_staged_{n_files}")
+    if out_dir is None:
+        shutil.rmtree(out, ignore_errors=True)
     docs = read_parquet_table(spark, sf_dir, "documents")
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
     step = (hi - lo) // n_files + 1
