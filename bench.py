@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "cms_merge_halves",
     "token_budget_schedule",
     "token_simpson_quality",
+    "assoc_rules_parts",
     # round-4 full-surface expansion: every remaining batch query, so
     # the bench covers the whole queries() surface. Still off-bench,
     # each with a documented reason: the 12 streaming_* queries (their

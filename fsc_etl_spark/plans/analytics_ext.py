@@ -488,7 +488,73 @@ def nested_roundtrip_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def assoc_rules_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association rules over order baskets: for part
+    pairs co-occurring in >= 0.1% of orders (1000·s_xy >= N, an exact
+    integer-rational support floor), both directed rules with
+    confidence and lift in parts-per-million — all BIGINT floor
+    arithmetic, no float probability anywhere. Top-20 by (confidence,
+    support, antecedent, consequent) with full tie-breaks.
+
+    The a-priori first pass at scale: the pair expansion is bounded
+    per order (baskets have bounded line counts), pair supports are
+    one partial-agg shuffle, and the per-item supports join back as a
+    broadcast (item dimension-sized). Confidence = s_xy/s_x, lift =
+    s_xy·N/(s_x·s_y) — the co-purchase signals a recommender or
+    mixture designer reads off the same fixture the graph family
+    builds its co-occurrence edges from.
+    """
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.distinct()
+    n_orders = baskets.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    r = baskets.select(
+        F.col("l_orderkey").alias("r_orderkey"), F.col("l_partkey").alias("r_partkey")
+    )
+    pair_support = (
+        baskets.join(
+            r,
+            (baskets["l_orderkey"] == r["r_orderkey"])
+            & (baskets["l_partkey"] < r["r_partkey"]),
+        )
+        .groupBy(
+            F.col("l_partkey").alias("x"), F.col("r_partkey").alias("y")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("s_xy"))
+    )
+    item_support = baskets.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("s_item")
+    )
+    rules = (
+        pair_support.select("x", "y", "s_xy")
+        .union(pair_support.select(F.col("y").alias("x"), F.col("x").alias("y"), "s_xy"))
+        .join(F.broadcast(item_support.withColumnRenamed("item", "x")
+                          .withColumnRenamed("s_item", "s_x")), "x")
+        .join(F.broadcast(item_support.withColumnRenamed("item", "y")
+                          .withColumnRenamed("s_item", "s_y")), "y")
+        .crossJoin(F.broadcast(n_orders))
+        .filter(F.expr("1000 * s_xy >= __n"))
+        .select(
+            F.col("x").alias("antecedent"),
+            F.col("y").alias("consequent"),
+            "s_xy",
+            F.expr("(s_xy * 1000000) div s_x").cast("long").alias("confidence_ppm"),
+            F.expr("(s_xy * __n * 1000000) div (s_x * s_y)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )
+    return rules.orderBy(
+        F.col("confidence_ppm").desc(),
+        F.col("s_xy").desc(),
+        F.col("antecedent").asc(),
+        F.col("consequent").asc(),
+    ).limit(20)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "assoc_rules_parts": assoc_rules_parts,
     "cube_order_stats": cube_order_stats,
     "json_roundtrip_stats": json_roundtrip_stats,
     "nested_roundtrip_stats": nested_roundtrip_stats,
@@ -752,4 +818,41 @@ SELECT CAST(ts AS DATE) AS day, event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+
+EXT_ORACLES["assoc_rules_parts"] = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM baskets),
+ps AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y, CAST(COUNT(*) AS BIGINT) AS s_xy
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+),
+items AS (
+  SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) AS s_item
+  FROM baskets GROUP BY l_partkey
+),
+directed AS (
+  SELECT x, y, s_xy FROM ps
+  UNION ALL
+  SELECT y AS x, x AS y, s_xy FROM ps
+),
+rules AS (
+  SELECT d.x AS antecedent, d.y AS consequent, d.s_xy,
+         CAST((d.s_xy * 1000000) // ix.s_item AS BIGINT) AS confidence_ppm,
+         CAST((d.s_xy * n.n_orders * 1000000) // (ix.s_item * iy.s_item) AS BIGINT)
+           AS lift_ppm
+  FROM directed d
+  JOIN items ix ON ix.item = d.x
+  JOIN items iy ON iy.item = d.y
+  CROSS JOIN n
+  WHERE 1000 * d.s_xy >= n.n_orders
+)
+SELECT antecedent, consequent, s_xy, confidence_ppm, lift_ppm
+FROM rules
+ORDER BY confidence_ppm DESC, s_xy DESC, antecedent, consequent
+LIMIT 20
 """
