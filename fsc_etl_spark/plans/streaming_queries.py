@@ -257,6 +257,30 @@ def streaming_cms_counts(spark: SparkSession, sf: str) -> DataFrame:
     return snap.select("j", "b", "total")
 
 
+def streaming_hll_registers(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog register file maintained by the streaming state
+    store: per-bucket MAX rank updates incrementally across >= 2
+    replayed micro-batches (guarded), final complete-mode snapshot ==
+    the one-pass batch sketch — max is idempotent/commutative, so
+    batch boundaries cannot change the registers. With
+    streaming_cms_counts this covers both sketch merge monoids (sum
+    and max) under streaming state; state is bounded at 64 cells.
+    """
+    from fsc_etl_spark.operators.sketches import hll_registers
+    from fsc_etl_spark.streaming import stage_events_as_files, stream_staged_events
+
+    staged = stage_events_as_files(spark, sf, n_files=4)
+    ev = stream_staged_events(spark, staged, max_files_per_trigger=1)
+    regs = hll_registers(ev.select("user_id"), "user_id")
+    batches: list[int] = []
+    snap = run_to_memory(regs, output_mode="complete", batch_counts=batches)
+    if len([b for b in batches if b > 0]) < 2:
+        raise RuntimeError(
+            f"expected >=2 non-empty micro-batches, saw {batches!r}"
+        )
+    return snap.select("bucket", "register")
+
+
 def streaming_blocklist_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """STREAM-STATIC ANTI JOIN: incoming documents are dropped when
     their content fingerprint matches a static blocklist (the
@@ -419,6 +443,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_segment_dedup": streaming_segment_dedup,
     "streaming_media_ingest": streaming_media_ingest,
     "streaming_cms_counts": streaming_cms_counts,
+    "streaming_hll_registers": streaming_hll_registers,
 }
 
 
@@ -586,4 +611,22 @@ probe AS (
   FROM c CROSS JOIN (SELECT unnest(range({_CMS_D})) AS j) j
 )
 SELECT j, b, CAST(SUM(cnt) AS BIGINT) AS total FROM probe GROUP BY j, b
+"""
+
+# Same single-pass register oracle as the batch hll_register_build
+# (max-merge idempotence: per-batch streaming maxes == one pass).
+from fsc_etl_spark.operators.sketches import HLL_BUCKETS as _HLL_B
+from fsc_etl_spark.operators.sketches import HLL_RANK_BITS as _HLL_R
+
+STREAMING_ORACLES["streaming_hll_registers"] = f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+  FROM events
+),
+f AS (SELECT hh % {_HLL_B} AS bucket, hh // {_HLL_B} AS v FROM h)
+SELECT bucket,
+       CAST(MAX(CASE WHEN v = 0 THEN {_HLL_R + 1}
+                     ELSE {_HLL_R} - length(bin(v)) + 1 END) AS BIGINT)
+         AS register
+FROM f GROUP BY bucket
 """
