@@ -77,8 +77,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pps_token_sample, bucketed_join_rollup, csv_corrupt_quarantine,
     embed_mmr_select, cms_merge_halves, token_budget_schedule,
     token_simpson_quality, streaming_cms_counts,
-    streaming_hll_registers, assoc_rules_parts) are new but deferred
-    to r5 (window full — put them FIRST in the r5 rotation).
+    streaming_hll_registers, assoc_rules_parts,
+    ppr_copurchase_seeds) are new but deferred to r5 (window full —
+    put them FIRST in the r5 rotation).
     """
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     merged.update(analytics.QUERIES)

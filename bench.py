@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "token_budget_schedule",
     "token_simpson_quality",
     "assoc_rules_parts",
+    "ppr_copurchase_seeds",
     # round-4 full-surface expansion: every remaining batch query, so
     # the bench covers the whole queries() surface. Still off-bench,
     # each with a documented reason: the 12 streaming_* queries (their

@@ -363,6 +363,113 @@ def bfs_hops(
     return out
 
 
+def personalized_pagerank_integer(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    init_rank: int = RANK_SCALE,
+    symmetric: bool = False,
+) -> DataFrame:
+    """Personalized PageRank: the teleport mass lands ONLY on the seed
+    set, so rank measures proximity to the seeds — the corpus-
+    expansion primitive (grow a trusted seed cohort outward through
+    the interaction graph). ``seeds`` is a one-column ``node`` frame;
+    it is intersected with the graph's node set first (a seed with no
+    edges can neither receive nor spread mass).
+
+    Same fixed-point BIGINT arithmetic as :func:`pagerank_integer`:
+    ``rank_{i+1}(v) = base(v) + (d_num · inflow(v)) div d_den`` with
+    ``base(v) = ((d_den−d_num) · init · n_nodes) div (d_den · n_seeds)``
+    for seeds and 0 otherwise (total teleport mass matches the uniform
+    variant, concentrated on the seeds), starting from rank init on
+    seeds / 0 elsewhere. Floor-division mass loss is the documented
+    fixed-point trade. Bit-reproducible, so the unrolled-CTE oracle
+    hash-matches.
+
+    Scale shape: identical to the general PageRank path — one join
+    against pre-hashed cached edges + one shuffle-on-dst aggregation
+    per round, plus the nodes-side left join; the seed flag rides as
+    a broadcast semi/left join. n_nodes/n_seeds are two bounded
+    driver scalars (counts). Dangling nodes are rejected loudly, as
+    in the default ``pagerank_integer`` contract; ``symmetric=True``
+    skips that validation AND the nodes-side union-distinct (src set
+    == node set) — ONLY safe when the caller constructs an
+    undirected/symmetrised edge list, where dangling nodes are
+    structurally impossible.
+
+    Returns (node, rank), rank BIGINT.
+    """
+    edges = edges.select("src", "dst").distinct().persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    if symmetric:
+        nodes = deg.select(F.col("src").alias("node")).persist()
+    else:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
+        n_dangling = nodes.join(
+            deg.select(F.col("src").alias("node")), "node", "left_anti"
+        ).count()
+        if n_dangling:
+            edges.unpersist()
+            nodes.unpersist()
+            raise ValueError(
+                f"{n_dangling} node(s) have no out-edge; personalized PageRank "
+                "would lose their rank mass — symmetrise the graph or drop sinks"
+            )
+    seed_nodes = seeds.select("node").distinct().join(nodes, "node", "left_semi").persist()
+    n_nodes = nodes.count()
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        edges.unpersist()
+        nodes.unpersist()
+        seed_nodes.unpersist()
+        raise ValueError("no seed intersects the graph's node set")
+    base_seed = ((damping_den - damping_num) * init_rank * n_nodes) // (
+        damping_den * n_seeds
+    )
+    edges_deg = edges.join(deg, "src").repartition(F.col("src")).persist()
+    flagged = nodes.join(
+        seed_nodes.withColumn("__is_seed", F.lit(True)), "node", "left"
+    ).select(
+        "node",
+        F.coalesce(F.col("__is_seed"), F.lit(False)).alias("__is_seed"),
+    ).persist()
+    base = F.when(F.col("__is_seed"), F.lit(base_seed)).otherwise(F.lit(0)).cast("long")
+    ranks = flagged.select(
+        "node",
+        F.when(F.col("__is_seed"), F.lit(init_rank)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    for _ in range(iters):
+        r = ranks.select(F.col("node").alias("__rn"), F.col("rank").alias("__rr"))
+        contrib = (
+            edges_deg.join(r, edges_deg["src"] == r["__rn"])
+            .select(F.col("dst").alias("node"), F.expr("__rr div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = flagged.join(contrib, "node", "left").select(
+            "node",
+            (
+                base
+                + F.expr(
+                    f"({damping_num} * coalesce(inflow, 0L)) div {damping_den}"
+                )
+            ).cast("long").alias("rank"),
+        )
+    out = ranks.localCheckpoint(eager=True)
+    for df in (edges, nodes, seed_nodes, edges_deg, flagged):
+        df.unpersist()
+    return out
+
+
 def kcore_degrees(
     edges: DataFrame,
     k: int,

@@ -20,6 +20,7 @@ from fsc_etl_spark.operators.graph import (
     bfs_hops,
     kcore_degrees,
     pagerank_integer,
+    personalized_pagerank_integer,
     triangle_stats,
 )
 from fsc_etl_spark.sources.readers import read_parquet_table as t
@@ -217,6 +218,57 @@ def pagerank_dangling_redistribute(spark: SparkSession, sf: str) -> DataFrame:
         edges, iters=_DANGLING_ITERS, dangling="redistribute"
     )
     return ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(_TOPK)
+
+
+_PPR_ITERS = 3
+
+
+def ppr_copurchase_seeds(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank over the symmetrised customer—part
+    co-purchase graph, seeded on NATION-0 CUSTOMERS: teleport mass
+    lands only on that cohort, so the top-20 ranks are the parts (and
+    customers) closest to the cohort's buying neighborhood — the
+    seed-expansion primitive for growing a trusted subset outward
+    (operators/graph.personalized_pagerank_integer, 3 BIGINT-exact
+    rounds, unrolled-CTE oracle).
+
+    Nodes iterate as BIGINT (2·custkey / 2·partkey+1) and render to
+    'c…'/'p…' labels only in the final top-20 projection.
+    """
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_partkey") * 2 + 1).alias("pnode"),
+        )
+        .distinct()
+        .persist()
+    )
+    edges = cp.select(F.col("cnode").alias("src"), F.col("pnode").alias("dst")).union(
+        cp.select(F.col("pnode").alias("src"), F.col("cnode").alias("dst"))
+    )
+    seeds = (
+        t(spark, sf, "customer")
+        .filter(F.col("c_nationkey") == 0)
+        .select((F.col("c_custkey") * 2).alias("node"))
+    )
+    # symmetrised union -> src set == node set, no dangling possible:
+    # the structural fast path skips the union-distinct + check action
+    ranks = personalized_pagerank_integer(
+        edges, seeds, iters=_PPR_ITERS, symmetric=True
+    )
+    cp.unpersist()  # ranks is checkpointed eagerly; the cache is done
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), F.expr("node div 2").cast("string")),
+    ).otherwise(F.concat(F.lit("p"), F.expr("(node - 1) div 2").cast("string")))
+    return (
+        ranks.select(label.alias("node"), "rank")
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(_TOPK)
+    )
 
 
 _KCORE_K = 20
@@ -419,6 +471,68 @@ def _pagerank_dangling_oracle(iters: int = _DANGLING_ITERS, topk: int = _TOPK) -
     )
 
 
+def _ppr_oracle(iters: int = _PPR_ITERS, topk: int = _TOPK) -> str:
+    """Unrolled CTE mirroring personalized_pagerank_integer on the
+    nation-0-seeded co-purchase graph: teleport base lands only on
+    seed nodes, scaled (15·init·n_nodes)//(100·n_seeds); rank starts
+    at init on seeds, 0 elsewhere."""
+    chain = [
+        """cp AS MATERIALIZED (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS cnode,
+                  'p' || CAST(l.l_partkey AS VARCHAR) AS pnode
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)""",
+        """edges AS MATERIALIZED (
+  SELECT cnode AS src, pnode AS dst FROM cp
+  UNION ALL
+  SELECT pnode AS src, cnode AS dst FROM cp
+)""",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges)",
+        "deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src)",
+        """sg AS MATERIALIZED (
+  SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+  FROM customer WHERE c_nationkey = 0
+  INTERSECT
+  SELECT node FROM nodes
+)""",
+        """k AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM sg) AS n_seeds
+)""",
+        f"""r0 AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL THEN CAST({RANK_SCALE} AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS rank
+  FROM nodes n LEFT JOIN sg s ON n.node = s.node
+)""",
+    ]
+    base = (
+        f"CASE WHEN s.node IS NOT NULL THEN "
+        f"(CAST(15 AS BIGINT) * {RANK_SCALE} * k.n_nodes) // (100 * k.n_seeds) "
+        f"ELSE 0 END"
+    )
+    for i in range(iters):
+        chain.append(
+            f"""r{i + 1} AS MATERIALIZED (
+  SELECT n.node,
+         CAST({base} + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n
+  CROSS JOIN k
+  LEFT JOIN sg s ON n.node = s.node
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank // d.deg) AS inflow
+    FROM edges e JOIN deg d ON e.src = d.src JOIN r{i} r ON r.node = e.src
+    GROUP BY e.dst
+  ) i ON n.node = i.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(chain)
+        + f"\nSELECT node, rank FROM r{iters} ORDER BY rank DESC, node LIMIT {topk}"
+    )
+
+
 def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
     """Unrolled CTE chain mirroring kcore_degrees round-for-round:
     per round, drop every edge incident to a node whose current degree
@@ -475,6 +589,7 @@ QUERIES = {
     "kcore_copurchase": kcore_copurchase,
     "pagerank_copurchase": pagerank_copurchase,
     "pagerank_dangling_redistribute": pagerank_dangling_redistribute,
+    "ppr_copurchase_seeds": ppr_copurchase_seeds,
     "pagerank_weighted_copurchase": pagerank_weighted_copurchase,
     "recursive_ancestor_depth": recursive_ancestor_depth,
     "triangle_count_coparts": triangle_count_coparts,
@@ -508,6 +623,7 @@ FROM md GROUP BY dist
     "kcore_copurchase": _kcore_oracle(),
     "pagerank_copurchase": _pagerank_oracle(),
     "pagerank_dangling_redistribute": _pagerank_dangling_oracle(),
+    "ppr_copurchase_seeds": _ppr_oracle(),
     "pagerank_weighted_copurchase": _pagerank_weighted_oracle(),
     "triangle_count_coparts": """
 WITH canon AS (

@@ -73,6 +73,7 @@ def test_driver_sample_prefix_covers_priority_groups():
         "streaming_cms_counts",
         "assoc_rules_parts",
         "streaming_hll_registers",
+        "ppr_copurchase_seeds",
     }
     missing = [n for n in never if n not in prefix and n not in deferred_to_r5]
     assert not missing, f"never-sampled queries fell out of the driver window: {missing}"

@@ -504,3 +504,77 @@ def test_pagerank_conflicting_flags_raise(spark):
         pagerank_integer(
             edges, iters=1, every_node_has_inflow=True, dangling="redistribute"
         )
+
+
+def _py_ppr(pairs, seeds, iters, init=10**9):
+    edges = sorted(set(pairs))
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    sset = set(seeds) & set(nodes)
+    n, ns = len(nodes), len(sset)
+    base_seed = (15 * init * n) // (100 * ns)
+    rank = {v: (init if v in sset else 0) for v in nodes}
+    for _ in range(iters):
+        inflow = {v: 0 for v in nodes}
+        for u in nodes:
+            if u in out:
+                share = rank[u] // len(out[u])
+                for v in out[u]:
+                    inflow[v] += share
+        rank = {
+            v: (base_seed if v in sset else 0) + (85 * inflow[v]) // 100
+            for v in nodes
+        }
+    return rank
+
+
+def test_ppr_hand_graph_matches_reference(spark):
+    from fsc_etl_spark.operators.graph import personalized_pagerank_integer
+
+    # symmetric triangle + pendant pair, seeded on one triangle corner
+    und = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    pairs = und + [(y, x) for x, y in und]
+    edges = _edges(spark, pairs)
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank_integer(edges, seeds, iters=3).collect()
+    }
+    assert got == _py_ppr(pairs, ["a"], 3)
+    # seed-proximity: the seed's direct neighbors outrank the pendant
+    assert got["b"] > got["d"] and got["c"] > got["d"]
+
+
+def test_ppr_rejects_dangling_and_disjoint_seeds(spark):
+    from fsc_etl_spark.operators.graph import personalized_pagerank_integer
+
+    directed = _edges(spark, [("a", "b")])  # b has no out-edge
+    seeds = spark.createDataFrame([("a",)], "node string")
+    with pytest.raises(ValueError, match="no out-edge"):
+        personalized_pagerank_integer(directed, seeds)
+    sym = _edges(spark, [("a", "b"), ("b", "a")])
+    ghost = spark.createDataFrame([("zz",)], "node string")
+    with pytest.raises(ValueError, match="no seed"):
+        personalized_pagerank_integer(sym, ghost)
+
+
+def test_ppr_symmetric_fast_path_matches_general(spark):
+    from fsc_etl_spark.operators.graph import personalized_pagerank_integer
+
+    und = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    pairs = und + [(y, x) for x, y in und]
+    edges = _edges(spark, pairs)
+    seeds = spark.createDataFrame([("a",), ("d",)], "node string")
+    slow = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank_integer(edges, seeds, iters=3).collect()
+    }
+    fast = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank_integer(
+            edges, seeds, iters=3, symmetric=True
+        ).collect()
+    }
+    assert slow == fast

@@ -55,6 +55,7 @@ INVARIANT_QUERIES = [
     "padding_waste_stats",
     "table_profile_stats",
     "kcore_copurchase",
+    "ppr_copurchase_seeds",
     "cms_topk_users",
     "hll_register_build",
     "pps_token_sample",
