@@ -60,8 +60,19 @@ def pps_systematic(
         .cast("long")
         .alias("__stride")
     )
-    ranged = df.repartitionByRange(*[F.col(c) for c in order_by]).withColumn(
-        "__pid", F.spark_partition_id()
+    # Materialize the ranged layout ONCE before fanning out: the
+    # per-partition sums and the row-side join below both key on
+    # __pid = spark_partition_id(), which is only consistent if both
+    # branches read the SAME physical range exchange. Exchange reuse
+    # usually guarantees that, but range-boundary sampling is
+    # plan-instance-dependent, so a defeated reuse would silently
+    # mis-sample; the eager localCheckpoint pins one set of partitions
+    # (and truncates the lineage) so __pid is a fact, not a plan
+    # artifact.
+    ranged = (
+        df.repartitionByRange(*[F.col(c) for c in order_by])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     psums = ranged.groupBy("__pid").agg(F.sum(w).alias("__psum"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -240,25 +240,31 @@ def mmr_select(
             ).withColumn("max_sim", max_sim)
         else:
             sims = cand.withColumn("max_sim", F.lit(0.0))
-        best = (
+        rows = (
             sims.withColumn(
                 "score",
                 F.round(lam * F.col("rel") - one_minus * F.col("max_sim"), ROUND_DIGITS),
             )
             .orderBy(F.col("score").desc(), F.col(id_col).asc())
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:
+            # k exceeds the candidate count — return the exhausted
+            # selection rather than IndexError mid-greedy.
+            break
+        best = rows[0]
         picked.append(
             (best[id_col], list(best["c_vec"]), best["c_n"], best["rel"], best["score"])
         )
     cand.unpersist()
+    id_field = corpus.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
         [
             (t + 1, p[0], p[3], p[4])
             for t, p in enumerate(picked)
         ],
-        f"sel_rank long, {id_col} long, rel_cos double, mmr_score double",
+        f"sel_rank long, {id_col} {id_field}, rel_cos double, mmr_score double",
     )
 
 
@@ -490,7 +496,11 @@ def ivf_topk(
     centroids = _lloyd_codebook(X, n_centroids, train_iters)
     cent_df = F.broadcast(
         corpus.sparkSession.createDataFrame(
-            [(i, c) for i, c in enumerate(centroids)], ["cell", "cent"]
+            [
+                (i, cvec, sum(x * x for x in cvec) / 2.0)
+                for i, cvec in enumerate(centroids)
+            ],
+            ["cell", "cent", "half_sq"],
         )
     )
 
@@ -505,9 +515,16 @@ def ivf_topk(
         F.col(id_col).alias(query_id_col),
         _as_double(F.col(vec_col)).alias("q_vec"),
     ).withColumn("q_n", l2_norm(F.col("q_vec")))
+    # Rank probe cells with the SAME |cent|^2/2-corrected assignment
+    # score _argmin_code uses for the corpus: with non-unit centroid
+    # norms, plain dot(q, cent) can probe cells that differ from the
+    # assignment-nearest cells, silently costing recall.
     q_cells = (
         q.crossJoin(cent_df)
-        .withColumn("cdist", dot(F.col("q_vec"), F.col("cent")) / F.col("q_n"))
+        .withColumn(
+            "cdist",
+            dot(F.col("q_vec"), F.col("cent")) / F.col("q_n") - F.col("half_sq"),
+        )
         .withColumn(
             "crank",
             F.row_number().over(

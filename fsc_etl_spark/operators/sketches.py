@@ -83,6 +83,11 @@ def cms_estimate(keys: DataFrame, counters: DataFrame, key_col: str) -> DataFram
     d·w rows), so the probe is one map-side join + a groupBy on the
     key the caller already carries.
 
+    Probe keys need not come from the build set: a key whose (j, b)
+    cells are all absent gets the classic unseen-key estimate 0 (a
+    missing cell is a zero counter, and the min over rows includes
+    it), rather than vanishing from the output.
+
     Returns ``keys``' columns plus ``est_cnt`` (BIGINT).
     """
     key = F.col(key_col).cast("string")
@@ -98,9 +103,9 @@ def cms_estimate(keys: DataFrame, counters: DataFrame, key_col: str) -> DataFram
         ).alias("jb"),
     ).select(*keys.columns, F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
     return (
-        probe.join(F.broadcast(counters), ["j", "b"])
+        probe.join(F.broadcast(counters), ["j", "b"], "left")
         .groupBy(*keys.columns)
-        .agg(F.min("total").alias("est_cnt"))
+        .agg(F.min(F.coalesce(F.col("total"), F.lit(0).cast("long"))).alias("est_cnt"))
     )
 
 

@@ -1047,7 +1047,7 @@ kept AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_segments,
-       SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM kept GROUP BY doc_id
 """
 
@@ -1133,8 +1133,8 @@ vocab AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_tokens,
-       SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS n_in_vocab,
-       SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+       CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
 FROM tok LEFT JOIN vocab v USING (tok)
 GROUP BY doc_id
 """
@@ -1147,7 +1147,7 @@ TRAINING_ORACLES["orc_roundtrip_stats"] = """
 SELECT source,
        COUNT(*) AS n_docs,
        COUNT(DISTINCT lang) AS n_langs,
-       SUM(n_chars) AS sum_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        MIN(doc_id) AS min_id,
        MAX(doc_id) AS max_id
 FROM documents GROUP BY source

@@ -579,7 +579,7 @@ kept AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_segments,
-       SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM kept GROUP BY doc_id
 """
 

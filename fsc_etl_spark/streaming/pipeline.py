@@ -93,15 +93,19 @@ def run_to_memory(
     boundaries.
     """
     name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
-    # Deterministic per-(tag, pid) checkpoint, CLEARED each call: a
-    # streaming checkpoint must be fresh per run (a stale offset log
-    # would mark the staged files already-processed), and mkdtemp per
-    # call accumulated one abandoned checkpoint per sweep invocation.
+    # Deterministic per-(tag, pid, query-name) checkpoint, CLEARED each
+    # call: a streaming checkpoint must be fresh per run (a stale
+    # offset log would mark the staged files already-processed), and
+    # mkdtemp per call accumulated one abandoned checkpoint per sweep
+    # invocation. The query name is part of the tag so concurrent
+    # run_to_memory calls in one process (threads) never rmtree or
+    # share an ACTIVE query's offset log — the per-pid reaping
+    # behavior is unchanged.
     import shutil
 
     from fsc_etl_spark.scratch import scratch_path
 
-    ckpt = scratch_path("stream_ckpt")
+    ckpt = scratch_path(f"stream_ckpt_{name}")
     shutil.rmtree(ckpt, ignore_errors=True)
     q = (
         stream_df.writeStream.format("memory")
@@ -111,9 +115,15 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    if batch_counts is not None:
-        batch_counts.extend(p["numInputRows"] for p in q.recentProgress)
+    try:
+        q.awaitTermination()
+        if batch_counts is not None:
+            batch_counts.extend(p["numInputRows"] for p in q.recentProgress)
+    finally:
+        # An AvailableNow run is complete once it terminates; its
+        # offset log has no further reader, so reap it here instead of
+        # leaking one checkpoint per uuid-named invocation.
+        shutil.rmtree(ckpt, ignore_errors=True)
     return stream_df.sparkSession.table(name)
 
 

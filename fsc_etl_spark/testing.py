@@ -15,6 +15,7 @@ from decimal import Decimal
 from typing import Any
 
 import duckdb
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
 TESTDATA_TABLES = (
@@ -45,6 +46,13 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _norm_value(v: Any) -> str:
     if v is None:
         return "NULL"
+    if isinstance(v, np.generic):
+        # pandas hands back numpy scalars; fold them onto the Python
+        # branches so e.g. np.True_ -> "true" and np.float32 -> repr of
+        # the double it widens to (matching the driver's stringify).
+        v = v.item()
+    elif isinstance(v, np.ndarray):
+        v = v.tolist()
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
@@ -56,7 +64,13 @@ def _norm_value(v: Any) -> str:
     if isinstance(v, Decimal):
         return repr(float(v))
     if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+        v = v.replace(tzinfo=None)
+        if v.hour == v.minute == v.second == v.microsecond == 0:
+            # DuckDB DATE materializes as a midnight Timestamp through
+            # pandas while Spark hands back datetime.date; the driver's
+            # date oracles are green, so its hash treats the two alike.
+            return v.date().isoformat()
+        return v.isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, dt.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
@@ -85,9 +99,15 @@ def compare_with_oracle(
     values."""
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)
-    rel = con.execute(sql)
-    d_cols = [c[0] for c in rel.description]
-    d_rows = rel.fetchall()
+    # Fetch the oracle result THROUGH pandas, exactly like the driver
+    # does (BASELINE.md §b / VERDICT r4 "What's wrong" #2): DuckDB
+    # HUGEINT materializes as float64 in pandas, so an uncast integer
+    # SUM stringifies as "1234.0" against Spark's "1234" and MUST fail
+    # here the same way it fails in the driver. fetchall() would hand
+    # back Python ints and mask that whole failure class.
+    pdf = con.execute(sql).df()
+    d_cols = list(pdf.columns)
+    d_rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
 
     if sorted(s_cols) != sorted(d_cols):
         raise OracleMismatch(f"{name}: column mismatch spark={sorted(s_cols)} duckdb={sorted(d_cols)}")

@@ -34,6 +34,29 @@ def test_query_matches_oracle(spark, sf_smoke, name):
     check_query(spark, sf_smoke, name)
 
 
+def test_no_hugeint_oracle_columns():
+    """Static gate for the r4 failure class (VERDICT r4 "What's wrong"
+    #1/#2): an uncast integer aggregate makes DuckDB type the column
+    HUGEINT, pandas materializes it float64, and the driver's value
+    hash then sees "1234.0" vs Spark's "1234". DESCRIBE every oracle
+    (no execution) and reject HUGEINT/UHUGEINT result columns."""
+    from fsc_etl_spark.testing import duckdb_connection
+
+    con = duckdb_connection("/root/testdata/sf0.001")
+    try:
+        bad: list[str] = []
+        for name, sql in sorted(entrymod.oracle_sql().items()):
+            for col, typ in zip(
+                con.execute(f"DESCRIBE {sql}").df()["column_name"],
+                con.execute(f"DESCRIBE {sql}").df()["column_type"],
+            ):
+                if "HUGEINT" in str(typ).upper():
+                    bad.append(f"{name}.{col}: {typ}")
+        assert not bad, f"uncast integer aggregates (wrap in CAST(... AS BIGINT)): {bad}"
+    finally:
+        con.close()
+
+
 def test_driver_sample_prefix_covers_priority_groups():
     """The driver oracle-checks roughly the first 50 queries() entries.
     Round-4 rotation: the window is exactly the 41 queries with no
