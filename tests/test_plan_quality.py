@@ -338,20 +338,23 @@ def test_skyline_sweep_is_range_partitioned(spark, sf_smoke):
     assert "rangepartitioning" in plan.lower(), "skyline lost its range phase"
 
 
-def test_pps_prefix_sum_is_range_partitioned(spark, sf_smoke):
+def test_pps_prefix_sum_is_bucket_partitioned(spark, sf_smoke):
     """pps_token_sample's exclusive prefix sum must be the two-phase
-    range-partitioned decomposition: a RangePartitioning exchange for
-    the per-partition running sums, and the only unpartitioned window
-    is over the tiny one-row-per-partition offset frame — never a
-    full-table single-partition sort."""
+    data-derived-bucket decomposition (round-6 rework): the per-row
+    running sum windows over hash-partitioned __bucket (derived from
+    percentile_approx boundaries, not spark_partition_id), and the
+    only SinglePartition exchanges are contract-tiny frames: the
+    one-row-per-bucket offsets window plus the one-row
+    stride/boundaries control agg (which appears once per branch —
+    row side and per-bucket-sum side — when AQE instantiates it
+    twice) — never a full-table single-partition sort, and no
+    lineage-truncating checkpoint (Scan ExistingRDD) hiding the
+    shape."""
     plan = plan_of(spark, sf_smoke, "pps_token_sample")
-    assert "rangepartitioning" in plan.lower(), "PPS lost its range phase"
-    # the per-row running sum must be partitioned on __pid; the only
-    # SinglePartition exchanges are the two contract-tiny frames (the
-    # one-row-per-partition offsets window and the scalar stride agg)
-    # — a global window over the documents table would add a third
-    assert "windowspecdefinition(__pid" in plan, plan
-    assert plan.lower().count("singlepartition") <= 2, plan
+    assert "windowspecdefinition(__bucket" in plan, plan
+    assert "hashpartitioning(__bucket" in plan.lower(), "per-row sum not bucket-partitioned"
+    assert plan.lower().count("singlepartition") <= 3, plan
+    assert "Scan ExistingRDD" not in plan, "PPS must not checkpoint the full table"
 
 
 def test_kcore_anti_joins_not_cartesian(spark, sf_smoke):
