@@ -46,40 +46,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §2.12.
 
     Ordered so a prefix sample covers the whole surface: the driver
-    checks roughly the first 50 entries. ROUND-4 ROTATION (VERDICT r3
-    item 1): the prefix is exactly the 41 queries with no driver
-    CORRECTNESS row after rounds 1-3 (the round-3 late additions:
-    graph suite, Spark-4 surfaces, audio codec, EWMA/Holt folds,
-    format matrix, incremental maintenance, drift/PMI/k-anonymity,
-    …), then the queries whose results changed this round
-    (multimodal_features — real codec-backed decode; the scale-safe
-    deciles headline) and long-green sentinels to fill the window.
-    After r4's CORRECTNESS lands, every query in the repo has at
-    least one driver-green row (except the rows-only-by-design
-    ANN/sketch entries, recorded as weaker rows-only checks). Keep
-    tests/test_entry_contract.py's prefix-pin test in sync with this
-    list; it derives the never-sampled set from CORRECTNESS_r0*.json
-    automatically.
-
-    ROUND-5 ROTATION NOTE: after r4's CORRECTNESS lands, the only
-    queries without a driver row should be whatever r4's ~50-slot
-    sample missed (if it sampled fewer than this list's head) — the
-    prefix-pin test recomputes the set from CORRECTNESS_r0{1..4}.json;
-    put any stragglers first, then backfill with long-green sentinels.
-    The round-4 additions in-window (pagerank_dangling_redistribute,
-    embed_pq_topk, chunk_overlap_docs, padding_waste_stats,
-    table_profile_stats, kcore_copurchase, cms_topk_users) and the
-    two re-derived queries (multimodal_features,
-    ntile_customer_deciles) sit at slots 42-50 and must stay
-    in-window until green; the other round-4 late additions (the
-    deferred_to_r5 set pinned in tests/test_entry_contract.py:
-    hll_register_build, hll_estimate_users, hll_merge_halves,
-    pps_token_sample, bucketed_join_rollup, csv_corrupt_quarantine,
-    embed_mmr_select, cms_merge_halves, token_budget_schedule,
-    token_simpson_quality, streaming_cms_counts,
-    streaming_hll_registers, assoc_rules_parts,
-    ppr_copurchase_seeds) are new but deferred to r5 (window full —
-    put them FIRST in the r5 rotation).
+    checks roughly the first 50 entries. ROUND-6 ROTATION (VERDICT r5
+    item 3 — the rotation r5 failed to do): the prefix leads with the
+    14 round-4 late additions that have never had a driver
+    CORRECTNESS row (byte-identical r4/r5 samples missed them), then
+    the queries whose behavior or checking contract changed this
+    round (pps_token_sample — data-derived bucket prefix sum;
+    embed_lsh_topk — upgraded from rows-only to a full hash oracle;
+    embed_mmr_select / embed_ivf_topk — r5 guard/probe fixes, never
+    re-verified), then any round-6 additions, then long-green
+    sentinels spanning every family to fill the window. Keep
+    tests/test_entry_contract.py's prefix-pin test in sync: it
+    derives the never-sampled set from CORRECTNESS_r0{1..5}.json
+    automatically, so after r6's CORRECTNESS lands every query in
+    the repo has a driver row.
     """
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     merged.update(analytics.QUERIES)
@@ -95,79 +75,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(incremental.QUERIES)
 
     priority = [
-        # --- the 41 never-driver-sampled queries (rounds 1-3) ---
-        # text / training-data late additions
-        "vocab_coverage_stats",
-        "udtf_ngram_topk",
-        "inverted_index_stats",
-        "pmi_top_bigrams",
-        "mixture_temperature_sample",
-        "segment_dedup_mask",
-        "bigram_lm_quality",
-        "embed_dim_median_stats",
-        "kmeans_cluster_stats",
-        # multimodal / format matrix
-        "audio_clip_stats",
-        "audio_downsample_stats",
-        "orc_roundtrip_stats",
-        "binary_file_ingest",
-        "json_roundtrip_stats",
-        "nested_roundtrip_stats",
-        "xml_roundtrip_stats",
-        # streaming late additions
-        "streaming_segment_dedup",
-        "streaming_media_ingest",
-        # scale ops
-        "dpp_pruned_rollup",
-        "ewma_user_value",
-        "holt_user_forecast",
-        "file_provenance_stats",
-        "k_anonymity_audit",
-        "merge_schema_read",
-        "partition_backfill_rewrite",
-        "table_checksum_buckets",
-        "shuffle_hash_join_stats",
-        "skyline_orders",
-        "value_anomaly_events",
-        "value_drift_buckets",
-        # graph suite
-        "bfs_hops_copurchase",
-        "pagerank_copurchase",
-        "pagerank_weighted_copurchase",
-        "recursive_ancestor_depth",
-        "triangle_count_coparts",
-        # Spark-4 surfaces
-        "lateral_topk_orders",
-        "session_window_stats",
-        "sql_scripting_trimmed_mean",
-        "variant_props_stats",
-        # incremental maintenance
-        "incremental_join_maintenance",
-        "pit_feature_join",
-        # --- new this round ---
-        "pagerank_dangling_redistribute",  # exact dangling-mass variant
-        "embed_pq_topk",  # rows-only by design (PQ/ADC ANN)
-        "chunk_overlap_docs",  # sliding-window chunking (RAG/pretraining prep)
-        "padding_waste_stats",  # token-length bucketing / padding audit
-        "table_profile_stats",  # ANALYZE-style exact column profile
-        "kcore_copurchase",  # k-core graph-density quality filter
-        "cms_topk_users",  # count-min sketch, hash-verified
-        # (hll_register_build, hll_estimate_users, hll_merge_halves,
-        # (the other round-4 late additions — see the deferred_to_r5
-        # set pinned in tests/test_entry_contract.py — are new but
-        # the ~50-slot window is full; they are explicitly deferred
-        # to the r5 stragglers-first rotation)
-        # --- changed this round (results or plan re-derived) ---
-        "multimodal_features",  # real codec-backed decode (was stub)
-        "ntile_customer_deciles",  # rebased on the scale-safe histogram path
-        # --- long-green sentinels to fill the ~50-slot window ---
+        # --- the 14 never-driver-sampled queries (round-4 late
+        # additions, deferred through two full windows) ---
+        "ppr_copurchase_seeds",  # personalized PageRank, seed cohort
+        "embed_mmr_select",  # MMR diverse top-k (r5 guards — re-verify)
+        "pps_token_sample",  # PPS draw (r6 bucket rework — re-verify)
+        "assoc_rules_parts",  # co-occurrence association rules
+        "bucketed_join_rollup",  # zero-exchange bucketed join
+        "csv_corrupt_quarantine",  # PERMISSIVE corrupt-record triage
+        "hll_register_build",  # HLL register construction
+        "hll_estimate_users",  # HLL cardinality estimate
+        "hll_merge_halves",  # HLL merge monoid
+        "cms_merge_halves",  # count-min merge monoid
+        "token_budget_schedule",  # integer token-budget split
+        "token_simpson_quality",  # Simpson diversity quality flags
+        "streaming_cms_counts",  # streaming CMS maintenance
+        "streaming_hll_registers",  # streaming HLL maintenance
+        # --- checking contract or behavior changed this round ---
+        "embed_lsh_topk",  # rows-only -> FULL hash oracle (r6)
+        "embed_ivf_topk",  # r5 probe-ranking fix; rows-only check
+        # --- long-green sentinels to fill the ~50-slot window,
+        # spanning every family (TPC-H, star, dedup, sketch, graph,
+        # streaming, multimodal, format, incremental) ---
         "q1_pricing_summary",
         "star_assembly",
         "dedup_cluster_assign_star",
         "minhash_signature",
-        "rollup_returnflag",
         "lsh_near_dup_candidates",
         "simhash_signature",
+        "rollup_returnflag",
+        "multimodal_features",
+        "ntile_customer_deciles",
+        "pagerank_copurchase",
+        "kcore_copurchase",
+        "triangle_count_coparts",
+        "cms_topk_users",
+        "kmeans_cluster_stats",
+        "vocab_coverage_stats",
+        "segment_dedup_mask",
+        "streaming_segment_dedup",
+        "orc_roundtrip_stats",
+        "pit_feature_join",
+        "incremental_join_maintenance",
+        "dpp_pruned_rollup",
+        "skyline_orders",
+        "session_window_stats",
+        "lateral_topk_orders",
+        "variant_props_stats",
+        "embed_pq_topk",
+        "chunk_overlap_docs",
+        "padding_waste_stats",
+        "table_profile_stats",
+        "bigram_lm_quality",
+        "udtf_ngram_topk",
+        "binary_file_ingest",
+        "audio_clip_stats",
+        "k_anonymity_audit",
     ]
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in priority:

