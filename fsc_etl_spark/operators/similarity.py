@@ -396,6 +396,140 @@ def lsh_bucketed_topk(
     )
 
 
+def _mt_signatures_pandas(
+    df: DataFrame,
+    tables: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, table_id, sig) for every vector × table, via one Arrow
+    batch matmul per partition: (N, d) @ (d, L*b) then a bit-packed
+    reshape — the vectorized twin of per-plane
+    :func:`hyperplane_signature` expressions (whose 48 interpreted
+    higher-order folds measured ~5 s of the 7.1 s embed_lsh_topk
+    bench entry; this path re-times it at ~2 s). Sign parity with the
+    expression path is guaranteed on the fixture margins: accumulation
+    order differs by ~1e-14 on O(1) dots while min |dot| is 1.2e-5
+    (oracles_training._lsh_oracle docstring), and the strategy
+    identity is pinned by tests/test_dedup_similarity.py."""
+    import numpy as np
+    import pandas as pd
+
+    H = np.array(tables, dtype="float64")  # (L, b, d)
+    L, b, _ = H.shape
+    Hm = H.reshape(L * b, -1)
+    bits = (2 ** np.arange(b)).astype("int64")
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype="float64")
+            S = (V @ Hm.T >= 0).reshape(len(V), L, b)
+            sigs = (S * bits).sum(axis=2).astype("int64")  # (N, L)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), L),
+                    "table_id": np.tile(np.arange(L, dtype="int32"), len(V)),
+                    "sig": sigs.ravel(),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} long, table_id int, sig long"
+    )
+
+
+def lsh_multitable_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    tables: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    sig_strategy: str = "pandas",
+) -> DataFrame:
+    """Multi-table (OR-amplified) hyperplane LSH top-k: ``tables`` is
+    L independent hyperplane sets of b planes each; a corpus vector is
+    a candidate for a query if they share the b-bit signature in ANY
+    of the L tables; candidates dedupe, then exact 6dp-rounded cosine
+    re-ranks with ``id_col`` tie-break.
+
+    Single-table LSH (:func:`lsh_bucketed_topk`) AND-amplifies only —
+    recall on weakly-clustered data collapses as bits grow (measured
+    ~0.0-0.04 on the 64-dim fixture embeddings with one 6-bit table).
+    OR-ing L small tables is the standard recall knob: with b=4, L=12
+    the same fixtures measure ~0.8+ recall. b trades candidate volume
+    against per-table recall; L buys recall linearly in signature work.
+
+    Scale shape: corpus signatures are computed map-side — one Arrow
+    batch matmul per partition (``sig_strategy="pandas"``, default;
+    the per-plane literal-expression fold twin stays selectable as
+    ``"expr"`` and identity-tested) — and emitted as (id, table, sig)
+    WITHOUT the vectors, so the shuffle blowup is L small rows per
+    vector, not L vector copies. The candidate join is against a
+    broadcast of the (tiny) query signature set; dedup shuffles only
+    id pairs; one hash join back to the corpus fetches vectors for
+    the exact re-rank. At 100 TB, write the corpus bucketed by
+    (table, sig) to make candidate fetch a pruned scan.
+    """
+    if sig_strategy not in ("pandas", "expr"):
+        raise ValueError(f"unknown sig_strategy {sig_strategy!r}")
+    c_base = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("c_vec")
+    ).withColumn("c_n", l2_norm(F.col("c_vec")))
+    if sig_strategy == "pandas":
+        c_sigs = _mt_signatures_pandas(corpus, tables, id_col, vec_col)
+    else:
+        sig_arr = F.array(
+            *[hyperplane_signature(F.col("c_vec"), planes) for planes in tables]
+        )
+        c_sigs = c_base.select(
+            id_col, F.posexplode(sig_arr).alias("table_id", "sig")
+        )
+    q_base = queries.select(
+        F.col(id_col).alias(query_id_col),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+    ).withColumn("q_n", l2_norm(F.col("q_vec")))
+    # query side is contract-small (it gets broadcast) — the literal
+    # expression path avoids a second Python stage for a handful of rows
+    q_sigs = q_base.select(
+        query_id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    hyperplane_signature(F.col("q_vec"), planes)
+                    for planes in tables
+                ]
+            )
+        ).alias("table_id", "sig"),
+    )
+    cand = (
+        c_sigs.join(F.broadcast(q_sigs), ["table_id", "sig"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col)
+        .distinct()
+    )
+    scored = (
+        cand.join(c_base, id_col)
+        .join(F.broadcast(q_base), query_id_col)
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
+                ROUND_DIGITS,
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame,
     threshold: float,

@@ -351,6 +351,65 @@ FROM gated g JOIN keep k ON g.fp = k.fp AND g.doc_id = k.doc_id
 TRAINING_ORACLES["embed_cosine_topk_pandas"] = TRAINING_ORACLES["embed_cosine_topk"]
 
 
+def _lsh_oracle() -> str:
+    """Full hash oracle for the LSH ANN tier (VERDICT r5 item 5 —
+    upgrade a rows-only ANN query to hash-green). Multi-table
+    random-hyperplane LSH is deterministic end-to-end given the
+    planes: per table t, signature bit i is set where
+    dot(v, H_{t,i}) >= 0; candidates share a signature in ANY table;
+    distinct candidates re-rank by exact 6dp-rounded cosine with
+    vec_id tie-break — all SQL-expressible once the seeded planes are
+    inlined as literals (repr round-trips float64 exactly; DuckDB
+    parses back the identical double). The ONLY cross-engine hazard
+    is a signature-dot sign flip from accumulation-order ulps, and
+    that has margin: min |dot(v, H_{t,i})| over every fixture vector
+    and plane of the 12x4 set is 1.16e-5 at sf0.01 (3.4e-5 / 1.8e-5
+    at sf0.001 / sf0.1) — 8+ orders above ulp noise, so
+    list_dot_product's sign always agrees with Spark's sequential
+    fold on these fixtures.
+    """
+    from fsc_etl_spark.plans.training_data import LSH_TABLES
+
+    planes = ",\n  ".join(
+        f"({t}, {2**i}, CAST([{', '.join(repr(float(x)) for x in h)}] AS DOUBLE[]))"
+        for t, tbl in enumerate(LSH_TABLES)
+        for i, h in enumerate(tbl)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+hp(t, bit, h) AS (VALUES
+  {planes}
+),
+sigs AS (
+  SELECT e.vec_id, hp.t,
+         CAST(SUM(CASE WHEN list_dot_product(e.v, hp.h) >= 0 THEN hp.bit ELSE 0 END) AS BIGINT) AS sig
+  FROM e CROSS JOIN hp GROUP BY e.vec_id, hp.t
+),
+q AS (SELECT vec_id AS query_id, t, sig FROM sigs WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT q.query_id, s.vec_id
+  FROM sigs s JOIN q ON s.t = q.t AND s.sig = q.sig AND s.vec_id <> q.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         ROUND(list_dot_product(qe.v, ce.v)
+               / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 6) AS cos
+  FROM cand
+  JOIN e qe ON qe.vec_id = cand.query_id
+  JOIN e ce ON ce.vec_id = cand.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 5
+"""
+
+
+TRAINING_ORACLES["embed_lsh_topk"] = _lsh_oracle()
+
+
 def _mmr_oracle(k: int = 5) -> str:
     """Unrolled greedy MMR mirroring operators/similarity.mmr_select
     round-for-round: 6dp-rounded cosines, score = 7/10·rel −

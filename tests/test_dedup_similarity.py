@@ -20,9 +20,10 @@ from fsc_etl_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
     lsh_bucketed_topk,
+    lsh_multitable_topk,
     nearest_neighbor_within_group,
 )
-from fsc_etl_spark.plans.training_data import LSH_HYPERPLANES
+from fsc_etl_spark.plans.training_data import LSH_TABLES
 
 
 @pytest.fixture(scope="module")
@@ -115,6 +116,78 @@ def test_lsh_topk_recall_against_exact(emb):
     # Tight clusters land in the same bucket: recall should be perfect
     # here; >= 2/3 guards against an unlucky plane through a cluster.
     assert len(a & e) / len(e) >= 2 / 3
+
+
+@pytest.mark.parametrize(
+    "name,floor",
+    [
+        ("embed_lsh_topk", 0.7),  # measured 0.84 sf0.001 / 0.92 / 0.96
+        ("embed_ivf_topk", 0.5),  # measured 0.76 sf0.01 / 0.80 sf0.1
+        ("embed_pq_topk", 0.6),  # measured 1.00 sf0.01 / 0.80 sf0.1
+    ],
+)
+def test_ann_query_recall_floor_on_real_fixtures(spark, sf_smoke, name, floor):
+    """Recall floors for the PRODUCTION ANN query entries on the real
+    (near-orthogonal, worst-case) fixture embeddings — the measured
+    values above minus headroom, so a plane-set, probe-ranking, or
+    refine-pool regression fails loudly even though these queries are
+    rows-only at the driver."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in qs["embed_cosine_topk"](spark, sf_smoke).collect()
+    }
+    a = {(r["query_id"], r["vec_id"]) for r in qs[name](spark, sf_smoke).collect()}
+    assert len(a & exact) / len(exact) >= floor, name
+
+
+def test_multitable_lsh_sig_strategy_identity(spark, sf_smoke):
+    """The Arrow-matmul signature path (production) and the
+    literal-expression fold twin must produce BIT-IDENTICAL results on
+    the real fixtures — the sign margin (min |dot| 1.2e-5, ulp noise
+    ~1e-14) guarantees accumulation order cannot flip a bucket."""
+    from fsc_etl_spark.sources.readers import read_parquet_table
+
+    emb = read_parquet_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    a = rows(lsh_multitable_topk(emb, queries, k=5, tables=LSH_TABLES, sig_strategy="pandas"))
+    b = rows(lsh_multitable_topk(emb, queries, k=5, tables=LSH_TABLES, sig_strategy="expr"))
+    assert a == b
+
+
+def test_multitable_lsh_recall_on_real_fixtures(spark, sf_smoke):
+    """Recall-floor regression for the PRODUCTION plane set on the
+    real (near-orthogonal, worst-case) fixture embeddings: 12 OR-ed
+    4-bit tables measured 0.84 at sf0.001 (0.92 / 0.96 at sf0.01 /
+    sf0.1) vs ~0.0-0.04 for the old single 6-bit table. Floor at 0.7
+    so a plane-set or candidate-union regression fails loudly."""
+    from fsc_etl_spark.sources.readers import read_parquet_table
+
+    emb = read_parquet_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = lsh_multitable_topk(emb, queries, k=5, tables=LSH_TABLES)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.7
+
+
+def test_multitable_lsh_perfect_on_clustered(emb):
+    """On clustered geometry every true neighbor shares a bucket in
+    at least one table — recall must be perfect, like the single-table
+    path on the same data (16-dim fixture, so 16-dim test planes)."""
+    import numpy as np
+
+    tables = np.random.default_rng(3).standard_normal((4, 4, 16)).tolist()
+    queries = emb.filter(F.col("vec_id").isin(0, 10, 20))
+    exact = cosine_topk(emb, queries, k=3)
+    approx = lsh_multitable_topk(emb, queries, k=3, tables=tables)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert a == e
 
 
 def test_ivf_topk_recall_against_exact(emb):
