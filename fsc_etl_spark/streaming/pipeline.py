@@ -101,21 +101,27 @@ def run_to_memory(
     # run_to_memory calls in one process (threads) never rmtree or
     # share an ACTIVE query's offset log — the per-pid reaping
     # behavior is unchanged.
+    import re
     import shutil
 
     from fsc_etl_spark.scratch import scratch_path
 
-    ckpt = scratch_path(f"stream_ckpt_{name}")
+    # Sanitize the caller-supplied name before it becomes a path
+    # component (ADVICE r5): a separator or shell-odd character must
+    # not escape or fragment the scratch dir. The memory-sink
+    # queryName keeps the original.
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", name)
+    ckpt = scratch_path(f"stream_ckpt_{safe}")
     shutil.rmtree(ckpt, ignore_errors=True)
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
         q.awaitTermination()
         if batch_counts is not None:
             batch_counts.extend(p["numInputRows"] for p in q.recentProgress)
