@@ -63,31 +63,41 @@ def pps_systematic(
     """
     if n_target < 1:
         raise ValueError(f"n_target must be >= 1, got {n_target}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     w = F.col(weight_col).cast("long")
     key0 = order_by[0]
     fracs = [i / n_buckets for i in range(1, n_buckets)]
     # One-row control frame: the stride scalar and the bucket
     # boundaries ride together through a single broadcast — no
-    # driver-side action anywhere.
-    ctrl = df.agg(
+    # driver-side action anywhere. n_buckets=1 has no interior
+    # boundaries (empty percentile list is rejected by Spark), so the
+    # bucket column degenerates to the constant 0.
+    stride_agg = (
         F.greatest(
             F.expr(f"sum(cast({weight_col} as bigint)) div {n_target}"), F.lit(1)
         )
         .cast("long")
-        .alias("__stride"),
-        F.percentile_approx(
-            F.col(key0), F.array(*[F.lit(f) for f in fracs]), F.lit(10000)
-        ).alias("__bounds"),
+        .alias("__stride")
     )
+    if fracs:
+        ctrl = df.agg(
+            stride_agg,
+            F.percentile_approx(
+                F.col(key0), F.array(*[F.lit(f) for f in fracs]), F.lit(10000)
+            ).alias("__bounds"),
+        )
+        bucket_expr = F.expr(f"size(filter(__bounds, b -> b < {key0}))").cast("int")
+    else:
+        ctrl = df.agg(stride_agg)
+        bucket_expr = F.lit(0)
     # Bucket = number of boundaries strictly below the key: monotone in
     # key0, so buckets are contiguous ranges consistent with the global
     # order, and rows with equal key0 always share a bucket (the
     # within-bucket window then refines by the full order_by).
     bucketed = (
         df.crossJoin(F.broadcast(ctrl))
-        .withColumn(
-            "__bucket", F.expr(f"size(filter(__bounds, b -> b < {key0}))").cast("int")
-        )
+        .withColumn("__bucket", bucket_expr)
         .drop("__bounds")
     )
     psums = bucketed.groupBy("__bucket").agg(F.sum(w).alias("__psum"))

@@ -85,3 +85,33 @@ def test_pps_invalid_target_raises(spark):
     df = spark.createDataFrame([(1, 1)], "id long, w long")
     with pytest.raises(ValueError, match="n_target"):
         pps_systematic(df, "w", ["id"], 0)
+
+
+@pytest.mark.parametrize("n_buckets", [1, 2, 5, 64])
+def test_pps_bucket_count_invariant(spark, n_buckets):
+    """The round-6 data-derived buckets only steer parallelism: the
+    selected rows and multiplicities must be identical for ANY bucket
+    count, including the degenerate single bucket."""
+    rows = [(i, (i * 11) % 17 + 1) for i in range(60)]
+    expected = _py_pps([w for _, w in rows], 7)
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = {
+        r["id"]: r["n_hits"]
+        for r in pps_systematic(df, "w", ["id"], 7, n_buckets=n_buckets).collect()
+    }
+    assert got == expected
+
+
+def test_pps_all_equal_keys_single_bucket_degenerate(spark):
+    """All-identical leading keys collapse every boundary to one value
+    — every row must bin to one bucket and the draw must still match
+    the reference (the within-bucket window refines by the full
+    order_by)."""
+    rows = [(7, i, i % 5 + 1) for i in range(20)]
+    expected = _py_pps([w for _, _, w in rows], 4)
+    df = spark.createDataFrame(rows, "k long, id long, w long")
+    got = {
+        r["id"]: r["n_hits"]
+        for r in pps_systematic(df, "w", ["k", "id"], 4).collect()
+    }
+    assert got == expected
