@@ -109,6 +109,9 @@ PROBE_QUERIES = [
     "hll_merge_halves",         # partial-sketch union
     "pps_token_sample",         # two-phase weighted prefix sum
     "bucketed_join_rollup",     # bucketed write + co-located join
+    # round-6 additions
+    "embed_lsh_topk",           # multi-table LSH: Arrow sigs + candidate union
+    "embed_pq_topk",            # PQ/ADC with the widened refine pool
 ]
 
 

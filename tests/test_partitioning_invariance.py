@@ -59,6 +59,10 @@ INVARIANT_QUERIES = [
     "cms_topk_users",
     "hll_register_build",
     "pps_token_sample",
+    # round-6 batch: multi-table LSH (Arrow-matmul signatures +
+    # distinct candidate union must not depend on batch boundaries)
+    "embed_lsh_topk",
+    "embed_pq_topk",
 ]
 
 
