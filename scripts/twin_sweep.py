@@ -35,13 +35,43 @@ TWIN_PAIRS = [
     # kept in the sweep so a future re-split of the two would still be
     # equivalence-gated)
     ("ntile_customer_deciles", "decile_bucket_scalable", "full"),
+    # multi-table LSH: Arrow-matmul signature path vs the per-plane
+    # literal-expression fold (round 6; sign-margin argument in
+    # oracles_training._lsh_oracle)
+    ("lsh_sig_pandas@", "lsh_sig_expr@", "full"),
 ]
+
+
+def _lsh_strategy_query(strategy: str):
+    from pyspark.sql import functions as F
+
+    from fsc_etl_spark.operators.similarity import lsh_multitable_topk
+    from fsc_etl_spark.plans.training_data import LSH_TABLES
+    from fsc_etl_spark.sources.readers import read_parquet_table
+
+    def q(spark, sf):
+        emb = read_parquet_table(spark, sf, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        return lsh_multitable_topk(
+            emb, queries, k=5, tables=LSH_TABLES, sig_strategy=strategy
+        )
+
+    return q
+
+
+#: names ending in "@" resolve here instead of queries() — twin paths
+#: that are strategy parameters of one operator, not separate entries.
+EXTRA_QUERIES = {
+    "lsh_sig_pandas@": _lsh_strategy_query("pandas"),
+    "lsh_sig_expr@": _lsh_strategy_query("expr"),
+}
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 
 def normalized(spark, name: str, sf: str, with_cols: bool):
-    df = entrymod.queries()[name](spark, sf)
+    fn = EXTRA_QUERIES.get(name) or entrymod.queries()[name]
+    df = fn(spark, sf)
     cols = list(df.columns)
     rows = [tuple(r) for r in df.collect()]
     if with_cols:

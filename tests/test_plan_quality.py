@@ -357,6 +357,19 @@ def test_pps_prefix_sum_is_bucket_partitioned(spark, sf_smoke):
     assert "Scan ExistingRDD" not in plan, "PPS must not checkpoint the full table"
 
 
+def test_multitable_lsh_plan_shape(spark, sf_smoke):
+    """embed_lsh_topk's plan must keep the 100 TB shape: signatures
+    come from one Arrow python stage (no per-plane expression blowup
+    in the corpus path), both the candidate join and the re-rank
+    query join build on a BROADCAST of the tiny query side, and
+    nothing degenerates to a cartesian/nested-loop product."""
+    plan = plan_of(spark, sf_smoke, "embed_lsh_topk")
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+    assert "BroadcastHashJoin" in plan, "query side not broadcast"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_kcore_anti_joins_not_cartesian(spark, sf_smoke):
     """kcore_copurchase's peel rounds are materialized eagerly, so the
     returned plan is the final histogram over a checkpointed RDD —
