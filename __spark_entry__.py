@@ -94,6 +94,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- checking contract or behavior changed this round ---
         "embed_lsh_topk",  # rows-only -> FULL hash oracle (r6)
         "embed_ivf_topk",  # r5 probe-ranking fix; rows-only check
+        # --- round-6 additions: audited ANN tiers with pinned
+        # codebooks and FULL hash oracles ---
+        "embed_ivf_pinned_topk",
+        "embed_pq_pinned_topk",
         # --- long-green sentinels to fill the ~50-slot window,
         # spanning every family (TPC-H, star, dedup, sketch, graph,
         # streaming, multimodal, format, incremental) ---
@@ -130,7 +134,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_ngram_topk",
         "binary_file_ingest",
         "audio_clip_stats",
-        "k_anonymity_audit",
     ]
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in priority:

@@ -232,6 +232,9 @@ BENCH_QUERIES = [
     "corpus_curation",
     "synth_docs_source",
     "salted_source_stats",
+    # round-6 additions (appended): audited pinned-codebook ANN tiers
+    "embed_ivf_pinned_topk",
+    "embed_pq_pinned_topk",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -584,10 +584,21 @@ def ivf_topk(
     train_limit: int = 4096,
     train_fraction: float = 1.0,
     train_iters: int = 10,
+    codebook: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: K-Means coarse quantizer,
     probe the ``nprobe`` nearest centroid cells per query, exact cosine
     re-rank inside the probed cells.
+
+    ``codebook``: optional PINNED coarse quantizer (a list of centroid
+    vectors) that bypasses Lloyd training entirely. With a pinned,
+    data-independent codebook the whole pipeline — assignment argmin,
+    probe ranking, candidate join, exact re-rank — is a deterministic
+    function of (data, literals), so it admits a full DuckDB hash
+    oracle with the centroids inlined (the audited-ANN contract;
+    see plans/training_data.embed_ivf_pinned_topk). Training-related
+    parameters (``n_centroids``, ``train_*``) are ignored in this
+    mode; the cell count is ``len(codebook)``.
 
     The scale path complementing LSH buckets: corpus vectors are
     L2-normalized (Euclidean K-Means then orders like cosine) and
@@ -615,19 +626,23 @@ def ivf_topk(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("c_vec"),
     ).withColumn("c_n", l2_norm(F.col("c_vec")))
-    train_src = c
-    if train_fraction < 1.0:
-        bucket = (
-            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
-            .cast("long")
-        )
-        train_src = c.filter(bucket < F.lit(int(train_fraction * 65536)))
-    sample = train_src.orderBy(id_col).limit(train_limit).select("c_vec").collect()
-    X = np.array([r[0] for r in sample], dtype="float64")
-    if X.shape[0] == 0:
-        raise ValueError("ivf_topk: empty training sample")
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
-    centroids = _lloyd_codebook(X, n_centroids, train_iters)
+    if codebook is not None:
+        centroids = [[float(x) for x in row] for row in codebook]
+        n_centroids = len(centroids)
+    else:
+        train_src = c
+        if train_fraction < 1.0:
+            bucket = (
+                F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+                .cast("long")
+            )
+            train_src = c.filter(bucket < F.lit(int(train_fraction * 65536)))
+        sample = train_src.orderBy(id_col).limit(train_limit).select("c_vec").collect()
+        X = np.array([r[0] for r in sample], dtype="float64")
+        if X.shape[0] == 0:
+            raise ValueError("ivf_topk: empty training sample")
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        centroids = _lloyd_codebook(X, n_centroids, train_iters)
     cent_df = F.broadcast(
         corpus.sparkSession.createDataFrame(
             [
@@ -704,6 +719,7 @@ def pq_topk(
     train_fraction: float = 1.0,
     train_iters: int = 10,
     encode_strategy: str = "pandas",
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (ADC) — the memory-bound third tier beside LSH buckets and IVF
@@ -735,18 +751,28 @@ def pq_topk(
       cosine re-rank of that bounded set to ``k`` (same rounding +
       tie-break discipline as the exact path).
 
-    Approximate by design (quantization error), so no SQL oracle:
-    recall vs :func:`cosine_topk` is asserted in
+    Approximate by design (quantization error), so no SQL oracle for
+    the TRAINED mode: recall vs :func:`cosine_topk` is asserted in
     tests/test_dedup_similarity.py, and the driver records a rows-only
-    check. Output schema matches the other ANN tiers:
-    (query_id, vec_id, cos, rank).
+    check. ``codebooks``: optional PINNED per-subspace codebooks
+    (``[subspace][code][dim]``) that bypass Lloyd training — with
+    data-independent literal codebooks every step (encode argmin, ADC
+    ranking, refine cutoff, exact re-rank) is deterministic and the
+    query admits a full DuckDB hash oracle (the audited-ANN contract;
+    see plans/training_data.embed_pq_pinned_topk). Output schema
+    matches the other ANN tiers: (query_id, vec_id, cos, rank).
     """
     import numpy as np
 
-    dim = len(corpus.select(vec_col).first()[0])
-    if dim % n_subspaces:
-        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
-    sub = dim // n_subspaces
+    if codebooks is not None:
+        n_subspaces = len(codebooks)
+        n_codes = len(codebooks[0])
+        sub = len(codebooks[0][0])
+    else:
+        dim = len(corpus.select(vec_col).first()[0])
+        if dim % n_subspaces:
+            raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+        sub = dim // n_subspaces
 
     # Raw vectors + a norm COLUMN (see _argmin_code's norm note: a
     # normalized vector column re-inlines the norm fold per element
@@ -754,31 +780,34 @@ def pq_topk(
     c = corpus.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("c_vec")
     ).withColumn("c_n", l2_norm(F.col("c_vec")))
-    train_src = c
-    if train_fraction < 1.0:
-        bucket = (
-            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
-            .cast("long")
-        )
-        train_src = c.filter(bucket < F.lit(int(train_fraction * 65536)))
-    # Bounded deterministic training sample: first train_limit vectors
-    # by id (TakeOrdered — no full sort). The collect is bounded by
-    # train_limit * dim doubles regardless of corpus size.
-    sample = train_src.orderBy(id_col).limit(train_limit).select("c_vec").collect()
-    X = np.array([r[0] for r in sample], dtype="float64")
-    if X.shape[0] == 0:
-        raise ValueError("pq_topk: empty training sample")
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    if codebooks is None:
+        train_src = c
+        if train_fraction < 1.0:
+            bucket = (
+                F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+                .cast("long")
+            )
+            train_src = c.filter(bucket < F.lit(int(train_fraction * 65536)))
+        # Bounded deterministic training sample: first train_limit
+        # vectors by id (TakeOrdered — no full sort). The collect is
+        # bounded by train_limit * dim doubles regardless of corpus size.
+        sample = train_src.orderBy(id_col).limit(train_limit).select("c_vec").collect()
+        X = np.array([r[0] for r in sample], dtype="float64")
+        if X.shape[0] == 0:
+            raise ValueError("pq_topk: empty training sample")
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
 
-    # one codebook per subspace (_lloyd_codebook: deterministic
-    # farthest-point init + Lloyd rounds) in the normalized space:
-    # centers as plain Python lists so the encode/score steps below
-    # are literal expressions (broadcast by construction, nothing to
-    # join)
-    codebooks: list[list[list[float]]] = [
-        _lloyd_codebook(X[:, s * sub : (s + 1) * sub], n_codes, train_iters)
-        for s in range(n_subspaces)
-    ]
+        # one codebook per subspace (_lloyd_codebook: deterministic
+        # farthest-point init + Lloyd rounds) in the normalized space:
+        # centers as plain Python lists so the encode/score steps below
+        # are literal expressions (broadcast by construction, nothing to
+        # join)
+        codebooks = [
+            _lloyd_codebook(X[:, s * sub : (s + 1) * sub], n_codes, train_iters)
+            for s in range(n_subspaces)
+        ]
+    else:
+        codebooks = [[[float(x) for x in cent] for cent in b] for b in codebooks]
 
     if encode_strategy == "expr":
         # pure-JVM expression encode: one argmin fold per subspace

@@ -410,6 +410,145 @@ SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 5
 TRAINING_ORACLES["embed_lsh_topk"] = _lsh_oracle()
 
 
+def _ivf_pinned_oracle(nprobe: int = 5, k: int = 5) -> str:
+    """Full hash oracle for the audited IVF tier (round 6): with the
+    PINNED unit-norm centroids inlined as literals, cell assignment is
+    argmax over ``dot(v, c)/|v| - |c|^2/2`` (lowest cell on ties —
+    matching _argmin_code's array_position first-max), query probing
+    is the top-``nprobe`` cells by the same score, and the exact
+    re-rank is the established 6dp-rounded cosine with vec_id
+    tie-break. half_sq literals are the same Python
+    ``sum(x*x)/2.0`` the Spark side folds into its expressions, so
+    both engines subtract the identical double. Cross-engine margins
+    (measured over every fixture vector at sf0.001/0.01/0.1): min
+    assignment gap 2.9e-6, min probe-boundary gap 1.3e-4 — a fold
+    re-ordering perturbs at most ~1e-14, so no argmin can flip."""
+    from fsc_etl_spark.plans.training_data import IVF_PINNED_CENTROIDS
+
+    cents = ",\n  ".join(
+        f"({i}, CAST([{', '.join(repr(float(x)) for x in c)}] AS DOUBLE[]), "
+        f"{sum(x * x for x in c) / 2.0!r})"
+        for i, c in enumerate(IVF_PINNED_CENTROIDS)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+cent(cell, c, half_sq) AS (VALUES
+  {cents}
+),
+ascore AS (
+  SELECT en.vec_id, cent.cell,
+         list_dot_product(en.v, cent.c) / en.n - cent.half_sq AS s
+  FROM en CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS r
+    FROM ascore) WHERE r = 1
+),
+qc AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS r
+    FROM ascore WHERE vec_id < 5) WHERE r <= {nprobe}
+),
+cand AS (
+  SELECT qc.query_id, a.vec_id
+  FROM assigned a JOIN qc ON a.cell = qc.cell AND a.vec_id <> qc.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         ROUND(list_dot_product(qe.v, ce.v) / (qe.n * ce.n), 6) AS cos
+  FROM cand
+  JOIN en qe ON qe.vec_id = cand.query_id
+  JOIN en ce ON ce.vec_id = cand.vec_id
+)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT query_id, vec_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored) WHERE rank <= {k}
+"""
+
+
+TRAINING_ORACLES["embed_ivf_pinned_topk"] = _ivf_pinned_oracle()
+
+
+def _pq_pinned_oracle(refine_pool: int = 200, k: int = 5, sub: int = 8) -> str:
+    """Full hash oracle for the audited PQ/ADC tier (round 6): pinned
+    per-subspace codebooks inline as 128 literal rows; encode is
+    argmax of ``dot(v_sub, code)/|v| - |code|^2/2`` per (vector,
+    subspace) (lowest code on ties), the query LUT entry is
+    ``dot(q_sub, code)/|q|``, a vector's ADC score sums its 8 LUT
+    hits, the refine pool keeps the top ``refine*k`` by (adc DESC,
+    vec_id ASC), and the exact 6dp cosine re-rank picks the final k.
+    The ADC sum is a GROUP BY SUM over 8 addends in DuckDB vs a
+    sequential fold in Spark — re-ordering 8 doubles perturbs ≤
+    ~1e-16, and the measured cutoff margins (encode argmin 1.3e-7,
+    refine boundary 2.3e-5 across sf0.001/0.01/0.1) are 9+ orders
+    larger, so candidate sets cannot diverge; exact ADC ties (equal
+    code vectors) resolve by the shared vec_id tie-break."""
+    from fsc_etl_spark.plans.training_data import PQ_PINNED_CODEBOOKS
+
+    rows = ",\n  ".join(
+        f"({s}, {ci}, CAST([{', '.join(repr(float(x)) for x in cent)}] AS DOUBLE[]), "
+        f"{sum(x * x for x in cent) / 2.0!r})"
+        for s, book in enumerate(PQ_PINNED_CODEBOOKS)
+        for ci, cent in enumerate(book)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+cb(s, code, c, half_sq) AS (VALUES
+  {rows}
+),
+esc AS (
+  SELECT en.vec_id, cb.s, cb.code,
+         list_dot_product(list_slice(en.v, cb.s * {sub} + 1, cb.s * {sub} + {sub}), cb.c)
+           / en.n - cb.half_sq AS sc
+  FROM en CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY sc DESC, code ASC) AS r
+    FROM esc) WHERE r = 1
+),
+lut AS (
+  SELECT en.vec_id AS query_id, cb.s, cb.code,
+         list_dot_product(list_slice(en.v, cb.s * {sub} + 1, cb.s * {sub} + {sub}), cb.c)
+           / en.n AS t
+  FROM en CROSS JOIN cb WHERE en.vec_id < 5
+),
+adc AS (
+  SELECT l.query_id, c.vec_id, SUM(l.t) AS adc
+  FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id
+),
+refined AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id ASC) AS r
+    FROM adc) WHERE r <= {refine_pool}
+),
+scored AS (
+  SELECT refined.query_id, refined.vec_id,
+         ROUND(list_dot_product(qe.v, ce.v) / (qe.n * ce.n), 6) AS cos
+  FROM refined
+  JOIN en qe ON qe.vec_id = refined.query_id
+  JOIN en ce ON ce.vec_id = refined.vec_id
+)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT query_id, vec_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored) WHERE rank <= {k}
+"""
+
+
+TRAINING_ORACLES["embed_pq_pinned_topk"] = _pq_pinned_oracle()
+
+
 def _mmr_oracle(k: int = 5) -> str:
     """Unrolled greedy MMR mirroring operators/similarity.mmr_select
     round-for-round: 6dp-rounded cosines, score = 7/10·rel −

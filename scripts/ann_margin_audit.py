@@ -1,0 +1,121 @@
+"""Cross-engine safety-margin audit for the ORACLE-AUDITED ANN tiers.
+
+The pinned-codebook queries (`embed_ivf_pinned_topk`,
+`embed_pq_pinned_topk`) and the multi-table LSH query carry FULL
+DuckDB hash oracles even though their candidate generation involves
+float comparisons: that is sound only while every decision margin
+(argmin gaps, probe/refine ranking boundaries, signature-dot signs)
+is orders of magnitude above the worst-case accumulation-order noise
+between Spark's sequential folds, numpy's matmul and DuckDB's
+list_dot_product (~1e-14 relative). This script recomputes those
+margins on every fixture scale so the numbers cited in the plan and
+oracle docstrings stay reproducible; run it after any codebook,
+plane-set, nprobe or refine change.
+
+Run: python scripts/ann_margin_audit.py   (prints one line per
+(sf, tier); exits 1 if any margin falls below FLOOR).
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+
+from fsc_etl_spark.plans.training_data import (  # noqa: E402
+    IVF_PINNED_CENTROIDS,
+    LSH_TABLES,
+    PQ_PINNED_CODEBOOKS,
+)
+
+SFS = ["sf0.001", "sf0.01", "sf0.1"]
+NPROBE = 5
+REFINE_POOL = 200
+#: any decision margin below this is too close to cross-engine fold
+#: noise (~1e-14) to trust a hash oracle on.
+FLOOR = 1e-9
+
+
+def load(sf: str):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('/root/testdata/{sf}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows], dtype="float64")
+    return ids, V, np.sqrt((V * V).sum(axis=1))
+
+
+def main() -> int:
+    bad = []
+    H = np.array(LSH_TABLES).reshape(-1, 64)  # 48 planes
+    C = np.array(IVF_PINNED_CENTROIDS)
+    chalf = 0.5 * (C * C).sum(axis=1)
+    B = np.array(PQ_PINNED_CODEBOOKS)  # (8, 16, 8)
+    bhalf = 0.5 * (B * B).sum(axis=2)
+
+    for sf in SFS:
+        ids, V, n = load(sf)
+        qmask = ids < 5
+
+        # LSH: min |signature dot| (a sign flip moves a bucket)
+        lsh_margin = np.abs(V @ H.T).min()
+
+        # IVF: assignment gap (best vs 2nd cell) and probe boundary
+        # (NPROBE-th vs next cell, query side)
+        S = V @ C.T / n[:, None] - chalf[None, :]
+        Ss = np.sort(S, axis=1)[:, ::-1]
+        ivf_assign = (Ss[:, 0] - Ss[:, 1]).min()
+        ivf_probe = (Ss[qmask, NPROBE - 1] - Ss[qmask, NPROBE]).min()
+
+        # PQ: encode argmin gap per (vector, subspace) and the ADC
+        # refine-pool cutoff gap per query
+        codes = np.empty((len(V), 8), dtype=int)
+        pq_enc = np.inf
+        for s in range(8):
+            sc = V[:, s * 8 : (s + 1) * 8] @ B[s].T / n[:, None] - bhalf[s][None, :]
+            scs = np.sort(sc, axis=1)[:, ::-1]
+            pq_enc = min(pq_enc, (scs[:, 0] - scs[:, 1]).min())
+            codes[:, s] = sc.argmax(axis=1)
+        pq_cut = np.inf
+        for qi in np.where(qmask)[0]:
+            lut = np.stack(
+                [V[qi, s * 8 : (s + 1) * 8] @ B[s].T / n[qi] for s in range(8)]
+            )
+            adc = lut[np.arange(8)[None, :], codes].sum(axis=1)
+            order = np.argsort(-adc[ids != ids[qi]], kind="stable")
+            vals = adc[ids != ids[qi]][order]
+            if len(vals) > REFINE_POOL:
+                gap = vals[REFINE_POOL - 1] - vals[REFINE_POOL]
+                # gap 0 from identical code vectors is safe (shared
+                # vec_id tie-break); from distinct codes it is not
+                if gap == 0:
+                    cids = np.where(ids != ids[qi])[0][order]
+                    if not np.array_equal(
+                        codes[cids[REFINE_POOL - 1]], codes[cids[REFINE_POOL]]
+                    ):
+                        gap = -1.0
+                pq_cut = min(pq_cut, gap)
+
+        for tier, margin in [
+            ("lsh_sign", lsh_margin),
+            ("ivf_assign", ivf_assign),
+            ("ivf_probe", ivf_probe),
+            ("pq_encode", pq_enc),
+            ("pq_adc_cutoff", pq_cut),
+        ]:
+            ok = margin >= FLOOR or margin == np.inf
+            print(f"{'PASS' if ok else 'FAIL'} {sf} {tier}: {margin:.3e}")
+            if not ok:
+                bad.append((sf, tier, margin))
+    print(f"margin audit: {len(bad)} below floor {FLOOR:g}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -112,6 +112,8 @@ PROBE_QUERIES = [
     # round-6 additions
     "embed_lsh_topk",           # multi-table LSH: Arrow sigs + candidate union
     "embed_pq_topk",            # PQ/ADC with the widened refine pool
+    "embed_ivf_pinned_topk",    # audited IVF: literal-quantizer cell pruning
+    "embed_pq_pinned_topk",     # audited PQ: pinned codebooks, Arrow encode
 ]
 
 

@@ -39,7 +39,32 @@ TWIN_PAIRS = [
     # literal-expression fold (round 6; sign-margin argument in
     # oracles_training._lsh_oracle)
     ("lsh_sig_pandas@", "lsh_sig_expr@", "full"),
+    # pinned-PQ: Arrow-matmul encode vs the literal-expression encode
+    # (round 6; margin argument in oracles_training._pq_pinned_oracle)
+    ("pq_enc_pandas@", "pq_enc_expr@", "full"),
 ]
+
+
+def _pq_strategy_query(strategy: str):
+    from pyspark.sql import functions as F
+
+    from fsc_etl_spark.operators.similarity import pq_topk
+    from fsc_etl_spark.plans.training_data import PQ_PINNED_CODEBOOKS
+    from fsc_etl_spark.sources.readers import read_parquet_table
+
+    def q(spark, sf):
+        emb = read_parquet_table(spark, sf, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        return pq_topk(
+            emb,
+            queries,
+            k=5,
+            refine=40,
+            codebooks=PQ_PINNED_CODEBOOKS,
+            encode_strategy=strategy,
+        )
+
+    return q
 
 
 def _lsh_strategy_query(strategy: str):
@@ -64,6 +89,8 @@ def _lsh_strategy_query(strategy: str):
 EXTRA_QUERIES = {
     "lsh_sig_pandas@": _lsh_strategy_query("pandas"),
     "lsh_sig_expr@": _lsh_strategy_query("expr"),
+    "pq_enc_pandas@": _pq_strategy_query("pandas"),
+    "pq_enc_expr@": _pq_strategy_query("expr"),
 }
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]

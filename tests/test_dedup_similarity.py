@@ -124,6 +124,10 @@ def test_lsh_topk_recall_against_exact(emb):
         ("embed_lsh_topk", 0.7),  # measured 0.84 sf0.001 / 0.92 / 0.96
         ("embed_ivf_topk", 0.5),  # measured 0.76 sf0.01 / 0.80 sf0.1
         ("embed_pq_topk", 0.6),  # measured 1.00 sf0.01 / 0.80 sf0.1
+        # audited pinned-codebook tiers (full hash oracles; recall is
+        # the other half of their contract)
+        ("embed_ivf_pinned_topk", 0.5),  # measured 0.72 / 0.80 / 0.68
+        ("embed_pq_pinned_topk", 0.6),  # measured 0.88 / 0.92 / 0.72
     ],
 )
 def test_ann_query_recall_floor_on_real_fixtures(spark, sf_smoke, name, floor):
@@ -155,6 +159,26 @@ def test_multitable_lsh_sig_strategy_identity(spark, sf_smoke):
     rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
     a = rows(lsh_multitable_topk(emb, queries, k=5, tables=LSH_TABLES, sig_strategy="pandas"))
     b = rows(lsh_multitable_topk(emb, queries, k=5, tables=LSH_TABLES, sig_strategy="expr"))
+    assert a == b
+
+
+def test_pq_pinned_encode_strategy_identity(spark, sf_smoke):
+    """The Arrow-matmul encode (production) and the literal-expression
+    encode twin must produce BIT-IDENTICAL pinned-PQ results on the
+    real fixtures: the measured encode-argmin margin (1.3e-7) and ADC
+    cutoff margin (2.3e-5) dwarf the last-ulp reassociation between
+    (v/|v|)@C^T and dot(v,c)/|v|, so candidate sets cannot diverge and
+    the exact 6dp re-rank is shared arithmetic."""
+    from fsc_etl_spark.operators.similarity import pq_topk
+    from fsc_etl_spark.plans.training_data import PQ_PINNED_CODEBOOKS
+    from fsc_etl_spark.sources.readers import read_parquet_table
+
+    emb = read_parquet_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    kw = dict(k=5, refine=40, codebooks=PQ_PINNED_CODEBOOKS)
+    a = rows(pq_topk(emb, queries, encode_strategy="pandas", **kw))
+    b = rows(pq_topk(emb, queries, encode_strategy="expr", **kw))
     assert a == b
 
 

@@ -63,6 +63,10 @@ INVARIANT_QUERIES = [
     # distinct candidate union must not depend on batch boundaries)
     "embed_lsh_topk",
     "embed_pq_topk",
+    # audited pinned-codebook tiers: literal-quantizer assignment +
+    # ADC ranking must not depend on Arrow batch/split boundaries
+    "embed_ivf_pinned_topk",
+    "embed_pq_pinned_topk",
 ]
 
 

@@ -32,6 +32,12 @@ PANDAS_OK = {
     "embed_cosine_topk_pandas",
     "user_trend_slope_pandas",
     "embed_pq_topk",  # vectorized Arrow encode (expression twin tested identical)
+    # r6: Arrow-matmul corpus signatures (expression twin identity-
+    # gated in the twin sweep and test_multitable_lsh_sig_strategy_identity)
+    "embed_lsh_topk",
+    # r6: Arrow-matmul PQ encode (expression twin identity-gated in
+    # the twin sweep and test_pq_pinned_encode_strategy_identity)
+    "embed_pq_pinned_topk",
 }
 # Streaming queries execute eagerly inside the callable (AvailableNow
 # runs) and return a materialized result — no lazy plan to inspect.
@@ -368,6 +374,21 @@ def test_multitable_lsh_plan_shape(spark, sf_smoke):
     assert "BroadcastHashJoin" in plan, "query side not broadcast"
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_pinned_plan_shape(spark, sf_smoke):
+    """embed_ivf_pinned_topk must keep the IVF scale shape: corpus
+    cell assignment is pure map-side expression work (no Python stage,
+    no join against a centroid table), the candidate join builds on a
+    BROADCAST of the tiny probed-cells side, and nothing degenerates
+    to a cartesian product. (The query side's 5-row x 8-centroid
+    probe ranking is an intentional broadcast nested loop.)"""
+    plan = plan_of(spark, sf_smoke, "embed_ivf_pinned_topk")
+    assert "BroadcastHashJoin" in plan, "probed-cells side not broadcast"
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, (
+        "pinned-IVF corpus assignment must stay JVM-side expression work"
+    )
 
 
 def test_kcore_anti_joins_not_cartesian(spark, sf_smoke):
