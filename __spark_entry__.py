@@ -95,9 +95,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_topk",  # rows-only -> FULL hash oracle (r6)
         "embed_ivf_topk",  # r5 probe-ranking fix; rows-only check
         # --- round-6 additions: audited ANN tiers with pinned
-        # codebooks and FULL hash oracles ---
+        # codebooks and FULL hash oracles; benchmark decontamination ---
         "embed_ivf_pinned_topk",
         "embed_pq_pinned_topk",
+        "eval_contamination_flags",
+        "repetition_ngram_quality",
         # --- long-green sentinels to fill the ~50-slot window,
         # spanning every family (TPC-H, star, dedup, sketch, graph,
         # streaming, multimodal, format, incremental) ---
@@ -125,15 +127,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_orders",
         "session_window_stats",
         "lateral_topk_orders",
-        "variant_props_stats",
         "embed_pq_topk",
         "chunk_overlap_docs",
         "padding_waste_stats",
         "table_profile_stats",
         "bigram_lm_quality",
         "udtf_ngram_topk",
-        "binary_file_ingest",
-        "audio_clip_stats",
     ]
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in priority:

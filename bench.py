@@ -233,8 +233,11 @@ BENCH_QUERIES = [
     "synth_docs_source",
     "salted_source_stats",
     # round-6 additions (appended): audited pinned-codebook ANN tiers
+    # and benchmark decontamination
     "embed_ivf_pinned_topk",
     "embed_pq_pinned_topk",
+    "eval_contamination_flags",
+    "repetition_ngram_quality",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -1249,6 +1249,66 @@ SELECT doc_id,
 FROM kept GROUP BY doc_id
 """
 
+# Benchmark decontamination: sliding 8-gram overlap vs the
+# doc_id % 29 == 0 eval slice. All-integer (counts + boolean) — the
+# only cross-engine hazard would be tokenization drift, and the
+# split-regex/filter idiom is shared with every other token oracle.
+TRAINING_ORACLES["eval_contamination_flags"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, md5(array_to_string(list_slice(tk, i, i + 7), ' ')) AS g
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i FROM toks WHERE len(tk) >= 8)
+),
+eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 29 = 0),
+hits AS (
+  SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_contaminated
+  FROM grams c JOIN eval_g e USING (g)
+  WHERE c.doc_id % 29 <> 0 GROUP BY c.doc_id
+)
+SELECT t.doc_id,
+       CAST(GREATEST(len(t.tk) - 7, 0) AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       COALESCE(h.n_contaminated, 0) > 0 AS contaminated
+FROM toks t LEFT JOIN hits h USING (doc_id)
+WHERE t.doc_id % 29 <> 0
+"""
+
+# Within-doc repetition: per-row list expressions, integer ppm via
+# floor division on both engines (// in DuckDB, div in Spark).
+# DuckDB range(1, x) is empty for x <= 1, so short docs need no guard
+# here (Spark needs the CASE — its sequence() descends).
+TRAINING_ORACLES["repetition_ngram_quality"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(tk) - 1),
+                        i -> array_to_string(list_slice(tk, i, i + 2), ' ')) AS grams
+  FROM toks
+),
+counted AS (
+  SELECT doc_id,
+         CAST(len(grams) AS BIGINT) AS n_grams,
+         CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct
+  FROM g
+)
+SELECT doc_id, n_grams, n_distinct,
+       CAST(CASE WHEN n_grams > 0
+                 THEN (1000000 * (n_grams - n_distinct)) // n_grams
+                 ELSE 0 END AS BIGINT) AS rep_ppm,
+       (CASE WHEN n_grams > 0
+             THEN (1000000 * (n_grams - n_distinct)) // n_grams
+             ELSE 0 END) >= 200000 AS repetitive
+FROM counted
+"""
+
 # Bigram-LM scoring: integer-scaled conditional probabilities
 # floor(1e9 * c_bigram / c_prefix) accumulate exactly (no float-sum
 # order sensitivity). c_bg * 1e9 stays under int64 through ~1e9

@@ -1680,6 +1680,108 @@ def segment_dedup_mask(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def eval_contamination_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark DEcontamination at the REALISTIC window size — the
+    GPT-3/FineWeb 8-13-token overlap rule. Complements
+    :func:`contamination_overlap` (the aggressive 3-gram shingle
+    screen, hits-only output): 3-grams flag half the corpus on shared
+    idioms, 8-grams fire only on genuine eval-prompt leakage, and this
+    variant emits EVERY corpus doc with its n-gram denominator, the
+    distinct-hit count and the boolean filter flag — the row shape a
+    curation mix actually joins against. The fixture has no separate
+    benchmark table, so the eval suite is the deterministic
+    ``doc_id % 29 == 0`` slice and the corpus is everything else.
+
+    Plan shape at 100 TB: the eval side is a fixed benchmark suite —
+    tiny relative to the corpus — so its distinct n-gram hash set
+    BROADCASTS; corpus n-grams are a map-side explode, the hit count
+    is one shuffle keyed on doc_id (countDistinct partial-aggregates
+    map-side), and the flag join back to the doc list is keyed on
+    doc_id. Nothing compares documents pairwise and the eval set is
+    never joined unbucketed against raw text. All-integer output —
+    no float accumulation anywhere."""
+    n = 8
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("tk"))
+    grams = toks.filter(F.size("tk") >= n).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tk) - {n - 1}),"
+                f" i -> md5(array_join(slice(tk, i, {n}), ' ')))"
+            )
+        ).alias("g"),
+    )
+    eval_g = grams.filter(F.col("doc_id") % 29 == 0).select("g").distinct()
+    hits = (
+        grams.filter(F.col("doc_id") % 29 != 0)
+        .join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_contaminated"))
+    )
+    base = toks.filter(F.col("doc_id") % 29 != 0).select(
+        "doc_id",
+        F.greatest(F.size("tk") - F.lit(n - 1), F.lit(0)).cast("bigint").alias("n_ngrams"),
+    )
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_ngrams",
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("bigint").alias("n_contaminated"),
+        (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def repetition_ngram_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style within-document repetition gate: the fraction of a
+    document's sliding 3-gram INSTANCES that are repeats of an earlier
+    3-gram in the same document (``(n - n_distinct) / n``), reported in
+    exact integer ppm with the >= 20% filter flag — Gopher's
+    "duplicate n-gram fraction" rule. Distinct from the other two
+    repetition signals in the suite: :func:`doc_repetition_stats`
+    measures TOKEN-level concentration (distinct ratio, top-token
+    share — blind to looped phrases built from diverse tokens) and
+    :func:`token_simpson_quality` the token collision index; this one
+    fires exactly on repeated PHRASES, the boilerplate/templating
+    failure mode, without leaving the row (no cross-document state,
+    unlike segment dedup).
+
+    Scale shape: ZERO shuffles — the n-gram array, its distinct size
+    and the ppm ratio are all per-row higher-order expressions, so the
+    whole query is map-side work over the documents scan; per-row
+    memory is O(doc length), fine through book-length docs (a 100k-
+    token doc is ~single-digit MB of gram strings per task). The
+    division happens once per doc on integers (floor semantics both
+    engines)."""
+    n = 3
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("tk"))
+    # CASE guard: sequence(1, 0) DESCENDS in Spark (the segment_hashes
+    # hazard) — short docs must yield an EMPTY gram array, not [1, 0].
+    grams = F.expr(
+        f"CASE WHEN size(tk) >= {n} THEN"
+        f" transform(sequence(1, size(tk) - {n - 1}),"
+        f" i -> array_join(slice(tk, i, {n}), ' '))"
+        f" ELSE array() END"
+    )
+    out = toks.select(
+        "doc_id",
+        F.size(grams).cast("bigint").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct"),
+    )
+    # pure-integer ppm (floor division) — no float arithmetic anywhere
+    rep = F.when(
+        F.col("n_grams") > 0,
+        F.expr("(1000000 * (n_grams - n_distinct)) div n_grams"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        rep.alias("rep_ppm"),
+        (rep >= 200_000).alias("repetitive"),
+    )
+
+
 def bigram_lm_quality(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style LM quality scoring with a corpus-trained bigram
     model: each document scores the mean conditional probability of
@@ -1755,6 +1857,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_pq_topk": embed_pq_topk,
     "embed_ivf_pinned_topk": embed_ivf_pinned_topk,
     "embed_pq_pinned_topk": embed_pq_pinned_topk,
+    "eval_contamination_flags": eval_contamination_flags,
+    "repetition_ngram_quality": repetition_ngram_quality,
     "chunk_overlap_docs": chunk_overlap_docs,
     "padding_waste_stats": padding_waste_stats,
     "multimodal_features": multimodal_features,

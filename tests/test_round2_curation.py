@@ -95,3 +95,38 @@ def test_round2_queries_oracle_parity_smoke(spark, sf_smoke):
         "length_quantile_filter",
     ):
         check_query(spark, sf_smoke, name)
+
+
+# --- round-6 additions to the curation family ---
+
+
+def test_eval_contamination_flags_invariants(spark, sf_smoke):
+    """8-gram decontamination: covers EVERY non-eval doc exactly once,
+    distinct-hit counts bounded by the doc's own gram count, flag
+    consistent with the count, eval slice excluded."""
+    out = QUERIES["eval_contamination_flags"](spark, sf_smoke).collect()
+    docs = read_parquet_table(spark, sf_smoke, "documents")
+    n_corpus = docs.filter(F.col("doc_id") % 29 != 0).count()
+    assert len(out) == n_corpus
+    for r in out:
+        assert r.doc_id % 29 != 0
+        assert 0 <= r.n_contaminated <= max(r.n_ngrams, 0)
+        assert r.contaminated == (r.n_contaminated > 0)
+    # the fixture plants near-dup docs, so genuine 8-gram leakage
+    # exists — an all-clean result would mean a broken join
+    assert any(r.contaminated for r in out)
+
+
+def test_repetition_ngram_quality_invariants(spark, sf_smoke):
+    """Duplicate-3-gram fraction: exact integer ppm recomputable from
+    the emitted counts, distinct bounded by total, short docs (< 3
+    tokens) emit zero grams instead of Spark's descending-sequence
+    garbage."""
+    out = QUERIES["repetition_ngram_quality"](spark, sf_smoke).collect()
+    docs = read_parquet_table(spark, sf_smoke, "documents")
+    assert len(out) == docs.count()
+    for r in out:
+        assert 0 <= r.n_distinct <= r.n_grams
+        expect = (1_000_000 * (r.n_grams - r.n_distinct)) // r.n_grams if r.n_grams else 0
+        assert r.rep_ppm == expect
+        assert r.repetitive == (r.rep_ppm >= 200_000)
