@@ -54,8 +54,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round (pps_token_sample — data-derived bucket prefix sum;
     embed_lsh_topk — upgraded from rows-only to a full hash oracle;
     embed_mmr_select / embed_ivf_topk — r5 guard/probe fixes, never
-    re-verified), then any round-6 additions, then long-green
-    sentinels spanning every family to fill the window. Keep
+    re-verified), then the four round-6 additions (the audited
+    pinned-codebook ANN tiers and the two curation gates), then
+    long-green sentinels spanning every family to fill the window. Keep
     tests/test_entry_contract.py's prefix-pin test in sync: it
     derives the never-sampled set from CORRECTNESS_r0{1..5}.json
     automatically, so after r6's CORRECTNESS lands every query in
@@ -100,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pq_pinned_topk",
         "eval_contamination_flags",
         "repetition_ngram_quality",
+        "training_mix_manifest",
         # --- long-green sentinels to fill the ~50-slot window,
         # spanning every family (TPC-H, star, dedup, sketch, graph,
         # streaming, multimodal, format, incremental) ---
@@ -132,7 +134,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "padding_waste_stats",
         "table_profile_stats",
         "bigram_lm_quality",
-        "udtf_ngram_topk",
     ]
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in priority:

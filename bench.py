@@ -233,7 +233,11 @@ BENCH_QUERIES = [
     "synth_docs_source",
     "salted_source_stats",
     # round-6 additions (appended): audited pinned-codebook ANN tiers
-    # and benchmark decontamination
+    # and benchmark decontamination. training_mix_manifest stays
+    # OFF-bench: it composes five gates benched individually (quality,
+    # lang-id, contamination, repetition, dedup) and would re-time
+    # ~9 s of already-measured shapes — same exclusion class as the
+    # twin re-timings above.
     "embed_ivf_pinned_topk",
     "embed_pq_pinned_topk",
     "eval_contamination_flags",

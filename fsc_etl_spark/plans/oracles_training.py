@@ -1249,6 +1249,77 @@ SELECT doc_id,
 FROM kept GROUP BY doc_id
 """
 
+# End-to-end curation manifest: the quality / lang-id / contamination
+# / repetition / dedup fragments above composed verbatim, aggregated
+# per declared language. Every SUM is CAST AS BIGINT (the r4 HUGEINT
+# lesson); every gate is the exact expression its standalone oracle
+# uses, so a divergence here localizes to the composition, not the
+# gates.
+TRAINING_ORACLES["training_mix_manifest"] = f"""
+WITH corpus AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 29 <> 0),
+s AS (
+  SELECT doc_id, lang,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter({_TOKS}, x -> x IN ({_in_list(LANG_STOPWORDS["en"])}))) AS BIGINT) AS n_stop,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+{_VOTES},
+         md5(lower(trim(text))) AS fp,
+         list_transform(
+           range(1, len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) - 1),
+           i -> array_to_string(
+             list_slice(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''), i, i + 2), ' ')
+         ) AS g3
+  FROM corpus
+),
+scored AS (
+  SELECT doc_id, lang, fp, n_tokens,
+         ROUND(
+           (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.5 ELSE 0.0 END)
+           + (CASE WHEN n_punct / GREATEST(n_chars, 1) <= 0.1 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN n_stop / GREATEST(n_tokens, 1) > 0 THEN 0.25 ELSE 0.0 END), 2) AS quality,
+         {_LANG_CASE} AS lang_pred,
+         CASE WHEN len(g3) > 0
+              THEN (1000000 * (CAST(len(g3) AS BIGINT) - CAST(len(list_distinct(g3)) AS BIGINT))) // CAST(len(g3) AS BIGINT)
+              ELSE 0 END AS rep_ppm
+  FROM s
+),
+toks8 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, md5(array_to_string(list_slice(tk, i, i + 7), ' ')) AS g
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i FROM toks8 WHERE len(tk) >= 8)
+),
+eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 29 = 0),
+contam AS (
+  SELECT DISTINCT c.doc_id FROM grams c JOIN eval_g e USING (g) WHERE c.doc_id % 29 <> 0
+),
+flagged AS (
+  SELECT scored.*, (contam.doc_id IS NOT NULL) AS contaminated
+  FROM scored LEFT JOIN contam USING (doc_id)
+),
+okd AS (
+  SELECT *,
+         (quality >= 0.75 AND lang_pred = lang AND NOT contaminated AND rep_ppm < 200000) AS ok
+  FROM flagged
+),
+keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM okd WHERE ok GROUP BY fp),
+enr AS (SELECT okd.*, keep.keep_id FROM okd LEFT JOIN keep USING (fp))
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN quality < 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_quality,
+       CAST(SUM(CASE WHEN lang_pred <> lang THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_langid,
+       CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(SUM(CASE WHEN rep_ppm >= 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+       CAST(SUM(CASE WHEN ok AND doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes,
+       CAST(SUM(CASE WHEN ok AND doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN ok AND doc_id = keep_id THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM enr GROUP BY lang
+"""
+
 # Benchmark decontamination: sliding 8-gram overlap vs the
 # doc_id % 29 == 0 eval slice. All-integer (counts + boolean) — the
 # only cross-engine hazard would be tokenization drift, and the

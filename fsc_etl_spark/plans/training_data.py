@@ -374,6 +374,106 @@ def corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def training_mix_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """The END-TO-END curation manifest — every per-document gate in
+    the suite composed into ONE declarative plan, aggregated to the
+    per-language row a training-mix builder consumes: corpus docs
+    (eval slice ``doc_id % 29 == 0`` excluded) counted against the
+    quality gate (< 0.75), language-ID disagreement, 8-gram benchmark
+    contamination, the >= 20% duplicate-3-gram repetition gate, and
+    exact-dup survivorship (keep-first by fingerprint, applied to docs
+    passing every content gate), with kept-doc and kept-token totals.
+    Gate semantics are identical to the standalone queries
+    (:func:`corpus_curation`, :func:`eval_contamination_flags`,
+    :func:`repetition_ngram_quality`) — this is the composition
+    showcase, not a re-definition; flags are counted independently.
+
+    Scale shape: all gates except contamination are per-row expression
+    work over ONE documents scan; contamination adds the broadcast
+    eval-n-gram join with a doc-keyed distinct; dedup adds the
+    fingerprint groupBy + fp-keyed join-back; the final per-lang
+    aggregate is a partial-agg shuffle over ~n_languages groups. All
+    outputs are exact integers."""
+    n = 8
+    docs = t(spark, sf, "documents").select("doc_id", "lang", "text")
+    tk = tokens(F.lower(F.col("text")))
+    g3 = F.expr(
+        "CASE WHEN size(tk3) >= 3 THEN"
+        " transform(sequence(1, size(tk3) - 2),"
+        " i -> array_join(slice(tk3, i, 3), ' '))"
+        " ELSE array() END"
+    )
+    corpus = docs.filter(F.col("doc_id") % 29 != 0)
+    counted = corpus.select(
+        "doc_id",
+        "lang",
+        quality_score(F.col("text")).alias("quality"),
+        lang_id(F.col("text")).alias("lang_pred"),
+        fingerprint_md5(F.col("text")).alias("fp"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        tk.alias("tk3"),
+    ).select(
+        "doc_id",
+        "lang",
+        "quality",
+        "lang_pred",
+        "fp",
+        "n_tokens",
+        F.size(g3).cast("bigint").alias("n_g3"),
+        F.size(F.array_distinct(g3)).cast("bigint").alias("n_g3_distinct"),
+    )
+    scored = counted.withColumn(
+        "rep_ppm",
+        F.when(
+            F.col("n_g3") > 0,
+            F.expr("(1000000 * (n_g3 - n_g3_distinct)) div n_g3"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    # 8-gram contamination flag (same grams/eval-slice construction as
+    # eval_contamination_flags; only the per-doc boolean is needed)
+    toks_all = docs.select("doc_id", tk.alias("tk"))
+    grams = toks_all.filter(F.size("tk") >= n).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tk) - {n - 1}),"
+                f" i -> md5(array_join(slice(tk, i, {n}), ' ')))"
+            )
+        ).alias("g"),
+    )
+    eval_g = grams.filter(F.col("doc_id") % 29 == 0).select("g").distinct()
+    contam_ids = (
+        grams.filter(F.col("doc_id") % 29 != 0)
+        .join(F.broadcast(eval_g), "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contam", F.lit(True))
+    )
+    flagged = scored.join(contam_ids, "doc_id", "left").withColumn(
+        "contaminated", F.coalesce(F.col("contam"), F.lit(False))
+    )
+    content_ok = (
+        (F.col("quality") >= 0.75)
+        & (F.col("lang_pred") == F.col("lang"))
+        & ~F.col("contaminated")
+        & (F.col("rep_ppm") < 200_000)
+    )
+    gated = flagged.filter(content_ok)
+    keep = gated.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    enriched = flagged.join(keep, "fp", "left").withColumn("ok", content_ok)
+    kept = F.col("ok") & (F.col("doc_id") == F.col("keep_id"))
+    return enriched.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("quality") < 0.75).cast("bigint")).alias("n_fail_quality"),
+        F.sum((F.col("lang_pred") != F.col("lang")).cast("bigint")).alias("n_fail_langid"),
+        F.sum(F.col("contaminated").cast("bigint")).alias("n_contaminated"),
+        F.sum((F.col("rep_ppm") >= 200_000).cast("bigint")).alias("n_repetitive"),
+        F.sum((F.col("ok") & (F.col("doc_id") != F.col("keep_id"))).cast("bigint")).alias("n_dupes"),
+        F.sum(kept.cast("bigint")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(F.lit(0))).cast("bigint").alias("tokens_kept"),
+    )
+
+
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """REAL feature extraction: documents rendered as genuine P6
     images (operators/multimodal.documents_as_ppm_media), decoded by
@@ -1859,6 +1959,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_pq_pinned_topk": embed_pq_pinned_topk,
     "eval_contamination_flags": eval_contamination_flags,
     "repetition_ngram_quality": repetition_ngram_quality,
+    "training_mix_manifest": training_mix_manifest,
     "chunk_overlap_docs": chunk_overlap_docs,
     "padding_waste_stats": padding_waste_stats,
     "multimodal_features": multimodal_features,

@@ -130,3 +130,29 @@ def test_repetition_ngram_quality_invariants(spark, sf_smoke):
         expect = (1_000_000 * (r.n_grams - r.n_distinct)) // r.n_grams if r.n_grams else 0
         assert r.rep_ppm == expect
         assert r.repetitive == (r.rep_ppm >= 200_000)
+
+
+def test_training_mix_manifest_agrees_with_standalone_gates(spark, sf_smoke):
+    """The composed manifest must reproduce the standalone gates'
+    totals exactly — a composition bug (wrong join, flag precedence,
+    eval-slice drift) shows up as a count mismatch here even if the
+    oracle hash also catches it."""
+    man = {r.lang: r for r in QUERIES["training_mix_manifest"](spark, sf_smoke).collect()}
+    docs = read_parquet_table(spark, sf_smoke, "documents")
+    corpus = docs.filter(F.col("doc_id") % 29 != 0)
+    assert sum(r.n_docs for r in man.values()) == corpus.count()
+
+    contam = QUERIES["eval_contamination_flags"](spark, sf_smoke)
+    assert sum(r.n_contaminated for r in man.values()) == contam.filter(
+        F.col("contaminated")
+    ).count()
+
+    rep = QUERIES["repetition_ngram_quality"](spark, sf_smoke)
+    rep_corpus = rep.join(corpus.select("doc_id"), "doc_id", "left_semi")
+    assert sum(r.n_repetitive for r in man.values()) == rep_corpus.filter(
+        F.col("repetitive")
+    ).count()
+
+    for r in man.values():
+        assert r.n_kept + r.n_dupes <= r.n_docs
+        assert (r.tokens_kept == 0) == (r.n_kept == 0) or r.tokens_kept >= 0
