@@ -114,6 +114,7 @@ PROBE_QUERIES = [
     "embed_pq_topk",            # PQ/ADC with the widened refine pool
     "embed_ivf_pinned_topk",    # audited IVF: literal-quantizer cell pruning
     "embed_pq_pinned_topk",     # audited PQ: pinned codebooks, Arrow encode
+    "training_mix_manifest",    # composed curation gates + dedup + lang agg
 ]
 
 

@@ -67,6 +67,9 @@ INVARIANT_QUERIES = [
     # ADC ranking must not depend on Arrow batch/split boundaries
     "embed_ivf_pinned_topk",
     "embed_pq_pinned_topk",
+    # composed curation manifest: five gates + dedup keep-first +
+    # per-lang integer aggregate, all layout-independent by design
+    "training_mix_manifest",
 ]
 
 

@@ -391,6 +391,19 @@ def test_ivf_pinned_plan_shape(spark, sf_smoke):
     )
 
 
+def test_pq_pinned_plan_shape(spark, sf_smoke):
+    """embed_pq_pinned_topk must keep the PQ scale shape: ONE Arrow
+    python stage for the encode (codes persist as a bytes column at
+    scale — never a per-code join), the ADC scoring joins against a
+    BROADCAST of the tiny query LUT side (an intentional broadcast
+    nested loop: every corpus code row scores against every query),
+    and no unkeyed CartesianProduct anywhere."""
+    plan = plan_of(spark, sf_smoke, "embed_pq_pinned_topk")
+    assert plan.count("MapInPandas") >= 1, "Arrow encode stage missing"
+    assert "BroadcastNestedLoopJoin" in plan, "query LUT side not broadcast"
+    assert "CartesianProduct" not in plan
+
+
 def test_kcore_anti_joins_not_cartesian(spark, sf_smoke):
     """kcore_copurchase's peel rounds are materialized eagerly, so the
     returned plan is the final histogram over a checkpointed RDD —
