@@ -102,6 +102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_contamination_flags",
         "repetition_ngram_quality",
         "training_mix_manifest",
+        "cluster_soft_dedup_sample",
+        "embed_semdedup_prune",
+        "dsir_importance_weights",
         # --- long-green sentinels to fill the ~50-slot window,
         # spanning every family (TPC-H, star, dedup, sketch, graph,
         # streaming, multimodal, format, incremental) ---
@@ -131,9 +134,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateral_topk_orders",
         "embed_pq_topk",
         "chunk_overlap_docs",
-        "padding_waste_stats",
-        "table_profile_stats",
-        "bigram_lm_quality",
     ]
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in priority:

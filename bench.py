@@ -237,11 +237,22 @@ BENCH_QUERIES = [
     # OFF-bench: it composes five gates benched individually (quality,
     # lang-id, contamination, repetition, dedup) and would re-time
     # ~9 s of already-measured shapes — same exclusion class as the
-    # twin re-timings above.
+    # twin re-timings above. cluster_soft_dedup_sample likewise: its
+    # cost IS the dedup_cluster_assign machinery already on the bench;
+    # the only new physical work is one keyed count + a map-side rule.
     "embed_ivf_pinned_topk",
     "embed_pq_pinned_topk",
     "eval_contamination_flags",
     "repetition_ngram_quality",
+    # embed_semdedup_prune IS benched: the cell-blocked pairwise join
+    # is a new physical shape (the other dedup benches block on label
+    # or LSH band, not on a literal-codebook assignment).
+    "embed_semdedup_prune",
+    # dsir_importance_weights IS benched: the explode -> B-row
+    # partial-agg -> broadcast-score -> doc-keyed sum pipeline is a
+    # new shape (the other gram benches either stay per-row or join
+    # doc-keyed only).
+    "dsir_importance_weights",
 ]
 
 ALL_QUERIES = entrymod.queries()

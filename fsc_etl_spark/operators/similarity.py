@@ -29,6 +29,8 @@ tie-break) makes results deterministic and oracle-stable.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -569,6 +571,109 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
+    )
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    centers: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest cluster
+    centroid, find within-cluster pairs with ``cos >= threshold``, and
+    for each such pair drop the member that sits CLOSER to the
+    centroid — the paper's keep-the-edge-example rule, which preserves
+    cluster diversity while removing semantic duplicates. Returns one
+    row per input vector: ``(vec_id, cell, centroid_sim, kept)``.
+
+    Determinism: the codebook is a LITERAL (callers pass a pinned,
+    data-independent one — see plans/training_data.
+    embed_semdedup_prune), assignment is :func:`_argmin_code`'s
+    lowest-cell-on-ties argmax, all cosines round to 6dp before any
+    comparison, and the per-pair loser rule breaks rounded-csim ties
+    on vec_id — so the output is a pure function of data + literals
+    and carries a full SQL hash oracle.
+
+    Scale shape (the published pipeline's): assignment and
+    centroid_sim are map-side literal-codebook expressions (no join,
+    no shuffle); the pair join is BLOCKED on the cell id — at 100 TB
+    you size ``len(centers)`` so clusters stay bounded (SemDeDup uses
+    ~50k clusters for LAION-scale corpora) and the per-cell pairwise
+    never degenerates toward all-pairs; losers is one distinct on
+    vec_id and the kept flag one keyed left join. The cell join is
+    shuffle_hash-hinted: only ``len(centers)`` distinct keys, and a
+    sort-merge would buffer array rows through sort spills."""
+    v = _as_double(F.col(vec_col))
+    base = (
+        emb.select(F.col(id_col).alias("vec_id"), v.alias("v"))
+        .withColumn("n", l2_norm(F.col("v")))
+        .withColumn("cell", _argmin_code(F.col("v"), centers, norm=F.col("n")))
+    )
+
+    def lit_arr(vals: list[float]) -> Column:
+        return F.array(*[F.lit(x) for x in vals])
+
+    # cos(v, centers[cell]) with the centroid norm folded as the SAME
+    # Python-float literal the oracle embeds — bit-identical divisor.
+    csims = F.array(
+        *[
+            dot(F.col("v"), lit_arr(c))
+            / (F.col("n") * F.lit(math.sqrt(sum(x * x for x in c))))
+            for c in centers
+        ]
+    )
+    base = base.withColumn(
+        "centroid_sim", F.round(F.element_at(csims, F.col("cell") + 1), ROUND_DIGITS)
+    )
+    side = base.select("vec_id", "cell", "v", "n", "centroid_sim")
+    a = side.select(
+        F.col("cell"),
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+        F.col("centroid_sim").alias("csim_a"),
+    )
+    b = side.select(
+        F.col("cell"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+        F.col("centroid_sim").alias("csim_b"),
+    )
+    pairs = (
+        a.hint("shuffle_hash")
+        .join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                ROUND_DIGITS,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    loser = F.when(
+        (F.col("csim_a") > F.col("csim_b"))
+        | ((F.col("csim_a") == F.col("csim_b")) & (F.col("id_a") > F.col("id_b"))),
+        F.col("id_a"),
+    ).otherwise(F.col("id_b"))
+    losers = (
+        pairs.select(loser.alias("vec_id"))
+        .distinct()
+        .withColumn("is_loser", F.lit(True))
+    )
+    return (
+        base.join(losers, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "centroid_sim",
+            F.col("is_loser").isNull().alias("kept"),
+        )
     )
 
 

@@ -8,6 +8,8 @@ Shared SQL fragments mirror functions/text.py building blocks exactly:
 
 from __future__ import annotations
 
+import math
+
 from fsc_etl_spark.functions.text import LANG_ORDER, LANG_STOPWORDS
 
 TRAINING_ORACLES: dict[str, str] = {}
@@ -226,6 +228,22 @@ clusters AS (
 TRAINING_ORACLES["dedup_cluster_assign"] = f"""
 WITH RECURSIVE {_CLUSTERS_CTE}
 SELECT doc_id, cluster_root FROM clusters
+"""
+
+# Soft dedup: the clusters CTE + a size aggregate + the deterministic
+# hash*size < 65536 keep rule (same '0x'||substr(md5) idiom the
+# mixture resampler oracle uses; Spark's conv(...,16,10) parses the
+# identical lowercase hex).
+TRAINING_ORACLES["cluster_soft_dedup_sample"] = f"""
+WITH RECURSIVE {_CLUSTERS_CTE},
+sizes AS (
+  SELECT cluster_root, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM clusters GROUP BY cluster_root
+)
+SELECT c.doc_id, c.cluster_root, s.cluster_size,
+       (CAST(('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        * s.cluster_size < 65536) AS kept
+FROM clusters c JOIN sizes s USING (cluster_root)
 """
 
 _DV = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -472,6 +490,70 @@ SELECT query_id, vec_id, cos, rank FROM (
 
 
 TRAINING_ORACLES["embed_ivf_pinned_topk"] = _ivf_pinned_oracle()
+
+
+def _semdedup_oracle(threshold: float = 0.30) -> str:
+    """Full hash oracle for SemDeDup (plans/training_data.
+    embed_semdedup_prune): the pinned-centroid assignment CTE (same
+    literals + lowest-cell tie rule as the IVF oracle), per-vector
+    6dp centroid cosine with the centroid norm embedded as the SAME
+    Python-float literal the Spark side folds, within-cell pairs at
+    cos >= threshold, and the keep-the-edge rule — the pair member
+    with the GREATER (rounded csim, vec_id) is the loser. Margins
+    (measured across sf0.001/0.01/0.1, re-checked by
+    scripts/ann_margin_audit.py): min |cos - 0.30| = 3.3e-5, zero
+    rounded-csim ties among dup pairs, min 6dp rounding half-boundary
+    gap 1.1e-12 — fold reorder noise is ~1e-16, so no decision can
+    flip between engines."""
+    from fsc_etl_spark.plans.training_data import IVF_PINNED_CENTROIDS
+
+    cents = ",\n  ".join(
+        f"({i}, CAST([{', '.join(repr(float(x)) for x in c)}] AS DOUBLE[]), "
+        f"{sum(x * x for x in c) / 2.0!r}, "
+        f"{math.sqrt(sum(x * x for x in c))!r})"
+        for i, c in enumerate(IVF_PINNED_CENTROIDS)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+cent(cell, c, half_sq, cnorm) AS (VALUES
+  {cents}
+),
+ascore AS (
+  SELECT en.vec_id, cent.cell,
+         list_dot_product(en.v, cent.c) / en.n - cent.half_sq AS s
+  FROM en CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS r
+    FROM ascore) WHERE r = 1
+),
+cs AS (
+  SELECT a.vec_id, a.cell, en.v, en.n,
+         ROUND(list_dot_product(en.v, cent.c) / (en.n * cent.cnorm), 6) AS centroid_sim
+  FROM assigned a JOIN en USING (vec_id) JOIN cent ON cent.cell = a.cell
+),
+dup AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.centroid_sim AS csim_a, b.centroid_sim AS csim_b
+  FROM cs a JOIN cs b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= {threshold!r}
+),
+losers AS (
+  SELECT DISTINCT CASE WHEN csim_a > csim_b
+                         OR (csim_a = csim_b AND id_a > id_b)
+                       THEN id_a ELSE id_b END AS vec_id
+  FROM dup
+)
+SELECT cs.vec_id, cs.cell, cs.centroid_sim,
+       (l.vec_id IS NULL) AS kept
+FROM cs LEFT JOIN losers l USING (vec_id)
+"""
+
+
+TRAINING_ORACLES["embed_semdedup_prune"] = _semdedup_oracle()
 
 
 def _pq_pinned_oracle(refine_pool: int = 200, k: int = 5, sub: int = 8) -> str:
@@ -1346,6 +1428,63 @@ SELECT t.doc_id,
        COALESCE(h.n_contaminated, 0) > 0 AS contaminated
 FROM toks t LEFT JOIN hits h USING (doc_id)
 WHERE t.doc_id % 29 <> 0
+"""
+
+# DSIR importance weights: the bucket score is quantized ONCE to
+# micro-nats (floor(1e6 * ln(ratio))) so the per-doc accumulation is
+# exact BIGINT — the only float op is that single ln per bucket, and
+# its ratio argument is built from exact integers with the SAME op
+# order as the Spark side (bit-identical double in, <=1 ulp ln out;
+# floor-boundary distance audited in tests/test_round2_curation.py).
+# DuckDB SUM(BIGINT) -> HUGEINT, hence the CASTs.
+TRAINING_ORACLES["dsir_importance_weights"] = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, g,
+         CAST(('0x' || substr(md5(g), 1, 4)) AS BIGINT) % 64 AS bucket
+  FROM (
+    SELECT doc_id, lang, unnest(list_concat(
+      tk,
+      list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+    )) AS g
+    FROM toks
+  )
+),
+counts AS (
+  SELECT bucket,
+         CAST(COUNT(*) AS BIGINT) AS r_b,
+         CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS t_b
+  FROM grams GROUP BY bucket
+),
+totals AS (
+  SELECT CAST(CAST(SUM(r_b) AS BIGINT) AS DOUBLE) AS r_tot,
+         CAST(CAST(SUM(t_b) AS BIGINT) AS DOUBLE) AS t_tot
+  FROM counts
+),
+scores AS (
+  SELECT bucket,
+         CAST(floor(1000000.0 * ln(
+           (CAST(t_b + 1 AS DOUBLE) * (r_tot + 64.0))
+           / (CAST(r_b + 1 AS DOUBLE) * (t_tot + 64.0))
+         )) AS BIGINT) AS score_e6
+  FROM counts CROSS JOIN totals
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(score_e6) AS BIGINT) AS dsir_score_e6
+  FROM grams JOIN scores USING (bucket)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.dsir_score_e6, 0) AS BIGINT) AS dsir_score_e6,
+       COALESCE(p.dsir_score_e6, 0) >= 0 AS kept
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 # Within-doc repetition: per-row list expressions, integer ppm via

@@ -50,6 +50,7 @@ from fsc_etl_spark.operators.similarity import (
     lsh_multitable_topk,
     mmr_select,
     nearest_neighbor_within_group,
+    semdedup_prune,
 )
 from fsc_etl_spark.sources.readers import read_parquet_table as t
 
@@ -168,6 +169,42 @@ def dedup_cluster_assign_star(spark: SparkSession, sf: str) -> DataFrame:
     return connected_components_star(docs.select("doc_id"), pairs)
 
 
+def cluster_soft_dedup_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """SOFT dedup (DataComp/FineWeb-style near-dup downweighting):
+    instead of keeping exactly one canonical doc per near-dup cluster
+    (:func:`cluster_canonical_doc`), every doc survives with
+    probability ``1 / cluster_size`` — preserving cluster diversity in
+    expectation while flattening duplication mass. The draw is
+    RNG-free and integer-exact: keep iff
+    ``md5_bucket(doc_id) * cluster_size < 65536`` with the first-4-hex
+    bucket (the same deterministic rule the mixture resampler and the
+    quantizer train_fraction use), so singletons always survive and a
+    size-k cluster keeps ~1 expected doc.
+
+    Scale shape: MinHash-LSH candidate pairs (banded, never
+    all-pairs) + O(log n)-round star connected components for the
+    cluster ids, one size aggregate keyed on cluster_root, one join
+    back on the same key, and a map-side bucket rule — no global
+    state, no sort, nothing quadratic."""
+    docs = t(spark, sf, "documents")
+    sigs = minhash_signatures(docs, k=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    clusters = connected_components_star(docs.select("doc_id"), pairs)
+    sizes = clusters.groupBy("cluster_root").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+    )
+    return clusters.join(sizes, "cluster_root").select(
+        "doc_id",
+        "cluster_root",
+        "cluster_size",
+        (bucket * F.col("cluster_size") < 65536).alias("kept"),
+    )
+
+
 def text_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """Subword-proxy token counts (BPE-ish regex pre-tokenizer)."""
     docs = t(spark, sf, "documents")
@@ -263,6 +300,29 @@ def embed_pq_pinned_topk(spark: SparkSession, sf: str) -> DataFrame:
         refine=40,
         codebooks=PQ_PINNED_CODEBOOKS,
         encode_strategy="pandas",
+    )
+
+
+def embed_semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540)
+    over the embeddings table: nearest-pinned-centroid clustering
+    (IVF_PINNED_CENTROIDS — the audited ANN tier's data-independent
+    codebook), within-cluster cosine >= 0.30 duplicate pairs, and the
+    paper's keep-the-edge-example survivorship (drop the pair member
+    closer to its centroid; rounded-csim ties break on vec_id). 0.30
+    is the fixture-geometry threshold (near-orthogonal embeddings —
+    real corpora use ~0.95+), chosen with measured decision margins:
+    min |cos - 0.30| = 3.3e-5, zero rounded-csim ties, min 6dp
+    half-boundary gap 1.1e-12 across sf0.001/0.01/0.1 — all orders
+    above ~1e-16 fold noise, so the hash oracle is stable
+    (scripts/ann_margin_audit.py re-measures).
+
+    Scale shape: literal-codebook map-side assignment, cell-blocked
+    shuffle_hash pair join (production sizes the codebook so clusters
+    stay bounded — never all-pairs), one distinct + one keyed join for
+    the kept flag."""
+    return semdedup_prune(
+        t(spark, sf, "embeddings"), IVF_PINNED_CENTROIDS, threshold=0.30
     )
 
 
@@ -1831,6 +1891,108 @@ def eval_contamination_flags(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: DSIR feature-space size. 64 hash buckets keeps the score table a
+#: broadcastable literal-sized dim at ANY corpus scale (the paper uses
+#: 10k buckets for web scale — the shape is identical, only this
+#: constant changes) and keeps every bucket well-populated at sf0.001
+#: so the floor-distance audit has real mass behind each score.
+DSIR_BUCKETS = 64
+
+
+def dsir_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
+    importance weights from hashed n-gram features. Target
+    distribution = the ``lang = 'en'`` slice ("select raw docs that
+    look like the curated English corpus"); raw = the whole corpus.
+    Features are unigram + bigram instances hashed into
+    ``DSIR_BUCKETS`` buckets (the repo's first-4-hex md5 bucket); each
+    bucket carries a Laplace-smoothed log ratio
+    ``ln(p_target(b) / p_raw(b))`` and a document's importance weight
+    is the sum of its n-gram instances' bucket scores.
+
+    Exactness (the :func:`bigram_lm_quality` integer-scaling idiom):
+    each bucket score is quantized ONCE to micro-nats —
+    ``floor(1e6 * ln((t_b+1)(R+B) / ((r_b+1)(T+B))))`` — so the
+    per-doc accumulation is exact BIGINT arithmetic with no float-sum
+    order sensitivity; the only cross-engine float hazard is the
+    single ln per bucket, whose distance from a floor boundary is
+    measured across SFs by tests/test_round2_curation.py (min ~1e-2
+    micro-nats, vs ~1e-3 micro-nat worst-case ulp noise — the ratio
+    argument itself is bit-identical both engines: same exact-integer
+    operands, same op order). kept = (score >= 0) is then an exact
+    integer decision.
+
+    Scale shape at 100 TB: n-gram explode is map-side; bucket counts
+    are a B-row aggregate (map-side partial combine collapses each
+    task to <= B rows, so the shuffle is B x tasks rows — trivial);
+    the totals and score table stay B rows and BROADCAST; the per-doc
+    sum is ONE shuffle keyed on doc_id; the final flag join back to
+    the doc list is doc-keyed. Nothing pairwise, no global sort, no
+    driver-side state beyond the B-row literal."""
+    B = DSIR_BUCKETS
+    docs = t(spark, sf, "documents").select("doc_id", "lang", "text")
+    toks = docs.select("doc_id", "lang", tokens(F.lower(F.col("text"))).alias("tk"))
+    # unigram + bigram instances (bigrams guarded empty for 1-token docs)
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(
+                F.col("tk"),
+                F.zip_with(
+                    F.slice(F.col("tk"), 1, F.greatest(F.size("tk") - 1, F.lit(0))),
+                    F.slice(F.col("tk"), 2, F.greatest(F.size("tk") - 1, F.lit(0))),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            )
+        ).alias("g"),
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5(F.col("g")), 1, 4), 16, 10).cast("long") % B,
+    )
+    counts = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("r_b"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("t_b"),
+    )
+    totals = counts.agg(
+        F.sum("r_b").cast("double").alias("r_tot"),
+        F.sum("t_b").cast("double").alias("t_tot"),
+    )
+    scores = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.floor(
+            F.lit(1e6)
+            * F.log(
+                ((F.col("t_b") + 1).cast("double") * (F.col("r_tot") + F.lit(float(B))))
+                / ((F.col("r_b") + 1).cast("double") * (F.col("t_tot") + F.lit(float(B))))
+            )
+        )
+        .cast("long")
+        .alias("score_e6"),
+    )
+    per_doc = (
+        grams.join(F.broadcast(scores), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("score_e6").cast("bigint").alias("dsir_score_e6"),
+        )
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("dsir_score_e6"), F.lit(0))
+            .cast("bigint")
+            .alias("dsir_score_e6"),
+            (F.coalesce(F.col("dsir_score_e6"), F.lit(0)) >= 0).alias("kept"),
+        )
+    )
+
+
 def repetition_ngram_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style within-document repetition gate: the fraction of a
     document's sliding 3-gram INSTANCES that are repeats of an earlier
@@ -1946,6 +2108,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster_assign_star": dedup_cluster_assign_star,
     "text_bpe_tokens": text_bpe_tokens,
     "dedup_embed_neardup": dedup_embed_neardup,
+    "embed_semdedup_prune": embed_semdedup_prune,
     "embed_cosine_topk": embed_cosine_topk,
     "embed_mmr_select": embed_mmr_select,
     "embed_cosine_topk_pandas": embed_cosine_topk_pandas,
@@ -1958,6 +2121,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_ivf_pinned_topk": embed_ivf_pinned_topk,
     "embed_pq_pinned_topk": embed_pq_pinned_topk,
     "eval_contamination_flags": eval_contamination_flags,
+    "dsir_importance_weights": dsir_importance_weights,
     "repetition_ngram_quality": repetition_ngram_quality,
     "training_mix_manifest": training_mix_manifest,
     "chunk_overlap_docs": chunk_overlap_docs,
@@ -1999,6 +2163,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_simpson_quality": token_simpson_quality,
     "length_quantile_filter": length_quantile_filter,
     "cluster_canonical_doc": cluster_canonical_doc,
+    "cluster_soft_dedup_sample": cluster_soft_dedup_sample,
     "tfidf_top_terms": tfidf_top_terms,
     "containment_pairs": containment_pairs,
     "synth_docs_source": synth_docs_source,

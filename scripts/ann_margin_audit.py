@@ -34,9 +34,15 @@ from fsc_etl_spark.plans.training_data import (  # noqa: E402
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
 NPROBE = 5
 REFINE_POOL = 200
+SEMDEDUP_TAU = 0.30
 #: any decision margin below this is too close to cross-engine fold
 #: noise (~1e-14) to trust a hash oracle on.
 FLOOR = 1e-9
+#: floor for 6dp ROUND half-boundary proximity (raw value units): a
+#: rounded OUTPUT flips between engines only if the raw value sits
+#: within fold-reorder noise (~1e-16 for one 64-term dot) of a
+#: 0.5e-6 boundary; 1e-13 leaves 3 orders.
+BOUNDARY_FLOOR = 1e-13
 
 
 def load(sf: str):
@@ -102,18 +108,51 @@ def main() -> int:
                         gap = -1.0
                 pq_cut = min(pq_cut, gap)
 
-        for tier, margin in [
-            ("lsh_sign", lsh_margin),
-            ("ivf_assign", ivf_assign),
-            ("ivf_probe", ivf_probe),
-            ("pq_encode", pq_enc),
-            ("pq_adc_cutoff", pq_cut),
+        # SemDeDup (embed_semdedup_prune): tau-threshold gap on raw
+        # within-cell pair cosines, loser-rule gap on 6dp csims, and
+        # round-boundary proximity for every rounded output value.
+        cell = S.argmax(axis=1)  # first-max == lowest-cell tie rule
+        cnorm = np.sqrt((C * C).sum(axis=1))
+        csim = (V @ C.T / n[:, None] / cnorm[None, :])[np.arange(len(V)), cell]
+        sd_tau = np.inf
+        sd_loser = np.inf
+        boundary = np.abs(np.abs(csim * 1e6 - np.floor(csim * 1e6)) - 0.5).min() * 1e-6
+        for c in range(C.shape[0]):
+            m = np.where(cell == c)[0]
+            if len(m) < 2:
+                continue
+            P = (V[m] @ V[m].T) / np.outer(n[m], n[m])
+            iu = np.triu_indices(len(m), k=1)
+            pc = P[iu]
+            sd_tau = min(sd_tau, np.abs(pc - SEMDEDUP_TAU).min())
+            boundary = min(
+                boundary,
+                np.abs(np.abs(pc * 1e6 - np.floor(pc * 1e6)) - 0.5).min() * 1e-6,
+            )
+            dup = np.round(pc, 6) >= SEMDEDUP_TAU
+            if dup.any():
+                ca = np.round(csim[m[iu[0][dup]]], 6)
+                cb = np.round(csim[m[iu[1][dup]]], 6)
+                d = np.abs(ca - cb)
+                d = d[d > 0]
+                if len(d):
+                    sd_loser = min(sd_loser, d.min())
+
+        for tier, margin, floor in [
+            ("lsh_sign", lsh_margin, FLOOR),
+            ("ivf_assign", ivf_assign, FLOOR),
+            ("ivf_probe", ivf_probe, FLOOR),
+            ("pq_encode", pq_enc, FLOOR),
+            ("pq_adc_cutoff", pq_cut, FLOOR),
+            ("semdedup_tau", sd_tau, FLOOR),
+            ("semdedup_loser", sd_loser, FLOOR),
+            ("semdedup_round_boundary", boundary, BOUNDARY_FLOOR),
         ]:
-            ok = margin >= FLOOR or margin == np.inf
+            ok = margin >= floor or margin == np.inf
             print(f"{'PASS' if ok else 'FAIL'} {sf} {tier}: {margin:.3e}")
             if not ok:
                 bad.append((sf, tier, margin))
-    print(f"margin audit: {len(bad)} below floor {FLOOR:g}")
+    print(f"margin audit: {len(bad)} below floor")
     return 1 if bad else 0
 
 

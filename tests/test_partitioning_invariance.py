@@ -70,6 +70,14 @@ INVARIANT_QUERIES = [
     # composed curation manifest: five gates + dedup keep-first +
     # per-lang integer aggregate, all layout-independent by design
     "training_mix_manifest",
+    # semantic dedup: cell-blocked pair join + rounded-cosine loser
+    # rule; soft dedup: star-CC cluster ids + hash-bucket keep rule —
+    # neither may depend on scan splits
+    "embed_semdedup_prune",
+    "cluster_soft_dedup_sample",
+    # DSIR: corpus-level bucket counts feed a quantized score used by
+    # every doc — partial-agg order across splits must not move it
+    "dsir_importance_weights",
 ]
 
 

