@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_soft_dedup_sample",
         "embed_semdedup_prune",
         "dsir_importance_weights",
+        "embed_knn_label_audit",
+        "source_overlap_matrix",
         # --- long-green sentinels to fill the ~50-slot window,
         # spanning every family (TPC-H, star, dedup, sketch, graph,
         # streaming, multimodal, format, incremental) ---
@@ -131,9 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dpp_pruned_rollup",
         "skyline_orders",
         "session_window_stats",
-        "lateral_topk_orders",
         "embed_pq_topk",
-        "chunk_overlap_docs",
     ]
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in priority:

@@ -253,6 +253,14 @@ BENCH_QUERIES = [
     # new shape (the other gram benches either stay per-row or join
     # doc-keyed only).
     "dsir_importance_weights",
+    # embed_knn_label_audit: cell-blocked pair join feeding TWO
+    # ranking windows (k-NN rank + majority vote) — the window-over-
+    # pair-join shape is not otherwise benched.
+    "embed_knn_label_audit",
+    # source_overlap_matrix: gram-keyed distinct self-join (the other
+    # gram joins are broadcast or doc-keyed) with |sources|^2-bounded
+    # fan-out.
+    "source_overlap_matrix",
 ]
 
 ALL_QUERIES = entrymod.queries()

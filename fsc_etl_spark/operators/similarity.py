@@ -574,6 +574,117 @@ def cosine_near_dup_pairs(
     )
 
 
+def knn_label_agreement(
+    emb: DataFrame,
+    centers: list[list[float]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space label-consistency audit (the confident-learning
+    / deep-kNN shape, e.g. Northcutt et al. 2021 arXiv:1911.00068):
+    for every vector, find its k nearest same-cell neighbors by cosine
+    and compare the neighborhood's majority label to the vector's own
+    — rows where they disagree are mislabeled-data candidates. Returns
+    one row per input vector:
+    ``(vec_id, cell, label, n_nbrs, n_agree, knn_label, consistent)``
+    with ``knn_label`` NULL (and consistent=false) for vectors alone
+    in their cell.
+
+    Determinism: neighbor ranking orders on (6dp-rounded cosine DESC,
+    neighbor id ASC) and the majority vote on (count DESC, label ASC)
+    — total orders over exactly-representable values, so the result is
+    a pure function of data + the literal codebook and carries a full
+    SQL hash oracle. The rounding of within-cell pair cosines is the
+    SAME audited quantity semdedup_prune rounds
+    (scripts/ann_margin_audit.py measures the min half-boundary gap).
+
+    Scale shape: identical to :func:`semdedup_prune` — map-side
+    literal-codebook assignment, ONE cell-blocked shuffle_hash pair
+    join (codebook sized so cells stay bounded; never all-pairs), a
+    per-vector window over its own cell's candidates (bounded fan-in),
+    then two keyed aggregations on vec_id. Nothing global, nothing
+    quadratic across cells."""
+    v = _as_double(F.col(vec_col))
+    base = (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(label_col).alias("label"),
+            v.alias("v"),
+        )
+        .withColumn("n", l2_norm(F.col("v")))
+        .withColumn("cell", _argmin_code(F.col("v"), centers, norm=F.col("n")))
+    )
+    a = base.select(
+        "cell",
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = base.select(
+        "cell",
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    cand = (
+        a.hint("shuffle_hash")
+        .join(b, "cell")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                ROUND_DIGITS,
+            ),
+        )
+    )
+    w_rank = Window.partitionBy("id_a").orderBy(
+        F.col("cos").desc(), F.col("id_b").asc()
+    )
+    nbrs = cand.withColumn("rnk", F.row_number().over(w_rank)).filter(
+        F.col("rnk") <= k
+    )
+    votes = nbrs.groupBy("id_a", "label_a", "label_b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_major = Window.partitionBy("id_a").orderBy(
+        F.col("cnt").desc(), F.col("label_b").asc()
+    )
+    majority = (
+        votes.withColumn("mrnk", F.row_number().over(w_major))
+        .filter(F.col("mrnk") == 1)
+        .select("id_a", F.col("label_b").alias("knn_label"))
+    )
+    stats = nbrs.groupBy("id_a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nbrs"),
+        F.sum(
+            F.when(F.col("label_b") == F.col("label_a"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    return (
+        base.select("vec_id", "cell", "label")
+        .join(stats.withColumnRenamed("id_a", "vec_id"), "vec_id", "left")
+        .join(majority.withColumnRenamed("id_a", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "label",
+            F.coalesce(F.col("n_nbrs"), F.lit(0)).cast("bigint").alias("n_nbrs"),
+            F.coalesce(F.col("n_agree"), F.lit(0)).cast("bigint").alias("n_agree"),
+            F.col("knn_label").cast("int").alias("knn_label"),
+            F.coalesce(F.col("knn_label") == F.col("label"), F.lit(False)).alias(
+                "consistent"
+            ),
+        )
+    )
+
+
 def semdedup_prune(
     emb: DataFrame,
     centers: list[list[float]],

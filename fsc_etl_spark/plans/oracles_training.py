@@ -556,6 +556,83 @@ FROM cs LEFT JOIN losers l USING (vec_id)
 TRAINING_ORACLES["embed_semdedup_prune"] = _semdedup_oracle()
 
 
+def _knn_label_oracle(k: int = 3) -> str:
+    """Full hash oracle for embed_knn_label_audit (operators/
+    similarity.knn_label_agreement): the pinned-centroid assignment
+    CTE (same literals + lowest-cell tie rule as the IVF/semdedup
+    oracles), within-cell 6dp pair cosines, (cos DESC, id ASC) k-NN
+    ranking, (count DESC, label ASC) majority vote, and the
+    per-vector agreement stats. Every ordering is a total order over
+    exactly-representable values; the only float hazard is the 6dp
+    rounding of within-cell pair cosines, bounded by
+    scripts/ann_margin_audit.py's semdedup_round_boundary tier."""
+    from fsc_etl_spark.plans.training_data import IVF_PINNED_CENTROIDS
+
+    cents = ",\n  ".join(
+        f"({i}, CAST([{', '.join(repr(float(x)) for x in c)}] AS DOUBLE[]), "
+        f"{sum(x * x for x in c) / 2.0!r})"
+        for i, c in enumerate(IVF_PINNED_CENTROIDS)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, label, {_DV} AS v FROM embeddings),
+en AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+cent(cell, c, half_sq) AS (VALUES
+  {cents}
+),
+ascore AS (
+  SELECT en.vec_id, cent.cell,
+         list_dot_product(en.v, cent.c) / en.n - cent.half_sq AS s
+  FROM en CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS r
+    FROM ascore) WHERE r = 1
+),
+cs AS (
+  SELECT a.vec_id, a.cell, en.label, en.v, en.n
+  FROM assigned a JOIN en USING (vec_id)
+),
+nbrs AS (
+  SELECT id_a, label_a, label_b FROM (
+    SELECT a.vec_id AS id_a, a.label AS label_a, b.label AS label_b,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) DESC,
+                      b.vec_id ASC) AS rnk
+    FROM cs a JOIN cs b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  ) WHERE rnk <= {k}
+),
+majority AS (
+  SELECT id_a, label_b AS knn_label FROM (
+    SELECT id_a, label_b, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (
+             PARTITION BY id_a ORDER BY COUNT(*) DESC, label_b ASC) AS mrnk
+    FROM nbrs GROUP BY id_a, label_b
+  ) WHERE mrnk = 1
+),
+stats AS (
+  SELECT id_a,
+         CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+         CAST(SUM(CASE WHEN label_b = label_a THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_agree
+  FROM nbrs GROUP BY id_a
+)
+SELECT cs.vec_id, cs.cell, cs.label,
+       CAST(COALESCE(s.n_nbrs, 0) AS BIGINT) AS n_nbrs,
+       CAST(COALESCE(s.n_agree, 0) AS BIGINT) AS n_agree,
+       CAST(m.knn_label AS INTEGER) AS knn_label,
+       COALESCE(m.knn_label = cs.label, FALSE) AS consistent
+FROM cs
+LEFT JOIN stats s ON s.id_a = cs.vec_id
+LEFT JOIN majority m ON m.id_a = cs.vec_id
+"""
+
+
+TRAINING_ORACLES["embed_knn_label_audit"] = _knn_label_oracle()
+
+
 def _pq_pinned_oracle(refine_pool: int = 200, k: int = 5, sub: int = 8) -> str:
     """Full hash oracle for the audited PQ/ADC tier (round 6): pinned
     per-subspace codebooks inline as 128 literal rows; encode is
@@ -1428,6 +1505,42 @@ SELECT t.doc_id,
        COALESCE(h.n_contaminated, 0) > 0 AS contaminated
 FROM toks t LEFT JOIN hits h USING (doc_id)
 WHERE t.doc_id % 29 <> 0
+"""
+
+# Cross-source 3-gram overlap matrix: distinct (source, md5(shingle))
+# pairs, gram-keyed self-join (fan-out bounded by |sources|^2 per
+# gram), integer-ppm Jaccard/containment via floor division.
+TRAINING_ORACLES["source_overlap_matrix"] = """
+WITH words AS (
+  SELECT source,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+sg AS (
+  SELECT DISTINCT source, md5(sh) AS g FROM (
+    SELECT source,
+           unnest(list_transform(range(1, len(w) - 1),
+                  i -> array_to_string(w[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)], ' '))) AS sh
+    FROM words WHERE len(w) >= 3
+  )
+),
+per_src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM sg GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_grams
+  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, p.shared_grams,
+       ga.n_grams AS grams_a,
+       gb.n_grams AS grams_b,
+       CAST((1000000 * p.shared_grams)
+            // (ga.n_grams + gb.n_grams - p.shared_grams) AS BIGINT) AS jaccard_ppm,
+       CAST((1000000 * p.shared_grams) // ga.n_grams AS BIGINT) AS contain_a_ppm,
+       CAST((1000000 * p.shared_grams) // gb.n_grams AS BIGINT) AS contain_b_ppm
+FROM pairs p
+JOIN per_src ga ON ga.source = p.source_a
+JOIN per_src gb ON gb.source = p.source_b
 """
 
 # DSIR importance weights: the bucket score is quantized ONCE to

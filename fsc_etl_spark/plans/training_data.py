@@ -47,6 +47,7 @@ from fsc_etl_spark.operators.similarity import (
     cosine_topk_pandas,
     ivf_topk,
     lsh_bucketed_topk,
+    knn_label_agreement,
     lsh_multitable_topk,
     mmr_select,
     nearest_neighbor_within_group,
@@ -323,6 +324,22 @@ def embed_semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
     the kept flag."""
     return semdedup_prune(
         t(spark, sf, "embeddings"), IVF_PINNED_CENTROIDS, threshold=0.30
+    )
+
+
+def embed_knn_label_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-consistency audit over the embeddings table (confident-
+    learning shape): 3-NN majority label within the audited pinned-
+    centroid cells vs each vector's own label; disagreements are
+    mislabeled-data candidates. Fully deterministic (rounded-cosine +
+    id orderings over the IVF_PINNED_CENTROIDS literal codebook) and
+    hash-oracled; the rounding hazard is the same within-cell pair
+    cosine scripts/ann_margin_audit.py already bounds.
+
+    Scale shape: see operators/similarity.knn_label_agreement — one
+    cell-blocked pair join, per-vector windows, two vec-keyed aggs."""
+    return knn_label_agreement(
+        t(spark, sf, "embeddings"), IVF_PINNED_CENTROIDS, k=3
     )
 
 
@@ -1891,6 +1908,64 @@ def eval_contamination_flags(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def source_overlap_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source n-gram overlap matrix — the mixture-building
+    diagnostic that says which corpus sources substantially duplicate
+    each other (e.g. two web snapshots of the same crawl) BEFORE
+    document-level dedup ever runs: for every source pair, the count
+    of shared distinct 3-gram fingerprints plus exact integer-ppm
+    Jaccard and both containments. All-integer output.
+
+    Scale shape at 100 TB: one distinct on (source, gram-md5) —
+    map-side explode + one shuffle; the self-join is keyed on the
+    GRAM, and its fan-out per gram is bounded by the number of
+    SOURCES squared (a fixed small dimension), never by corpus size;
+    the pair aggregate is |sources|^2 rows and the per-source gram
+    counts broadcast back onto it. Nothing compares documents, and no
+    stage's cardinality grows faster than the distinct-gram count."""
+    docs = t(spark, sf, "documents").select("source", "text")
+    toks = docs.select("source", tokens(F.lower(F.col("text"))).alias("tk"))
+    sg = (
+        toks.select(
+            "source",
+            F.explode(shingles_from_tokens(F.col("tk"), 3)).alias("sh"),
+        )
+        .select("source", F.md5(F.col("sh")).alias("g"))
+        .distinct()
+    )
+    per_src = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = sg.select(F.col("source").alias("source_a"), "g")
+    b = sg.select(F.col("source").alias("source_b"), "g")
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_grams"))
+    )
+    ga = per_src.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("grams_a")
+    )
+    gb = per_src.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("grams_b")
+    )
+    return (
+        pairs.join(F.broadcast(ga), "source_a")
+        .join(F.broadcast(gb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            F.col("grams_a").cast("bigint").alias("grams_a"),
+            F.col("grams_b").cast("bigint").alias("grams_b"),
+            F.expr(
+                "(1000000 * shared_grams) div (grams_a + grams_b - shared_grams)"
+            ).alias("jaccard_ppm"),
+            F.expr("(1000000 * shared_grams) div grams_a").alias("contain_a_ppm"),
+            F.expr("(1000000 * shared_grams) div grams_b").alias("contain_b_ppm"),
+        )
+    )
+
+
 #: DSIR feature-space size. 64 hash buckets keeps the score table a
 #: broadcastable literal-sized dim at ANY corpus scale (the paper uses
 #: 10k buckets for web scale — the shape is identical, only this
@@ -2109,6 +2184,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_tokens": text_bpe_tokens,
     "dedup_embed_neardup": dedup_embed_neardup,
     "embed_semdedup_prune": embed_semdedup_prune,
+    "embed_knn_label_audit": embed_knn_label_audit,
     "embed_cosine_topk": embed_cosine_topk,
     "embed_mmr_select": embed_mmr_select,
     "embed_cosine_topk_pandas": embed_cosine_topk_pandas,
@@ -2121,6 +2197,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_ivf_pinned_topk": embed_ivf_pinned_topk,
     "embed_pq_pinned_topk": embed_pq_pinned_topk,
     "eval_contamination_flags": eval_contamination_flags,
+    "source_overlap_matrix": source_overlap_matrix,
     "dsir_importance_weights": dsir_importance_weights,
     "repetition_ngram_quality": repetition_ngram_quality,
     "training_mix_manifest": training_mix_manifest,

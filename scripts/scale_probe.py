@@ -115,6 +115,16 @@ PROBE_QUERIES = [
     "embed_ivf_pinned_topk",    # audited IVF: literal-quantizer cell pruning
     "embed_pq_pinned_topk",     # audited PQ: pinned codebooks, Arrow encode
     "training_mix_manifest",    # composed curation gates + dedup + lang agg
+    # round-6 late batch. embed_semdedup_prune / embed_knn_label_audit
+    # are OFF-probe deliberately: their scale knob is CODEBOOK SIZE
+    # (cells per vector count stays bounded — SemDeDup uses ~50k
+    # clusters at LAION scale), and this probe holds the pinned
+    # 8-centroid codebook fixed while growing vectors 10x, so the
+    # within-cell pairwise would measure ~100x by construction — the
+    # documented property of a fixed codebook, not a plan defect.
+    "cluster_soft_dedup_sample",  # star CC + size agg + bucket rule
+    "dsir_importance_weights",  # explode + B-row agg + broadcast score
+    "source_overlap_matrix",    # gram-keyed distinct self-join
 ]
 
 

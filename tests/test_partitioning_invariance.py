@@ -78,6 +78,11 @@ INVARIANT_QUERIES = [
     # DSIR: corpus-level bucket counts feed a quantized score used by
     # every doc — partial-agg order across splits must not move it
     "dsir_importance_weights",
+    # kNN label audit: rank windows over the cell pair join; majority
+    # vote must not depend on candidate arrival order
+    "embed_knn_label_audit",
+    # source overlap: distinct + gram-keyed self-join + ppm divisions
+    "source_overlap_matrix",
 ]
 
 

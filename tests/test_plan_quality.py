@@ -426,3 +426,36 @@ def test_shuffle_hash_hint_is_honored(spark, sf_smoke):
     phase), not fall back to sort-merge."""
     plan = plan_of(spark, sf_smoke, "shuffle_hash_join_stats")
     assert "ShuffledHashJoin" in plan, "shuffle_hash hint not honored"
+
+
+def test_semdedup_plan_shape(spark, sf_smoke):
+    """embed_semdedup_prune must keep the SemDeDup scale shape:
+    cell assignment is map-side expression work (no Python stage, no
+    centroid-table join), the within-cell pair join honors the
+    shuffle_hash hint (a sort-merge would buffer array rows through
+    sort spills), and nothing degenerates to a cartesian product."""
+    plan = plan_of(spark, sf_smoke, "embed_semdedup_prune")
+    assert "ShuffledHashJoin" in plan, "cell pair join fell back from shuffle_hash"
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_knn_label_audit_plan_shape(spark, sf_smoke):
+    """embed_knn_label_audit shares semdedup's cell-blocked shape:
+    shuffle_hash pair join, JVM-side assignment, no cartesian; the
+    k-NN rank and majority vote must lower to window operators."""
+    plan = plan_of(spark, sf_smoke, "embed_knn_label_audit")
+    assert "ShuffledHashJoin" in plan, "cell pair join fell back from shuffle_hash"
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan, "k-NN rank / majority vote must be window operators"
+
+
+def test_dsir_scores_broadcast(spark, sf_smoke):
+    """dsir_importance_weights must join the per-instance gram stream
+    against a BROADCAST of the 64-row score table (the per-doc sum is
+    the only data-sized shuffle); the 1-row totals cross join is an
+    intentional scalar broadcast nested loop."""
+    plan = plan_of(spark, sf_smoke, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan, "score table not broadcast"
+    assert "CartesianProduct" not in plan

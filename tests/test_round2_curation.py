@@ -233,6 +233,35 @@ def test_dsir_weights_separate_target_lang(spark, sf_smoke):
         assert row.n_grams == expect
 
 
+def test_knn_label_audit_invariants(spark, sf_smoke):
+    """kNN label audit: neighbor counts bounded by k and cell size,
+    agreement bounded by neighbor count, knn_label present exactly
+    when a neighbor exists, and consistent == (knn_label = label)."""
+    rows = QUERIES["embed_knn_label_audit"](spark, sf_smoke).collect()
+    cell_sizes: dict[int, int] = {}
+    for r in rows:
+        cell_sizes[r.cell] = cell_sizes.get(r.cell, 0) + 1
+    for r in rows:
+        assert 0 <= r.n_agree <= r.n_nbrs <= 3
+        assert r.n_nbrs <= cell_sizes[r.cell] - 1
+        assert (r.knn_label is None) == (r.n_nbrs == 0)
+        assert r.consistent == (r.knn_label is not None and r.knn_label == r.label)
+
+
+def test_source_overlap_matrix_invariants(spark, sf_smoke):
+    """Overlap matrix: pair keys ordered and unique, shared bounded by
+    both sides, jaccard <= either containment, all ppm in [0, 1e6]."""
+    rows = QUERIES["source_overlap_matrix"](spark, sf_smoke).collect()
+    keys = [(r.source_a, r.source_b) for r in rows]
+    assert len(keys) == len(set(keys))
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert 0 < r.shared_grams <= min(r.grams_a, r.grams_b)
+        assert r.jaccard_ppm <= min(r.contain_a_ppm, r.contain_b_ppm)
+        for v in (r.jaccard_ppm, r.contain_a_ppm, r.contain_b_ppm):
+            assert 0 <= v <= 1_000_000
+
+
 def test_cluster_soft_dedup_sample_invariants(spark, sf_smoke):
     """Soft dedup: singletons always survive, cluster ids agree with
     the star components query, and per-cluster survivor counts respect
