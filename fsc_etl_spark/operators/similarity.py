@@ -630,10 +630,13 @@ def knn_label_agreement(
         F.col("v").alias("vb"),
         F.col("n").alias("nb"),
     )
-    cand = (
+    # Join UNORDERED pairs (id_a < id_b) so each 64-dim dot evaluates
+    # once, then symmetrize map-side with an explode — halving the
+    # dominant per-pair fold cost vs a directed (!=) join.
+    pairs = (
         a.hint("shuffle_hash")
         .join(b, "cell")
-        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos",
             F.round(
@@ -642,6 +645,26 @@ def knn_label_agreement(
             ),
         )
     )
+    cand = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a"),
+                    F.col("label_a"),
+                    F.col("id_b"),
+                    F.col("label_b"),
+                    F.col("cos"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_a"),
+                    F.col("label_b").alias("label_a"),
+                    F.col("id_a").alias("id_b"),
+                    F.col("label_a").alias("label_b"),
+                    F.col("cos"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
     w_rank = Window.partitionBy("id_a").orderBy(
         F.col("cos").desc(), F.col("id_b").asc()
     )
@@ -651,26 +674,22 @@ def knn_label_agreement(
     votes = nbrs.groupBy("id_a", "label_a", "label_b").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    w_major = Window.partitionBy("id_a").orderBy(
-        F.col("cnt").desc(), F.col("label_b").asc()
-    )
-    majority = (
-        votes.withColumn("mrnk", F.row_number().over(w_major))
-        .filter(F.col("mrnk") == 1)
-        .select("id_a", F.col("label_b").alias("knn_label"))
-    )
-    stats = nbrs.groupBy("id_a").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_nbrs"),
-        F.sum(
-            F.when(F.col("label_b") == F.col("label_a"), 1).otherwise(0)
-        )
+    # ONE aggregation per vector: neighbor count, agreement count, and
+    # the majority vote folded as max(struct(cnt, -label)) — count
+    # DESC then label ASC, the same total order a rank-window would
+    # use, without a second branch re-executing the pair join.
+    stats = votes.groupBy("id_a").agg(
+        F.sum("cnt").cast("bigint").alias("n_nbrs"),
+        F.sum(F.when(F.col("label_b") == F.col("label_a"), F.col("cnt")).otherwise(0))
         .cast("bigint")
         .alias("n_agree"),
+        (-F.max(F.struct(F.col("cnt"), (-F.col("label_b")).alias("neg")))["neg"])
+        .cast("int")
+        .alias("knn_label"),
     )
     return (
         base.select("vec_id", "cell", "label")
         .join(stats.withColumnRenamed("id_a", "vec_id"), "vec_id", "left")
-        .join(majority.withColumnRenamed("id_a", "vec_id"), "vec_id", "left")
         .select(
             "vec_id",
             "cell",

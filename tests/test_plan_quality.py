@@ -443,12 +443,17 @@ def test_semdedup_plan_shape(spark, sf_smoke):
 def test_knn_label_audit_plan_shape(spark, sf_smoke):
     """embed_knn_label_audit shares semdedup's cell-blocked shape:
     shuffle_hash pair join, JVM-side assignment, no cartesian; the
-    k-NN rank and majority vote must lower to window operators."""
+    k-NN rank lowers to a window and the majority vote to a struct-max
+    aggregate so the pair join executes ONCE (a second windowed branch
+    would re-run it)."""
     plan = plan_of(spark, sf_smoke, "embed_knn_label_audit")
     assert "ShuffledHashJoin" in plan, "cell pair join fell back from shuffle_hash"
     assert "CartesianProduct" not in plan
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
-    assert "Window" in plan, "k-NN rank / majority vote must be window operators"
+    assert "Window" in plan, "k-NN rank must be a window operator"
+    # formatted explain mentions each node twice (tree + detail):
+    # exactly ONE ShuffledHashJoin node = the pair join executes once
+    assert plan.count("ShuffledHashJoin") == 2, "pair join must execute once"
 
 
 def test_dsir_scores_broadcast(spark, sf_smoke):
