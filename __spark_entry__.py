@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_weights",
         "embed_knn_label_audit",
         "source_overlap_matrix",
+        "streaming_dsir_gate",
         # --- long-green sentinels to fill the ~50-slot window,
         # spanning every family (TPC-H, star, dedup, sketch, graph,
         # streaming, multimodal, format, incremental) ---
@@ -133,7 +134,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dpp_pruned_rollup",
         "skyline_orders",
         "session_window_stats",
-        "embed_pq_topk",
     ]
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in priority:

@@ -191,7 +191,7 @@ BENCH_QUERIES = [
     "ppr_copurchase_seeds",
     # round-4 full-surface expansion: every remaining batch query, so
     # the bench covers the whole queries() surface. Still off-bench,
-    # each with a documented reason: the 12 streaming_* queries (their
+    # each with a documented reason: the streaming_* queries (their
     # staged micro-batches + checkpoint dirs measure the harness, not
     # the engine), dedup_cluster_assign_star and user_trend_slope_pandas
     # (twin paths re-timing shapes already on the bench; equivalence is

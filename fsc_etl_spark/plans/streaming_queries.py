@@ -310,6 +310,47 @@ def streaming_blocklist_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def streaming_dsir_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAM-STATIC data selection at ingest: every incoming document
+    scores its DSIR importance weight against FROZEN reference
+    distributions — the 64-bucket target/raw n-gram counts of the
+    existing corpus, quantized once to micro-nat scores and BROADCAST
+    (the production shape: the reference distribution is built
+    offline, the gate runs on the ingest stream). Gram hashing is
+    stateless map-side work per micro-batch; the only streaming state
+    is the doc-keyed running (count, sum) aggregation. Converged
+    output == the batch dsir_importance_weights row shape exactly, so
+    the batch hash oracle applies verbatim."""
+    from fsc_etl_spark.plans.training_data import (
+        dsir_bucket_scores,
+        dsir_gram_buckets,
+        dsir_per_doc_scores,
+    )
+    from fsc_etl_spark.sources.readers import read_parquet_table
+    from fsc_etl_spark.streaming import stream_documents
+
+    static_docs = read_parquet_table(spark, sf, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    scores = dsir_bucket_scores(static_docs)
+    stream = stream_documents(spark, sf).select("doc_id", "lang", "text")
+    per_doc = dsir_per_doc_scores(dsir_gram_buckets(stream), scores)
+    converged = run_to_memory(per_doc, output_mode="complete")
+    return (
+        static_docs.select("doc_id", "lang")
+        .join(converged, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("dsir_score_e6"), F.lit(0))
+            .cast("bigint")
+            .alias("dsir_score_e6"),
+            (F.coalesce(F.col("dsir_score_e6"), F.lit(0)) >= 0).alias("kept"),
+        )
+    )
+
+
 def streaming_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """INCREMENTAL sub-document dedup against historical state — the
     production shape for continuous corpus ingestion: documents arrive
@@ -444,6 +485,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_media_ingest": streaming_media_ingest,
     "streaming_cms_counts": streaming_cms_counts,
     "streaming_hll_registers": streaming_hll_registers,
+    "streaming_dsir_gate": streaming_dsir_gate,
 }
 
 
@@ -630,3 +672,11 @@ SELECT bucket,
          AS register
 FROM f GROUP BY bucket
 """
+
+# Converged stream-static DSIR gate == the batch DSIR row shape
+# exactly (single micro-batch at this fixture; the scores side is the
+# SAME frozen reference both paths), so the batch oracle is reused
+# verbatim.
+from fsc_etl_spark.plans.oracles_training import TRAINING_ORACLES as _T
+
+STREAMING_ORACLES["streaming_dsir_gate"] = _T["dsir_importance_weights"]

@@ -2004,11 +2004,19 @@ def dsir_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
     sum is ONE shuffle keyed on doc_id; the final flag join back to
     the doc list is doc-keyed. Nothing pairwise, no global sort, no
     driver-side state beyond the B-row literal."""
-    B = DSIR_BUCKETS
     docs = t(spark, sf, "documents").select("doc_id", "lang", "text")
+    scores = dsir_bucket_scores(docs)
+    return dsir_score_docs(dsir_gram_buckets(docs), scores, docs)
+
+
+def dsir_gram_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket) — one row per unigram/bigram INSTANCE,
+    hashed to DSIR_BUCKETS. Stateless map-side work (explode over
+    per-row arrays), so it applies unchanged to a document STREAM."""
+    B = DSIR_BUCKETS
     toks = docs.select("doc_id", "lang", tokens(F.lower(F.col("text"))).alias("tk"))
     # unigram + bigram instances (bigrams guarded empty for 1-token docs)
-    grams = toks.select(
+    return toks.select(
         "doc_id",
         "lang",
         F.explode(
@@ -2021,11 +2029,21 @@ def dsir_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
                 ),
             )
         ).alias("g"),
-    ).withColumn(
-        "bucket",
-        F.conv(F.substring(F.md5(F.col("g")), 1, 4), 16, 10).cast("long") % B,
+    ).select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5(F.col("g")), 1, 4), 16, 10).cast("long") % B).alias(
+            "bucket"
+        ),
     )
-    counts = grams.groupBy("bucket").agg(
+
+
+def dsir_bucket_scores(docs: DataFrame) -> DataFrame:
+    """The frozen reference distributions: (bucket, score_e6) with
+    score quantized ONCE to micro-nats (see dsir_importance_weights's
+    exactness note). B rows — broadcasts at any corpus scale."""
+    B = DSIR_BUCKETS
+    counts = dsir_gram_buckets(docs).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("r_b"),
         F.count(F.when(F.col("lang") == "en", 1)).alias("t_b"),
     )
@@ -2033,7 +2051,7 @@ def dsir_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("r_b").cast("double").alias("r_tot"),
         F.sum("t_b").cast("double").alias("t_tot"),
     )
-    scores = counts.crossJoin(F.broadcast(totals)).select(
+    return counts.crossJoin(F.broadcast(totals)).select(
         "bucket",
         F.floor(
             F.lit(1e6)
@@ -2045,7 +2063,13 @@ def dsir_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("score_e6"),
     )
-    per_doc = (
+
+
+def dsir_per_doc_scores(grams: DataFrame, scores: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, dsir_score_e6) from a gram-bucket stream and
+    the broadcast score table — exact BIGINT accumulation; works on
+    batch AND streaming gram frames (one doc-keyed aggregation)."""
+    return (
         grams.join(F.broadcast(scores), "bucket")
         .groupBy("doc_id")
         .agg(
@@ -2053,6 +2077,14 @@ def dsir_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("score_e6").cast("bigint").alias("dsir_score_e6"),
         )
     )
+
+
+def dsir_score_docs(
+    grams: DataFrame, scores: DataFrame, docs: DataFrame
+) -> DataFrame:
+    """Final DSIR row shape: every doc (zero-gram docs included via
+    the left join) with its exact integer score and the kept flag."""
+    per_doc = dsir_per_doc_scores(grams, scores)
     return (
         docs.select("doc_id", "lang")
         .join(per_doc, "doc_id", "left")

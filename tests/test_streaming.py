@@ -346,3 +346,16 @@ def test_incremental_segment_dedup_resumes_from_checkpoint(spark, sf_smoke, tmp_
         .collect()
     }
     assert got == want  # each doc exactly once => resume skipped nothing, repeated nothing
+
+
+def test_streaming_dsir_gate_matches_batch(spark, sf_smoke):
+    """The stream-static DSIR gate's converged output must equal the
+    batch dsir_importance_weights rows exactly — same frozen reference
+    scores, same exact-integer accumulation, micro-batching must not
+    move anything."""
+    from fsc_etl_spark.plans.streaming_queries import streaming_dsir_gate
+    from fsc_etl_spark.plans.training_data import dsir_importance_weights
+
+    got = {tuple(r) for r in streaming_dsir_gate(spark, sf_smoke).collect()}
+    want = {tuple(r) for r in dsir_importance_weights(spark, sf_smoke).collect()}
+    assert got == want
