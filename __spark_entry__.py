@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_knn_label_audit",
         "source_overlap_matrix",
         "streaming_dsir_gate",
+        "dup_span_stats",
+        "winnow_fingerprints",
         # --- long-green sentinels to fill the ~50-slot window,
         # spanning every family (TPC-H, star, dedup, sketch, graph,
         # streaming, multimodal, format, incremental) ---
@@ -132,8 +134,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_feature_join",
         "incremental_join_maintenance",
         "dpp_pruned_rollup",
-        "skyline_orders",
-        "session_window_stats",
     ]
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in priority:

@@ -261,6 +261,12 @@ BENCH_QUERIES = [
     # gram joins are broadcast or doc-keyed) with |sources|^2-bounded
     # fan-out.
     "source_overlap_matrix",
+    # dup_span_stats: hash-count + colocated flag join + islands
+    # windows — the span-merge shape is not otherwise benched.
+    "dup_span_stats",
+    # winnow_fingerprints: two frame windows + distinct over one
+    # doc-keyed shuffle — the sliding-frame selection shape is new.
+    "winnow_fingerprints",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -1408,6 +1408,96 @@ SELECT doc_id,
 FROM kept GROUP BY doc_id
 """
 
+# Winnowing fingerprints: 48-bit 3-gram hashes, w=4 sliding frame
+# min, rightmost-tie argmax position, distinct selected set — all
+# total-order integer decisions; the frame truncates identically at
+# the partition end in both engines (docs shorter than one window
+# keep their global min via the pos <= greatest(n-3, 1) start rule).
+TRAINING_ORACLES["winnow_fingerprints"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         CAST(('0x' || substr(md5(array_to_string(list_slice(tk, i, i + 2), ' ')), 1, 12))
+              AS BIGINT) AS h
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM toks WHERE len(tk) >= 3)
+),
+scored AS (
+  SELECT doc_id, pos, h,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min
+  FROM grams
+),
+chosen AS (
+  SELECT doc_id, n_grams,
+         MAX(CASE WHEN h = win_min THEN pos END) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel_pos,
+         win_min
+  FROM scored
+  QUALIFY pos <= GREATEST(n_grams - 3, 1)
+),
+fps AS (SELECT DISTINCT doc_id, n_grams, sel_pos, win_min FROM chosen)
+SELECT doc_id,
+       CAST(MIN(n_grams) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_fps,
+       CAST(SUM(win_min) AS BIGINT) AS fp_sum,
+       CAST((1000000 * COUNT(*)) // MIN(n_grams) AS BIGINT) AS density_ppm
+FROM fps GROUP BY doc_id
+"""
+
+# Maximal duplicated spans: the segment fragment above + corpus
+# occurrence counts + the seg_idx - ROW_NUMBER islands trick for
+# maximal runs. All-integer (counts + floor-div ppm).
+TRAINING_ORACLES["dup_span_stats"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, seg_idx,
+         md5(array_to_string(list_slice(tk, seg_idx * 16 + 1, seg_idx * 16 + 16), ' '))
+           AS seg_hash
+  FROM (SELECT doc_id, tk,
+               unnest(range(CAST(ceil(len(tk) / 16.0) AS BIGINT))) AS seg_idx
+        FROM toks)
+),
+cnt AS (SELECT seg_hash, COUNT(*) AS n_occ FROM segs GROUP BY seg_hash),
+flagged AS (
+  SELECT s.doc_id, s.seg_idx, (c.n_occ >= 2) AS dup
+  FROM segs s JOIN cnt c USING (seg_hash)
+),
+spans AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(MAX(span_len) AS BIGINT) AS max_span_segments
+  FROM (
+    SELECT doc_id, grp, COUNT(*) AS span_len
+    FROM (
+      SELECT doc_id, seg_idx,
+             seg_idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY seg_idx) AS grp
+      FROM flagged WHERE dup
+    ) GROUP BY doc_id, grp
+  ) GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_segments,
+         CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments
+  FROM flagged GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_segments, b.n_dup_segments,
+       CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(s.max_span_segments, 0) AS BIGINT) AS max_span_segments,
+       CAST((1000000 * b.n_dup_segments) // b.n_segments AS BIGINT) AS dup_ppm
+FROM base b LEFT JOIN spans s USING (doc_id)
+"""
+
 # End-to-end curation manifest: the quality / lang-id / contamination
 # / repetition / dedup fragments above composed verbatim, aggregated
 # per declared language. Every SUM is CAST AS BIGINT (the r4 HUGEINT

@@ -1825,6 +1825,114 @@ def segment_hashes(docs: DataFrame, seg_tokens: int = 16) -> DataFrame:
     )
 
 
+def winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every 3-gram, slide a
+    window of w=4 consecutive hashes, and in each window select the
+    MINIMUM hash (ties -> RIGHTMOST position); the distinct selected
+    positions are the document's fingerprint. Guarantees every shared
+    substring of >= w+k-1 tokens shares a fingerprint between
+    documents while storing ~2/(w+1) of the hashes — the
+    local-sampling property ad-hoc "every i-th hash" schemes lack.
+    Output per doc: gram count, fingerprint count, the exact BIGINT
+    fingerprint-hash sum (pins the selected SET, not just its size)
+    and density in ppm. Docs shorter than one window keep their
+    global min — the truncated-frame convention.
+
+    Exactness: hashes are 48-bit ints (first 12 md5 hex chars), so
+    per-doc sums stay far under int64; min / argmax-position /
+    count are total-order integer decisions. Scale shape: gram
+    hashing is map-side; the sliding min and the rightmost-tie pick
+    are frame windows over ONE doc-keyed shuffle shared by every
+    aggregation; nothing global, nothing pairwise."""
+    w = 4
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("tk"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(shingles_from_tokens(F.col("tk"), 3)).alias("pos0", "sh"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    wd = Window.partitionBy("doc_id")
+    frame = wd.orderBy("pos").rowsBetween(0, w - 1)
+    scored = grams.withColumn("n_grams", F.count(F.lit(1)).over(wd)).withColumn(
+        "win_min", F.min("h").over(frame)
+    )
+    # rightmost position attaining the window minimum
+    chosen = scored.withColumn(
+        "sel_pos",
+        F.max(F.when(F.col("h") == F.col("win_min"), F.col("pos"))).over(frame),
+    ).filter(
+        F.col("pos") <= F.greatest(F.col("n_grams") - (w - 1), F.lit(1))
+    )
+    # the selected hash IS the window minimum, so the fingerprint set
+    # is just distinct (sel_pos, win_min) — no join back to the grams
+    fps = chosen.select("doc_id", "n_grams", "sel_pos", "win_min").distinct()
+    return fps.groupBy("doc_id").agg(
+        F.min("n_grams").cast("bigint").alias("n_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+        F.sum("win_min").cast("bigint").alias("fp_sum"),
+        F.expr("(1000000 * count(1)) div min(n_grams)").alias("density_ppm"),
+    )
+
+
+def dup_span_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal duplicated-SPAN extraction (the reporting half of exact
+    substring dedup, Lee et al. 2022 arXiv:2107.06499 "Deduplicating
+    Training Data Makes Language Models Better"): a 16-token window is
+    duplicated when its hash occurs >= 2 times corpus-wide; per
+    document, CONSECUTIVE duplicated windows merge into maximal spans
+    (the islands trick: seg_idx - row_number is constant within a
+    run). Output per doc with >= 1 segment: total/duplicated segment
+    counts, span count, longest span, and the integer-ppm duplicated
+    fraction — the signal that decides between dropping a document
+    and cutting just its duplicated spans.
+
+    Scale shape at 100 TB: map-side window explode; ONE shuffle keyed
+    on seg_hash for the corpus occurrence counts (bounded per-hash
+    groups, partial-agg collapses map-side); the flag join back is on
+    the same key (colocated); the islands window + both per-doc
+    aggregations share ONE doc-keyed shuffle. No pairwise anything,
+    no global sort."""
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    segs = segment_hashes(docs)
+    cnt = segs.groupBy("seg_hash").agg(F.count(F.lit(1)).alias("n_occ"))
+    flagged = segs.join(cnt, "seg_hash").select(
+        "doc_id", "seg_idx", (F.col("n_occ") >= 2).alias("dup")
+    )
+    w = Window.partitionBy("doc_id").orderBy("seg_idx")
+    spans = (
+        flagged.filter(F.col("dup"))
+        .withColumn("grp", F.col("seg_idx") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("span_len"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.max("span_len").cast("bigint").alias("max_span_segments"),
+        )
+    )
+    base = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum(F.col("dup").cast("bigint")).cast("bigint").alias("n_dup_segments"),
+    )
+    return base.join(spans, "doc_id", "left").select(
+        "doc_id",
+        "n_segments",
+        "n_dup_segments",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce(F.col("max_span_segments"), F.lit(0))
+        .cast("bigint")
+        .alias("max_span_segments"),
+        F.expr("(1000000 * n_dup_segments) div n_segments").alias("dup_ppm"),
+    )
+
+
 def segment_dedup_mask(spark: SparkSession, sf: str) -> DataFrame:
     """Sub-document (segment-level) dedup with keep-first survivorship
     — the FineWeb/RefinedWeb-style pass that strips boilerplate
@@ -2273,6 +2381,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_quantile_filter": length_quantile_filter,
     "cluster_canonical_doc": cluster_canonical_doc,
     "cluster_soft_dedup_sample": cluster_soft_dedup_sample,
+    "dup_span_stats": dup_span_stats,
+    "winnow_fingerprints": winnow_fingerprints,
     "tfidf_top_terms": tfidf_top_terms,
     "containment_pairs": containment_pairs,
     "synth_docs_source": synth_docs_source,

@@ -83,6 +83,10 @@ INVARIANT_QUERIES = [
     "embed_knn_label_audit",
     # source overlap: distinct + gram-keyed self-join + ppm divisions
     "source_overlap_matrix",
+    # duplicated spans: corpus hash counts + islands run-merge
+    "dup_span_stats",
+    # winnowing: sliding-frame min + rightmost-tie argmax + distinct
+    "winnow_fingerprints",
 ]
 
 

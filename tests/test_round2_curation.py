@@ -262,6 +262,63 @@ def test_source_overlap_matrix_invariants(spark, sf_smoke):
             assert 0 <= v <= 1_000_000
 
 
+def test_dup_span_stats_invariants(spark, sf_smoke):
+    """Span accounting must be internally consistent: spans partition
+    the duplicated segments (sum of span lengths == n_dup via
+    max*1 <= sum <= n_dup bounds checkable per doc: n_spans >= 1 iff
+    n_dup >= 1, max_span <= n_dup, n_spans <= n_dup, and a doc of all-
+    duplicated segments has exactly one span covering everything)."""
+    rows = QUERIES["dup_span_stats"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dup_segments <= r.n_segments
+        assert (r.n_spans >= 1) == (r.n_dup_segments >= 1)
+        assert r.n_spans <= r.n_dup_segments
+        assert r.max_span_segments <= r.n_dup_segments
+        if r.n_dup_segments == r.n_segments and r.n_segments > 0:
+            assert r.n_spans == 1 and r.max_span_segments == r.n_segments
+        assert r.dup_ppm == (1_000_000 * r.n_dup_segments) // r.n_segments
+
+
+def test_winnow_fingerprints_against_reference(spark, sf_smoke):
+    """Independent per-doc reimplementation of robust winnowing (plain
+    Python over the raw text) must reproduce n_fps and fp_sum exactly,
+    and density must respect the winnowing guarantee bounds
+    (every w-window contributes a fingerprint -> n_fps >= ceil(n/w)
+    coverage lower bound is NOT guaranteed by sampling theory for tied
+    hashes, so assert the hard ones: 1 <= n_fps <= n_grams)."""
+    import hashlib
+
+    docs = read_parquet_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    w, k = 4, 3
+    expect = {}
+    for d in docs:
+        toks = [x for x in d.text.lower().strip().split() if x]
+        if len(toks) < k:
+            continue
+        hs = [
+            int(hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:12], 16)
+            for i in range(len(toks) - k + 1)
+        ]
+        n = len(hs)
+        sel = set()
+        for start in range(max(n - w + 1, 1)):
+            frame = hs[start : start + w]
+            m = min(frame)
+            pos = max(i for i in range(start, min(start + w, n)) if hs[i] == m)
+            sel.add((pos, m))
+        expect[d.doc_id] = (n, len(sel), sum(h for _, h in sel))
+    got = {
+        r.doc_id: (r.n_grams, r.n_fps, r.fp_sum)
+        for r in QUERIES["winnow_fingerprints"](spark, sf_smoke).collect()
+    }
+    assert got == expect
+    for n, n_fps, _ in got.values():
+        assert 1 <= n_fps <= n
+
+
 def test_cluster_soft_dedup_sample_invariants(spark, sf_smoke):
     """Soft dedup: singletons always survive, cluster ids agree with
     the star components query, and per-cluster survivor counts respect
