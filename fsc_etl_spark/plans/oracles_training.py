@@ -1408,11 +1408,17 @@ SELECT doc_id,
 FROM kept GROUP BY doc_id
 """
 
-# Winnowing fingerprints: 48-bit 3-gram hashes, w=4 sliding frame
-# min, rightmost-tie argmax position, distinct selected set — all
-# total-order integer decisions; the frame truncates identically at
-# the partition end in both engines (docs shorter than one window
-# keep their global min via the pos <= greatest(n-3, 1) start rule).
+# Winnowing fingerprints — INDEPENDENT construction from the Schleimer
+# et al. 2003 definition, deliberately NOT a translation of the Spark
+# plan (the r6 twin shared the Spark plan's frame-mixing bug and
+# hash-matched it): materialize every (anchor window, member) pair via
+# an explicit range join, then per window pick the member minimizing
+# (h ASC, pos DESC) with ROW_NUMBER — lowest hash, rightmost tie.
+# Spark instead uses a single frame aggregate max(struct(2^48-h, pos));
+# the two mechanisms agree only if both implement the paper. All
+# decisions are total-order integer comparisons. Anchors run over
+# pos <= greatest(n_grams-3, 1): every full window, and for docs
+# shorter than one window the single truncated window (global min).
 TRAINING_ORACLES["winnow_fingerprints"] = """
 WITH toks AS (
   SELECT doc_id,
@@ -1425,27 +1431,31 @@ grams AS (
               AS BIGINT) AS h
   FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM toks WHERE len(tk) >= 3)
 ),
-scored AS (
-  SELECT doc_id, pos, h,
-         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams,
-         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min
-  FROM grams
+counted AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
 ),
-chosen AS (
-  SELECT doc_id, n_grams,
-         MAX(CASE WHEN h = win_min THEN pos END) OVER (
-           PARTITION BY doc_id ORDER BY pos
-           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel_pos,
-         win_min
-  FROM scored
-  QUALIFY pos <= GREATEST(n_grams - 3, 1)
+anchors AS (
+  SELECT g.doc_id, g.pos AS astart, c.n_grams
+  FROM grams g JOIN counted c USING (doc_id)
+  WHERE g.pos <= GREATEST(c.n_grams - 3, 1)
 ),
-fps AS (SELECT DISTINCT doc_id, n_grams, sel_pos, win_min FROM chosen)
+members AS (
+  SELECT a.doc_id, a.astart, a.n_grams, g.pos, g.h
+  FROM anchors a
+  JOIN grams g
+    ON g.doc_id = a.doc_id AND g.pos BETWEEN a.astart AND a.astart + 3
+),
+picked AS (
+  SELECT doc_id, n_grams, pos AS sel_pos, h AS fp_hash
+  FROM members
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, astart
+                             ORDER BY h ASC, pos DESC) = 1
+),
+fps AS (SELECT DISTINCT doc_id, n_grams, sel_pos, fp_hash FROM picked)
 SELECT doc_id,
        CAST(MIN(n_grams) AS BIGINT) AS n_grams,
        CAST(COUNT(*) AS BIGINT) AS n_fps,
-       CAST(SUM(win_min) AS BIGINT) AS fp_sum,
+       CAST(SUM(fp_hash) AS BIGINT) AS fp_sum,
        CAST((1000000 * COUNT(*)) // MIN(n_grams) AS BIGINT) AS density_ppm
 FROM fps GROUP BY doc_id
 """

@@ -1860,23 +1860,37 @@ def winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     )
     wd = Window.partitionBy("doc_id")
     frame = wd.orderBy("pos").rowsBetween(0, w - 1)
+    # Rightmost position attaining THIS anchor's window minimum, in ONE
+    # anchor-frame aggregate: lexicographic max of (2^48 - h, pos) over
+    # the frame is the frame row with the LOWEST hash, ties broken by
+    # the LARGEST (rightmost) position. A single frame expression keeps
+    # every compared value evaluated against the anchor's own frame —
+    # the r6 form compared each frame row's h to that row's OWN win_min
+    # (a different frame), decoupling position from hash and inflating
+    # the fingerprint set (13 vs 9 on doc 0 of the sf0.001 fixture).
+    max48 = 1 << 48  # hashes are 48-bit, so 2^48 - h stays positive
     scored = grams.withColumn("n_grams", F.count(F.lit(1)).over(wd)).withColumn(
-        "win_min", F.min("h").over(frame)
+        "sel",
+        F.max(
+            F.struct(
+                (F.lit(max48) - F.col("h")).alias("nh"),
+                F.col("pos").alias("p"),
+            )
+        ).over(frame),
     )
-    # rightmost position attaining the window minimum
-    chosen = scored.withColumn(
-        "sel_pos",
-        F.max(F.when(F.col("h") == F.col("win_min"), F.col("pos"))).over(frame),
-    ).filter(
+    chosen = scored.filter(
         F.col("pos") <= F.greatest(F.col("n_grams") - (w - 1), F.lit(1))
+    ).select(
+        "doc_id",
+        "n_grams",
+        F.col("sel.p").alias("sel_pos"),
+        (F.lit(max48) - F.col("sel.nh")).alias("fp_hash"),
     )
-    # the selected hash IS the window minimum, so the fingerprint set
-    # is just distinct (sel_pos, win_min) — no join back to the grams
-    fps = chosen.select("doc_id", "n_grams", "sel_pos", "win_min").distinct()
+    fps = chosen.distinct()
     return fps.groupBy("doc_id").agg(
         F.min("n_grams").cast("bigint").alias("n_grams"),
         F.count(F.lit(1)).cast("bigint").alias("n_fps"),
-        F.sum("win_min").cast("bigint").alias("fp_sum"),
+        F.sum("fp_hash").cast("bigint").alias("fp_sum"),
         F.expr("(1000000 * count(1)) div min(n_grams)").alias("density_ppm"),
     )
 

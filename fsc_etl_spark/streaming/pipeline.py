@@ -109,9 +109,17 @@ def run_to_memory(
     # Sanitize the caller-supplied name before it becomes a path
     # component (ADVICE r5): a separator or shell-odd character must
     # not escape or fragment the scratch dir. The memory-sink
-    # queryName keeps the original.
+    # queryName keeps the original. A short hash of the ORIGINAL name
+    # keeps distinct names collision-free after sanitization (ADVICE
+    # r6: 'a/b' and 'a b' both mapped to 'a_b', so one run's
+    # unconditional rmtree could clobber a concurrent sibling's ACTIVE
+    # checkpoint dir — the pre-sanitization scheme relied on name
+    # uniqueness that the mapping destroyed).
+    import hashlib
+
     safe = re.sub(r"[^A-Za-z0-9_.-]", "_", name)
-    ckpt = scratch_path(f"stream_ckpt_{safe}")
+    tag = hashlib.md5(name.encode()).hexdigest()[:8]
+    ckpt = scratch_path(f"stream_ckpt_{safe}_{tag}")
     shutil.rmtree(ckpt, ignore_errors=True)
     try:
         q = (

@@ -1,0 +1,88 @@
+"""Pre-snapshot gate (VERDICT r6 Next-round #2): refuse to bless a
+round snapshot unless BOTH verification surfaces are green —
+
+  1. ``pytest tests/`` — the full suite, including every independent
+     (non-twin) reference reimplementation test;
+  2. the full vanilla sf0.01 oracle sweep — every ``queries()`` entry
+     run against its DuckDB oracle on a fresh session, exactly the
+     driver's correctness gate.
+
+Context: round 6's ``winnow_fingerprints`` shipped in the end-of-round
+snapshot commit with a frame-mixing bug; its twin oracle hash-matched
+the bug, and its independent pytest (which fails deterministically)
+had never been run. This script makes that class of ship impossible:
+run it before the final commit of every round and record its one-line
+verdict in BASELINE.md.
+
+Run:  python scripts/preflight.py            (full gate, ~12 min)
+      python scripts/preflight.py --quick    (pytest + sf0.001 sweep)
+
+Exit 0 = safe to snapshot; exit 1 = DO NOT COMMIT, failures listed.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def run_pytest() -> bool:
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=line"],
+        capture_output=True,
+        text=True,
+    )
+    tail = "\n".join(proc.stdout.strip().splitlines()[-3:])
+    print(f"[preflight] pytest ({time.time() - t0:.0f}s):\n{tail}")
+    return proc.returncode == 0
+
+
+def run_sweep(sf_dir: str) -> list[str]:
+    import __spark_entry__ as entrymod
+
+    from fsc_etl_spark.session import get_spark
+    from fsc_etl_spark.testing import check_query
+
+    spark = get_spark()
+    failures: list[str] = []
+    names = list(entrymod.queries())
+    t0 = time.time()
+    for i, name in enumerate(names, 1):
+        try:
+            check_query(spark, sf_dir, name)
+        except Exception as exc:  # noqa: BLE001 — report every failure class
+            failures.append(name)
+            print(f"[preflight] FAIL {name}: {str(exc)[:300]}")
+        if i % 25 == 0:
+            print(
+                f"[preflight] sweep {i}/{len(names)} "
+                f"({time.time() - t0:.0f}s, {len(failures)} failed)"
+            )
+    print(
+        f"[preflight] sweep done: {len(names) - len(failures)}/{len(names)} "
+        f"green in {time.time() - t0:.0f}s at {sf_dir}"
+    )
+    return failures
+
+
+def main() -> int:
+    quick = "--quick" in sys.argv
+    sf_dir = "/root/testdata/sf0.001" if quick else "/root/testdata/sf0.01"
+    ok = run_pytest()
+    sweep_failures = run_sweep(sf_dir)
+    if ok and not sweep_failures:
+        print("[preflight] PASS — safe to snapshot")
+        return 0
+    print(
+        f"[preflight] FAIL — pytest_green={ok}, "
+        f"sweep_failures={sweep_failures} — DO NOT COMMIT THE SNAPSHOT"
+    )
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

