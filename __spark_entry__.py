@@ -46,21 +46,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §2.12.
 
     Ordered so a prefix sample covers the whole surface: the driver
-    checks roughly the first 50 entries. ROUND-6 ROTATION (VERDICT r5
-    item 3 — the rotation r5 failed to do): the prefix leads with the
-    14 round-4 late additions that have never had a driver
-    CORRECTNESS row (byte-identical r4/r5 samples missed them), then
-    the queries whose behavior or checking contract changed this
-    round (pps_token_sample — data-derived bucket prefix sum;
-    embed_lsh_topk — upgraded from rows-only to a full hash oracle;
-    embed_mmr_select / embed_ivf_topk — r5 guard/probe fixes, never
-    re-verified), then the four round-6 additions (the audited
-    pinned-codebook ANN tiers and the two curation gates), then
-    long-green sentinels spanning every family to fill the window. Keep
-    tests/test_entry_contract.py's prefix-pin test in sync: it
-    derives the never-sampled set from CORRECTNESS_r0{1..5}.json
-    automatically, so after r6's CORRECTNESS lands every query in
-    the repo has a driver row.
+    checks roughly the first 50 entries. ROUND-7 ROTATION: every query
+    now has at least one driver CORRECTNESS row (the r6 rotation
+    retired the never-sampled set), so the window leads with the
+    queries whose BEHAVIOR or CHECKING CONTRACT changed this round —
+    winnow_fingerprints (frame-mixing bug fixed + independently
+    reconstructed oracle), embed_ivf_topk / embed_pq_topk (rows-only
+    -> FULL hash oracles via replicated-Lloyd codebook literals),
+    pps_token_sample (driver-pinned control row), embed_lsh_topk
+    (id-type-agnostic signature schema), embed_semdedup_prune /
+    embed_knn_label_audit (assign_strategy plumbing; expr default
+    unchanged), embed_pq_pinned_topk (pinned-codebook validation) —
+    then the r6 additions and long-green sentinels spanning every
+    family to fill the window. Keep tests/test_entry_contract.py's
+    prefix-pin test in sync: it derives the never-sampled set from
+    committed CORRECTNESS_r0*.json automatically.
     """
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     merged.update(analytics.QUERIES)
@@ -76,11 +76,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(incremental.QUERIES)
 
     priority = [
-        # --- the 14 never-driver-sampled queries (round-4 late
-        # additions, deferred through two full windows) ---
+        # --- round-7: behavior or checking contract changed ---
+        "winnow_fingerprints",  # frame-mixing FIX + independent oracle
+        "embed_ivf_topk",  # rows-only -> FULL hash (replicated Lloyd)
+        "embed_pq_topk",  # rows-only -> FULL hash (replicated Lloyd)
+        "pps_token_sample",  # driver-pinned one-row control (ADVICE r6)
+        "embed_lsh_topk",  # id-type-agnostic signature schema
+        "embed_semdedup_prune",  # assign_strategy plumbing (expr default)
+        "embed_knn_label_audit",  # assign_strategy plumbing (expr default)
+        "embed_pq_pinned_topk",  # pinned-codebook shape validation
+        # --- round-6 additions (second driver look) ---
+        "embed_ivf_pinned_topk",
+        "eval_contamination_flags",
+        "repetition_ngram_quality",
+        "training_mix_manifest",
+        "cluster_soft_dedup_sample",
+        "dsir_importance_weights",
+        "source_overlap_matrix",
+        "streaming_dsir_gate",
+        "dup_span_stats",
+        # --- r4 late batch (first sampled r6; keep one more round) ---
         "ppr_copurchase_seeds",  # personalized PageRank, seed cohort
-        "embed_mmr_select",  # MMR diverse top-k (r5 guards — re-verify)
-        "pps_token_sample",  # PPS draw (r6 bucket rework — re-verify)
+        "embed_mmr_select",  # MMR diverse top-k
         "assoc_rules_parts",  # co-occurrence association rules
         "bucketed_join_rollup",  # zero-exchange bucketed join
         "csv_corrupt_quarantine",  # PERMISSIVE corrupt-record triage
@@ -92,24 +109,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_simpson_quality",  # Simpson diversity quality flags
         "streaming_cms_counts",  # streaming CMS maintenance
         "streaming_hll_registers",  # streaming HLL maintenance
-        # --- checking contract or behavior changed this round ---
-        "embed_lsh_topk",  # rows-only -> FULL hash oracle (r6)
-        "embed_ivf_topk",  # r5 probe-ranking fix; rows-only check
-        # --- round-6 additions: audited ANN tiers with pinned
-        # codebooks and FULL hash oracles; benchmark decontamination ---
-        "embed_ivf_pinned_topk",
-        "embed_pq_pinned_topk",
-        "eval_contamination_flags",
-        "repetition_ngram_quality",
-        "training_mix_manifest",
-        "cluster_soft_dedup_sample",
-        "embed_semdedup_prune",
-        "dsir_importance_weights",
-        "embed_knn_label_audit",
-        "source_overlap_matrix",
-        "streaming_dsir_gate",
-        "dup_span_stats",
-        "winnow_fingerprints",
         # --- long-green sentinels to fill the ~50-slot window,
         # spanning every family (TPC-H, star, dedup, sketch, graph,
         # streaming, multimodal, format, incremental) ---
@@ -130,7 +129,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage_stats",
         "segment_dedup_mask",
         "streaming_segment_dedup",
-        "orc_roundtrip_stats",
         "pit_feature_join",
         "incremental_join_maintenance",
         "dpp_pruned_rollup",

@@ -227,9 +227,14 @@ def embed_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN: K-Means coarse quantizer + nprobe cell probing.
     nprobe=4 of 8 cells (round 6, was 3): measured recall 0.64→0.80 at
     sf0.1 (0.68→0.76 at sf0.01) at the same runtime, while still
-    pruning half the cells. No SQL oracle (K-Means assignment is
-    engine-specific); recall vs the exact path is asserted in
-    tests/test_dedup_similarity.py."""
+    pruning half the cells. FULL hash oracle since round 7 (was
+    rows-only): the deterministic Lloyd training (first 4096 vectors
+    by id, no RNG) is replicated bit-for-bit from the fixture parquet
+    and the trained centroids inline into the same audited IVF SQL
+    the pinned tier uses — the search pipeline is independently
+    DuckDB-verified given the codebook; margins in
+    oracles_training._replicated_quantizers. Recall vs the exact path
+    is additionally asserted in tests/test_dedup_similarity.py."""
     emb = t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=4)
@@ -243,9 +248,12 @@ def embed_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     on these near-orthogonal fixtures the ADC ranking is noisy, and
     the measured recall-vs-refine curve is flat in cost (encode
     dominates) — 0.16→0.80 at sf0.1 / 0.64→1.00 at sf0.01 for the
-    same ~5 s runtime. No SQL oracle (quantization is approximate by
-    design); recall vs the exact path is asserted in
-    tests/test_dedup_similarity.py and the driver records rows-only."""
+    same ~5 s runtime. FULL hash oracle since round 7 (was rows-only):
+    the deterministic Lloyd codebooks are replicated bit-for-bit from
+    the fixture parquet and inline into the same audited PQ/ADC SQL
+    the pinned tier uses (oracles_training._replicated_quantizers —
+    encode/cutoff margins measured across SFs). Recall vs the exact
+    path is additionally asserted in tests/test_dedup_similarity.py."""
     from fsc_etl_spark.operators.similarity import pq_topk
 
     emb = t(spark, sf, "embeddings")

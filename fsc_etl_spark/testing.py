@@ -141,6 +141,14 @@ def check_query(spark: SparkSession, sf_dir: str, name: str) -> None:
 
     qfn = entrymod.queries()[name]
     sql = entrymod.oracle_sql().get(name)
+    # Trained-quantizer oracles are fixture-dependent: the static
+    # oracle_sql() strings are generated at the driver's gate scale
+    # (sf0.01); when comparing at any other SF, regenerate the SQL
+    # for THIS fixture (same replicated-training recipe).
+    from fsc_etl_spark.plans.oracles_training import SF_ORACLE_GENERATORS
+
+    if name in SF_ORACLE_GENERATORS and sql is not None:
+        sql = SF_ORACLE_GENERATORS[name](sf_dir)
     df = qfn(spark, sf_dir)
     if sql is None:
         assert df.count() >= 0  # rows-only check, like the driver

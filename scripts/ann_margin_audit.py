@@ -79,6 +79,46 @@ def main() -> int:
         ivf_assign = (Ss[:, 0] - Ss[:, 1]).min()
         ivf_probe = (Ss[qmask, NPROBE - 1] - Ss[qmask, NPROBE]).min()
 
+        # TRAINED tiers (round 7: embed_ivf_topk / embed_pq_topk
+        # upgraded from rows-only to full hash oracles with the
+        # replicated-Lloyd codebooks): same decision margins with the
+        # trained quantizers and their live knobs (nprobe=4, pool=200)
+        from fsc_etl_spark.plans.oracles_training import _replicated_quantizers
+
+        tivf, tpq = _replicated_quantizers(f"/root/testdata/{sf}")
+        TC = np.array(tivf)
+        tS = V @ TC.T / n[:, None] - (0.5 * (TC * TC).sum(axis=1))[None, :]
+        tSs = np.sort(tS, axis=1)[:, ::-1]
+        trained_ivf_assign = (tSs[:, 0] - tSs[:, 1]).min()
+        trained_ivf_probe = (tSs[qmask, 3] - tSs[qmask, 4]).min()  # nprobe=4
+        TB = np.array(tpq)
+        tbhalf = 0.5 * (TB * TB).sum(axis=2)
+        tcodes = np.empty((len(V), 8), dtype=int)
+        trained_pq_enc = np.inf
+        for s in range(8):
+            sc = V[:, s * 8 : (s + 1) * 8] @ TB[s].T / n[:, None] - tbhalf[s][None, :]
+            scs = np.sort(sc, axis=1)[:, ::-1]
+            trained_pq_enc = min(trained_pq_enc, (scs[:, 0] - scs[:, 1]).min())
+            tcodes[:, s] = sc.argmax(axis=1)
+        trained_pq_cut = np.inf
+        for qi in np.where(qmask)[0]:
+            lut = np.stack(
+                [V[qi, s * 8 : (s + 1) * 8] @ TB[s].T / n[qi] for s in range(8)]
+            )
+            adc = lut[np.arange(8)[None, :], tcodes].sum(axis=1)
+            mask = ids != ids[qi]
+            order = np.argsort(-adc[mask], kind="stable")
+            vals = adc[mask][order]
+            if len(vals) > REFINE_POOL:
+                gap = vals[REFINE_POOL - 1] - vals[REFINE_POOL]
+                if gap == 0:
+                    cids = np.where(mask)[0][order]
+                    if not np.array_equal(
+                        tcodes[cids[REFINE_POOL - 1]], tcodes[cids[REFINE_POOL]]
+                    ):
+                        gap = -1.0
+                trained_pq_cut = min(trained_pq_cut, gap)
+
         # PQ: encode argmin gap per (vector, subspace) and the ADC
         # refine-pool cutoff gap per query
         codes = np.empty((len(V), 8), dtype=int)
@@ -142,6 +182,10 @@ def main() -> int:
             ("lsh_sign", lsh_margin, FLOOR),
             ("ivf_assign", ivf_assign, FLOOR),
             ("ivf_probe", ivf_probe, FLOOR),
+            ("trained_ivf_assign", trained_ivf_assign, FLOOR),
+            ("trained_ivf_probe", trained_ivf_probe, FLOOR),
+            ("trained_pq_encode", trained_pq_enc, FLOOR),
+            ("trained_pq_adc_cutoff", trained_pq_cut, FLOOR),
             ("pq_encode", pq_enc, FLOOR),
             ("pq_adc_cutoff", pq_cut, FLOOR),
             ("semdedup_tau", sd_tau, FLOOR),
