@@ -85,6 +85,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_semdedup_prune",  # assign_strategy plumbing (expr default)
         "embed_knn_label_audit",  # assign_strategy plumbing (expr default)
         "embed_pq_pinned_topk",  # pinned-codebook shape validation
+        # --- round-7 NEW queries (no driver row yet) ---
+        "embed_semdedup_trained",  # trained-codebook scale path, full hash
+        "embed_knn_audit_trained",  # trained-codebook scale path, full hash
         # --- round-6 additions (second driver look) ---
         "embed_ivf_pinned_topk",
         "eval_contamination_flags",
@@ -129,7 +132,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage_stats",
         "segment_dedup_mask",
         "streaming_segment_dedup",
-        "pit_feature_join",
         "incremental_join_maintenance",
         "dpp_pruned_rollup",
     ]

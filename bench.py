@@ -267,6 +267,15 @@ BENCH_QUERIES = [
     # winnow_fingerprints: two frame windows + distinct over one
     # doc-keyed shuffle — the sliding-frame selection shape is new.
     "winnow_fingerprints",
+    # round-7: embed_semdedup_trained IS benched — distributed Lloyd
+    # training (2 rounds of Arrow-matmul partial sums) + broadcast-
+    # codebook Arrow assignment is a new physical shape vs the
+    # literal-expression pinned tier above. embed_knn_audit_trained
+    # is OFF-bench: identical training + assignment stages as
+    # embed_semdedup_trained and identical downstream windows as
+    # embed_knn_label_audit — no new physical shape, only their
+    # composition.
+    "embed_semdedup_trained",
 ]
 
 ALL_QUERIES = entrymod.queries()

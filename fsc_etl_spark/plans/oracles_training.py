@@ -504,7 +504,9 @@ SELECT query_id, vec_id, cos, rank FROM (
 TRAINING_ORACLES["embed_ivf_pinned_topk"] = _ivf_pinned_oracle()
 
 
-def _semdedup_oracle(threshold: float = 0.30) -> str:
+def _semdedup_oracle(
+    threshold: float = 0.30, centers: list[list[float]] | None = None
+) -> str:
     """Full hash oracle for SemDeDup (plans/training_data.
     embed_semdedup_prune): the pinned-centroid assignment CTE (same
     literals + lowest-cell tie rule as the IVF oracle), per-vector
@@ -516,14 +518,19 @@ def _semdedup_oracle(threshold: float = 0.30) -> str:
     scripts/ann_margin_audit.py): min |cos - 0.30| = 3.3e-5, zero
     rounded-csim ties among dup pairs, min 6dp rounding half-boundary
     gap 1.1e-12 — fold reorder noise is ~1e-16, so no decision can
-    flip between engines."""
-    from fsc_etl_spark.plans.training_data import IVF_PINNED_CENTROIDS
+    flip between engines.
 
+    ``centers``: explicit codebook to inline (defaults to the pinned
+    set) — the round-7 trained-codebook query reuses this builder."""
+    if centers is None:
+        from fsc_etl_spark.plans.training_data import IVF_PINNED_CENTROIDS
+
+        centers = IVF_PINNED_CENTROIDS
     cents = ",\n  ".join(
         f"({i}, CAST([{', '.join(repr(float(x)) for x in c)}] AS DOUBLE[]), "
         f"{sum(x * x for x in c) / 2.0!r}, "
         f"{math.sqrt(sum(x * x for x in c))!r})"
-        for i, c in enumerate(IVF_PINNED_CENTROIDS)
+        for i, c in enumerate(centers)
     )
     return f"""
 WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
@@ -568,7 +575,9 @@ FROM cs LEFT JOIN losers l USING (vec_id)
 TRAINING_ORACLES["embed_semdedup_prune"] = _semdedup_oracle()
 
 
-def _knn_label_oracle(k: int = 3) -> str:
+def _knn_label_oracle(
+    k: int = 3, centers: list[list[float]] | None = None
+) -> str:
     """Full hash oracle for embed_knn_label_audit (operators/
     similarity.knn_label_agreement): the pinned-centroid assignment
     CTE (same literals + lowest-cell tie rule as the IVF/semdedup
@@ -577,13 +586,18 @@ def _knn_label_oracle(k: int = 3) -> str:
     per-vector agreement stats. Every ordering is a total order over
     exactly-representable values; the only float hazard is the 6dp
     rounding of within-cell pair cosines, bounded by
-    scripts/ann_margin_audit.py's semdedup_round_boundary tier."""
-    from fsc_etl_spark.plans.training_data import IVF_PINNED_CENTROIDS
+    scripts/ann_margin_audit.py's semdedup_round_boundary tier.
 
+    ``centers``: explicit codebook to inline (defaults to the pinned
+    set) — the round-7 trained-codebook query reuses this builder."""
+    if centers is None:
+        from fsc_etl_spark.plans.training_data import IVF_PINNED_CENTROIDS
+
+        centers = IVF_PINNED_CENTROIDS
     cents = ",\n  ".join(
         f"({i}, CAST([{', '.join(repr(float(x)) for x in c)}] AS DOUBLE[]), "
         f"{sum(x * x for x in c) / 2.0!r})"
-        for i, c in enumerate(IVF_PINNED_CENTROIDS)
+        for i, c in enumerate(centers)
     )
     return f"""
 WITH e AS (SELECT vec_id, label, {_DV} AS v FROM embeddings),
@@ -792,6 +806,67 @@ def _trained_pq_oracle(sf_dir: str) -> str:
     )
 
 
+@_functools.lru_cache(maxsize=8)
+def _replicated_train_codebook(
+    sf_dir: str, k: int = 16, iters: int = 2, scale: int = 127
+) -> tuple[tuple[float, ...], ...]:
+    """Numpy replication of operators/clustering.train_codebook —
+    BIT-IDENTICAL by construction, not by margin: that trainer is
+    integer-exact end to end (floor(x*scale) int64 quantization,
+    assignment argmin over -2·q·c + |c|² where every product/sum is an
+    integer below 2^53 so float64 matmul is exact, truncating-div
+    centroid means, lowest-index ties, empty cells keep their
+    centroid, init = the k lowest-id vectors), so replaying the same
+    integer recurrence over the same rows gives the same codebook on
+    any engine. The identity is pinned by
+    tests/test_round2_curation.py::test_train_codebook_matches_replication.
+    Returned as tuples (hashable for the lru_cache key path)."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+            "ORDER BY vec_id"
+        ).fetchall()
+    finally:
+        con.close()
+    V = np.array([r[0] for r in rows], dtype="float64")
+    Q = np.floor(V * scale).astype("int64")
+    cent = [list(q) for q in Q[:k]]
+    while len(cent) < k:
+        cent.append(list(cent[-1]))
+    for _ in range(iters):
+        C = np.array(cent, dtype="float64")
+        a = (-2.0 * (Q.astype("float64") @ C.T) + (C * C).sum(axis=1)[None, :]).argmin(
+            axis=1
+        )
+        nxt = [list(c) for c in cent]
+        for c in range(k):
+            members = Q[a == c]
+            if len(members):
+                s = members.sum(axis=0)
+                cnt = len(members)
+                # Spark's `div` truncates toward zero; Python's //
+                # floors — replicate trunc explicitly for negatives.
+                nxt[c] = [
+                    int(abs(int(x)) // cnt * (1 if x >= 0 else -1)) for x in s
+                ]
+        cent = nxt
+    return tuple(tuple(c / float(scale) for c in row) for row in cent)
+
+
+def _trained_semdedup_oracle(sf_dir: str) -> str:
+    centers = [list(c) for c in _replicated_train_codebook(sf_dir, k=16, iters=2)]
+    return _semdedup_oracle(threshold=0.30, centers=centers)
+
+
+def _trained_knn_oracle(sf_dir: str) -> str:
+    centers = [list(c) for c in _replicated_train_codebook(sf_dir, k=16, iters=2)]
+    return _knn_label_oracle(k=3, centers=centers)
+
+
 #: Oracles whose SQL depends on the fixture (trained quantizers): the
 #: static TRAINING_ORACLES entries below are generated at the DRIVER's
 #: correctness-gate scale (sf0.01 — the only SF the driver compares
@@ -801,12 +876,20 @@ def _trained_pq_oracle(sf_dir: str) -> str:
 SF_ORACLE_GENERATORS: dict[str, _t.Callable[[str], str]] = {
     "embed_ivf_topk": _trained_ivf_oracle,
     "embed_pq_topk": _trained_pq_oracle,
+    "embed_semdedup_trained": _trained_semdedup_oracle,
+    "embed_knn_audit_trained": _trained_knn_oracle,
 }
 
 _DRIVER_SF_DIR = "/root/testdata/sf0.01"
 if _os.path.isdir(_DRIVER_SF_DIR):
     TRAINING_ORACLES["embed_ivf_topk"] = _trained_ivf_oracle(_DRIVER_SF_DIR)
     TRAINING_ORACLES["embed_pq_topk"] = _trained_pq_oracle(_DRIVER_SF_DIR)
+    TRAINING_ORACLES["embed_semdedup_trained"] = _trained_semdedup_oracle(
+        _DRIVER_SF_DIR
+    )
+    TRAINING_ORACLES["embed_knn_audit_trained"] = _trained_knn_oracle(
+        _DRIVER_SF_DIR
+    )
 
 
 def _mmr_oracle(k: int = 5) -> str:

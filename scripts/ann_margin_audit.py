@@ -148,35 +148,54 @@ def main() -> int:
                         gap = -1.0
                 pq_cut = min(pq_cut, gap)
 
-        # SemDeDup (embed_semdedup_prune): tau-threshold gap on raw
-        # within-cell pair cosines, loser-rule gap on 6dp csims, and
-        # round-boundary proximity for every rounded output value.
-        cell = S.argmax(axis=1)  # first-max == lowest-cell tie rule
-        cnorm = np.sqrt((C * C).sum(axis=1))
-        csim = (V @ C.T / n[:, None] / cnorm[None, :])[np.arange(len(V)), cell]
-        sd_tau = np.inf
-        sd_loser = np.inf
-        boundary = np.abs(np.abs(csim * 1e6 - np.floor(csim * 1e6)) - 0.5).min() * 1e-6
-        for c in range(C.shape[0]):
-            m = np.where(cell == c)[0]
-            if len(m) < 2:
-                continue
-            P = (V[m] @ V[m].T) / np.outer(n[m], n[m])
-            iu = np.triu_indices(len(m), k=1)
-            pc = P[iu]
-            sd_tau = min(sd_tau, np.abs(pc - SEMDEDUP_TAU).min())
-            boundary = min(
-                boundary,
-                np.abs(np.abs(pc * 1e6 - np.floor(pc * 1e6)) - 0.5).min() * 1e-6,
+        # SemDeDup: tau-threshold gap on raw within-cell pair cosines,
+        # loser-rule gap on 6dp csims, and round-boundary proximity
+        # for every rounded output value — measured for BOTH the
+        # pinned 8-cell codebook (embed_semdedup_prune /
+        # embed_knn_label_audit) and the trained 16-cell codebook
+        # (embed_semdedup_trained / embed_knn_audit_trained, round 7).
+        def semdedup_margins(centers_arr):
+            chalf_ = 0.5 * (centers_arr * centers_arr).sum(axis=1)
+            S_ = V @ centers_arr.T / n[:, None] - chalf_[None, :]
+            cell = S_.argmax(axis=1)  # first-max == lowest-cell tie
+            cnorm = np.sqrt((centers_arr * centers_arr).sum(axis=1))
+            csim = (V @ centers_arr.T / n[:, None] / cnorm[None, :])[
+                np.arange(len(V)), cell
+            ]
+            tau = np.inf
+            loser = np.inf
+            bnd = (
+                np.abs(np.abs(csim * 1e6 - np.floor(csim * 1e6)) - 0.5).min()
+                * 1e-6
             )
-            dup = np.round(pc, 6) >= SEMDEDUP_TAU
-            if dup.any():
-                ca = np.round(csim[m[iu[0][dup]]], 6)
-                cb = np.round(csim[m[iu[1][dup]]], 6)
-                d = np.abs(ca - cb)
-                d = d[d > 0]
-                if len(d):
-                    sd_loser = min(sd_loser, d.min())
+            for c in range(centers_arr.shape[0]):
+                m = np.where(cell == c)[0]
+                if len(m) < 2:
+                    continue
+                P = (V[m] @ V[m].T) / np.outer(n[m], n[m])
+                iu = np.triu_indices(len(m), k=1)
+                pc = P[iu]
+                tau = min(tau, np.abs(pc - SEMDEDUP_TAU).min())
+                bnd = min(
+                    bnd,
+                    np.abs(np.abs(pc * 1e6 - np.floor(pc * 1e6)) - 0.5).min()
+                    * 1e-6,
+                )
+                dup = np.round(pc, 6) >= SEMDEDUP_TAU
+                if dup.any():
+                    ca = np.round(csim[m[iu[0][dup]]], 6)
+                    cb = np.round(csim[m[iu[1][dup]]], 6)
+                    d = np.abs(ca - cb)
+                    d = d[d > 0]
+                    if len(d):
+                        loser = min(loser, d.min())
+            return tau, loser, bnd
+
+        sd_tau, sd_loser, boundary = semdedup_margins(C)
+        from fsc_etl_spark.plans.oracles_training import _replicated_train_codebook
+
+        TCB = np.array(_replicated_train_codebook(f"/root/testdata/{sf}", 16, 2))
+        tr_tau, tr_loser, tr_boundary = semdedup_margins(TCB)
 
         for tier, margin, floor in [
             ("lsh_sign", lsh_margin, FLOOR),
@@ -191,6 +210,9 @@ def main() -> int:
             ("semdedup_tau", sd_tau, FLOOR),
             ("semdedup_loser", sd_loser, FLOOR),
             ("semdedup_round_boundary", boundary, BOUNDARY_FLOOR),
+            ("trained_semdedup_tau", tr_tau, FLOOR),
+            ("trained_semdedup_loser", tr_loser, FLOOR),
+            ("trained_semdedup_round_boundary", tr_boundary, BOUNDARY_FLOOR),
         ]:
             ok = margin >= floor or margin == np.inf
             print(f"{'PASS' if ok else 'FAIL'} {sf} {tier}: {margin:.3e}")

@@ -120,10 +120,12 @@ PROBE_QUERIES = [
     "source_overlap_matrix",    # gram-keyed distinct self-join
     # round-7: the scale-sized codebook tier (VERDICT r6 missing #2).
     # The ORACLE queries embed_semdedup_prune / embed_knn_label_audit
-    # pin an 8-cell literal codebook (their scale knob is codebook
-    # size; a fixed codebook under 10x data measures ~100x within-cell
-    # pairwork by construction), so the probe runs these _scaled
-    # twins instead: codebook TRAINED from the data (train_codebook,
+    # (8-cell pinned literals) and embed_semdedup_trained /
+    # embed_knn_audit_trained (16-cell trained, fixed k for the hash
+    # oracle) hold codebook size constant — their scale knob IS
+    # codebook size, and a fixed codebook under 10x data measures
+    # ~100x within-cell pairwork by construction — so the probe runs
+    # these _scaled twins instead: codebook TRAINED from the data (train_codebook,
     # distributed integer-exact Lloyd) with cells growing with the
     # corpus (k = clamp(n/512, 8, 1024)) and assignment through the
     # broadcast-codebook Arrow matmul path — per-cell population stays

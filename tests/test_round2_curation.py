@@ -419,3 +419,27 @@ def test_pq_pinned_codebook_shape_validation(spark, sf_smoke):
     ragged = [[[0.1] * 8] * 4] * 7 + [[[0.1] * 7] * 4]
     with pytest.raises(ValueError, match="ragged"):
         pq_topk(emb, queries, k=2, codebooks=ragged)
+
+
+def test_train_codebook_matches_replication(spark, sf_smoke):
+    """The distributed integer-exact trainer and its numpy replication
+    (oracles_training._replicated_train_codebook — the trained-query
+    oracle's codebook source) must agree BIT-FOR-BIT: both replay the
+    same integer recurrence (floor(x*127) quantization, exact argmin,
+    truncating-div means), so any divergence is a bug in one of them,
+    not float noise."""
+    from fsc_etl_spark.operators.clustering import train_codebook
+    from fsc_etl_spark.plans.oracles_training import _replicated_train_codebook
+
+    emb = read_parquet_table(spark, sf_smoke, "embeddings")
+    spark_cb = train_codebook(emb, k=16, iters=2)
+    numpy_cb = [list(c) for c in _replicated_train_codebook(sf_smoke, k=16, iters=2)]
+    assert spark_cb == numpy_cb
+
+
+def test_trained_semdedup_and_knn_match_oracle(spark, sf_smoke):
+    """Driver-style oracle check for the trained-codebook queries at
+    the smoke SF (check_query regenerates the fixture-specific oracle
+    via SF_ORACLE_GENERATORS)."""
+    check_query(spark, sf_smoke, "embed_semdedup_trained")
+    check_query(spark, sf_smoke, "embed_knn_audit_trained")
