@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-7 NEW queries (no driver row yet) ---
         "embed_semdedup_trained",  # trained-codebook scale path, full hash
         "embed_knn_audit_trained",  # trained-codebook scale path, full hash
+        "embed_int8_quant_stats",  # int8 storage quantization, full hash
         # --- round-6 additions (second driver look) ---
         "embed_ivf_pinned_topk",
         "eval_contamination_flags",
@@ -133,7 +134,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup_mask",
         "streaming_segment_dedup",
         "incremental_join_maintenance",
-        "dpp_pruned_rollup",
     ]
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in priority:

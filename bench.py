@@ -274,7 +274,10 @@ BENCH_QUERIES = [
     # is OFF-bench: identical training + assignment stages as
     # embed_semdedup_trained and identical downstream windows as
     # embed_knn_label_audit — no new physical shape, only their
-    # composition.
+    # composition. embed_int8_quant_stats is OFF-bench for the same
+    # reason: one scalar agg + map-side transforms, physically the
+    # embed_truncate_norms shape already priced by the expression
+    # benches.
     "embed_semdedup_trained",
 ]
 

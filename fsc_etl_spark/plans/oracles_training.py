@@ -1563,6 +1563,32 @@ SELECT vec_id,
 FROM s
 """
 
+# Int8 quantization stats: symmetric per-corpus scale s = max |x|
+# (exact selection), q = clamp(round(x/s*127), -127, 127) — DuckDB
+# ROUND on DOUBLE is half-away-from-zero, the same rule as Spark's
+# F.round HALF_UP, and x/s*127 is two correctly-rounded IEEE ops from
+# identical inputs, so the integers match exactly; all aggregates
+# BIGINT.
+TRAINING_ORACLES["embed_int8_quant_stats"] = """
+WITH s AS (
+  SELECT MAX(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS sc
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> GREATEST(-127, LEAST(127,
+                CAST(ROUND(CAST(x AS DOUBLE) / s.sc * 127) AS INTEGER)))) AS qv
+  FROM embeddings CROSS JOIN s
+)
+SELECT vec_id,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS q_energy,
+       CAST(len(list_filter(qv, v -> abs(v) = 127)) AS BIGINT) AS n_saturated,
+       CAST(len(list_filter(qv, v -> v = 0)) AS BIGINT) AS n_zero
+FROM q
+"""
+
 # Segment-level keep-first dedup: identical 16-token windows dedup
 # globally on md5 with the (doc_id, seg_idx) tie-break. list_slice's
 # inclusive end mirrors Spark slice's (start, length) on in-range

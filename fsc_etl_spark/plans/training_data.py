@@ -1362,6 +1362,70 @@ def embed_truncate_norms(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def embed_int8_quant_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 embedding-storage quantization accounting — the 4x
+    compression every 100 TB vector store applies before anything else
+    (float32 -> int8 cuts a 100 TB embedding column to 25 TB and
+    quadruples scan throughput; ANN re-ranks on the dequantized
+    values). Symmetric per-CORPUS scale: q = clamp(round(x/s * 127),
+    -127, 127) with s = max |x| over the corpus (one scalar agg,
+    broadcast back — the plan's only non-map-side step). Output per
+    vector, all INTEGER-exact so the hash oracle needs no margin
+    argument: the quantized checksum (sum q), energy (sum q^2),
+    saturation count (|q| = 127) and zero count (q = 0, the
+    small-value information loss signal).
+
+    Determinism: s is an exact selection (max of parquet-exact
+    doubles, order-free), x/s*127 is two correctly-rounded IEEE ops —
+    identical doubles on both engines; F.round (HALF_UP = half away
+    from zero, matching DuckDB's C-round semantics) then yields exact
+    integers; every aggregate is BIGINT. Scale shape: ONE scalar
+    max-reduction (tree aggregate, bytes of driver state) + a
+    broadcast 1-row join + pure map-side transforms — no shuffle
+    beyond the scalar agg, no Python.
+    """
+    emb = t(spark, sf, "embeddings")
+    s = emb.agg(
+        F.max(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+            )
+        ).alias("__s")
+    )
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.round(x.cast("double") / F.col("__s") * 127).cast("int"),
+            ),
+        ),
+    )
+    agg = lambda col, init, fn: F.aggregate(col, init, fn)  # noqa: E731
+    return (
+        emb.crossJoin(F.broadcast(s))
+        .withColumn("q", q)
+        .select(
+            "vec_id",
+            agg(
+                F.col("q"), F.lit(0).cast("bigint"), lambda a, x: a + x
+            ).alias("q_sum"),
+            agg(
+                F.col("q"), F.lit(0).cast("bigint"), lambda a, x: a + x * x
+            ).alias("q_energy"),
+            F.size(F.filter(F.col("q"), lambda x: F.abs(x) == 127)).cast(
+                "bigint"
+            ).alias("n_saturated"),
+            F.size(F.filter(F.col("q"), lambda x: x == 0)).cast(
+                "bigint"
+            ).alias("n_zero"),
+        )
+    )
+
+
 def embed_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label embedding L2-norm profile — the sanity check every
     embedding pipeline runs before similarity search (unnormalized
@@ -2431,6 +2495,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_doc_stats": source_doc_stats,
     "embed_norm_stats": embed_norm_stats,
     "embed_truncate_norms": embed_truncate_norms,
+    "embed_int8_quant_stats": embed_int8_quant_stats,
     "user_funnel": user_funnel,
     "contamination_overlap": contamination_overlap,
     "doc_repetition_stats": doc_repetition_stats,

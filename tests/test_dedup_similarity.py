@@ -466,3 +466,36 @@ def test_mmr_select_invalid_k_raises(emb):
 
     with pytest.raises(ValueError, match="k must be"):
         mmr_select(emb, [0.0] * 16, k=0)
+
+
+def test_multitable_lsh_nonbigint_id(spark, sf_smoke):
+    """ADVICE r6: the Arrow signature path must work for corpora whose
+    id column is not BIGINT — the mapInPandas schema derives the id
+    type from the input instead of hardcoding `long`. Renaming ids to
+    strings must produce the same neighbor structure as the bigint
+    run (ids map 1:1)."""
+    from pyspark.sql import functions as F
+
+    from fsc_etl_spark.sources.readers import read_parquet_table
+
+    emb = read_parquet_table(spark, sf_smoke, "embeddings")
+    emb_str = emb.withColumn(
+        "vec_id", F.format_string("id%08d", F.col("vec_id"))
+    )
+    queries = emb_str.filter(F.col("vec_id") < "id00000005")
+    out = lsh_multitable_topk(
+        emb_str, queries, k=5, tables=LSH_TABLES, sig_strategy="pandas"
+    ).collect()
+    base = lsh_multitable_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=5,
+        tables=LSH_TABLES,
+        sig_strategy="pandas",
+    ).collect()
+    got = sorted((r.query_id, r.vec_id, r.cos, r.rank) for r in out)
+    want = sorted(
+        ("id%08d" % r.query_id, "id%08d" % r.vec_id, r.cos, r.rank)
+        for r in base
+    )
+    assert got == want and len(got) > 0

@@ -221,3 +221,89 @@ def test_decile_bucket_scalable_against_reference(spark, sf_smoke):
         ).collect()
     }
     assert got == expect
+
+
+def test_pps_token_sample_against_reference(spark, sf_smoke):
+    """Systematic PPS recomputed as a literal sequential sweep over
+    the doc_id-ordered weights (exclusive prefix sum + stride
+    gridpoint counting) — no Spark windows, no bucket decomposition,
+    no DuckDB. Pins both the draw set and the multiplicities."""
+    docs = read_parquet_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    rows = sorted((d.doc_id, len(_toks(d.text))) for d in docs)
+    total = sum(w for _, w in rows)
+    stride = max(total // 50, 1)
+    expect = {}
+    cb = 0
+    for doc_id, w in rows:
+        hits = (cb + w) // stride - cb // stride
+        if hits >= 1:
+            expect[doc_id] = (w, hits)
+        cb += w
+    got = {
+        r.doc_id: (r.n_tokens, r.n_hits)
+        for r in TD_QUERIES["pps_token_sample"](spark, sf_smoke).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def _cents(v) -> int:
+    return int(Decimal(repr(v)).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100)
+
+
+def test_ewma_user_value_against_reference(spark, sf_smoke):
+    """Integer EWMA (alpha = 1/2) recomputed as a plain Python loop
+    over each user's (ts, event_id)-sorted cents — s1 = v1,
+    st = (s(t-1) + vt) >> 1 (arithmetic shift = floor, including
+    negatives). No fold packing, no arrays, no SQL."""
+    from fsc_etl_spark.plans.scale_ops import QUERIES as SCALE_QUERIES
+
+    ev = read_parquet_table(spark, sf_smoke, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    expect = {}
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        acc = _cents(rows[0].value)
+        for r in rows[1:]:
+            acc = (acc + _cents(r.value)) >> 1
+        expect[uid] = (len(rows), acc)
+    got = {
+        r.user_id: (r.n_events, r.ewma_cents)
+        for r in SCALE_QUERIES["ewma_user_value"](spark, sf_smoke).collect()
+    }
+    assert got == expect
+
+
+def test_holt_user_forecast_against_reference(spark, sf_smoke):
+    """Holt double-exponential smoothing (alpha = beta = 1/2)
+    recomputed as a plain Python two-variable loop — l1 = v1, b1 = 0,
+    lt = (v + l + b) >> 1, bt = ((lt - l) + b) >> 1 — with NO state
+    packing, exercising the packed-BIGINT fold against the raw
+    recurrence definition."""
+    from fsc_etl_spark.plans.scale_ops import QUERIES as SCALE_QUERIES
+
+    ev = read_parquet_table(spark, sf_smoke, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    expect = {}
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        l, b = _cents(rows[0].value), 0
+        for r in rows[1:]:
+            nl = (_cents(r.value) + l + b) >> 1
+            b = ((nl - l) + b) >> 1
+            l = nl
+        expect[uid] = (len(rows), l, b, l + b)
+    got = {
+        r.user_id: (r.n_events, r.level_cents, r.trend_cents, r.forecast_cents)
+        for r in SCALE_QUERIES["holt_user_forecast"](spark, sf_smoke).collect()
+    }
+    assert got == expect

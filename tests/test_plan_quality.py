@@ -38,6 +38,12 @@ PANDAS_OK = {
     # r6: Arrow-matmul PQ encode (expression twin identity-gated in
     # the twin sweep and test_pq_pinned_encode_strategy_identity)
     "embed_pq_pinned_topk",
+    # r7: broadcast-codebook Arrow assignment (the scale-codebook
+    # path; literal-expression twin identity-gated at 8 cells in
+    # test_scaled_codebook_assignment_identity) + Arrow-matmul Lloyd
+    # training partial sums
+    "embed_semdedup_trained",
+    "embed_knn_audit_trained",
 }
 # Streaming queries execute eagerly inside the callable (AvailableNow
 # runs) and return a materialized result — no lazy plan to inspect.
