@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_semdedup_trained",  # trained-codebook scale path, full hash
         "embed_knn_audit_trained",  # trained-codebook scale path, full hash
         "embed_int8_quant_stats",  # int8 storage quantization, full hash
+        "embed_hard_negatives",  # contrastive hard-negative mining
+        "bpe_pair_counts",  # BPE merge-rule statistics
         # --- round-6 additions (second driver look) ---
         "embed_ivf_pinned_topk",
         "eval_contamination_flags",
@@ -130,10 +132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_coparts",
         "cms_topk_users",
         "kmeans_cluster_stats",
-        "vocab_coverage_stats",
         "segment_dedup_mask",
         "streaming_segment_dedup",
-        "incremental_join_maintenance",
     ]
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in priority:

@@ -277,7 +277,9 @@ BENCH_QUERIES = [
     # composition. embed_int8_quant_stats is OFF-bench for the same
     # reason: one scalar agg + map-side transforms, physically the
     # embed_truncate_norms shape already priced by the expression
-    # benches.
+    # benches. embed_hard_negatives is the benched embed_cosine_topk
+    # shape with a label predicate; bpe_pair_counts is the benched
+    # bigram_topk two-phase count with a vocab-bounded second explode.
     "embed_semdedup_trained",
 ]
 

@@ -1563,6 +1563,48 @@ SELECT vec_id,
 FROM s
 """
 
+# Hard-negative mining: the exact cosine tier's rounding/tie-break
+# discipline (ROUND 6dp, (cos DESC, vec_id ASC) row_number) with a
+# label-inequality join predicate — same float-parity argument as
+# embed_cosine_topk.
+TRAINING_ORACLES["embed_hard_negatives"] = f"""
+WITH e AS (SELECT vec_id, label, {_DV} AS v FROM embeddings),
+en AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv, n AS qn
+      FROM en WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id, c.label AS neg_label,
+         ROUND(list_dot_product(q.qv, c.v) / (q.qn * c.n), 6) AS cos
+  FROM en c JOIN q ON c.label <> q.q_label
+)
+SELECT query_id, vec_id, neg_label, cos, rank FROM (
+  SELECT query_id, vec_id, neg_label, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+# BPE pair counts: word frequencies then per-distinct-word adjacent
+# character pairs, weighted sum per pair — all-integer; DuckDB
+# range(1, len) is [1, len) matching Spark sequence(1, length-1);
+# substr/len are character-based in both engines.
+TRAINING_ORACLES["bpe_pair_counts"] = """
+WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                x -> x <> '')) AS w
+  FROM documents
+),
+wc AS (SELECT w, COUNT(*) AS n FROM words GROUP BY w),
+pairs AS (
+  SELECT n, substr(w, i, 1) || ' ' || substr(w, i + 1, 1) AS pair
+  FROM (SELECT w, n, unnest(range(1, len(w))) AS i FROM wc WHERE len(w) >= 2)
+)
+SELECT pair, CAST(SUM(n) AS BIGINT) AS weighted_count
+FROM pairs GROUP BY pair
+ORDER BY weighted_count DESC, pair ASC
+LIMIT 50
+"""
+
 # Int8 quantization stats: symmetric per-corpus scale s = max |x|
 # (exact selection), q = clamp(round(x/s*127), -127, 127) — DuckDB
 # ROUND on DOUBLE is half-away-from-zero, the same rule as Spark's

@@ -456,6 +456,90 @@ def embed_nn_within_label(spark: SparkSession, sf: str) -> DataFrame:
     return nearest_neighbor_within_group(t(spark, sf, "embeddings"))
 
 
+def embed_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data prep step
+    (DPR/SimCSE recipe): for each query vector, the top-5 most similar
+    corpus vectors with a DIFFERENT label (similar-but-wrong examples
+    are the negatives that actually move a contrastive loss; random
+    negatives are too easy). The complement of embed_nn_within_label's
+    same-label neighbors. Exact tier: broadcast the bounded query set,
+    score map-side with the 6dp-rounded cosine, one per-query rank
+    window — the cosine_topk shape with a label-inequality predicate
+    pushed before the fold, so at 100 TB the scan prunes to
+    label-mismatched rows before any arithmetic. Full hash oracle
+    (same rounding/tie-break discipline as the exact ANN tier)."""
+    emb = t(spark, sf, "embeddings")
+    from fsc_etl_spark.operators.similarity import ROUND_DIGITS, _as_double, dot, l2_norm
+
+    q = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            _as_double(F.col("embedding")).alias("q_vec"),
+        )
+        .withColumn("q_n", l2_norm(F.col("q_vec")))
+    )
+    c = emb.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("c_vec")
+    ).withColumn("c_n", l2_norm(F.col("c_vec")))
+    cand = (
+        c.join(F.broadcast(q), c["label"] != q["q_label"])
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
+                ROUND_DIGITS,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", F.col("label").alias("neg_label"), "cos", "rank")
+    )
+
+
+def bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer training, step one (Sennrich et al. 2016): count
+    adjacent CHARACTER-pair frequencies weighted by word frequency —
+    the statistic whose argmax becomes the first merge rule. The
+    distributed shape tokenizer trainers actually use at corpus scale:
+    count words FIRST (one shuffle; output bounded by the vocabulary,
+    not the corpus), then explode each DISTINCT word's adjacent pairs
+    (map-side over the vocab-sized frame) and sum the word counts per
+    pair (second shuffle, bounded by the pair alphabet). Top-50 by
+    (weighted count DESC, pair ASC) — a total order, so the LIMIT is
+    deterministic and the twin hash-matches. All-integer."""
+    docs = t(spark, sf, "documents")
+    words = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    pairs = wc.filter(F.length("w") >= 2).select(
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.concat(
+                    F.substring(F.col("w"), i, F.lit(1)),
+                    F.lit(" "),
+                    F.substring(F.col("w"), i + 1, F.lit(1)),
+                ),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").cast("bigint").alias("weighted_count"))
+        .orderBy(F.col("weighted_count").desc(), F.col("pair").asc())
+        .limit(50)
+    )
+
+
 def embed_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate ANN via multi-table random-hyperplane buckets — the
     100 TB scale path. Round 6: upgraded from one AND-only 6-bit table
@@ -2455,6 +2539,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_trend_slope": user_trend_slope,
     "user_trend_slope_pandas": user_trend_slope_pandas,
     "embed_nn_within_label": embed_nn_within_label,
+    "embed_hard_negatives": embed_hard_negatives,
+    "bpe_pair_counts": bpe_pair_counts,
     "embed_lsh_topk": embed_lsh_topk,
     "embed_ivf_topk": embed_ivf_topk,
     "embed_pq_topk": embed_pq_topk,
