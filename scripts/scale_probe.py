@@ -135,6 +135,11 @@ PROBE_QUERIES = [
     # is INSIDE the timed region.
     "embed_semdedup_scaled",    # trained codebook + Arrow assignment
     "embed_knn_audit_scaled",   # trained codebook + Arrow assignment
+    "winnow_fingerprints",      # frame windows over one doc-keyed shuffle
+    "dup_span_stats",           # hash-count + islands spans
+    "embed_int8_quant_stats",   # scalar max + map-side quantize
+    "embed_hard_negatives",     # broadcast queries x label-pruned corpus
+    "bpe_pair_counts",          # word count + vocab-bounded pair agg
 ]
 
 
