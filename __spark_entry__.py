@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_int8_quant_stats",  # int8 storage quantization, full hash
         "embed_hard_negatives",  # contrastive hard-negative mining
         "bpe_pair_counts",  # BPE merge-rule statistics
+        "lang_pred_quality",  # lang-ID confusion stats, exact ppm
         # --- round-6 additions (second driver look) ---
         "embed_ivf_pinned_topk",
         "eval_contamination_flags",
@@ -133,7 +134,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk_users",
         "kmeans_cluster_stats",
         "segment_dedup_mask",
-        "streaming_segment_dedup",
     ]
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in priority:

@@ -279,7 +279,9 @@ BENCH_QUERIES = [
     # embed_truncate_norms shape already priced by the expression
     # benches. embed_hard_negatives is the benched embed_cosine_topk
     # shape with a label predicate; bpe_pair_counts is the benched
-    # bigram_topk two-phase count with a vocab-bounded second explode.
+    # bigram_topk two-phase count with a vocab-bounded second explode;
+    # lang_pred_quality is the benched lang_id_heuristic scan plus
+    # three |langs|-row aggregations.
     "embed_semdedup_trained",
 ]
 

@@ -72,6 +72,35 @@ TRAINING_ORACLES["doc_fingerprint"] = """
 SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
 """
 
+# Language-ID classifier quality: confusion marginals per declared
+# language + exact integer-ppm precision/recall/F1 (floor div, NULL
+# when the denominator is 0 — a lang never predicted). Reuses the
+# lang_id vote fragment above.
+TRAINING_ORACLES["lang_pred_quality"] = f"""
+WITH v AS (
+  SELECT doc_id, lang,
+{_VOTES}
+  FROM documents
+),
+p AS (SELECT doc_id, lang, {_LANG_CASE} AS lang_pred FROM v),
+tm AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_true FROM p GROUP BY lang),
+pm AS (SELECT lang_pred AS lang, CAST(COUNT(*) AS BIGINT) AS n_pred FROM p GROUP BY lang_pred),
+cm AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_correct FROM p
+       WHERE lang = lang_pred GROUP BY lang)
+SELECT tm.lang, tm.n_true,
+       CAST(COALESCE(pm.n_pred, 0) AS BIGINT) AS n_pred,
+       CAST(COALESCE(cm.n_correct, 0) AS BIGINT) AS n_correct,
+       CAST(CASE WHEN COALESCE(pm.n_pred, 0) = 0 THEN NULL
+            ELSE (1000000 * COALESCE(cm.n_correct, 0)) // pm.n_pred END AS BIGINT)
+         AS precision_ppm,
+       CAST((1000000 * COALESCE(cm.n_correct, 0)) // tm.n_true AS BIGINT)
+         AS recall_ppm,
+       CAST(CASE WHEN tm.n_true + COALESCE(pm.n_pred, 0) = 0 THEN NULL
+            ELSE (2000000 * COALESCE(cm.n_correct, 0))
+                 // (tm.n_true + COALESCE(pm.n_pred, 0)) END AS BIGINT) AS f1_ppm
+FROM tm LEFT JOIN pm USING (lang) LEFT JOIN cm USING (lang)
+"""
+
 TRAINING_ORACLES["dedup_exact_groups"] = """
 SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
 FROM documents GROUP BY 1

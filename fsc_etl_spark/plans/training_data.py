@@ -113,6 +113,54 @@ def lang_id_heuristic(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
 
 
+def lang_pred_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Classifier-quality accounting for the language-ID gate — the
+    evaluation every curation pipeline runs before trusting a filter
+    at 100 TB (a mis-calibrated lang filter silently drops a
+    language's entire corpus slice): per DECLARED language, the
+    confusion-matrix marginals against the heuristic's prediction and
+    exact integer-ppm precision (of predicting this lang), recall and
+    F1 = 2c/(t+p). All-integer floor-div ppm over three bounded
+    aggregations (|langs| rows each) from ONE scan; marginal joins are
+    broadcast by size. No float anywhere, so the oracle is exact."""
+    preds = t(spark, sf, "documents").select(
+        "doc_id", "lang", lang_id(F.col("text")).alias("lang_pred")
+    )
+    true_m = preds.groupBy("lang").agg(F.count(F.lit(1)).alias("n_true"))
+    pred_m = preds.groupBy(F.col("lang_pred").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    correct = (
+        preds.filter(F.col("lang") == F.col("lang_pred"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_correct"))
+    )
+    return (
+        true_m.join(F.broadcast(pred_m), "lang", "left")
+        .join(F.broadcast(correct), "lang", "left")
+        .select(
+            "lang",
+            "n_true",
+            F.coalesce(F.col("n_pred"), F.lit(0)).cast("bigint").alias("n_pred"),
+            F.coalesce(F.col("n_correct"), F.lit(0))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.expr(
+                "case when coalesce(n_pred, 0) = 0 then null"
+                " else (1000000 * coalesce(n_correct, 0)) div n_pred end"
+            ).alias("precision_ppm"),
+            F.expr("(1000000 * coalesce(n_correct, 0)) div n_true").alias(
+                "recall_ppm"
+            ),
+            F.expr(
+                "case when n_true + coalesce(n_pred, 0) = 0 then null"
+                " else (2000000 * coalesce(n_correct, 0))"
+                " div (n_true + coalesce(n_pred, 0)) end"
+            ).alias("f1_ppm"),
+        )
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     docs = t(spark, sf, "documents")
     return docs.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
@@ -2541,6 +2589,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_nn_within_label": embed_nn_within_label,
     "embed_hard_negatives": embed_hard_negatives,
     "bpe_pair_counts": bpe_pair_counts,
+    "lang_pred_quality": lang_pred_quality,
     "embed_lsh_topk": embed_lsh_topk,
     "embed_ivf_topk": embed_ivf_topk,
     "embed_pq_topk": embed_pq_topk,

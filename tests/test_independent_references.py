@@ -307,3 +307,129 @@ def test_holt_user_forecast_against_reference(spark, sf_smoke):
         for r in SCALE_QUERIES["holt_user_forecast"](spark, sf_smoke).collect()
     }
     assert got == expect
+
+
+def test_skyline_orders_against_reference(spark, sf_smoke):
+    """2-D Pareto frontier recomputed by the textbook O(n log n)
+    sweep: collapse to (price -> max date), sort by price, keep a
+    point iff every strictly cheaper price has a strictly earlier
+    date. No range partitioning, no windows."""
+    from decimal import Decimal as D
+
+    from fsc_etl_spark.plans.scale_ops import QUERIES as SCALE_QUERIES
+
+    orders = read_parquet_table(spark, sf_smoke, "orders").select(
+        "o_totalprice", "o_orderdate"
+    ).collect()
+    import datetime as dt
+
+    best: dict = {}
+    for r in orders:
+        p = D(str(r.o_totalprice)).quantize(D("0.01"))
+        # the query casts to DATE; the raw column reads as a midnight
+        # timestamp
+        d = (
+            r.o_orderdate.date()
+            if isinstance(r.o_orderdate, dt.datetime)
+            else r.o_orderdate
+        )
+        if p not in best or d > best[p]:
+            best[p] = d
+    expect = set()
+    prefix_max = None
+    for p in sorted(best):
+        d = best[p]
+        if prefix_max is None or d > prefix_max:
+            expect.add((float(p), d))
+        prefix_max = d if prefix_max is None or d > prefix_max else prefix_max
+    got = {
+        (r.price, r.odate)
+        for r in SCALE_QUERIES["skyline_orders"](spark, sf_smoke).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_event_pattern_match_against_reference(spark, sf_smoke):
+    """MATCH_RECOGNIZE-style sequence stats recomputed with plain
+    Python string building + re over each user's (ts, event_id)-sorted
+    event codes."""
+    ev = read_parquet_table(spark, sf_smoke, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    code = {"signup": "s", "view": "v", "click": "c", "purchase": "p"}
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    expect = {}
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        s = "".join(code.get(r.event_type, "e") for r in rows)
+        expect[uid] = (
+            len(s),
+            re.search("s.*p", s) is not None,
+            s.count("cp"),  # non-overlapping, same as regexp_count
+        )
+    got = {
+        r.user_id: (r.n_events, r.signup_then_purchase, r.n_click_to_buy)
+        for r in EXT_QUERIES["event_pattern_match"](spark, sf_smoke).collect()
+    }
+    assert got == expect
+
+
+def test_mixture_temperature_sample_against_reference(spark, sf_smoke):
+    """Temperature-2 mixture keep-rule recomputed with plain Python
+    integers: h = 28 md5 bits of the doc id, keep iff
+    h^2 * n_src < n_min * 2^56."""
+    docs = read_parquet_table(spark, sf_smoke, "documents").select(
+        "doc_id", "source"
+    ).collect()
+    n_src: dict[str, int] = {}
+    for d in docs:
+        n_src[d.source] = n_src.get(d.source, 0) + 1
+    n_min = min(n_src.values())
+    kept: dict[str, int] = {s: 0 for s in n_src}
+    for d in docs:
+        h = int(hashlib.md5(str(d.doc_id).encode()).hexdigest()[:7], 16)
+        if h * h * n_src[d.source] < n_min * 2**56:
+            kept[d.source] += 1
+    expect = {s: (n_src[s], kept[s]) for s in n_src}
+    got = {
+        r.source: (r.n_src, r.n_kept)
+        for r in TD_QUERIES["mixture_temperature_sample"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_token_budget_schedule_against_reference(spark, sf_smoke):
+    """Token-budget epoch scheduling recomputed with plain Python
+    integer arithmetic: even split with name-ordered remainder, then
+    full/partial epochs per source."""
+    docs = read_parquet_table(spark, sf_smoke, "documents").select(
+        "source", "text"
+    ).collect()
+    stats: dict[str, list[int]] = {}
+    for d in docs:
+        s = stats.setdefault(d.source, [0, 0])
+        s[0] += 1
+        s[1] += len(_toks(d.text))
+    budget = 200_000
+    names = sorted(stats)
+    n = len(names)
+    expect = {}
+    for rk, src in enumerate(names, start=1):
+        share = budget // n + (1 if rk <= budget % n else 0)
+        n_docs, avail = stats[src]
+        expect[src] = (n_docs, avail, share, share // avail, share % avail)
+    got = {
+        r.source: (
+            r.n_docs,
+            r.avail_tokens,
+            r.budget_tokens,
+            r.full_epochs,
+            r.partial_tokens,
+        )
+        for r in TD_QUERIES["token_budget_schedule"](spark, sf_smoke).collect()
+    }
+    assert got == expect
