@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_hard_negatives",  # contrastive hard-negative mining
         "bpe_pair_counts",  # BPE merge-rule statistics
         "lang_pred_quality",  # lang-ID confusion stats, exact ppm
+        "dup_span_trim_stats",  # substring-dedup trim accounting
         # --- round-6 additions (second driver look) ---
         "embed_ivf_pinned_topk",
         "eval_contamination_flags",
@@ -133,7 +134,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_coparts",
         "cms_topk_users",
         "kmeans_cluster_stats",
-        "segment_dedup_mask",
     ]
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in priority:

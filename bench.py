@@ -281,7 +281,9 @@ BENCH_QUERIES = [
     # shape with a label predicate; bpe_pair_counts is the benched
     # bigram_topk two-phase count with a vocab-bounded second explode;
     # lang_pred_quality is the benched lang_id_heuristic scan plus
-    # three |langs|-row aggregations.
+    # three |langs|-row aggregations. dup_span_trim_stats shuffles on
+    # the same seg_hash key as the benched dup_span_stats (window
+    # instead of count) — same physical shape.
     "embed_semdedup_trained",
 ]
 

@@ -1741,6 +1741,41 @@ SELECT doc_id,
 FROM fps GROUP BY doc_id
 """
 
+# Dup-span TRIM accounting: keep-first survivorship per seg_hash
+# (doc_id, seg_idx order), exact final-segment token length, per-doc
+# kept/removed token sums and floor-div trim ppm. All-integer.
+TRAINING_ORACLES["dup_span_trim_stats"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, seg_idx,
+         md5(array_to_string(list_slice(tk, seg_idx * 16 + 1, seg_idx * 16 + 16), ' '))
+           AS seg_hash,
+         CAST(len(tk) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, tk,
+               unnest(range(CAST(ceil(len(tk) / 16.0) AS BIGINT))) AS seg_idx
+        FROM toks)
+),
+kept AS (
+  SELECT doc_id, seg_idx, n_tokens,
+         LEAST(16, n_tokens - seg_idx * 16) AS seg_tokens,
+         (ROW_NUMBER() OVER (PARTITION BY seg_hash ORDER BY doc_id, seg_idx) = 1)
+           AS keep
+  FROM segs
+)
+SELECT doc_id,
+       CAST(MIN(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed_segments,
+       CAST(SUM(CASE WHEN keep THEN seg_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+       CAST((1000000 * SUM(CASE WHEN keep THEN 0 ELSE seg_tokens END))
+            // MIN(n_tokens) AS BIGINT) AS trim_ppm
+FROM kept GROUP BY doc_id
+"""
+
 # Maximal duplicated spans: the segment fragment above + corpus
 # occurrence counts + the seg_idx - ROW_NUMBER islands trick for
 # maximal runs. All-integer (counts + floor-div ppm).

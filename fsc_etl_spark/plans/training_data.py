@@ -2187,6 +2187,45 @@ def dup_span_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dup_span_trim_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """The ACTING half of exact substring dedup (Lee et al. 2022 —
+    dup_span_stats is the reporting half): cut every duplicated
+    segment except its corpus-wide FIRST occurrence (keep-first by
+    (doc_id, seg_idx), the same survivorship segment_dedup_mask uses)
+    and account the per-document token effect — kept vs removed
+    tokens and the integer-ppm trim fraction that decides whether the
+    document survives trimming or gets dropped outright. The final
+    segment's true token length (n_tokens − 16·seg_idx, capped at 16)
+    is accounted exactly, so kept_tokens + removed_tokens == n_tokens.
+
+    Scale shape: ONE seg_hash-keyed window (bounded per-hash groups —
+    the same key the reporting half shuffles on) + one doc-keyed
+    aggregation; all-integer."""
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    segs = segment_hashes(docs)
+    w = Window.partitionBy("seg_hash").orderBy("doc_id", "seg_idx")
+    kept = segs.withColumn("keep", F.row_number().over(w) == 1)
+    ntk = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    sized = kept.join(ntk, "doc_id").withColumn(
+        "seg_tokens",
+        F.least(F.lit(16).cast("bigint"), F.col("n_tokens") - F.col("seg_idx") * 16),
+    )
+    return sized.groupBy("doc_id").agg(
+        F.min("n_tokens").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed_segments"),
+        F.sum(F.when(F.col("keep"), F.col("seg_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        F.expr(
+            "(1000000 * sum(case when keep then 0 else seg_tokens end))"
+            " div min(n_tokens)"
+        ).alias("trim_ppm"),
+    )
+
+
 def segment_dedup_mask(spark: SparkSession, sf: str) -> DataFrame:
     """Sub-document (segment-level) dedup with keep-first survivorship
     — the FineWeb/RefinedWeb-style pass that strips boilerplate
@@ -2590,6 +2629,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_hard_negatives": embed_hard_negatives,
     "bpe_pair_counts": bpe_pair_counts,
     "lang_pred_quality": lang_pred_quality,
+    "dup_span_trim_stats": dup_span_trim_stats,
     "embed_lsh_topk": embed_lsh_topk,
     "embed_ivf_topk": embed_ivf_topk,
     "embed_pq_topk": embed_pq_topk,

@@ -433,3 +433,53 @@ def test_token_budget_schedule_against_reference(spark, sf_smoke):
         for r in TD_QUERIES["token_budget_schedule"](spark, sf_smoke).collect()
     }
     assert got == expect
+
+
+def test_dup_span_trim_stats_against_reference(spark, sf_smoke):
+    """Keep-first trim accounting recomputed with a plain global dict
+    pass in (doc_id, seg_idx) order: first corpus-wide occurrence of a
+    16-token segment survives, the rest are removed; token sums use
+    the exact final-segment length. Also checks the conservation law
+    kept + removed == n_tokens."""
+    docs = read_parquet_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    per_doc: dict[int, list] = {}
+    for d in docs:
+        tk = _toks(d.text)
+        if tk:
+            per_doc[d.doc_id] = tk
+    seen: set[str] = set()
+    expect = {}
+    for doc_id in sorted(per_doc):
+        tk = per_doc[doc_id]
+        n = len(tk)
+        n_segs = -(-n // 16)
+        removed = 0
+        kept_tokens = 0
+        for i in range(n_segs):
+            h = hashlib.md5(" ".join(tk[i * 16 : i * 16 + 16]).encode()).hexdigest()
+            seg_tokens = min(16, n - i * 16)
+            if h in seen:
+                removed += 1
+            else:
+                seen.add(h)
+                kept_tokens += seg_tokens
+        expect[doc_id] = (
+            n,
+            n_segs,
+            removed,
+            kept_tokens,
+            (1_000_000 * (n - kept_tokens)) // n,
+        )
+    got = {}
+    for r in TD_QUERIES["dup_span_trim_stats"](spark, sf_smoke).collect():
+        assert r.kept_tokens <= r.n_tokens
+        got[r.doc_id] = (
+            r.n_tokens,
+            r.n_segments,
+            r.n_removed_segments,
+            r.kept_tokens,
+            r.trim_ppm,
+        )
+    assert got == expect
