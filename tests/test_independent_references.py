@@ -483,3 +483,171 @@ def test_dup_span_trim_stats_against_reference(spark, sf_smoke):
             r.trim_ppm,
         )
     assert got == expect
+
+
+def test_dsir_importance_weights_against_reference(spark, sf_smoke):
+    """DSIR recomputed with plain Python dicts + math.log: hashed
+    unigram/bigram bucket counts, Laplace-smoothed micro-nat scores
+    (floor(1e6*ln), the one float op — its floor-boundary margin is
+    separately audited), exact integer per-doc sums. No Spark
+    aggregation, no DuckDB."""
+    import math
+
+    docs = read_parquet_table(spark, sf_smoke, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    B = 64
+    grams_of: dict[int, list[int]] = {}
+    r_b = [0] * B
+    t_b = [0] * B
+    for d in docs:
+        tk = _toks(d.text.lower())
+        gs = tk + [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+        buckets = [
+            int(hashlib.md5(g.encode()).hexdigest()[:4], 16) % B for g in gs
+        ]
+        grams_of[d.doc_id] = buckets
+        for b in buckets:
+            r_b[b] += 1
+            if d.lang == "en":
+                t_b[b] += 1
+    r_tot, t_tot = float(sum(r_b)), float(sum(t_b))
+    score = [
+        int(
+            math.floor(
+                1e6
+                * math.log(
+                    ((t_b[b] + 1.0) * (r_tot + float(B)))
+                    / ((r_b[b] + 1.0) * (t_tot + float(B)))
+                )
+            )
+        )
+        for b in range(B)
+    ]
+    expect = {}
+    for d in docs:
+        buckets = grams_of[d.doc_id]
+        s = sum(score[b] for b in buckets)
+        expect[d.doc_id] = (d.lang, len(buckets), s, s >= 0)
+    got = {
+        r.doc_id: (r.lang, r.n_grams, r.dsir_score_e6, r.kept)
+        for r in TD_QUERIES["dsir_importance_weights"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert got == expect
+
+
+def _semdedup_numpy(sf_smoke, centers):
+    """Shared numpy recomputation of assignment/csim/pairs for the
+    semdedup/knn independent tests: dense matmuls + python loops —
+    no SQL joins, no Spark windows."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"SELECT vec_id, label, embedding FROM "
+            f"read_parquet('{sf_smoke}/embeddings.parquet') ORDER BY vec_id"
+        ).fetchall()
+    finally:
+        con.close()
+    ids = np.array([r[0] for r in rows])
+    labels = np.array([r[1] for r in rows])
+    V = np.array([r[2] for r in rows], dtype="float64")
+    n = np.sqrt((V * V).sum(axis=1))
+    C = np.array(centers, dtype="float64")
+    half = np.array([sum(x * x for x in c) / 2.0 for c in centers])
+    cnorm = np.array(
+        [__import__("math").sqrt(sum(x * x for x in c)) for c in centers]
+    )
+    S = V @ C.T / n[:, None] - half[None, :]
+    cell = S.argmax(axis=1)
+    csim6 = np.round(
+        (V @ C.T / n[:, None] / cnorm[None, :])[np.arange(len(V)), cell], 6
+    )
+    return ids, labels, V, n, cell, csim6
+
+
+def test_semdedup_prune_numpy_reference(spark, sf_smoke):
+    """SemDeDup at the pinned 8-cell codebook recomputed densely in
+    numpy + python loops (no cell-blocked joins, no distinct): same
+    kept set, cells and 6dp centroid sims as the Spark operator."""
+    import numpy as np
+
+    from fsc_etl_spark.plans.training_data import IVF_PINNED_CENTROIDS
+
+    ids, labels, V, n, cell, csim6 = _semdedup_numpy(
+        sf_smoke, IVF_PINNED_CENTROIDS
+    )
+    losers = set()
+    for c in set(cell.tolist()):
+        m = np.where(cell == c)[0]
+        P = np.round((V[m] @ V[m].T) / np.outer(n[m], n[m]), 6)
+        for i in range(len(m)):
+            for j in range(i + 1, len(m)):
+                if P[i, j] >= 0.30:
+                    a, b = m[i], m[j]
+                    if (csim6[a], ids[a]) > (csim6[b], ids[b]):
+                        losers.add(int(ids[a]))
+                    else:
+                        losers.add(int(ids[b]))
+    expect = {
+        int(ids[i]): (
+            int(cell[i]),
+            int(round(csim6[i] * 1e6)),
+            int(ids[i]) not in losers,
+        )
+        for i in range(len(ids))
+    }
+    got = {
+        r.vec_id: (r.cell, int(round(r.centroid_sim * 1e6)), r.kept)
+        for r in TD_QUERIES["embed_semdedup_prune"](spark, sf_smoke).collect()
+    }
+    assert got == expect
+
+
+def test_knn_label_audit_numpy_reference(spark, sf_smoke):
+    """The kNN label audit at the pinned 8-cell codebook recomputed
+    densely in numpy + python sorts: 3-NN by (6dp cos DESC, id ASC)
+    within the cell, majority by (count DESC, label ASC)."""
+    import numpy as np
+
+    from fsc_etl_spark.plans.training_data import IVF_PINNED_CENTROIDS
+
+    ids, labels, V, n, cell, _ = _semdedup_numpy(
+        sf_smoke, IVF_PINNED_CENTROIDS
+    )
+    expect = {}
+    for c in set(cell.tolist()):
+        m = np.where(cell == c)[0]
+        P = np.round((V[m] @ V[m].T) / np.outer(n[m], n[m]), 6)
+        for i in range(len(m)):
+            others = [(float(-P[i, j]), int(ids[m[j]]), int(labels[m[j]]))
+                      for j in range(len(m)) if j != i]
+            others.sort()
+            top = others[:3]
+            n_nbrs = len(top)
+            own = int(labels[m[i]])
+            n_agree = sum(1 for _, _, lb in top if lb == own)
+            if top:
+                cnt: dict[int, int] = {}
+                for _, _, lb in top:
+                    cnt[lb] = cnt.get(lb, 0) + 1
+                knn_label = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            else:
+                knn_label = None
+            expect[int(ids[m[i]])] = (
+                int(c),
+                own,
+                n_nbrs,
+                n_agree,
+                knn_label,
+                knn_label == own if knn_label is not None else False,
+            )
+    got = {
+        r.vec_id: (r.cell, r.label, r.n_nbrs, r.n_agree, r.knn_label, r.consistent)
+        for r in TD_QUERIES["embed_knn_label_audit"](spark, sf_smoke).collect()
+    }
+    assert got == expect
