@@ -651,3 +651,89 @@ def test_knn_label_audit_numpy_reference(spark, sf_smoke):
         for r in TD_QUERIES["embed_knn_label_audit"](spark, sf_smoke).collect()
     }
     assert got == expect
+
+
+def test_cms_topk_users_against_reference(spark, sf_smoke):
+    """Count-min sketch recomputed with plain Python dicts: d=4 md5
+    rows x w=64 counters built from the raw rows, estimate = min of
+    the key's 4 cells, exact counts beside, top-20 by (est DESC,
+    user ASC)."""
+    from fsc_etl_spark.plans.scale_ops import QUERIES as SCALE_QUERIES
+
+    ev = read_parquet_table(spark, sf_smoke, "events").select(
+        "user_id"
+    ).collect()
+    counters: dict[tuple[int, int], int] = {}
+    exact: dict[int, int] = {}
+    def cell(j, uid):
+        return int(
+            hashlib.md5(f"cms{j}:{uid}".encode()).hexdigest()[:15], 16
+        ) % 64
+    for r in ev:
+        exact[r.user_id] = exact.get(r.user_id, 0) + 1
+        for j in range(4):
+            k = (j, cell(j, r.user_id))
+            counters[k] = counters.get(k, 0) + 1
+    rows = [
+        (uid, min(counters.get((j, cell(j, uid)), 0) for j in range(4)), c)
+        for uid, c in exact.items()
+    ]
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    expect = rows[:20]
+    got = [
+        (r.user_id, r.est_cnt, r.exact_cnt)
+        for r in SCALE_QUERIES["cms_topk_users"](spark, sf_smoke).collect()
+    ]
+    assert got == expect
+    assert all(est >= c for _, est, c in got)  # CMS never undercounts
+
+
+def test_hll_estimate_users_against_reference(spark, sf_smoke):
+    """HyperLogLog registers + raw estimate recomputed in plain
+    Python: p=6 (64 buckets), 60-bit md5 hashes, rank = leading zeros
+    of the 54 rank bits + 1, harmonic fold in bucket order with exact
+    dyadic 2^-reg terms — the float estimate must match BIT-FOR-BIT
+    (same IEEE additions in the same sequence)."""
+    from fsc_etl_spark.plans.scale_ops import QUERIES as SCALE_QUERIES
+
+    ev = read_parquet_table(spark, sf_smoke, "events").select(
+        "user_id"
+    ).collect()
+    regs: dict[int, int] = {}
+    users = set()
+    for r in ev:
+        users.add(r.user_id)
+        h = int(hashlib.md5(str(r.user_id).encode()).hexdigest()[:15], 16)
+        bucket, v = h % 64, h // 64
+        rank = 55 if v == 0 else 54 - v.bit_length() + 1
+        regs[bucket] = max(regs.get(bucket, 0), rank)
+    acc = 0.0
+    for b in sorted(regs):
+        acc = acc + 2.0 ** (-float(regs[b]))
+    harmonic = acc + float(64 - len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / 64.0)
+    est = alpha * 64 * 64 / harmonic
+    [r] = SCALE_QUERIES["hll_estimate_users"](spark, sf_smoke).collect()
+    assert (r.n_exact, r.n_used_buckets) == (len(users), len(regs))
+    assert r.harmonic_sum == harmonic and r.hll_estimate == est
+
+
+def test_heavy_hitter_users_against_reference(spark, sf_smoke):
+    """Exact phi-heavy hitters recomputed by brute-force counting:
+    users with 5*U*cnt >= 6*N (phi = 6/(5*U) as an exact rational) —
+    no pigeonhole, no partition phase."""
+    from fsc_etl_spark.plans.scale_ops import QUERIES as SCALE_QUERIES
+
+    ev = read_parquet_table(spark, sf_smoke, "events").select(
+        "user_id"
+    ).collect()
+    cnt: dict[int, int] = {}
+    for r in ev:
+        cnt[r.user_id] = cnt.get(r.user_id, 0) + 1
+    n, u = len(ev), len(cnt)
+    expect = {uid: c for uid, c in cnt.items() if 5 * u * c >= 6 * n}
+    got = {
+        r.user_id: r.cnt
+        for r in SCALE_QUERIES["heavy_hitter_users"](spark, sf_smoke).collect()
+    }
+    assert got == expect
