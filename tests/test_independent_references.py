@@ -737,3 +737,110 @@ def test_heavy_hitter_users_against_reference(spark, sf_smoke):
         for r in SCALE_QUERIES["heavy_hitter_users"](spark, sf_smoke).collect()
     }
     assert got == expect
+
+
+def _minhash_lsh_pairs_python(docs):
+    """Plain-Python replication of the minhash(k=8)/LSH(4x2) candidate
+    pair construction shared by the dedup cluster queries."""
+    sigs = {}
+    for d in docs:
+        tk = _toks(d.text.lower())
+        if len(tk) < 3:
+            continue
+        shingles = [" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)]
+        mh = []
+        for j in range(4):
+            hexes = [
+                hashlib.md5(f"s{j}:{s}".encode()).hexdigest() for s in shingles
+            ]
+            mh.append(min(h[:16] for h in hexes))
+            mh.append(min(h[16:32] for h in hexes))
+        sigs[d.doc_id] = mh
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for doc_id, mh in sigs.items():
+        for b in range(4):
+            sig = hashlib.md5(f"{mh[2*b]}|{mh[2*b+1]}".encode()).hexdigest()
+            buckets.setdefault((b, sig), []).append(doc_id)
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    return pairs
+
+
+def test_dedup_cluster_assign_star_union_find_reference(spark, sf_smoke):
+    """Connected components recomputed with textbook UNION-FIND over
+    plain-Python-replicated minhash/LSH candidate pairs — a genuinely
+    different mechanism from both the large-star/small-star rounds and
+    the recursive-CTE oracle."""
+    docs = read_parquet_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    parent: dict[int, int] = {d.doc_id: d.doc_id for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in _minhash_lsh_pairs_python(docs):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {d.doc_id: find(d.doc_id) for d in docs}
+    got = {
+        r.doc_id: r.cluster_root
+        for r in TD_QUERIES["dedup_cluster_assign_star"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_pagerank_copurchase_against_reference(spark, sf_smoke):
+    """Integer PageRank recomputed with plain Python dicts over the
+    symmetrized co-purchase graph: 5 rounds of
+    rank'(v) = base + (85 * sum(rank(u) div deg(u))) div 100 in exact
+    integers, top-20 by (rank DESC, label ASC). No Pregel joins, no
+    unrolled CTEs."""
+    from fsc_etl_spark.plans.graph_ops import QUERIES as GRAPH_QUERIES
+
+    orders = read_parquet_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).collect()
+    li = read_parquet_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    cust_of: dict[int, int] = {o.o_orderkey: o.o_custkey for o in orders}
+    cp = set()
+    for r in li:
+        c = cust_of.get(r.l_orderkey)
+        if c is not None:
+            cp.add((2 * c, 2 * r.l_partkey + 1))
+    adj: dict[int, list[int]] = {}
+    for a, b in cp:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    scale = 10**9
+    base = ((100 - 85) * scale) // 100
+    rank = {v: scale for v in adj}
+    for _ in range(5):
+        contrib = {v: rank[v] // len(adj[v]) for v in adj}
+        rank = {
+            v: base + (85 * sum(contrib[u] for u in adj[v])) // 100
+            for v in adj
+        }
+    label = {
+        v: (f"c{v // 2}" if v % 2 == 0 else f"p{(v - 1) // 2}") for v in adj
+    }
+    top = sorted(
+        ((label[v], rank[v]) for v in adj), key=lambda t: (-t[1], t[0])
+    )[:20]
+    got = [
+        (r.node, r.rank)
+        for r in GRAPH_QUERIES["pagerank_copurchase"](spark, sf_smoke).collect()
+    ]
+    assert got == top
