@@ -844,3 +844,58 @@ def test_pagerank_copurchase_against_reference(spark, sf_smoke):
         for r in GRAPH_QUERIES["pagerank_copurchase"](spark, sf_smoke).collect()
     ]
     assert got == top
+
+
+def test_embed_lsh_topk_numpy_reference(spark, sf_smoke):
+    """Multi-table LSH ANN recomputed densely in numpy + python sets:
+    signature = 4-bit sign pattern per table, candidates = corpus
+    vectors sharing any table's signature with the query, exact
+    re-rank by (6dp cos DESC, id ASC)."""
+    import duckdb
+    import numpy as np
+
+    from fsc_etl_spark.plans.training_data import LSH_TABLES
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{sf_smoke}/embeddings.parquet') ORDER BY vec_id"
+        ).fetchall()
+    finally:
+        con.close()
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows], dtype="float64")
+    n = np.sqrt((V * V).sum(axis=1))
+    H = np.array(LSH_TABLES)  # (12, 4, 64)
+    S = (V @ H.reshape(-1, 64).T >= 0).reshape(len(V), 12, 4)
+    sigs = (S * (2 ** np.arange(4))).sum(axis=2)  # (N, 12)
+    expect = []
+    for qi in np.where(ids < 5)[0]:
+        cand = set()
+        for t in range(12):
+            cand.update(
+                int(ids[i])
+                for i in np.where(sigs[:, t] == sigs[qi, t])[0]
+                if ids[i] != ids[qi]
+            )
+        scored = sorted(
+            (
+                (
+                    -round(
+                        float(V[qi] @ V[list(ids).index(c)] )
+                        / (n[qi] * n[list(ids).index(c)]),
+                        6,
+                    ),
+                    c,
+                )
+                for c in cand
+            ),
+        )[:5]
+        for rk, (negcos, c) in enumerate(scored, start=1):
+            expect.append((int(ids[qi]), c, int(round(-negcos * 1e6)), rk))
+    got = [
+        (r.query_id, r.vec_id, int(round(r.cos * 1e6)), r.rank)
+        for r in TD_QUERIES["embed_lsh_topk"](spark, sf_smoke).collect()
+    ]
+    assert sorted(got) == sorted(expect) and len(got) > 0
