@@ -899,3 +899,129 @@ def test_embed_lsh_topk_numpy_reference(spark, sf_smoke):
         for r in TD_QUERIES["embed_lsh_topk"](spark, sf_smoke).collect()
     ]
     assert sorted(got) == sorted(expect) and len(got) > 0
+
+
+def _load_vecs(sf_smoke):
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{sf_smoke}/embeddings.parquet') ORDER BY vec_id"
+        ).fetchall()
+    finally:
+        con.close()
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows], dtype="float64")
+    return ids, V, np.sqrt((V * V).sum(axis=1))
+
+
+def _ivf_numpy(ids, V, n, centers, nprobe):
+    """Dense-numpy IVF: assignment/probing by dot/|x| - |c|^2/2 with
+    lowest-cell ties, exact re-rank by (6dp cos DESC, id ASC)."""
+    import numpy as np
+
+    C = np.array(centers, dtype="float64")
+    half = np.array([sum(x * x for x in c) / 2.0 for c in centers])
+    S = V @ C.T / n[:, None] - half[None, :]
+    cell = S.argmax(axis=1)
+    expect = []
+    for qi in np.where(ids < 5)[0]:
+        order = sorted(range(C.shape[0]), key=lambda c: (-S[qi, c], c))
+        probed = set(order[:nprobe])
+        cand = [
+            i
+            for i in range(len(ids))
+            if cell[i] in probed and ids[i] != ids[qi]
+        ]
+        scored = sorted(
+            (
+                (-round(float(V[qi] @ V[i]) / (n[qi] * n[i]), 6), int(ids[i]))
+                for i in cand
+            )
+        )[:5]
+        for rk, (negcos, c) in enumerate(scored, start=1):
+            expect.append((int(ids[qi]), c, int(round(-negcos * 1e6)), rk))
+    return expect
+
+
+def _pq_numpy(ids, V, n, codebooks, refine_pool):
+    """Dense-numpy PQ/ADC: encode argmax per subspace (lowest code on
+    ties), LUT scoring, refine pool by (adc DESC, id ASC), exact
+    re-rank by (6dp cos DESC, id ASC)."""
+    import numpy as np
+
+    B = np.array(codebooks, dtype="float64")  # (8, n_codes, sub)
+    n_sub, _, sub = B.shape
+    half = np.array(
+        [[sum(x * x for x in cent) / 2.0 for cent in book] for book in codebooks]
+    )
+    codes = np.empty((len(V), n_sub), dtype=int)
+    for s in range(n_sub):
+        sc = V[:, s * sub : (s + 1) * sub] @ B[s].T / n[:, None] - half[s][None, :]
+        codes[:, s] = sc.argmax(axis=1)
+    expect = []
+    for qi in np.where(ids < 5)[0]:
+        lut = np.stack(
+            [V[qi, s * sub : (s + 1) * sub] @ B[s].T / n[qi] for s in range(n_sub)]
+        )
+        adc = lut[np.arange(n_sub)[None, :], codes].sum(axis=1)
+        cand = [i for i in range(len(ids)) if ids[i] != ids[qi]]
+        pool = sorted(cand, key=lambda i: (-adc[i], ids[i]))[:refine_pool]
+        scored = sorted(
+            (
+                (-round(float(V[qi] @ V[i]) / (n[qi] * n[i]), 6), int(ids[i]))
+                for i in pool
+            )
+        )[:5]
+        for rk, (negcos, c) in enumerate(scored, start=1):
+            expect.append((int(ids[qi]), c, int(round(-negcos * 1e6)), rk))
+    return expect
+
+
+def test_ivf_tiers_numpy_reference(spark, sf_smoke):
+    """Both IVF tiers — pinned (8 seeded centroids, nprobe=5) and
+    Lloyd-trained (replicated codebook, nprobe=4) — recomputed densely
+    in numpy + python sorts, no joins or windows."""
+    from fsc_etl_spark.plans.oracles_training import _replicated_quantizers
+    from fsc_etl_spark.plans.training_data import (
+        IVF_PINNED_CENTROIDS,
+        QUERIES,
+    )
+
+    ids, V, n = _load_vecs(sf_smoke)
+    for qname, centers, nprobe in (
+        ("embed_ivf_pinned_topk", IVF_PINNED_CENTROIDS, 5),
+        ("embed_ivf_topk", _replicated_quantizers(sf_smoke)[0], 4),
+    ):
+        expect = _ivf_numpy(ids, V, n, centers, nprobe)
+        got = [
+            (r.query_id, r.vec_id, int(round(r.cos * 1e6)), r.rank)
+            for r in QUERIES[qname](spark, sf_smoke).collect()
+        ]
+        assert sorted(got) == sorted(expect) and len(got) > 0, qname
+
+
+def test_pq_tiers_numpy_reference(spark, sf_smoke):
+    """Both PQ tiers — pinned (8x16 seeded codebooks) and
+    Lloyd-trained (replicated codebooks) — recomputed densely in
+    numpy + python sorts; refine pool 200 both."""
+    from fsc_etl_spark.plans.oracles_training import _replicated_quantizers
+    from fsc_etl_spark.plans.training_data import (
+        PQ_PINNED_CODEBOOKS,
+        QUERIES,
+    )
+
+    ids, V, n = _load_vecs(sf_smoke)
+    for qname, books in (
+        ("embed_pq_pinned_topk", PQ_PINNED_CODEBOOKS),
+        ("embed_pq_topk", _replicated_quantizers(sf_smoke)[1]),
+    ):
+        expect = _pq_numpy(ids, V, n, books, 200)
+        got = [
+            (r.query_id, r.vec_id, int(round(r.cos * 1e6)), r.rank)
+            for r in QUERIES[qname](spark, sf_smoke).collect()
+        ]
+        assert sorted(got) == sorted(expect) and len(got) > 0, qname
