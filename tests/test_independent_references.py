@@ -1025,3 +1025,121 @@ def test_pq_tiers_numpy_reference(spark, sf_smoke):
             for r in QUERIES[qname](spark, sf_smoke).collect()
         ]
         assert sorted(got) == sorted(expect) and len(got) > 0, qname
+
+
+def test_cluster_soft_dedup_sample_against_reference(spark, sf_smoke):
+    """Soft dedup recomputed with union-find clusters (over the shared
+    Python minhash/LSH pair replication) + the plain integer bucket
+    rule md5_bucket(doc_id) * size < 65536."""
+    docs = read_parquet_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    parent = {d.doc_id: d.doc_id for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in _minhash_lsh_pairs_python(docs):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = {d.doc_id: find(d.doc_id) for d in docs}
+    sizes: dict[int, int] = {}
+    for r in roots.values():
+        sizes[r] = sizes.get(r, 0) + 1
+    expect = {}
+    for d in docs:
+        root = roots[d.doc_id]
+        size = sizes[root]
+        bucket = int(hashlib.md5(str(d.doc_id).encode()).hexdigest()[:4], 16)
+        expect[d.doc_id] = (root, size, bucket * size < 65536)
+    got = {
+        r.doc_id: (r.cluster_root, r.cluster_size, r.kept)
+        for r in TD_QUERIES["cluster_soft_dedup_sample"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_source_overlap_matrix_against_reference(spark, sf_smoke):
+    """Cross-source overlap recomputed with plain Python set algebra:
+    per-source distinct 3-gram md5 sets, pairwise intersections,
+    floor-div ppm Jaccard/containments."""
+    docs = read_parquet_table(spark, sf_smoke, "documents").select(
+        "source", "text"
+    ).collect()
+    grams: dict[str, set] = {}
+    for d in docs:
+        tk = _toks(d.text.lower())
+        s = grams.setdefault(d.source, set())
+        for i in range(len(tk) - 2):
+            s.add(hashlib.md5(" ".join(tk[i : i + 3]).encode()).hexdigest())
+    expect = {}
+    names = sorted(grams)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            shared = len(grams[a] & grams[b])
+            if shared == 0:
+                continue  # the pair join emits only sharing pairs
+            ga, gb = len(grams[a]), len(grams[b])
+            expect[(a, b)] = (
+                shared,
+                ga,
+                gb,
+                (1_000_000 * shared) // (ga + gb - shared),
+                (1_000_000 * shared) // ga,
+                (1_000_000 * shared) // gb,
+            )
+    got = {
+        (r.source_a, r.source_b): (
+            r.shared_grams,
+            r.grams_a,
+            r.grams_b,
+            r.jaccard_ppm,
+            r.contain_a_ppm,
+            r.contain_b_ppm,
+        )
+        for r in TD_QUERIES["source_overlap_matrix"](spark, sf_smoke).collect()
+    }
+    assert got == expect
+
+
+def test_eval_contamination_flags_against_reference(spark, sf_smoke):
+    """8-gram decontamination recomputed with plain Python sets: the
+    doc_id % 29 == 0 slice's distinct 8-gram hashes vs every other
+    doc's distinct hits."""
+    docs = read_parquet_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    n = 8
+    grams_of = {}
+    for d in docs:
+        tk = _toks(d.text.lower())
+        grams_of[d.doc_id] = (
+            max(len(tk) - (n - 1), 0),
+            {
+                hashlib.md5(" ".join(tk[i : i + n]).encode()).hexdigest()
+                for i in range(len(tk) - n + 1)
+            },
+        )
+    eval_set = set()
+    for doc_id, (_, gs) in grams_of.items():
+        if doc_id % 29 == 0:
+            eval_set |= gs
+    expect = {}
+    for doc_id, (n_ngrams, gs) in grams_of.items():
+        if doc_id % 29 == 0:
+            continue
+        hits = len(gs & eval_set)
+        expect[doc_id] = (n_ngrams, hits, hits > 0)
+    got = {
+        r.doc_id: (r.n_ngrams, r.n_contaminated, r.contaminated)
+        for r in TD_QUERIES["eval_contamination_flags"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert got == expect
