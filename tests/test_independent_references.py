@@ -1143,3 +1143,159 @@ def test_eval_contamination_flags_against_reference(spark, sf_smoke):
         ).collect()
     }
     assert got == expect
+
+
+def _copurchase_pairs(spark, sf_smoke):
+    orders = read_parquet_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).collect()
+    li = read_parquet_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    cust_of = {o.o_orderkey: o.o_custkey for o in orders}
+    cp = set()
+    for r in li:
+        c = cust_of.get(r.l_orderkey)
+        if c is not None:
+            cp.add((c, r.l_partkey))
+    return li, cp
+
+
+def test_triangle_count_coparts_against_reference(spark, sf_smoke):
+    """Triangle census recomputed with python adjacency sets and the
+    textbook edge-iterator intersection count — no wedge joins."""
+    from fsc_etl_spark.plans.graph_ops import QUERIES as GRAPH_QUERIES
+
+    li, _ = _copurchase_pairs(spark, sf_smoke)
+    by_order: dict[int, set] = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n_nodes = len(adj)
+    n_edges = len(edges)
+    n_wedges = sum(d * (d - 1) // 2 for d in (len(v) for v in adj.values()))
+    tri3 = sum(len(adj[a] & adj[b]) for a, b in edges)
+    [r] = GRAPH_QUERIES["triangle_count_coparts"](spark, sf_smoke).collect()
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (
+        n_nodes,
+        n_edges,
+        n_wedges,
+        tri3 // 3,
+    )
+
+
+def test_bfs_hops_copurchase_against_reference(spark, sf_smoke):
+    """3-hop BFS from 'c0' recomputed with a plain python frontier
+    loop over the labeled co-purchase graph."""
+    from fsc_etl_spark.plans.graph_ops import QUERIES as GRAPH_QUERIES
+
+    _, cp = _copurchase_pairs(spark, sf_smoke)
+    adj: dict[str, set] = {}
+    for c, p in cp:
+        a, b = f"c{c}", f"p{p}"
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {"c0": 0}
+    frontier = ["c0"]
+    for h in range(1, 4):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = h
+                    nxt.append(v)
+        frontier = nxt
+    hist: dict[int, list] = {}
+    for node, d in dist.items():
+        hist.setdefault(d, []).append(node)
+    expect = {
+        d: (len(ns), min(ns), max(ns)) for d, ns in hist.items()
+    }
+    got = {
+        r.dist: (r.n_nodes, r.min_node, r.max_node)
+        for r in GRAPH_QUERIES["bfs_hops_copurchase"](spark, sf_smoke).collect()
+    }
+    assert got == expect
+
+
+def test_ppr_copurchase_seeds_against_reference(spark, sf_smoke):
+    """Personalized PageRank (3 integer rounds, nation-0 seeds)
+    recomputed with plain python dicts: rank0 = init on seeds / 0
+    elsewhere, base(v) = (15*init*n_nodes) div (100*n_seeds) on seeds,
+    rank'(v) = base(v) + (85*inflow) div 100."""
+    from fsc_etl_spark.plans.graph_ops import QUERIES as GRAPH_QUERIES
+
+    _, cp = _copurchase_pairs(spark, sf_smoke)
+    cust = read_parquet_table(spark, sf_smoke, "customer").select(
+        "c_custkey", "c_nationkey"
+    ).collect()
+    adj: dict[int, list] = {}
+    for c, p in cp:
+        a, b = 2 * c, 2 * p + 1
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    seeds = {2 * r.c_custkey for r in cust if r.c_nationkey == 0} & set(adj)
+    init = 10**9
+    n_nodes, n_seeds = len(adj), len(seeds)
+    base_seed = (15 * init * n_nodes) // (100 * n_seeds)
+    rank = {v: (init if v in seeds else 0) for v in adj}
+    for _ in range(3):
+        contrib = {v: rank[v] // len(adj[v]) for v in adj}
+        rank = {
+            v: (base_seed if v in seeds else 0)
+            + (85 * sum(contrib[u] for u in adj[v])) // 100
+            for v in adj
+        }
+    label = {
+        v: (f"c{v // 2}" if v % 2 == 0 else f"p{(v - 1) // 2}") for v in adj
+    }
+    top = sorted(
+        ((label[v], rank[v]) for v in adj), key=lambda t: (-t[1], t[0])
+    )[:20]
+    got = [
+        (r.node, r.rank)
+        for r in GRAPH_QUERIES["ppr_copurchase_seeds"](
+            spark, sf_smoke
+        ).collect()
+    ]
+    assert got == top
+
+
+def test_kcore_copurchase_against_reference(spark, sf_smoke):
+    """20-core recomputed with a plain python peel-to-fixpoint loop,
+    then the surviving-degree histogram with string-label extrema."""
+    from fsc_etl_spark.plans.graph_ops import QUERIES as GRAPH_QUERIES
+
+    _, cp = _copurchase_pairs(spark, sf_smoke)
+    edges = {(2 * c, 2 * p + 1) for c, p in cp}
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    for _ in range(8):
+        drop = {v for v in alive if len(adj[v] & alive) < 20}
+        if not drop:
+            break
+        alive -= drop
+    assert not {v for v in alive if len(adj[v] & alive) < 20}
+    hist: dict[int, list] = {}
+    for v in alive:
+        d = len(adj[v] & alive)
+        lb = f"c{v // 2}" if v % 2 == 0 else f"p{(v - 1) // 2}"
+        hist.setdefault(d, []).append(lb)
+    expect = {d: (len(ls), min(ls), max(ls)) for d, ls in hist.items()}
+    got = {
+        r.core_deg: (r.n_nodes, r.min_node, r.max_node)
+        for r in GRAPH_QUERIES["kcore_copurchase"](spark, sf_smoke).collect()
+    }
+    assert got == expect
