@@ -1299,3 +1299,120 @@ def test_kcore_copurchase_against_reference(spark, sf_smoke):
         for r in GRAPH_QUERIES["kcore_copurchase"](spark, sf_smoke).collect()
     }
     assert got == expect
+
+
+def test_embed_mmr_select_against_reference(spark, sf_smoke):
+    """Greedy MMR recomputed with a plain python loop: per round,
+    score = round(0.7*rel - 0.3*max_sim_to_picked, 6), argmax by
+    (score DESC, id ASC) — no per-round Spark plans."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{sf_smoke}/embeddings.parquet') ORDER BY vec_id"
+        ).fetchall()
+    finally:
+        con.close()
+    import numpy as np
+
+    ids = [r[0] for r in rows]
+    V = np.array([r[1] for r in rows], dtype="float64")
+    n = np.sqrt((V * V).sum(axis=1))
+    qi = ids.index(0)
+    rel = {
+        ids[i]: round(float(V[qi] @ V[i]) / (n[qi] * n[i]), 6)
+        for i in range(len(ids))
+        if ids[i] != 0
+    }
+    picked = []  # (id, idx)
+    expect = []
+    for t in range(5):
+        best = None
+        for i in range(len(ids)):
+            vid = ids[i]
+            if vid == 0 or any(p[0] == vid for p in picked):
+                continue
+            if picked:
+                ms = max(
+                    round(float(V[i] @ V[pi]) / (n[i] * n[pi]), 6)
+                    for _, pi in picked
+                )
+            else:
+                ms = 0.0
+            score = round(0.7 * rel[vid] - 0.3 * ms, 6)
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, i, score)
+        picked.append((best[1], best[2]))
+        expect.append(
+            (
+                t + 1,
+                best[1],
+                int(round(rel[best[1]] * 1e6)),
+                int(round(best[3] * 1e6)),
+            )
+        )
+    got = [
+        (r.sel_rank, r.vec_id, int(round(r.rel_cos * 1e6)), int(round(r.mmr_score * 1e6)))
+        for r in TD_QUERIES["embed_mmr_select"](spark, sf_smoke).collect()
+    ]
+    assert got == expect
+
+
+def test_kmeans_cluster_stats_against_reference(spark, sf_smoke):
+    """Integer-exact distributed K-Means recomputed with a plain
+    python Lloyd loop: floor(x*127) quantization, k=4 lowest-id init,
+    2 truncating-div update rounds, exact int64 distances."""
+    import duckdb
+
+    import numpy as np
+
+    from fsc_etl_spark.plans.training_data import QUERIES as TDQ
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{sf_smoke}/embeddings.parquet') ORDER BY vec_id"
+        ).fetchall()
+    finally:
+        con.close()
+    V = np.array([r[1] for r in rows], dtype="float64")
+    Q = np.floor(V * 127).astype("int64")
+    cent = [list(map(int, Q[i])) for i in range(4)]
+
+    def assign():
+        out = []
+        for q in Q:
+            best_c, best_d = 0, None
+            for c, cv in enumerate(cent):
+                d = int(((q - np.array(cv)) ** 2).sum())
+                if best_d is None or d < best_d:
+                    best_c, best_d = c, d
+            out.append((best_c, best_d))
+        return out
+
+    for _ in range(2):
+        a = assign()
+        nxt = [list(c) for c in cent]
+        for c in range(4):
+            members = [Q[i] for i in range(len(Q)) if a[i][0] == c]
+            if members:
+                s = np.array(members, dtype=object).sum(axis=0)
+                cnt = len(members)
+                nxt[c] = [
+                    int(abs(int(x)) // cnt * (1 if x >= 0 else -1)) for x in s
+                ]
+        cent = nxt
+    final = assign()
+    expect = {}
+    for c, d in final:
+        n_m, t_d = expect.get(c, (0, 0))
+        expect[c] = (n_m + 1, t_d + d)
+    got = {
+        r.cluster_id: (r.n_members, r.total_dist)
+        for r in TDQ["kmeans_cluster_stats"](spark, sf_smoke).collect()
+    }
+    assert got == expect
