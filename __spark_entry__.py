@@ -146,6 +146,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each queries() entry (keys without an
     oracle get the driver's weaker rows-only check)."""
+    # Fixture-trained oracles (Lloyd replications) are generated
+    # lazily here, not at module import (ADVICE r7).
+    from fsc_etl_spark.plans.oracles_training import ensure_trained_oracles
+
+    ensure_trained_oracles()
     return {
         **ORACLES,
         **EXT_ORACLES,

@@ -909,16 +909,35 @@ SF_ORACLE_GENERATORS: dict[str, _t.Callable[[str], str]] = {
     "embed_knn_audit_trained": _trained_knn_oracle,
 }
 
-_DRIVER_SF_DIR = "/root/testdata/sf0.01"
-if _os.path.isdir(_DRIVER_SF_DIR):
-    TRAINING_ORACLES["embed_ivf_topk"] = _trained_ivf_oracle(_DRIVER_SF_DIR)
-    TRAINING_ORACLES["embed_pq_topk"] = _trained_pq_oracle(_DRIVER_SF_DIR)
-    TRAINING_ORACLES["embed_semdedup_trained"] = _trained_semdedup_oracle(
-        _DRIVER_SF_DIR
-    )
-    TRAINING_ORACLES["embed_knn_audit_trained"] = _trained_knn_oracle(
-        _DRIVER_SF_DIR
-    )
+#: The driver's correctness-gate fixture. One shared, env-overridable
+#: constant (ADVICE r7): every consumer that needs "the SF the driver
+#: compares at" reads this instead of hardcoding a path.
+DRIVER_SF_DIR = _os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
+
+_trained_populated = False
+
+
+def ensure_trained_oracles(sf_dir: str | None = None) -> None:
+    """Populate the four fixture-trained oracle entries in
+    TRAINING_ORACLES, lazily and once per process (ADVICE r7: the
+    Lloyd replications used to run at import time, making module
+    import slow and the dict's content environment-dependent).
+
+    Called by ``__spark_entry__.oracle_sql()`` so the driver's gate
+    sees the full-SQL entries; local harnesses comparing at other SFs
+    regenerate per-SF via SF_ORACLE_GENERATORS (testing.check_query).
+    """
+    global _trained_populated
+    if _trained_populated:
+        return
+    d = sf_dir or DRIVER_SF_DIR
+    if not _os.path.isdir(d):
+        return  # no fixture on this machine — entries stay absent
+    for name, gen in SF_ORACLE_GENERATORS.items():
+        TRAINING_ORACLES[name] = gen(d)
+    _trained_populated = True
 
 
 def _mmr_oracle(k: int = 5) -> str:
@@ -1649,7 +1668,8 @@ q AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> GREATEST(-127, LEAST(127,
-                CAST(ROUND(CAST(x AS DOUBLE) / s.sc * 127) AS INTEGER)))) AS qv
+                CAST(ROUND(CAST(x AS DOUBLE) / GREATEST(s.sc, 1e-300) * 127)
+                     AS INTEGER)))) AS qv
   FROM embeddings CROSS JOIN s
 )
 SELECT vec_id,

@@ -1526,13 +1526,19 @@ def embed_int8_quant_stats(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("__s")
     )
+    # Degenerate all-zero corpus => s = 0: guard the divisor with a
+    # subnormal floor so x/s is 0 (not NaN) identically on both
+    # engines — Spark's non-ANSI CAST(NaN AS INT) yields 0 while
+    # DuckDB raises, so the unguarded division DIVERGES (ADVICE r7).
+    # On any real corpus s >= max|x| > 1e-300 and the floor is inert.
+    s_safe = F.greatest(F.col("__s"), F.lit(1e-300))
     q = F.transform(
         F.col("embedding"),
         lambda x: F.greatest(
             F.lit(-127),
             F.least(
                 F.lit(127),
-                F.round(x.cast("double") / F.col("__s") * 127).cast("int"),
+                F.round(x.cast("double") / s_safe * 127).cast("int"),
             ),
         ),
     )

@@ -140,15 +140,20 @@ def check_query(spark: SparkSession, sf_dir: str, name: str) -> None:
     import __spark_entry__ as entrymod
 
     qfn = entrymod.queries()[name]
-    sql = entrymod.oracle_sql().get(name)
     # Trained-quantizer oracles are fixture-dependent: the static
     # oracle_sql() strings are generated at the driver's gate scale
-    # (sf0.01); when comparing at any other SF, regenerate the SQL
-    # for THIS fixture (same replicated-training recipe).
+    # (DRIVER_SF_DIR); when comparing at any SF, regenerate the SQL
+    # for THIS fixture (same replicated-training recipe). Regenerate
+    # UNCONDITIONALLY for generator-backed names — the generator needs
+    # only sf_dir, so the check must not silently weaken to rows-only
+    # on machines where the static entry was never populated
+    # (ADVICE r7, medium).
     from fsc_etl_spark.plans.oracles_training import SF_ORACLE_GENERATORS
 
-    if name in SF_ORACLE_GENERATORS and sql is not None:
+    if name in SF_ORACLE_GENERATORS:
         sql = SF_ORACLE_GENERATORS[name](sf_dir)
+    else:
+        sql = entrymod.oracle_sql().get(name)
     df = qfn(spark, sf_dir)
     if sql is None:
         assert df.count() >= 0  # rows-only check, like the driver

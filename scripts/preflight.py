@@ -22,11 +22,21 @@ Exit 0 = safe to snapshot; exit 1 = DO NOT COMMIT, failures listed.
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 import time
+from pathlib import Path
 
-sys.path.insert(0, ".")
+# Anchor everything on the repo root so the gate is launchable from
+# any cwd, and let the fixture root be overridden per machine
+# (ADVICE r7: '.' + hardcoded /root/testdata made the gate cwd- and
+# machine-dependent).
+REPO_ROOT = Path(__file__).resolve().parents[1]
+TESTDATA_ROOT = Path(
+    os.environ.get("SPARK_GRAFT_TESTDATA_ROOT", "/root/testdata")
+)
+sys.path.insert(0, str(REPO_ROOT))
 
 
 def run_pytest() -> bool:
@@ -35,6 +45,7 @@ def run_pytest() -> bool:
         [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=line"],
         capture_output=True,
         text=True,
+        cwd=str(REPO_ROOT),
     )
     tail = "\n".join(proc.stdout.strip().splitlines()[-3:])
     print(f"[preflight] pytest ({time.time() - t0:.0f}s):\n{tail}")
@@ -71,7 +82,7 @@ def run_sweep(sf_dir: str) -> list[str]:
 
 def main() -> int:
     quick = "--quick" in sys.argv
-    sf_dir = "/root/testdata/sf0.001" if quick else "/root/testdata/sf0.01"
+    sf_dir = str(TESTDATA_ROOT / ("sf0.001" if quick else "sf0.01"))
     ok = run_pytest()
     sweep_failures = run_sweep(sf_dir)
     if ok and not sweep_failures:
