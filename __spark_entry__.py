@@ -21,6 +21,7 @@ from fsc_etl_spark.plans import (
     analytics_more,
     graph_ops,
     incremental,
+    retrieval_quality,
     scale_ops,
     spark4_ops,
     streaming_queries,
@@ -28,6 +29,7 @@ from fsc_etl_spark.plans import (
     tpch_partsupp,
     training_data,
 )
+from fsc_etl_spark.plans.retrieval_quality import RETRIEVAL_ORACLES
 from fsc_etl_spark.plans.analytics_ext import EXT_ORACLES
 from fsc_etl_spark.plans.analytics_more import MORE_ORACLES
 from fsc_etl_spark.plans.oracles import ORACLES
@@ -46,21 +48,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §2.12.
 
     Ordered so a prefix sample covers the whole surface: the driver
-    checks roughly the first 50 entries. ROUND-7 ROTATION: every query
-    now has at least one driver CORRECTNESS row (the r6 rotation
-    retired the never-sampled set), so the window leads with the
-    queries whose BEHAVIOR or CHECKING CONTRACT changed this round —
-    winnow_fingerprints (frame-mixing bug fixed + independently
-    reconstructed oracle), embed_ivf_topk / embed_pq_topk (rows-only
-    -> FULL hash oracles via replicated-Lloyd codebook literals),
-    pps_token_sample (driver-pinned control row), embed_lsh_topk
-    (id-type-agnostic signature schema), embed_semdedup_prune /
-    embed_knn_label_audit (assign_strategy plumbing; expr default
-    unchanged), embed_pq_pinned_topk (pinned-codebook validation) —
-    then the r6 additions and long-green sentinels spanning every
-    family to fill the window. Keep tests/test_entry_contract.py's
-    prefix-pin test in sync: it derives the never-sampled set from
-    committed CORRECTNESS_r0*.json automatically.
+    checks roughly the first 50 entries. ROUND-8 ROTATION: the window
+    leads with the five round-8 additions (retrieval/quality family:
+    bm25_topk_docs, rrf_fused_topk, gopher_quality_flags,
+    quality_calibration_bins, embed_covariance_topk — no driver row
+    yet), then the queries whose CHECKING CONTRACT was touched by the
+    r7 ADVICE fixes (embed_int8_quant_stats s=0 divisor guard in both
+    engines; embed_semdedup_trained / embed_knn_audit_trained whose
+    oracles are now generated lazily instead of at import), then the
+    round-7 head (winnow fix, trained-tier hash upgrades), the r6/r4
+    batches for continuity, and long-green sentinels spanning every
+    family to fill the 50-slot window. Keep
+    tests/test_entry_contract.py's prefix-pin test in sync: it
+    derives the never-sampled set from committed CORRECTNESS_r0*.json
+    automatically.
     """
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     merged.update(analytics.QUERIES)
@@ -74,8 +75,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(graph_ops.QUERIES)
     merged.update(spark4_ops.QUERIES)
     merged.update(incremental.QUERIES)
+    merged.update(retrieval_quality.QUERIES)
 
     priority = [
+        # --- round-8 NEW queries (no driver row yet) ---
+        "bm25_topk_docs",  # Okapi BM25 lexical retrieval
+        "rrf_fused_topk",  # reciprocal-rank fusion (hybrid retrieval)
+        "gopher_quality_flags",  # Gopher rule set, integer-exact
+        "quality_calibration_bins",  # reliability table, scalable deciles
+        "embed_covariance_topk",  # fixed-point covariance screen
+        # --- round-8: checking contract touched (ADVICE fixes) ---
+        "embed_int8_quant_stats",  # s=0 divisor guard (both engines)
+        "embed_semdedup_trained",  # oracle now lazily generated
+        "embed_knn_audit_trained",  # oracle now lazily generated
         # --- round-7: behavior or checking contract changed ---
         "winnow_fingerprints",  # frame-mixing FIX + independent oracle
         "embed_ivf_topk",  # rows-only -> FULL hash (replicated Lloyd)
@@ -85,10 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_semdedup_prune",  # assign_strategy plumbing (expr default)
         "embed_knn_label_audit",  # assign_strategy plumbing (expr default)
         "embed_pq_pinned_topk",  # pinned-codebook shape validation
-        # --- round-7 NEW queries (no driver row yet) ---
-        "embed_semdedup_trained",  # trained-codebook scale path, full hash
-        "embed_knn_audit_trained",  # trained-codebook scale path, full hash
-        "embed_int8_quant_stats",  # int8 storage quantization, full hash
+        # --- round-7 NEW queries (second driver look) ---
         "embed_hard_negatives",  # contrastive hard-negative mining
         "bpe_pair_counts",  # BPE merge-rule statistics
         "lang_pred_quality",  # lang-ID confusion stats, exact ppm
@@ -122,19 +131,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming, multimodal, format, incremental) ---
         "q1_pricing_summary",
         "star_assembly",
-        "dedup_cluster_assign_star",
         "minhash_signature",
-        "lsh_near_dup_candidates",
         "simhash_signature",
-        "rollup_returnflag",
         "multimodal_features",
-        "ntile_customer_deciles",
         "pagerank_copurchase",
-        "kcore_copurchase",
         "triangle_count_coparts",
-        "cms_topk_users",
         "kmeans_cluster_stats",
     ]
+    assert len(priority) == 50, f"driver window must be exactly 50, got {len(priority)}"
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in priority:
         out[name] = merged[name]
@@ -160,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         **TRAINING_ORACLES,
         **STREAMING_ORACLES,
         **scale_ops.SCALE_ORACLES,
+        **RETRIEVAL_ORACLES,
         **graph_ops.GRAPH_ORACLES,
         **spark4_ops.SPARK4_ORACLES,
         **incremental.INCREMENTAL_ORACLES,

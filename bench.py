@@ -285,6 +285,21 @@ BENCH_QUERIES = [
     # the same seg_hash key as the benched dup_span_stats (window
     # instead of count) — same physical shape.
     "embed_semdedup_trained",
+    # round-8: bm25_topk_docs IS benched — collected-control-row
+    # corpus stats + conditional-aggregate tf/dl in one shuffle +
+    # heap-merge top-k is a new physical shape (tfidf_top_terms joins
+    # df/N back instead). embed_covariance_topk IS benched — the
+    # mapInPandas O(d^2)-int-matrix partial reduction (Q^T Q per
+    # partition) is a new shape; its eager localCheckpoint is part of
+    # the cost. rrf_fused_topk is OFF-bench: it composes the benched
+    # bm25 pipeline with the benched embed_cosine_topk shape plus a
+    # 50x50-bounded join. gopher_quality_flags is OFF-bench: pure
+    # per-row token-array expressions, physically the text_quality
+    # scan already benched. quality_calibration_bins is OFF-bench:
+    # the decile_bucket_scalable histogram decomposition already
+    # benched, over a docs-sized input.
+    "bm25_topk_docs",
+    "embed_covariance_topk",
 ]
 
 ALL_QUERIES = entrymod.queries()

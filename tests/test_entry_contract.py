@@ -75,12 +75,21 @@ def test_driver_sample_prefix_covers_priority_groups():
     never = [n for n in names if n not in sampled]
     missing = [n for n in never if n not in prefix]
     assert not missing, f"never-sampled queries fell out of the driver window: {missing}"
-    # Queries whose behavior or checking contract changed in round 6
+    # Queries whose behavior or checking contract changed recently
     # must sit in the sample window so the driver re-verifies them:
-    # pps_token_sample (data-derived bucket prefix sum),
-    # embed_lsh_topk (rows-only -> full hash oracle),
-    # embed_mmr_select / embed_ivf_topk (r5 guard/probe fixes).
+    # round 8 — the five new retrieval/quality queries plus the three
+    # whose checking contract the ADVICE fixes touched; round 7 —
+    # the winnow fix and the trained-tier hash upgrades.
     changed_this_round = {
+        "bm25_topk_docs",
+        "rrf_fused_topk",
+        "gopher_quality_flags",
+        "quality_calibration_bins",
+        "embed_covariance_topk",
+        "embed_int8_quant_stats",
+        "embed_semdedup_trained",
+        "embed_knn_audit_trained",
+        "winnow_fingerprints",
         "pps_token_sample",
         "embed_lsh_topk",
         "embed_mmr_select",

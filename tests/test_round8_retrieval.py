@@ -1,0 +1,234 @@
+"""Independent (non-twin) references for the round-8 retrieval /
+quality-calibration queries (plans/retrieval_quality.py).
+
+Each test recomputes the query from its PUBLISHED definition in plain
+Python over the raw fixture rows — no Spark/DuckDB expression
+machinery shared with the plan or its oracle — and requires exact
+agreement (the anti-twin-blindness pattern of
+tests/test_independent_references.py).
+"""
+
+from __future__ import annotations
+
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+from fsc_etl_spark.plans.retrieval_quality import (
+    BM25_QUERY_TERMS,
+    GOPHER_STOPS,
+    QUERIES,
+)
+from fsc_etl_spark.sources.readers import read_parquet_table
+
+
+def _toks(text: str) -> list[str]:
+    return [x for x in re.split(r"\s+", text.strip()) if x]
+
+
+def _r6(v: float) -> Decimal:
+    """6dp half-away-from-zero — Spark/DuckDB ROUND semantics (Python
+    round() is half-even and would fork on exact halves)."""
+    return Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+
+def _bm25_reference(docs: list) -> dict[int, tuple[Decimal, int]]:
+    """Okapi BM25 (k1=1.2, b=0.75, idf=(N-df+0.5)/(df+0.5)) in plain
+    Python floats — the same IEEE double chain the engines run — with
+    per-term 6dp rounding and exact Decimal accumulation."""
+    toks = {d.doc_id: [t.lower() for t in _toks(d.text)] for d in docs}
+    n = len(toks)
+    dl = {i: len(tk) for i, tk in toks.items()}
+    avgdl = sum(dl.values()) / n
+    tf = {
+        i: {w: tk.count(w) for w in BM25_QUERY_TERMS if w in tk}
+        for i, tk in toks.items()
+    }
+    df = {w: sum(1 for i in tf if w in tf[i]) for w in BM25_QUERY_TERMS}
+    out: dict[int, tuple[Decimal, int]] = {}
+    for i, hits in tf.items():
+        if not hits:
+            continue
+        s = Decimal(0)
+        for w, f_ in hits.items():
+            idf = (n - df[w] + 0.5) / (df[w] + 0.5)
+            tfc = f_ * 2.2 / (f_ + 1.2 * (0.25 + 0.75 * (dl[i] / avgdl)))
+            s += _r6(idf * tfc)
+        out[i] = (s, len(hits))
+    return out
+
+
+def test_bm25_topk_docs_against_reference(spark, sf_smoke):
+    docs = read_parquet_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    scores = _bm25_reference(docs)
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+    expect = [
+        (r + 1, i, hits, float(s)) for r, (i, (s, hits)) in enumerate(ranked)
+    ]
+    got = [
+        (x.rank, x.doc_id, x.n_terms, x.bm25)
+        for x in QUERIES["bm25_topk_docs"](spark, sf_smoke)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expect
+
+
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    """Left-fold double accumulation — the order F.aggregate and
+    list_dot_product use (numpy dot blocks differently)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def test_rrf_fused_topk_against_reference(spark, sf_smoke):
+    import math
+
+    docs = read_parquet_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    lex_scores = _bm25_reference(docs)
+    lex_sorted = sorted(lex_scores.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    lex_rank = {i: r + 1 for r, (i, _) in enumerate(lex_sorted[:50])}
+
+    emb = read_parquet_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb}
+    q = vecs[0]
+    qn = math.sqrt(_fold_dot(q, q))
+    cos = {
+        i: _r6(_fold_dot(q, v) / (qn * math.sqrt(_fold_dot(v, v))))
+        for i, v in vecs.items()
+        if i != 0
+    }
+    sem_sorted = sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))
+    sem_rank = {i: r + 1 for r, (i, _) in enumerate(sem_sorted[:50])}
+
+    fused = {
+        i: (1_000_000_000 // (60 + lex_rank[i]) if i in lex_rank else 0)
+        + (1_000_000_000 // (60 + sem_rank[i]) if i in sem_rank else 0)
+        for i in set(lex_rank) | set(sem_rank)
+    }
+    top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    expect = [
+        (r + 1, i, lex_rank.get(i), sem_rank.get(i), f)
+        for r, (i, f) in enumerate(top)
+    ]
+    got = [
+        (x.rank, x.id, x.lex_rank, x.sem_rank, x.fused_ppb)
+        for x in QUERIES["rrf_fused_topk"](spark, sf_smoke)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expect
+
+
+def test_gopher_quality_flags_against_reference(spark, sf_smoke):
+    docs = read_parquet_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    expect = {}
+    for d in docs:
+        tk = [t.lower() for t in _toks(d.text)]
+        w = len(tk)
+        chars = sum(len(t) for t in tk)
+        n_sym = sum(1 for t in tk if "#" in t or "..." in t)
+        n_alpha = sum(1 for t in tk if re.search("[a-z]", t))
+        n_stop = len(set(tk) & set(GOPHER_STOPS))
+        flags = (
+            50 <= w <= 100_000,
+            3 * w <= chars <= 10 * w,
+            10 * n_sym <= w,
+            5 * n_alpha >= 4 * w,
+            n_stop >= 2,
+        )
+        expect[d.doc_id] = (w, *flags, all(flags))
+    got = {
+        x.doc_id: (
+            x.n_tokens,
+            x.flag_word_count,
+            x.flag_mean_word_len,
+            x.flag_symbol_ratio,
+            x.flag_alpha_words,
+            x.flag_stopwords,
+            x.pass_gopher,
+        )
+        for x in QUERIES["gopher_quality_flags"](spark, sf_smoke).collect()
+    }
+    assert got == expect
+
+
+def test_quality_calibration_bins_against_reference(spark, sf_smoke):
+    from fsc_etl_spark.functions.text import LANG_STOPWORDS
+
+    docs = read_parquet_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text", "lang"
+    ).collect()
+    stops = set(LANG_STOPWORDS["en"])
+    rows = []
+    for d in docs:
+        tk = _toks(d.text)  # raw case, matching stopword_count's input
+        n_stop = sum(1 for t in tk if t in stops)
+        rows.append(
+            (
+                (1_000_000 * n_stop) // max(len(tk), 1),
+                d.doc_id,
+                1 if d.lang == "en" else 0,
+            )
+        )
+    rows.sort()
+    n = len(rows)
+    q, r = divmod(n, 10)
+    expect = {}
+    pos = 0
+    for b in range(1, 11):
+        size = q + 1 if b <= r else q
+        chunk = rows[pos : pos + size]
+        pos += size
+        if not chunk:
+            continue
+        n_pos = sum(c[2] for c in chunk)
+        ssum = sum(c[0] for c in chunk)
+        expect[b] = (
+            len(chunk),
+            n_pos,
+            ssum // len(chunk),
+            (1_000_000 * n_pos) // len(chunk),
+        )
+    got = {
+        x.bin: (x.n, x.n_pos, x.mean_score_ppm, x.pos_rate_ppm)
+        for x in QUERIES["quality_calibration_bins"](spark, sf_smoke).collect()
+    }
+    assert got == expect
+
+
+def test_embed_covariance_topk_numpy_reference(spark, sf_smoke):
+    import numpy as np
+
+    emb = read_parquet_table(spark, sf_smoke, "embeddings").select(
+        "embedding"
+    ).collect()
+    M = np.array([[float(x) for x in r.embedding] for r in emb], dtype=np.float64)
+    A = M * 262144.0
+    Q = (np.sign(A) * np.floor(np.abs(A) + 0.5)).astype(object)  # exact ints
+    n = Q.shape[0]
+    s1 = Q.sum(axis=0)
+    cand = []
+    for i in range(Q.shape[1]):
+        for j in range(i + 1, Q.shape[1]):
+            s2 = int((Q[:, i] * Q[:, j]).sum())
+            cov = n * s2 - int(s1[i]) * int(s1[j])
+            cand.append((i + 1, j + 1, cov))
+    cand.sort(key=lambda t: (-abs(t[2]), t[0], t[1]))
+    expect = [(r + 1, di, dj, cov) for r, (di, dj, cov) in enumerate(cand[:10])]
+    got = [
+        (x.rank, x.di, x.dj, x.cov_q)
+        for x in QUERIES["embed_covariance_topk"](spark, sf_smoke)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expect
