@@ -140,6 +140,12 @@ PROBE_QUERIES = [
     "embed_int8_quant_stats",   # scalar max + map-side quantize
     "embed_hard_negatives",     # broadcast queries x label-pruned corpus
     "bpe_pair_counts",          # word count + vocab-bounded pair agg
+    # round-8 additions
+    "bm25_topk_docs",           # control-row stats + one keyed shuffle + heap top-k
+    "rrf_fused_topk",           # two bounded rankings + 50x50 fusion join
+    "gopher_quality_flags",     # zero-shuffle per-row rule expressions
+    "quality_calibration_bins", # histogram-decomposed deciles, no global sort
+    "embed_covariance_topk",    # map-side d x d integer matmul reduction
 ]
 
 
