@@ -84,6 +84,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_flags",  # Gopher rule set, integer-exact
         "quality_calibration_bins",  # reliability table, scalable deciles
         "embed_covariance_topk",  # fixed-point covariance screen
+        "exact_quantiles_scalable",  # nearest-rank quantiles, no global sort
+        "heaps_law_vocab_growth",  # vocabulary growth checkpoints
+        "embed_matryoshka_recall",  # truncated-dim recall@10
+        "bm25_prf_expansion",  # pseudo-relevance-feedback terms
         # --- round-8: checking contract touched (ADVICE fixes) ---
         "embed_int8_quant_stats",  # s=0 divisor guard (both engines)
         "embed_semdedup_trained",  # oracle now lazily generated
@@ -131,12 +135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming, multimodal, format, incremental) ---
         "q1_pricing_summary",
         "star_assembly",
-        "minhash_signature",
-        "simhash_signature",
         "multimodal_features",
         "pagerank_copurchase",
-        "triangle_count_coparts",
-        "kmeans_cluster_stats",
     ]
     assert len(priority) == 50, f"driver window must be exactly 50, got {len(priority)}"
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -300,6 +300,17 @@ BENCH_QUERIES = [
     # benched, over a docs-sized input.
     "bm25_topk_docs",
     "embed_covariance_topk",
+    # round-8 second batch: exact_quantiles_scalable IS benched — the
+    # 4-target non-equi range-join rank pick over the value histogram
+    # is a new shape (decile_bucket_scalable buckets every row
+    # instead). heaps_law_vocab_growth IS benched — the min-doc-per-
+    # token agg + checkpoint fold differs from token_vocab_topk's
+    # count-ranked top-k. embed_matryoshka_recall is OFF-bench (two
+    # passes of the benched cosine shape + a 10x10 join);
+    # bm25_prf_expansion is OFF-bench (the benched bm25 pipeline +
+    # the benched tfidf df-shuffle, composed).
+    "exact_quantiles_scalable",
+    "heaps_law_vocab_growth",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -667,7 +667,50 @@ def histogram_price_buckets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def exact_quantiles_scalable(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT p50/p90/p99/p99.9 of o_totalprice WITHOUT a global row
+    sort — the tail-latency/price-distribution readout every 100 TB
+    profile job wants exactly, not approximately.
+
+    Same decomposition family as decile_bucket_scalable: the rank
+    domain collapses onto a value histogram (2-dp decimals in a fixed
+    range — dimension-sized at any corpus scale), the cumulative
+    count rides a histogram-sized window, and each target rank
+    k_q = (q‰·(n−1)) div 1000 + 1 (the lower nearest-rank definition)
+    picks MIN(value | cum ≥ k) through a 4×|hist| bounded range join.
+    All integer arithmetic — bit-identical to the sorted-row-number
+    oracle, which is an independent construction (ORDER BY + rank
+    pick), not a histogram twin.
+    """
+    vals = t(spark, sf, "orders").select("o_totalprice")
+    hist = vals.groupBy("o_totalprice").agg(F.count(F.lit(1)).alias("cnt"))
+    cum_w = Window.orderBy("o_totalprice").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "o_totalprice", F.sum("cnt").over(cum_w).alias("cum_le")
+    )
+    n = vals.agg(F.count(F.lit(1)).alias("n"))
+    targets = n.select(
+        "n",
+        F.explode(F.array(*[F.lit(q) for q in (500, 900, 990, 999)])).alias(
+            "q_permille"
+        ),
+    ).withColumn("k", F.expr("(q_permille * (n - 1)) div 1000 + 1"))
+    picked = (
+        cum.join(
+            F.broadcast(targets), F.col("cum_le") >= F.col("k"), "inner"
+        )
+        .groupBy("q_permille", "n", "k")
+        .agg(F.min("o_totalprice").alias("value"))
+    )
+    return picked.select(
+        F.col("q_permille").cast("int").alias("q_permille"), "n", "k", "value"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "exact_quantiles_scalable": exact_quantiles_scalable,
     "q4_priority_exists": q4_priority_exists,
     "q10_returned_items": q10_returned_items,
     "q12_priority_by_status": q12_priority_by_status,
@@ -703,6 +746,23 @@ _DISC_PRICE_SQL = (
 )
 
 MORE_ORACLES: dict[str, str] = {}
+
+# Independent construction (sorted row_number rank pick, not a
+# histogram twin): value at rank k = (q‰·(n−1)) div 1000 + 1.
+MORE_ORACLES["exact_quantiles_scalable"] = """
+WITH s AS (
+  SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rk
+  FROM orders
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+t AS (SELECT unnest([500, 900, 990, 999]) AS q_permille),
+k AS (SELECT t.q_permille, n.n,
+             (t.q_permille * (n.n - 1)) // 1000 + 1 AS k
+      FROM t CROSS JOIN n)
+SELECT CAST(k.q_permille AS INT) AS q_permille, k.n, CAST(k.k AS BIGINT) AS k,
+       s.o_totalprice AS value
+FROM k JOIN s ON s.rk = k.k
+"""
 
 MORE_ORACLES["q4_priority_exists"] = """
 SELECT o_orderpriority, COUNT(*) AS order_count

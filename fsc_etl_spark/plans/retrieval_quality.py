@@ -420,12 +420,135 @@ def embed_covariance_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def heaps_law_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law readout): cumulative
+    distinct-token count at ten id-range checkpoints of the corpus —
+    the statistic that decides whether a tokenizer's vocab budget
+    saturates before the corpus does.
+
+    Integer-exact decomposition: each token contributes at the
+    checkpoint of its FIRST document, c = (10·first_doc) div N + 1
+    (equivalent to "first_doc < ceil(N·c/10)", checkpoint bounds are
+    id ranges over the contiguous fixture ids); one tok-keyed shuffle
+    (min-doc per token), then a 10-row cumulative window. Checkpoints
+    with no new tokens still emit rows (generated 1..10 and left-
+    joined). N rides in as a collected literal (1-row control).
+    """
+    docs = t(spark, sf, "documents")
+    n = docs.count()
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    fd = tok.groupBy("tok").agg(F.min("doc_id").alias("fd"))
+    new_per_cp = fd.select(
+        F.expr(f"(10 * fd) div {n} + 1").alias("checkpoint")
+    ).groupBy("checkpoint").agg(F.count(F.lit(1)).alias("new_tokens"))
+    cps = spark.range(1, 11).select(F.col("id").cast("bigint").alias("checkpoint"))
+    w = Window.orderBy("checkpoint").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        cps.join(new_per_cp, "checkpoint", "left")
+        .select(
+            F.col("checkpoint").cast("int").alias("checkpoint"),
+            F.expr(f"({n}L * checkpoint + 9) div 10").alias("n_docs_prefix"),
+            F.coalesce(F.col("new_tokens"), F.lit(0)).cast("bigint").alias(
+                "new_tokens"
+            ),
+        )
+        .withColumn("cum_vocab", F.sum("new_tokens").over(w).cast("bigint"))
+    )
+
+
+def embed_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@10 of prefix-truncated (16-dim) cosine search against
+    the full 64-dim ranking — the acceptance test for Matryoshka-style
+    dimension truncation (can the cheap prefix index serve candidate
+    generation?). Per query (vec_id < 5): how many of the true top-10
+    survive in the truncated top-10, as an exact integer and a
+    recall percentage.
+
+    Both rankings are the established cosine_topk contract (6dp
+    round-then-rank, vec_id tie-break, broadcast query side); the
+    overlap join is 10x10-bounded per query.
+    """
+    emb = t(spark, sf, "embeddings")
+    full = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    trunc = cosine_topk(emb16, emb16.filter(F.col("vec_id") < 5), k=10)
+    hits = (
+        full.join(
+            trunc.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    qids = full.select("query_id").distinct()
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint").alias("n_common"),
+        (F.coalesce(F.col("n_common"), F.lit(0)) * 10)
+        .cast("int")
+        .alias("recall_pct"),
+    )
+
+
+def bm25_prf_expansion(spark: SparkSession, sf: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (the RM/Rocchio step
+    of classical retrieval): take the BM25 top-10 documents, score
+    every non-query term in them by tf-in-feedback-set · linear idf
+    (tf · (N+1)/(df+1), the tfidf_top_terms determinism argument:
+    division and multiplication are correctly rounded, log is not),
+    and emit the top-15 expansion terms.
+
+    Scale shape: the feedback set is 10 doc ids (broadcast semi
+    join); corpus df is one tok-keyed shuffle over doc-distinct
+    tokens; ranking is heap-merge TakeOrdered. N rides as a collected
+    literal.
+    """
+    docs = t(spark, sf, "documents")
+    n_docs = docs.count()
+    scored = _bm25_scored(docs)
+    top10 = scored.orderBy(F.col("score_sum").desc(), F.col("doc_id")).limit(10)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    fb_tf = (
+        tok.join(F.broadcast(top10.select("doc_id")), "doc_id", "left_semi")
+        .filter(~F.col("tok").isin(*BM25_QUERY_TERMS))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf_fb"))
+    )
+    df_ = (
+        tok.dropDuplicates(["doc_id", "tok"])
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    ranked = (
+        fb_tf.join(df_, "tok")
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf_fb") * F.expr(f"cast({n_docs} + 1 as double)") / (F.col("df") + 1),
+                6,
+            ),
+        )
+        .orderBy(F.col("score").desc(), F.col("tok"))
+        .limit(15)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("tok"))
+    return ranked.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "tok", "tf_fb", "df", "score"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_docs": bm25_topk_docs,
     "rrf_fused_topk": rrf_fused_topk,
     "gopher_quality_flags": gopher_quality_flags,
     "quality_calibration_bins": quality_calibration_bins,
     "embed_covariance_topk": embed_covariance_topk,
+    "heaps_law_vocab_growth": heaps_law_vocab_growth,
+    "embed_matryoshka_recall": embed_matryoshka_recall,
+    "bm25_prf_expansion": bm25_prf_expansion,
 }
 
 
@@ -555,6 +678,84 @@ SELECT CAST(bin AS INT) AS bin,
        CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS mean_score_ppm,
        CAST((1000000 * SUM(is_en)) // COUNT(*) AS BIGINT) AS pos_rate_ppm
 FROM binned GROUP BY bin
+"""
+
+RETRIEVAL_ORACLES["heaps_law_vocab_growth"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_LT}) AS tok FROM documents),
+fd AS (SELECT tok, MIN(doc_id) AS fd FROM tok GROUP BY tok),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+b AS (SELECT (10 * fd) // n.n + 1 AS checkpoint,
+             CAST(COUNT(*) AS BIGINT) AS new_tokens
+      FROM fd CROSS JOIN n GROUP BY 1),
+c AS (SELECT unnest(range(1, 11)) AS checkpoint)
+SELECT CAST(c.checkpoint AS INT) AS checkpoint,
+       (n.n * c.checkpoint + 9) // 10 AS n_docs_prefix,
+       CAST(COALESCE(b.new_tokens, 0) AS BIGINT) AS new_tokens,
+       CAST(SUM(COALESCE(b.new_tokens, 0))
+              OVER (ORDER BY c.checkpoint) AS BIGINT) AS cum_vocab
+FROM c CROSS JOIN n LEFT JOIN b ON b.checkpoint = c.checkpoint
+"""
+
+RETRIEVAL_ORACLES["embed_matryoshka_recall"] = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+e16 AS (SELECT vec_id, list_transform(list_slice(embedding, 1, 16),
+                                      x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+fullr AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND(list_dot_product(q.v, e.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
+             e.vec_id) AS rank
+    FROM e, (SELECT * FROM e WHERE vec_id < 5) q
+    WHERE e.vec_id <> q.vec_id
+  ) WHERE rank <= 10
+),
+truncr AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, e16.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND(list_dot_product(q.v, e16.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(e16.v, e16.v))), 6) DESC,
+             e16.vec_id) AS rank
+    FROM e16, (SELECT * FROM e16 WHERE vec_id < 5) q
+    WHERE e16.vec_id <> q.vec_id
+  ) WHERE rank <= 10
+)
+SELECT f.query_id,
+       CAST(COUNT(t.vec_id) AS BIGINT) AS n_common,
+       CAST(COUNT(t.vec_id) * 10 AS INT) AS recall_pct
+FROM fullr f LEFT JOIN truncr t
+  ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+GROUP BY f.query_id
+"""
+
+RETRIEVAL_ORACLES["bm25_prf_expansion"] = f"""
+WITH {_BM25_SCORED},
+top10 AS (SELECT doc_id FROM scored ORDER BY score_sum DESC, doc_id LIMIT 10),
+fb AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf_fb
+  FROM tok WHERE doc_id IN (SELECT doc_id FROM top10)
+    AND tok NOT IN ({_terms_sql})
+  GROUP BY tok
+),
+docfreq AS (
+  SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY tok
+),
+n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+ranked AS (
+  SELECT fb.tok, fb.tf_fb, docfreq.df,
+         ROUND(fb.tf_fb * CAST(n2.n_docs + 1 AS DOUBLE) / (docfreq.df + 1), 6)
+           AS score
+  FROM fb JOIN docfreq USING (tok) CROSS JOIN n2
+)
+SELECT CAST(rank AS INT) AS rank, tok, tf_fb, df, score
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, tok) AS rank FROM ranked)
+WHERE rank <= 15
 """
 
 RETRIEVAL_ORACLES["embed_covariance_topk"] = f"""

@@ -146,6 +146,10 @@ PROBE_QUERIES = [
     "gopher_quality_flags",     # zero-shuffle per-row rule expressions
     "quality_calibration_bins", # histogram-decomposed deciles, no global sort
     "embed_covariance_topk",    # map-side d x d integer matmul reduction
+    "exact_quantiles_scalable", # value-histogram rank pick, no global sort
+    "heaps_law_vocab_growth",   # tok-keyed min-agg + checkpoint fold
+    "embed_matryoshka_recall",  # two bounded cosine rankings + overlap
+    "bm25_prf_expansion",       # feedback semi join + corpus df shuffle
 ]
 
 

@@ -82,6 +82,10 @@ def test_driver_sample_prefix_covers_priority_groups():
     # the winnow fix and the trained-tier hash upgrades.
     changed_this_round = {
         "bm25_topk_docs",
+        "exact_quantiles_scalable",
+        "heaps_law_vocab_growth",
+        "embed_matryoshka_recall",
+        "bm25_prf_expansion",
         "rrf_fused_topk",
         "gopher_quality_flags",
         "quality_calibration_bins",

@@ -232,3 +232,141 @@ def test_embed_covariance_topk_numpy_reference(spark, sf_smoke):
         .collect()
     ]
     assert got == expect
+
+
+def test_exact_quantiles_scalable_against_reference(spark, sf_smoke):
+    """Nearest-rank quantiles recomputed by literally sorting the
+    values and indexing k = (q‰·(n−1)) div 1000 + 1 — no histogram,
+    no window."""
+    from fsc_etl_spark.plans.analytics_more import QUERIES as MQ
+
+    vals = sorted(
+        r.o_totalprice
+        for r in read_parquet_table(spark, sf_smoke, "orders")
+        .select("o_totalprice")
+        .collect()
+    )
+    n = len(vals)
+    expect = {}
+    for q in (500, 900, 990, 999):
+        k = (q * (n - 1)) // 1000 + 1
+        expect[q] = (n, k, vals[k - 1])
+    got = {
+        x.q_permille: (x.n, x.k, x.value)
+        for x in MQ["exact_quantiles_scalable"](spark, sf_smoke).collect()
+    }
+    assert got == expect
+
+
+def test_heaps_law_vocab_growth_against_reference(spark, sf_smoke):
+    """Vocabulary growth recomputed with a first-seen set sweep in
+    doc_id order — no min-doc shuffle decomposition."""
+    docs = sorted(
+        read_parquet_table(spark, sf_smoke, "documents")
+        .select("doc_id", "text")
+        .collect(),
+        key=lambda d: d.doc_id,
+    )
+    n = len(docs)
+    seen: set[str] = set()
+    new_at = {c: 0 for c in range(1, 11)}
+    for d in docs:
+        c = (10 * d.doc_id) // n + 1
+        for tk in _toks(d.text):
+            tk = tk.lower()
+            if tk not in seen:
+                seen.add(tk)
+                new_at[c] += 1
+    expect, cum = {}, 0
+    for c in range(1, 11):
+        cum += new_at[c]
+        expect[c] = ((n * c + 9) // 10, new_at[c], cum)
+    got = {
+        x.checkpoint: (x.n_docs_prefix, x.new_tokens, x.cum_vocab)
+        for x in QUERIES["heaps_law_vocab_growth"](spark, sf_smoke).collect()
+    }
+    assert got == expect
+
+
+def test_embed_matryoshka_recall_against_reference(spark, sf_smoke):
+    emb = read_parquet_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    import math
+
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb}
+
+    def topk(d: int) -> dict[int, set[int]]:
+        out = {}
+        for q in (i for i in vecs if i < 5):
+            qv = vecs[q][:d]
+            qn = math.sqrt(_fold_dot(qv, qv))
+            scoredv = sorted(
+                (
+                    (
+                        -_r6(
+                            _fold_dot(qv, v[:d])
+                            / (qn * math.sqrt(_fold_dot(v[:d], v[:d])))
+                        ),
+                        i,
+                    )
+                    for i, v in vecs.items()
+                    if i != q
+                ),
+            )[:10]
+            out[q] = {i for _, i in scoredv}
+        return out
+
+    full, trunc = topk(64), topk(16)
+    expect = {q: len(full[q] & trunc[q]) for q in full}
+    got = {
+        x.query_id: x.n_common
+        for x in QUERIES["embed_matryoshka_recall"](spark, sf_smoke).collect()
+    }
+    assert got == expect
+    got_pct = {
+        x.query_id: x.recall_pct
+        for x in QUERIES["embed_matryoshka_recall"](spark, sf_smoke).collect()
+    }
+    assert got_pct == {q: 10 * v for q, v in expect.items()}
+
+
+def test_bm25_prf_expansion_against_reference(spark, sf_smoke):
+    docs = read_parquet_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    scores = _bm25_reference(docs)
+    top10 = {
+        i
+        for i, _ in sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[
+            :10
+        ]
+    }
+    toks = {d.doc_id: [t.lower() for t in _toks(d.text)] for d in docs}
+    n = len(toks)
+    tf_fb: dict[str, int] = {}
+    for i in top10:
+        for tk in toks[i]:
+            if tk not in BM25_QUERY_TERMS:
+                tf_fb[tk] = tf_fb.get(tk, 0) + 1
+    df: dict[str, int] = {}
+    for tk_list in toks.values():
+        for tk in set(tk_list):
+            df[tk] = df.get(tk, 0) + 1
+    ranked = sorted(
+        (
+            (tk, f, df[tk], _r6(f * float(n + 1) / (df[tk] + 1)))
+            for tk, f in tf_fb.items()
+        ),
+        key=lambda r: (-r[3], r[0]),
+    )[:15]
+    expect = [
+        (r + 1, tk, f, d, float(s)) for r, (tk, f, d, s) in enumerate(ranked)
+    ]
+    got = [
+        (x.rank, x.tok, x.tf_fb, x.df, x.score)
+        for x in QUERIES["bm25_prf_expansion"](spark, sf_smoke)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expect
