@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_law_vocab_growth",  # vocabulary growth checkpoints
         "embed_matryoshka_recall",  # truncated-dim recall@10
         "bm25_prf_expansion",  # pseudo-relevance-feedback terms
+        "streaming_quality_gate",  # stream-static Gopher ingest gate
         # --- round-8: checking contract touched (ADVICE fixes) ---
         "embed_int8_quant_stats",  # s=0 divisor guard (both engines)
         "embed_semdedup_trained",  # oracle now lazily generated
@@ -134,7 +135,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # spanning every family (TPC-H, star, dedup, sketch, graph,
         # streaming, multimodal, format, incremental) ---
         "q1_pricing_summary",
-        "star_assembly",
         "multimodal_features",
         "pagerank_copurchase",
     ]

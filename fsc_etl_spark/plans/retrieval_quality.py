@@ -220,21 +220,11 @@ GOPHER_STOPS: tuple[str, ...] = (
 )
 
 
-def gopher_quality_flags(spark: SparkSession, sf: str) -> DataFrame:
-    """The Gopher document-quality rule set as pure integer tests.
-
-    Every rule is an integer inequality (ratios cleared of division:
-    mean word length in [3,10] becomes 3·w <= c <= 10·w), so the
-    oracle is exact with no float anywhere. Rules, per Rae et al.
-    2021 §A1.1: word count in [50, 100k]; mean word length in [3,10];
-    symbol-to-word ratio (# / "...") <= 0.1; >= 80% of words contain
-    an alphabetic character; >= 2 of 8 designated stopwords present
-    (distinct presence, not occurrences).
-
-    100 TB shape: one scan, zero shuffles — every rule is a per-row
-    expression over the token array.
-    """
-    docs = t(spark, sf, "documents")
+def gopher_rule_columns():
+    """The Gopher rules as pure per-row Column expressions over the
+    `text` column — shared by the batch flag table and the streaming
+    ingest gate (stateless map-side in both). Returns (n_tokens,
+    {flag_name: bool Column})."""
     toks = tokens(F.lower(F.col("text")))
     n_tok = F.size(toks).cast("bigint")
     tok_chars = F.aggregate(
@@ -255,6 +245,25 @@ def gopher_quality_flags(spark: SparkSession, sf: str) -> DataFrame:
         "flag_alpha_words": 5 * n_alpha >= 4 * n_tok,
         "flag_stopwords": n_stop_distinct >= 2,
     }
+    return n_tok, flags
+
+
+def gopher_quality_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """The Gopher document-quality rule set as pure integer tests.
+
+    Every rule is an integer inequality (ratios cleared of division:
+    mean word length in [3,10] becomes 3·w <= c <= 10·w), so the
+    oracle is exact with no float anywhere. Rules, per Rae et al.
+    2021 §A1.1: word count in [50, 100k]; mean word length in [3,10];
+    symbol-to-word ratio (# / "...") <= 0.1; >= 80% of words contain
+    an alphabetic character; >= 2 of 8 designated stopwords present
+    (distinct presence, not occurrences).
+
+    100 TB shape: one scan, zero shuffles — every rule is a per-row
+    expression over the token array.
+    """
+    docs = t(spark, sf, "documents")
+    n_tok, flags = gopher_rule_columns()
     out = docs.select(
         "doc_id",
         n_tok.alias("n_tokens"),

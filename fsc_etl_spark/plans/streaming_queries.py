@@ -351,6 +351,39 @@ def streaming_dsir_gate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def streaming_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAM-STATIC corpus-health gate at ingest: every incoming
+    document evaluates the Gopher rule set (stateless, map-side —
+    gopher_rule_columns is pure per-row expressions) and the stream
+    maintains ONE bounded aggregate: per-source document/pass counts —
+    the live dashboard row an ingest pipeline watches to catch a
+    poisoned or degraded source before it pollutes the corpus.
+    Streaming state is |sources| rows; converged complete-mode output
+    == the batch per-source rollup, so the oracle is the batch SQL.
+    Integer-exact (counts + ppm div), no float anywhere."""
+    from fsc_etl_spark.plans.retrieval_quality import gopher_rule_columns
+    from fsc_etl_spark.streaming import stream_documents
+
+    _, flags = gopher_rule_columns()
+    pass_all = None
+    for c in flags.values():
+        pass_all = c if pass_all is None else (pass_all & c)
+    stream = stream_documents(spark, sf).select(
+        "source", pass_all.cast("int").alias("p")
+    )
+    agg = stream.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("p").cast("bigint").alias("n_pass"),
+    )
+    converged = run_to_memory(agg, output_mode="complete")
+    return converged.select(
+        "source",
+        "n_docs",
+        "n_pass",
+        F.expr("(1000000 * n_pass) div n_docs").alias("pass_ppm"),
+    )
+
+
 def streaming_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """INCREMENTAL sub-document dedup against historical state — the
     production shape for continuous corpus ingestion: documents arrive
@@ -486,6 +519,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_cms_counts": streaming_cms_counts,
     "streaming_hll_registers": streaming_hll_registers,
     "streaming_dsir_gate": streaming_dsir_gate,
+    "streaming_quality_gate": streaming_quality_gate,
 }
 
 
@@ -680,3 +714,38 @@ FROM f GROUP BY bucket
 from fsc_etl_spark.plans.oracles_training import TRAINING_ORACLES as _T
 
 STREAMING_ORACLES["streaming_dsir_gate"] = _T["dsir_importance_weights"]
+
+# Converged stream-static Gopher gate == the batch per-source rollup
+# (complete-mode groupBy over the full fixture = one logical pass).
+# Rules recomposed here from Rae et al. 2021 §A1.1 (independent of
+# the per-doc gopher_quality_flags oracle text).
+STREAMING_ORACLES["streaming_quality_gate"] = """
+WITH base AS (
+  SELECT source,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+m AS (
+  SELECT source,
+         CAST(len(tk) AS BIGINT) AS w,
+         CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS c,
+         CAST(len(list_filter(tk, x -> contains(x, '#')
+                                     OR contains(x, '...'))) AS BIGINT) AS sym,
+         CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha,
+         CAST(len(list_intersect(tk, ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stp
+  FROM base
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN w >= 50 AND w <= 100000
+                      AND 3 * w <= c AND c <= 10 * w
+                      AND 10 * sym <= w
+                      AND 5 * alpha >= 4 * w
+                      AND stp >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST((1000000 * SUM(CASE WHEN w >= 50 AND w <= 100000
+                      AND 3 * w <= c AND c <= 10 * w
+                      AND 10 * sym <= w
+                      AND 5 * alpha >= 4 * w
+                      AND stp >= 2 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS pass_ppm
+FROM m GROUP BY source
+"""

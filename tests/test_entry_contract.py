@@ -86,6 +86,7 @@ def test_driver_sample_prefix_covers_priority_groups():
         "heaps_law_vocab_growth",
         "embed_matryoshka_recall",
         "bm25_prf_expansion",
+        "streaming_quality_gate",
         "rrf_fused_topk",
         "gopher_quality_flags",
         "quality_calibration_bins",
