@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_matryoshka_recall",  # truncated-dim recall@10
         "bm25_prf_expansion",  # pseudo-relevance-feedback terms
         "streaming_quality_gate",  # stream-static Gopher ingest gate
+        "embed_power_iteration",  # integer power-iteration top PC
         # --- round-8: checking contract touched (ADVICE fixes) ---
         "embed_int8_quant_stats",  # s=0 divisor guard (both engines)
         "embed_semdedup_trained",  # oracle now lazily generated
@@ -136,7 +137,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming, multimodal, format, incremental) ---
         "q1_pricing_summary",
         "multimodal_features",
-        "pagerank_copurchase",
     ]
     assert len(priority) == 50, f"driver window must be exactly 50, got {len(priority)}"
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -308,7 +308,11 @@ BENCH_QUERIES = [
     # count-ranked top-k. embed_matryoshka_recall is OFF-bench (two
     # passes of the benched cosine shape + a 10x10 join);
     # bm25_prf_expansion is OFF-bench (the benched bm25 pipeline +
-    # the benched tfidf df-shuffle, composed).
+    # the benched tfidf df-shuffle, composed). embed_power_iteration
+    # is OFF-bench: its data-sized stage is the SAME mapInPandas
+    # d×d-moment partial reduction already benched as
+    # embed_covariance_topk (diag_k differs only); the remaining work
+    # is an O(d²) driver-side iteration independent of corpus size.
     "exact_quantiles_scalable",
     "heaps_law_vocab_growth",
 ]

@@ -338,6 +338,46 @@ def quality_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _quantized_moment_partials(diag_k: int):
+    """mapInPandas stage shared by the covariance screen and the
+    power-iteration PCA: per partition, quantize (2^18 grid, half-away
+    rounding — rint would round half-to-even and fork on exact halves)
+    and reduce to ONE d×d int64 matmul (upper triangle from offset
+    ``diag_k``) + first moments + row count. Emits (di, dj, v) rows:
+    dj>0 pair sums, dj=0 first moments, di=0 the count."""
+
+    def _partials(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        S = np.zeros((_EMB_DIM, _EMB_DIM), dtype=np.int64)
+        s1 = np.zeros(_EMB_DIM, dtype=np.int64)
+        n_rows = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            A = M * _COV_SCALE  # exact: power-of-two scale
+            Q = (np.sign(A) * np.floor(np.abs(A) + 0.5)).astype(np.int64)
+            S += Q.T @ Q
+            s1 += Q.sum(axis=0)
+            n_rows += Q.shape[0]
+        if n_rows == 0:
+            return
+        iu = np.triu_indices(_EMB_DIM, k=diag_k)
+        yield pd.DataFrame(
+            {
+                "di": np.concatenate([iu[0] + 1, np.arange(1, _EMB_DIM + 1), [0]]),
+                "dj": np.concatenate([iu[1] + 1, np.zeros(_EMB_DIM, np.int64), [0]]),
+                "v": np.concatenate([S[iu], s1, [n_rows]]),
+            }
+        )
+
+    return _partials
+
+
 def embed_covariance_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Top-10 |covariance| dimension pairs of the embedding corpus on
     a 2^18 fixed-point grid — the dimension-redundancy screen run
@@ -357,42 +397,10 @@ def embed_covariance_topk(spark: SparkSession, sf: str) -> DataFrame:
     carries O(d²) rows per partition, never a per-row pair explode;
     the final agg + moment join is dimension-sized.
     """
-    import pandas as pd  # noqa: F401 — signature requirement
-
     emb = t(spark, sf, "embeddings").select("embedding")
-
-    def _partials(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import numpy as np
-        import pandas as pd
-
-        S = np.zeros((_EMB_DIM, _EMB_DIM), dtype=np.int64)
-        s1 = np.zeros(_EMB_DIM, dtype=np.int64)
-        n_rows = 0
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            M = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
-            A = M * _COV_SCALE  # exact: power-of-two scale
-            # half-away-from-zero, matching Spark/DuckDB ROUND (rint
-            # would round half-to-even and fork on exact halves)
-            Q = (np.sign(A) * np.floor(np.abs(A) + 0.5)).astype(np.int64)
-            S += Q.T @ Q
-            s1 += Q.sum(axis=0)
-            n_rows += Q.shape[0]
-        if n_rows == 0:
-            return
-        iu = np.triu_indices(_EMB_DIM, k=1)
-        yield pd.DataFrame(
-            {
-                "di": np.concatenate([iu[0] + 1, np.arange(1, _EMB_DIM + 1), [0]]),
-                "dj": np.concatenate([iu[1] + 1, np.zeros(_EMB_DIM, np.int64), [0]]),
-                "v": np.concatenate([S[iu], s1, [n_rows]]),
-            }
-        )
-
-    partials = emb.mapInPandas(_partials, schema="di int, dj int, v long")
+    partials = emb.mapInPandas(
+        _quantized_moment_partials(diag_k=1), schema="di int, dj int, v long"
+    )
     # Three branches (pairs / moments / n) read the aggregated
     # partials; without a lineage break each branch re-runs the full
     # corpus scan + matmul (verified: MapInPandas appeared 3x in the
@@ -427,6 +435,88 @@ def embed_covariance_topk(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("rank", "di", "dj", "cov_q")
     )
+
+
+#: Power-iteration constants. Vector grid 2^12, matrix rescaled to
+#: |C_r| <= 2^30: the matvec then stays under 64 · 2^30 · 2^12 = 2^48
+#: and the renormalization product under 2^60 — int64-safe at every
+#: step, for any corpus.
+#: 40 rounds: the fixture embeddings are near-isotropic (measured
+#: λ2/λ1 = 0.93–0.99), so the DIRECTION converges slowly
+#: ((λ2/λ1)^k) while the Rayleigh VALUE converges at the squared
+#: rate — at 40 rounds the value sits ≥99% of the true top
+#: eigenvalue on both gate fixtures (numpy eigh on the same integer
+#: matrix). Fixed rounds keep the output deterministic regardless.
+_PI_ROUNDS = 40
+_PI_VSCALE = 4096  # 2^12
+_PI_CBOUND = 1 << 30
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — Spark's `div` and the
+    oracle's CASE-wrapped `//`; Python's bare // floors and would fork
+    on negative numerators."""
+    return -((-a) // b) if a < 0 else a // b
+
+
+def embed_power_iteration(spark: SparkSession, sf: str) -> DataFrame:
+    """Top principal component of the embedding corpus by INTEGER
+    power iteration — PCA's first step, bit-exact across engines
+    (no float eigensolver can be hash-oracled; this can).
+
+    Mechanism: the same 2^18-grid quantized covariance as
+    embed_covariance_topk, full matrix this time (diag included);
+    cov_q = n·Σqᵢqⱼ − Σqᵢ·Σqⱼ rescaled once by ceil(max|cov|/2^30)
+    (trunc division), then _PI_ROUNDS fixed rounds of v ← trunc(C_r v · 2^12 /
+    max|C_r v|) from the all-ones start. Every step is exact int64
+    arithmetic, so Spark, DuckDB, and plain Python agree bit-for-bit;
+    sign and convergence questions disappear (fixed start, fixed
+    rounds). Output per dimension: the final direction v_q (max-abs
+    = 2^12) and its image u_q = C_r v, whose ratio is the Rayleigh
+    eigenvalue estimate.
+
+    100 TB shape: the DATA-sized work — one corpus pass reduced
+    map-side to d×d int64 partials — is distributed; the iteration
+    itself runs on the collected d² moment rows (the kmeans-centroids
+    pattern: you never distribute a 64×64 matvec). Driver state is
+    O(d²) regardless of corpus size.
+    """
+    emb = t(spark, sf, "embeddings").select("embedding")
+    rows = (
+        emb.mapInPandas(
+            _quantized_moment_partials(diag_k=0), schema="di int, dj int, v long"
+        )
+        .groupBy("di", "dj")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    s2 = {}
+    s1 = [0] * (_EMB_DIM + 1)
+    n = 0
+    for r in rows:
+        if r["di"] == 0:
+            n = int(r["v"])
+        elif r["dj"] == 0:
+            s1[r["di"]] = int(r["v"])
+        else:
+            s2[(r["di"], r["dj"])] = int(r["v"])
+    cov = [[0] * _EMB_DIM for _ in range(_EMB_DIM)]
+    m = 0
+    for i in range(1, _EMB_DIM + 1):
+        for j in range(i, _EMB_DIM + 1):
+            c = n * s2[(i, j)] - s1[i] * s1[j]
+            cov[i - 1][j - 1] = cov[j - 1][i - 1] = c
+            m = max(m, abs(c))
+    d = max(1, (m + _PI_CBOUND - 1) // _PI_CBOUND)  # ceil, m >= 0
+    cr = [[_trunc_div(c, d) for c in row] for row in cov]
+    v = [_PI_VSCALE] * _EMB_DIM
+    u = [0] * _EMB_DIM
+    for _ in range(_PI_ROUNDS):
+        u = [sum(cr[i][j] * v[j] for j in range(_EMB_DIM)) for i in range(_EMB_DIM)]
+        mv = max(max(abs(x) for x in u), 1)
+        v = [_trunc_div(x * _PI_VSCALE, mv) for x in u]
+    out = [(i + 1, v[i], u[i]) for i in range(_EMB_DIM)]
+    return spark.createDataFrame(out, schema="dim int, v_q bigint, u_q bigint")
 
 
 def heaps_law_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
@@ -558,6 +648,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heaps_law_vocab_growth": heaps_law_vocab_growth,
     "embed_matryoshka_recall": embed_matryoshka_recall,
     "bm25_prf_expansion": bm25_prf_expansion,
+    "embed_power_iteration": embed_power_iteration,
 }
 
 
@@ -688,6 +779,92 @@ SELECT CAST(bin AS INT) AS bin,
        CAST((1000000 * SUM(is_en)) // COUNT(*) AS BIGINT) AS pos_rate_ppm
 FROM binned GROUP BY bin
 """
+
+def _power_iteration_oracle() -> str:
+    """Unrolled-CTE twin of embed_power_iteration: the full quantized
+    covariance (diag included, symmetric closure), one trunc-division
+    rescale, then _PI_ROUNDS matvec+renormalize rounds as generated
+    CTE pairs. Trunc division spelled as a CASE (DuckDB's // floors;
+    Spark's div and the driver loop truncate). cr/q re-referenced per
+    round => AS MATERIALIZED (the documented DuckDB CTE-reuse rule)."""
+
+    def tdiv(a: str, b: str) -> str:
+        return (
+            f"(CASE WHEN {a} >= 0 THEN ({a}) // ({b})"
+            f" ELSE -((-({a})) // ({b})) END)"
+        )
+
+    d1 = _EMB_DIM + 1
+    parts = [
+        f"""q AS MATERIALIZED (
+  SELECT list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * {_COV_SCALE!r}) AS BIGINT)) AS qs
+  FROM embeddings
+)""",
+        f"""pairh AS (
+  SELECT r1.i AS di, r2.j AS dj, CAST(SUM(qs[r1.i] * qs[r2.j]) AS BIGINT) AS s2
+  FROM q, range(1, {d1}) r1(i), range(1, {d1}) r2(j)
+  WHERE r1.i <= r2.j GROUP BY 1, 2
+)""",
+        f"""mom AS (
+  SELECT r1.i AS d, CAST(SUM(qs[r1.i]) AS BIGINT) AS s1
+  FROM q, range(1, {d1}) r1(i) GROUP BY 1
+)""",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q)",
+        """covh AS (
+  SELECT pairh.di, pairh.dj,
+         CAST(nn.n * pairh.s2 - mi.s1 * mj.s1 AS BIGINT) AS cov
+  FROM pairh JOIN mom mi ON mi.d = pairh.di
+             JOIN mom mj ON mj.d = pairh.dj
+             CROSS JOIN nn
+)""",
+        """cfull AS (
+  SELECT di AS i, dj AS j, cov FROM covh
+  UNION ALL
+  SELECT dj, di, cov FROM covh WHERE di <> dj
+)""",
+        f"""mm AS (
+  SELECT GREATEST((MAX(ABS(cov)) + {_PI_CBOUND - 1}) // {_PI_CBOUND},
+                  1) AS dd
+  FROM cfull
+)""",
+        f"""cr AS MATERIALIZED (
+  SELECT i, j, {tdiv('cov', 'dd')} AS crv FROM cfull, mm
+)""",
+        f"v0 AS (SELECT unnest(range(1, {d1})) AS i, CAST({_PI_VSCALE} AS BIGINT) AS v)",
+    ]
+    # EVERY per-round CTE is AS MATERIALIZED: u{k} is referenced
+    # twice (by m{k} and v{k}) and v{k} feeds the next round — left
+    # inline, DuckDB re-inlines the whole upstream chain per
+    # reference and the plan re-evaluates EXPONENTIALLY in the round
+    # count (measured: 40 rounds went from milliseconds to >7 min).
+    for k in range(1, _PI_ROUNDS + 1):
+        parts.append(
+            f"""u{k} AS MATERIALIZED (
+  SELECT cr.i, CAST(SUM(cr.crv * v{k - 1}.v) AS BIGINT) AS u
+  FROM cr JOIN v{k - 1} ON cr.j = v{k - 1}.i GROUP BY cr.i
+)"""
+        )
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT GREATEST(MAX(ABS(u)), 1) AS m FROM u{k})"
+        )
+        parts.append(
+            f"v{k} AS MATERIALIZED (SELECT i, {tdiv(f'u * {_PI_VSCALE}', 'm')} AS v"
+            f" FROM u{k}, m{k})"
+        )
+    last = _PI_ROUNDS
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(v{last}.i AS INT) AS dim, CAST(v{last}.v AS BIGINT) AS v_q,
+       CAST(u{last}.u AS BIGINT) AS u_q
+FROM v{last} JOIN u{last} ON u{last}.i = v{last}.i
+"""
+    )
+
+
+RETRIEVAL_ORACLES["embed_power_iteration"] = _power_iteration_oracle()
 
 RETRIEVAL_ORACLES["heaps_law_vocab_growth"] = f"""
 WITH tok AS (SELECT doc_id, unnest({_LT}) AS tok FROM documents),

@@ -370,3 +370,39 @@ def test_bm25_prf_expansion_against_reference(spark, sf_smoke):
         .collect()
     ]
     assert got == expect
+
+
+def test_embed_power_iteration_numpy_semantic_reference(spark, sf_smoke):
+    """Semantic (not bit) reference: the integer power iteration's
+    Rayleigh quotient must reach >=98% of the TRUE top eigenvalue of
+    the same rescaled integer covariance matrix, computed by numpy's
+    independent eigensolver — pinning that the exact integer
+    arithmetic still computes PCA, not just something deterministic.
+    (Direction alignment is deliberately not asserted: the fixture
+    spectra are near-isotropic — measured lambda2/lambda1 up to 0.99 —
+    so the direction is ill-conditioned while the value converges at
+    the squared rate.)"""
+    import numpy as np
+
+    emb = read_parquet_table(spark, sf_smoke, "embeddings").select(
+        "embedding"
+    ).collect()
+    M = np.array([[float(x) for x in r.embedding] for r in emb])
+    n = M.shape[0]
+    A = M * 262144.0
+    Q = np.sign(A) * np.floor(np.abs(A) + 0.5)
+    covq = n * (Q.T @ Q) - np.outer(Q.sum(0), Q.sum(0))
+    m = np.abs(covq).max()
+    d = max(1, -(-int(m) // (1 << 30)))  # ceil
+    cr = np.trunc(covq / d)
+    lam_true = float(np.linalg.eigvalsh(cr)[-1])
+
+    got = (
+        QUERIES["embed_power_iteration"](spark, sf_smoke)
+        .orderBy("dim")
+        .collect()
+    )
+    v = np.array([r.v_q for r in got], dtype=np.float64)
+    u = np.array([r.u_q for r in got], dtype=np.float64)
+    rayleigh = float((v @ u) / (v @ v))
+    assert rayleigh >= 0.98 * lam_true, (rayleigh, lam_true)
