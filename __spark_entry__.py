@@ -19,6 +19,7 @@ from fsc_etl_spark.plans import (
     analytics,
     analytics_ext,
     analytics_more,
+    corpus_stats,
     graph_ops,
     incremental,
     retrieval_quality,
@@ -29,6 +30,7 @@ from fsc_etl_spark.plans import (
     tpch_partsupp,
     training_data,
 )
+from fsc_etl_spark.plans.corpus_stats import CORPUS_ORACLES
 from fsc_etl_spark.plans.retrieval_quality import RETRIEVAL_ORACLES
 from fsc_etl_spark.plans.analytics_ext import EXT_ORACLES
 from fsc_etl_spark.plans.analytics_more import MORE_ORACLES
@@ -76,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(spark4_ops.QUERIES)
     merged.update(incremental.QUERIES)
     merged.update(retrieval_quality.QUERIES)
+    merged.update(corpus_stats.QUERIES)
 
     priority = [
         # --- round-8 NEW queries (no driver row yet) ---
@@ -90,6 +93,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prf_expansion",  # pseudo-relevance-feedback terms
         "streaming_quality_gate",  # stream-static Gopher ingest gate
         "embed_power_iteration",  # integer power-iteration top PC
+        "bigram_lm_perplexity",  # CCNet-style LM quality filter
+        "retrieval_ndcg_mrr",  # nDCG@10 / MRR ranking eval
+        "zipf_rank_frequency",  # rank-frequency slope fit
+        "source_length_drift",  # per-source histogram drift
+        "ccnet_ppl_buckets",  # head/middle/tail percentile split
+        "tokenizer_fertility_stats",  # per-lang tokenizer fertility
+        "incremental_lsh_dedup",  # new-batch-vs-corpus near-dup
+        "streaming_ppl_gate",  # stream-static LM gate
         # --- round-8: checking contract touched (ADVICE fixes) ---
         "embed_int8_quant_stats",  # s=0 divisor guard (both engines)
         "embed_semdedup_trained",  # oracle now lazily generated
@@ -123,15 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_mmr_select",  # MMR diverse top-k
         "assoc_rules_parts",  # co-occurrence association rules
         "bucketed_join_rollup",  # zero-exchange bucketed join
-        "csv_corrupt_quarantine",  # PERMISSIVE corrupt-record triage
-        "hll_register_build",  # HLL register construction
-        "hll_estimate_users",  # HLL cardinality estimate
-        "hll_merge_halves",  # HLL merge monoid
-        "cms_merge_halves",  # count-min merge monoid
-        "token_budget_schedule",  # integer token-budget split
         "token_simpson_quality",  # Simpson diversity quality flags
-        "streaming_cms_counts",  # streaming CMS maintenance
-        "streaming_hll_registers",  # streaming HLL maintenance
         # --- long-green sentinels to fill the ~50-slot window,
         # spanning every family (TPC-H, star, dedup, sketch, graph,
         # streaming, multimodal, format, incremental) ---
@@ -168,4 +171,5 @@ def oracle_sql() -> dict[str, str]:
         **graph_ops.GRAPH_ORACLES,
         **spark4_ops.SPARK4_ORACLES,
         **incremental.INCREMENTAL_ORACLES,
+        **CORPUS_ORACLES,
     }

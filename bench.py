@@ -315,6 +315,30 @@ BENCH_QUERIES = [
     # is an O(d²) driver-side iteration independent of corpus size.
     "exact_quantiles_scalable",
     "heaps_law_vocab_growth",
+    # round-8 third batch: bigram_lm_perplexity IS benched — the
+    # model-train + two vocab-keyed scoring joins + doc-keyed agg is
+    # a new physical shape (nothing else joins a trained model table
+    # back onto a corpus-sized gram stream). retrieval_ndcg_mrr is
+    # OFF-bench (the benched cosine ranking + 50-row metric joins);
+    # zipf_rank_frequency is OFF-bench (the token-freq shuffle +
+    # TakeOrdered heap already benched as bigram_topk/token_vocab
+    # shapes; the 1000-row fit is constant work);
+    # source_length_drift is OFF-bench (two |sources|x20-row aggs +
+    # a broadcast join — the lang_pred_quality class of tiny-agg
+    # rollups).
+    "bigram_lm_perplexity",
+    # round-8 fourth batch: incremental_lsh_dedup IS benched — the
+    # restricted band-bucket pair expansion + exact-Jaccard verify
+    # over candidate-only shingle sets is a new physical shape (the
+    # benched lsh_near_dup_candidates stops at candidates; this adds
+    # the bounded verification join). ccnet_ppl_buckets is OFF-bench
+    # (the benched bigram_lm_perplexity scoring plan + the benched
+    # exact-quantiles histogram pick, composed); tokenizer_fertility
+    # _stats is OFF-bench (one pure-codegen scan + |langs|-row agg,
+    # the lang_pred_quality class); streaming_ppl_gate is OFF-bench
+    # (streaming queries are excluded as a family — micro-batch
+    # setup dominates at sf0.1).
+    "incremental_lsh_dedup",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -384,6 +384,36 @@ def streaming_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def streaming_ppl_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAM-STATIC LM quality gate at ingest: every incoming
+    document scores its bigram-LM negative log-likelihood against a
+    FROZEN model — the add-one bigram scores trained offline on the
+    existing corpus's en slice (the production CCNet shape: the LM is
+    trained once, the perplexity gate runs on the ingest stream).
+    Gram explode is stateless map-side work per micro-batch; the
+    model frames are static join sides; the only streaming state is
+    the doc-keyed running (count, sum). Converged output == the batch
+    bigram_lm_perplexity rows exactly, so the batch hash oracle
+    applies verbatim."""
+    from fsc_etl_spark.plans.corpus_stats import (
+        lm_final_shape,
+        lm_grams,
+        lm_model_frames,
+        lm_per_doc,
+    )
+    from fsc_etl_spark.sources.readers import read_parquet_table
+    from fsc_etl_spark.streaming import stream_documents
+
+    static_docs = read_parquet_table(spark, sf, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    mscore, hscore, s0 = lm_model_frames(static_docs)
+    stream = stream_documents(spark, sf).select("doc_id", "text")
+    per_doc = lm_per_doc(lm_grams(stream), mscore, hscore, s0)
+    converged = run_to_memory(per_doc, output_mode="complete")
+    return lm_final_shape(static_docs, converged)
+
+
 def streaming_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """INCREMENTAL sub-document dedup against historical state — the
     production shape for continuous corpus ingestion: documents arrive
@@ -520,6 +550,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_hll_registers": streaming_hll_registers,
     "streaming_dsir_gate": streaming_dsir_gate,
     "streaming_quality_gate": streaming_quality_gate,
+    "streaming_ppl_gate": streaming_ppl_gate,
 }
 
 
@@ -749,3 +780,9 @@ SELECT source,
                       AND stp >= 2 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS pass_ppm
 FROM m GROUP BY source
 """
+
+# Stream-static LM gate: converged state == the batch rows, so the
+# batch oracle applies verbatim (the streaming_dsir_gate pattern).
+from fsc_etl_spark.plans.corpus_stats import CORPUS_ORACLES as _C  # noqa: E402
+
+STREAMING_ORACLES["streaming_ppl_gate"] = _C["bigram_lm_perplexity"]
