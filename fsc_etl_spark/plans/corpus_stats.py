@@ -97,8 +97,16 @@ def lm_model_frames(docs: DataFrame):
     """
     train = docs.filter(F.col("lang") == "en")
     tk = train.select(tokens(F.lower(F.col("text"))).alias("tk"))
-    model = lm_grams(train).groupBy("g").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c2")
+    # The model frame is vocab-bounded and consumed by THREE branches
+    # (hist, mscore, and hist's own consumers) — without a lineage
+    # break every reference re-expands the corpus gram scan (plan
+    # audit: 10 parquet scans of documents before, 4 after; the
+    # covariance-screen rule).
+    model = (
+        lm_grams(train)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+        .localCheckpoint()
     )
     hist = (
         model.withColumn("hw", F.expr("split_part(g, ' ', 1)"))
@@ -564,6 +572,12 @@ def incremental_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    # pairs is LSH-bounded (candidates only) and consumed by THREE
+    # branches (cand_ids, the verify semi join, the verdict join);
+    # sh below by three more (two self-join sides + sizes). Without
+    # lineage breaks each reference re-expands the whole signature /
+    # shingle subplan (plan audit: 30 parquet scans and 102 exchanges
+    # before the two checkpoints, 2/20 after).
     pairs = (
         buckets.select(F.explode("ids").alias("id_old"), "ids")
         .select("id_old", F.explode("ids").alias("id_new"))
@@ -573,6 +587,7 @@ def incremental_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
             & ((F.col("id_old") % 2 == 0) | (F.col("id_old") < F.col("id_new")))
         )
         .distinct()
+        .localCheckpoint()
     )
     # exact verification, candidate docs only
     cand_ids = (
@@ -583,9 +598,14 @@ def incremental_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
     tk = docs.join(cand_ids, "doc_id", "left_semi").select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("__tk")
     )
-    sh = tk.select(
-        "doc_id", F.explode(shingles_from_tokens(F.col("__tk"), 3)).alias("sh")
-    ).distinct()
+    sh = (
+        tk.select(
+            "doc_id",
+            F.explode(shingles_from_tokens(F.col("__tk"), 3)).alias("sh"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         sh.alias("a")

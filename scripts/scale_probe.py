@@ -150,6 +150,17 @@ PROBE_QUERIES = [
     "heaps_law_vocab_growth",   # tok-keyed min-agg + checkpoint fold
     "embed_matryoshka_recall",  # two bounded cosine rankings + overlap
     "bm25_prf_expansion",       # feedback semi join + corpus df shuffle
+    # round-8 third/fourth batches
+    "embed_power_iteration",    # map-side moment reduction + O(d^2) driver loop
+    "bigram_lm_perplexity",     # model train + vocab-keyed scoring joins
+    "ccnet_ppl_buckets",        # LM plan + histogram rank pick (checkpointed)
+    "zipf_rank_frequency",      # token shuffle + TakeOrdered(1000) + 1-row fit
+    "incremental_lsh_dedup",    # restricted band pairs + exact-verify join
+    # OFF-probe with reasons: retrieval_ndcg_mrr (the probed cosine
+    # ranking + 50-row metric joins), source_length_drift /
+    # tokenizer_fertility_stats (single scan + |sources|/|langs|-row
+    # aggs — no scaling join/window anywhere), streaming_* (probe
+    # excludes the streaming family: micro-batch setup dominates).
 ]
 
 
@@ -256,11 +267,13 @@ def build_scaled(spark: SparkSession) -> str:
     return str(dest)
 
 
-def time_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+def time_queries(
+    spark: SparkSession, sf_dir: str, only: list[str] | None = None
+) -> dict[str, float]:
     qs = dict(entrymod.queries())
     qs.update(PROBE_EXTRA)
     out: dict[str, float] = {}
-    for name in PROBE_QUERIES:
+    for name in only or PROBE_QUERIES:
         # Clean slate per query: without this, the persisted frames of
         # every EARLIER probed query crowd executor memory, and by the
         # time a cache-heavy query runs at 10x its own warm-pass cache
@@ -290,9 +303,11 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # optional subset: python scripts/scale_probe.py name1 name2 ...
+    only = sys.argv[1:] or None
     big = build_scaled(spark)
-    t1 = time_queries(spark, BASE_SF)
-    t10 = time_queries(spark, big)
+    t1 = time_queries(spark, BASE_SF, only)
+    t10 = time_queries(spark, big, only)
     ratios = {k: round(t10[k] / t1[k], 2) for k in t1}
     print(json.dumps({"x1": t1, "x10": t10, "ratio": ratios}, indent=2))
 
