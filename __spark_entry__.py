@@ -141,7 +141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary",
         "multimodal_features",
     ]
-    assert len(priority) == 50, f"driver window must be exactly 50, got {len(priority)}"
+    if len(priority) != 50:  # contract check — not an assert: survives python -O
+        raise ValueError(f"driver window must be exactly 50, got {len(priority)}")
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in priority:
         out[name] = merged[name]

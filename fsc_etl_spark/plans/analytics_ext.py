@@ -196,16 +196,45 @@ def explode_doc_tokens(spark: SparkSession, sf: str) -> DataFrame:
 
 def approx_user_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate aggregates — HLL++ distinct count and quantile
-    sketch. No SQL oracle (sketch internals are engine-specific; the
-    driver records a rows-only check); tests/test_analytics_ext.py
-    bounds the error against exact values instead. The two quantiles
-    come out as scalar columns (not an array) so the driver's row
-    canonicalizer can hash the result."""
+    sketch — published as ERROR-BOUNDED CONTRACTS (VERDICT r8 #6):
+    sketch internals are engine-specific, so the raw estimates can
+    never hash-match a DuckDB twin; the advertised ACCURACY can. The
+    output carries the exact values plus booleans asserting each
+    estimate sits inside its documented error bound (rsd=0.02 →
+    ±5% with an absolute floor of 2; percentile accuracy 10000 →
+    rank error ≤ n/10000, asserted as ±5% of the per-group value
+    range — orders of magnitude looser than the spec, so the float
+    comparisons sit nowhere near a rounding boundary). The oracle
+    computes the exact columns and expects TRUE for every bound.
+    All inputs are deterministic (both sketches are data-order-free
+    aggregates), so the booleans are stable across runs."""
     ev = t(spark, sf, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", 0.5, 10000).alias("p50"),
-        F.percentile_approx("value", 0.95, 10000).alias("p95"),
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("ap50"),
+        F.percentile_approx("value", 0.95, 10000).alias("ap95"),
+        F.expr("percentile(value, 0.5D)").alias("ep50"),
+        F.expr("percentile(value, 0.95D)").alias("ep95"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        (
+            F.abs(F.col("au") - F.col("exact_users")) * 20
+            <= F.greatest(F.lit(40), F.col("exact_users"))
+        ).alias("users_within_5pct"),
+        (
+            F.abs(F.col("ap50") - F.col("ep50")) * 20.0
+            <= (F.col("vmax") - F.col("vmin"))
+        ).alias("p50_within_tol"),
+        (
+            F.abs(F.col("ap95") - F.col("ep95")) * 20.0
+            <= (F.col("vmax") - F.col("vmin"))
+        ).alias("p95_within_tol"),
+        (F.col("ap50") <= F.col("ap95")).alias("quantiles_ordered"),
     )
 
 
@@ -279,11 +308,16 @@ def hll_daily_users(spark: SparkSession, sf: str) -> DataFrame:
     HLL sketches of user_id; the corpus-wide distinct estimate comes
     from UNION-MERGING the stored sketches, never rescanning events —
     the incremental-maintenance pattern for COUNT(DISTINCT), which has
-    no partial-agg form of its own. Exact daily distincts ride along
-    so the estimate error is visible in the result itself (bounded in
-    tests). No SQL oracle: sketch binaries are engine-specific — the
-    driver records a rows-only check (same class as the ANN recall
-    queries)."""
+    no partial-agg form of its own. Published as ERROR-BOUNDED
+    CONTRACTS (VERDICT r8 #6): the DataSketches binaries are
+    engine-specific, so the raw estimates can't hash-match a DuckDB
+    twin — the accuracy claims can. Output: per-day exact distincts
+    plus booleans asserting (a) each daily estimate within ±10%
+    (absolute floor 2) and (b) the UNION-MERGED total estimate within
+    ±5% of the exact corpus-wide distinct count — (b) is the
+    mergeability claim itself. The oracle computes the exact columns
+    and expects TRUE bounds; everything is deterministic (sketches
+    are order-free aggregates over fixed data)."""
     ev = t(spark, sf, "events").select(F.to_date("ts").alias("day"), "user_id")
     daily = ev.groupBy("day").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
@@ -292,6 +326,9 @@ def hll_daily_users(spark: SparkSession, sf: str) -> DataFrame:
     merged = daily.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("est_total")
     )
+    exact_total = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_total")
+    )
     return (
         daily.select(
             "day",
@@ -299,6 +336,19 @@ def hll_daily_users(spark: SparkSession, sf: str) -> DataFrame:
             "exact_daily",
         )
         .crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(exact_total))
+        .select(
+            "day",
+            F.col("exact_daily").cast("bigint").alias("exact_daily"),
+            (
+                F.abs(F.col("est_daily") - F.col("exact_daily")) * 10
+                <= F.greatest(F.lit(20), F.col("exact_daily"))
+            ).alias("daily_within_10pct"),
+            (
+                F.abs(F.col("est_total") - F.col("exact_total")) * 20
+                <= F.col("exact_total")
+            ).alias("total_within_5pct"),
+        )
     )
 
 
@@ -581,6 +631,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 EXT_ORACLES: dict[str, str] = {}
+
+# Error-bounded contracts for the approximate-aggregate pair
+# (VERDICT r8 #6): the oracle recomputes the EXACT columns and
+# expects TRUE for every advertised bound — the sketch estimate
+# itself is engine-specific, its documented accuracy is not.
+EXT_ORACLES["approx_user_stats"] = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS users_within_5pct,
+       TRUE AS p50_within_tol,
+       TRUE AS p95_within_tol,
+       TRUE AS quantiles_ordered
+FROM events GROUP BY event_type
+"""
+
+EXT_ORACLES["hll_daily_users"] = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_daily,
+       TRUE AS daily_within_10pct,
+       TRUE AS total_within_5pct
+FROM events GROUP BY 1
+"""
 
 EXT_ORACLES["json_roundtrip_stats"] = """
 SELECT source,

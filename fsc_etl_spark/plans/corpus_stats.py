@@ -550,6 +550,26 @@ def incremental_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """
     from fsc_etl_spark.operators.dedup import minhash_signatures
 
+    return _incremental_lsh_dedup_impl(spark, sf, minhash_signatures)
+
+
+#: Candidate-pair broadcast cap (VERDICT r8): the verify semi join
+#: broadcasts the LSH candidate pairs — correct while banding keeps
+#: them bounded, but ONE skewed band (a template flood hashing to a
+#: single bucket) could make the pair frame driver-sized. Past this
+#: many pairs we fall back to the shuffled semi join (equi keys on
+#: both sides — the plain hash-partitioned path). 1e6 pairs of two
+#: BIGINTs ≈ 16 MB serialized: comfortably broadcastable; past it
+#: the shuffle is the safer plan anyway.
+_PAIR_BROADCAST_LIMIT = 1_000_000
+
+
+def _incremental_lsh_dedup_impl(
+    spark: SparkSession,
+    sf: str,
+    minhash_signatures,
+    broadcast_pair_limit: int = _PAIR_BROADCAST_LIMIT,
+) -> DataFrame:
     docs = t(spark, sf, "documents")
     sigs = minhash_signatures(docs, k=8, shingle_n=3)
     bands = sigs.select(
@@ -589,6 +609,13 @@ def incremental_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    # Size-guarded broadcast (VERDICT r8): pairs is already
+    # materialized by the checkpoint, so the count is free of
+    # recompute; an oversized (skewed-band) candidate set falls back
+    # to the shuffled semi join instead of blowing the driver.
+    pairs_semi = (
+        F.broadcast(pairs) if pairs.count() <= broadcast_pair_limit else pairs
+    )
     # exact verification, candidate docs only
     cand_ids = (
         pairs.select(F.col("id_old").alias("doc_id"))
@@ -611,7 +638,7 @@ def incremental_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
         sh.alias("a")
         .join(sh.alias("b"), F.col("a.sh") == F.col("b.sh"))
         .join(
-            F.broadcast(pairs),
+            pairs_semi,
             (F.col("a.doc_id") == F.col("id_old"))
             & (F.col("b.doc_id") == F.col("id_new")),
             "left_semi",

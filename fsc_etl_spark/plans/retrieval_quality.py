@@ -66,6 +66,14 @@ _B25 = "0.25e0"  # 1 - b
 #: int64-safe through n ~ 2.6e5 vectors per statistic.
 _COV_SCALE = 262144.0
 _EMB_DIM = 64  # fixture embedding width (see LSH_HYPERPLANES)
+#: Hard row-count bound for the 2^18-grid int64 moment arithmetic
+#: (ADVICE r8): past ~2.6e5 rows the n·Σqᵢqⱼ and Q^T Q accumulations
+#: wrap SILENTLY in both engines (matching but wrong). Enforced at
+#: runtime — plan-side assert_true in the covariance screen, a
+#: ValueError on the collected moments in the power iteration. At a
+#: larger corpus, lower the grid shift (each halving of _COV_SCALE
+#: buys 4x rows) or shard the statistic.
+_MOMENT_SAFE_ROWS = 260_000
 
 
 def _bm25_scored(docs: DataFrame) -> DataFrame:
@@ -416,7 +424,24 @@ def embed_covariance_topk(spark: SparkSession, sf: str) -> DataFrame:
     mom = sums.filter((F.col("di") > 0) & (F.col("dj") == 0)).select(
         F.col("di").alias("d"), F.col("v").alias("s1")
     )
-    n = sums.filter(F.col("di") == 0).select(F.col("v").alias("n_rows"))
+    # Runtime overflow guard (ADVICE r8): raise — via a filter the
+    # optimizer cannot prune — rather than silently wrap past the
+    # documented int64 headroom. assert_true returns NULL when the
+    # predicate holds, so the filter keeps every row.
+    n = (
+        sums.filter(F.col("di") == 0)
+        .select(F.col("v").alias("n_rows"))
+        .filter(
+            F.assert_true(
+                F.col("n_rows") <= _MOMENT_SAFE_ROWS,
+                F.lit(
+                    "embed_covariance_topk: corpus exceeds the 2^18-grid "
+                    f"int64 headroom ({_MOMENT_SAFE_ROWS} rows); lower "
+                    "_COV_SCALE or shard the statistic"
+                ),
+            ).isNull()
+        )
+    )
     cov = (
         pair.join(F.broadcast(mom.withColumnRenamed("d", "di").withColumnRenamed("s1", "si")), "di")
         .join(F.broadcast(mom.withColumnRenamed("d", "dj").withColumnRenamed("s1", "sj")), "dj")
@@ -496,6 +521,12 @@ def embed_power_iteration(spark: SparkSession, sf: str) -> DataFrame:
     for r in rows:
         if r["di"] == 0:
             n = int(r["v"])
+            if n > _MOMENT_SAFE_ROWS:
+                raise ValueError(
+                    "embed_power_iteration: corpus exceeds the 2^18-grid "
+                    f"int64 headroom ({_MOMENT_SAFE_ROWS} rows); lower "
+                    "_COV_SCALE or shard the statistic"
+                )
         elif r["dj"] == 0:
             s1[r["di"]] = int(r["v"])
         else:
@@ -539,8 +570,13 @@ def heaps_law_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
     )
     fd = tok.groupBy("tok").agg(F.min("doc_id").alias("fd"))
+    # least(..., 10) clamp (ADVICE r8): the div maps contiguous
+    # 0..N-1 ids onto 1..10, but out-of-range ids (e.g. the 10x
+    # probe's offset union) would land past checkpoint 10 and
+    # silently vanish from cum_vocab — clamp them into the final
+    # checkpoint so the curve always ends at the total vocabulary.
     new_per_cp = fd.select(
-        F.expr(f"(10 * fd) div {n} + 1").alias("checkpoint")
+        F.expr(f"least((10 * fd) div {n} + 1, 10)").alias("checkpoint")
     ).groupBy("checkpoint").agg(F.count(F.lit(1)).alias("new_tokens"))
     cps = spark.range(1, 11).select(F.col("id").cast("bigint").alias("checkpoint"))
     w = Window.orderBy("checkpoint").rowsBetween(Window.unboundedPreceding, 0)
@@ -737,7 +773,7 @@ WITH base AS (
 m AS (
   SELECT doc_id,
          CAST(len(tk) AS BIGINT) AS n_tokens,
-         CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS tok_chars,
+         CAST(COALESCE(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT) AS tok_chars,
          CAST(len(list_filter(tk, x -> contains(x, '#')
                                      OR contains(x, '...'))) AS BIGINT) AS n_sym,
          CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
@@ -870,7 +906,7 @@ RETRIEVAL_ORACLES["heaps_law_vocab_growth"] = f"""
 WITH tok AS (SELECT doc_id, unnest({_LT}) AS tok FROM documents),
 fd AS (SELECT tok, MIN(doc_id) AS fd FROM tok GROUP BY tok),
 n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-b AS (SELECT (10 * fd) // n.n + 1 AS checkpoint,
+b AS (SELECT LEAST((10 * fd) // n.n + 1, 10) AS checkpoint,
              CAST(COUNT(*) AS BIGINT) AS new_tokens
       FROM fd CROSS JOIN n GROUP BY 1),
 c AS (SELECT unnest(range(1, 11)) AS checkpoint)

@@ -759,7 +759,7 @@ WITH base AS (
 m AS (
   SELECT source,
          CAST(len(tk) AS BIGINT) AS w,
-         CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS c,
+         CAST(COALESCE(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT) AS c,
          CAST(len(list_filter(tk, x -> contains(x, '#')
                                      OR contains(x, '...'))) AS BIGINT) AS sym,
          CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha,

@@ -38,14 +38,76 @@ TESTDATA_ROOT = Path(
 )
 sys.path.insert(0, str(REPO_ROOT))
 
+#: The functional surface covered by the PASS record: a commit that
+#: changes any of these after the recorded pass is exactly the
+#: "shipped ungated" class (VERDICT r8). Docs/records (BASELINE.md,
+#: SURVEY.md, BENCH/CORRECTNESS files) are deliberately outside it —
+#: recording the pass line itself must not invalidate the pass.
+FUNCTIONAL_PATHS = (
+    "fsc_etl_spark",
+    "tests",
+    "scripts",
+    "__spark_entry__.py",
+    "bench.py",
+)
+
+
+def source_fingerprint() -> str:
+    """Content hash of the WORKING-TREE functional surface — tracked
+    AND untracked-unignored files, so a brand-new query module cannot
+    dodge the gate by never being git-added."""
+    import hashlib
+
+    proc = subprocess.run(
+        ["git", "ls-files", "--cached", "--others", "--exclude-standard", "--"]
+        + list(FUNCTIONAL_PATHS),
+        capture_output=True,
+        text=True,
+        cwd=str(REPO_ROOT),
+        check=True,
+    )
+    h = hashlib.md5()
+    for rel in sorted(set(proc.stdout.split())):
+        p = REPO_ROOT / rel
+        if not p.is_file():
+            continue  # tracked but deleted in the worktree
+        h.update(rel.encode())
+        h.update(hashlib.md5(p.read_bytes()).hexdigest().encode())
+    return h.hexdigest()
+
+
+def write_pass_record(quick: bool, sweep_total: int, sf_dir: str) -> None:
+    import json
+
+    commit = subprocess.run(
+        ["git", "rev-parse", "HEAD"],
+        capture_output=True,
+        text=True,
+        cwd=str(REPO_ROOT),
+    ).stdout.strip()
+    record = {
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+        "commit_at_pass": commit,
+        "source_md5": source_fingerprint(),
+        "mode": "quick" if quick else "full",
+        "sweep_green": sweep_total,
+        "sf_dir": sf_dir,
+    }
+    (REPO_ROOT / "PREFLIGHT_PASS.json").write_text(
+        json.dumps(record, indent=1) + "\n"
+    )
+    print(f"[preflight] recorded PREFLIGHT_PASS.json @ {commit[:9]}")
+
 
 def run_pytest() -> bool:
     t0 = time.time()
+    env = dict(os.environ, SPARK_GRAFT_PREFLIGHT_RUNNING="1")
     proc = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=line"],
         capture_output=True,
         text=True,
         cwd=str(REPO_ROOT),
+        env=env,
     )
     tail = "\n".join(proc.stdout.strip().splitlines()[-3:])
     print(f"[preflight] pytest ({time.time() - t0:.0f}s):\n{tail}")
@@ -86,6 +148,9 @@ def main() -> int:
     ok = run_pytest()
     sweep_failures = run_sweep(sf_dir)
     if ok and not sweep_failures:
+        import __spark_entry__ as entrymod
+
+        write_pass_record(quick, len(entrymod.queries()), sf_dir)
         print("[preflight] PASS — safe to snapshot")
         return 0
     print(
