@@ -471,3 +471,75 @@ def test_dsir_scores_broadcast(spark, sf_smoke):
     plan = plan_of(spark, sf_smoke, "dsir_importance_weights")
     assert "BroadcastHashJoin" in plan, "score table not broadcast"
     assert "CartesianProduct" not in plan
+
+
+# --- Unpartitioned-window gate (VERDICT r8 Next-round #3) ------------
+# The bench log is full of benign "WindowExec: No Partition Defined"
+# warnings from windows over bounded frames (top-k survivors,
+# histogram grids, |sources|-row rollups). Nothing used to prevent a
+# future CORPUS-SIZED global window from hiding in that noise. This
+# gate walks the physical plan: every WindowExec with an empty
+# partition spec must be path-bounded — every root-to-leaf path of
+# its subtree must hit an Aggregate / Limit / TakeOrdered /
+# WindowGroupLimit node BEFORE any scan leaf. A raw scan funneling
+# into a global window fails, even when a reduction exists on some
+# OTHER branch of a join below the window.
+
+_BOUNDING_NODES = {
+    "HashAggregateExec",
+    "SortAggregateExec",
+    "ObjectHashAggregateExec",
+    "GlobalLimitExec",
+    "LocalLimitExec",
+    "TakeOrderedAndProjectExec",
+    "CollectLimitExec",
+    "WindowGroupLimitExec",
+}
+# Scan leaves = unbounded unless reduced above. RDDScanExec
+# (localCheckpoint) is deliberately in here: a checkpointed frame
+# hides its producing subplan, so a corpus-sized checkpoint feeding a
+# global window must fail the gate rather than pass unseen.
+_SCAN_NODES = {
+    "FileSourceScanExec",
+    "BatchScanExec",
+    "RowDataSourceScanExec",
+    "RDDScanExec",
+    "InMemoryTableScanExec",
+}
+
+
+def _jchildren(node):
+    cs = node.children()
+    return [cs.apply(i) for i in range(cs.size())]
+
+
+def _path_bounded(node) -> bool:
+    name = node.getClass().getSimpleName()
+    if name in _BOUNDING_NODES:
+        return True
+    if name in _SCAN_NODES:
+        return False
+    kids = _jchildren(node)
+    if not kids:
+        return True  # Range / LocalTableScan / ReusedExchange: literal-sized
+    return all(_path_bounded(c) for c in kids)
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_global_windows_only_over_bounded_inputs(spark, sf_smoke, name):
+    df = entrymod.queries()[name](spark, sf_smoke)
+    plan = df._jdf.queryExecution().sparkPlan()
+
+    def walk(n):
+        yield n
+        for c in _jchildren(n):
+            yield from walk(c)
+
+    for node in walk(plan):
+        cls = node.getClass().getSimpleName()
+        if cls in ("WindowExec", "WindowInPandasExec") and node.partitionSpec().isEmpty():
+            assert all(_path_bounded(c) for c in _jchildren(node)), (
+                f"{name}: unpartitioned {cls} over an input with an "
+                "unreduced scan path — a corpus-sized global window "
+                "(single-partition funnel) at scale"
+            )
