@@ -339,6 +339,13 @@ BENCH_QUERIES = [
     # (streaming queries are excluded as a family — micro-batch
     # setup dominates at sf0.1).
     "incremental_lsh_dedup",
+    # round-9: embed_ann_recall_matrix is OFF-bench — it composes the
+    # five ALREADY-BENCHED ANN tiers plus the benched exact-cosine
+    # shape; the recall layer adds only a 25-row broadcast semi join
+    # and a |tiers|-row aggregate (the embed_knn_audit_trained
+    # exclusion class). approx_user_stats / hll_daily_users keep
+    # their bench slots with their new error-bounded-contract
+    # schemas (each gained one exact aggregate over the same scan).
 ]
 
 ALL_QUERIES = entrymod.queries()

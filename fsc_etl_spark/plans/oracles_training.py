@@ -902,11 +902,46 @@ def _trained_knn_oracle(sf_dir: str) -> str:
 #: at, per BASELINE.md §b); local harnesses comparing at other SFs
 #: must regenerate via these per-SF callables
 #: (fsc_etl_spark.testing.check_query does).
+def _ann_recall_matrix_oracle(sf_dir: str) -> str:
+    """Composed twin of embed_ann_recall_matrix: the five tier
+    pipelines (static literals for lsh/pinned, per-SF replicated
+    codebooks for the trained pair) each wrapped as a tagged
+    subquery, inner-joined to the exact brute-force top-5 on
+    (query_id, vec_id) — both sides unique pairs, so COUNT(*) is the
+    intersection size — and zero-filled over the tier list."""
+    tiers = {
+        "ivf_pinned": _ivf_pinned_oracle(),
+        "ivf_trained": _trained_ivf_oracle(sf_dir),
+        "lsh_multitable": _lsh_oracle(),
+        "pq_pinned": _pq_pinned_oracle(),
+        "pq_trained": _trained_pq_oracle(sf_dir),
+    }
+    exact = TRAINING_ORACLES["embed_cosine_topk"]
+    tier_sql = "\nUNION ALL\n".join(
+        f"SELECT '{nm}' AS tier, query_id, vec_id FROM ({sql})"
+        for nm, sql in tiers.items()
+    )
+    values = ", ".join(f"('{nm}')" for nm in tiers)
+    return f"""
+WITH exact_r AS (SELECT query_id, vec_id FROM ({exact})),
+allt AS ({tier_sql}),
+h AS (SELECT tier, CAST(COUNT(*) AS BIGINT) AS hits
+      FROM allt JOIN exact_r USING (query_id, vec_id) GROUP BY tier)
+SELECT t.tier,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       CAST(25 AS BIGINT) AS n_total,
+       CAST((1000000 * COALESCE(h.hits, 0)) // 25 AS BIGINT) AS recall_ppm
+FROM (VALUES {values}) AS t(tier)
+LEFT JOIN h ON h.tier = t.tier
+"""
+
+
 SF_ORACLE_GENERATORS: dict[str, _t.Callable[[str], str]] = {
     "embed_ivf_topk": _trained_ivf_oracle,
     "embed_pq_topk": _trained_pq_oracle,
     "embed_semdedup_trained": _trained_semdedup_oracle,
     "embed_knn_audit_trained": _trained_knn_oracle,
+    "embed_ann_recall_matrix": _ann_recall_matrix_oracle,
 }
 
 #: The driver's correctness-gate fixture. One shared, env-overridable

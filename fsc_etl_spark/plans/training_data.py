@@ -441,6 +441,60 @@ def embed_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5)
 
 
+def embed_ann_recall_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@5 of every ANN tier against the EXACT brute-force
+    ranking, as a driver-checked query (VERDICT r8 #4): one row per
+    tier with the matched-pair count and recall in exact integer ppm.
+    Previously the recall claims lived only in pytest
+    (tests/test_dedup_similarity.py); this makes approximate-tier
+    QUALITY part of the driver contract — a recall regression in any
+    tier flips the hash row red.
+
+    Exactness: both rankings are the audited (6dp-rounded cosine
+    DESC, id ASC) total order; hits = |tier top-5 ∩ exact top-5| per
+    query summed over the 5 contract queries, recall_ppm =
+    (1e6·hits) div 25 — all integers, so the oracle (the same five
+    tier pipelines composed in DuckDB, trained codebooks inlined via
+    SF_ORACLE_GENERATORS) needs no margin argument beyond the ones
+    each tier already carries.
+
+    Scale shape: the 5 tier subplans + the exact subplan are the
+    already-audited pipelines; the recall layer adds one broadcast
+    semi join (25-row exact set) and a |tiers|-row aggregate. OFF
+    bench: composes the five benched tiers, no new physical shape."""
+    tiers: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
+        ("ivf_pinned", embed_ivf_pinned_topk),
+        ("ivf_trained", embed_ivf_topk),
+        ("lsh_multitable", embed_lsh_topk),
+        ("pq_pinned", embed_pq_pinned_topk),
+        ("pq_trained", embed_pq_topk),
+    ]
+    exact = embed_cosine_topk(spark, sf).select("query_id", "vec_id")
+    tagged = None
+    for name, fn in tiers:
+        tf = fn(spark, sf).select(
+            F.lit(name).alias("tier"), "query_id", "vec_id"
+        )
+        tagged = tf if tagged is None else tagged.unionByName(tf)
+    hits = (
+        tagged.join(F.broadcast(exact), ["query_id", "vec_id"], "left_semi")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    names = spark.createDataFrame([(nm,) for nm, _ in tiers], "tier string")
+    return (
+        names.join(hits, "tier", "left")
+        .select(
+            "tier",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+            F.lit(25).cast("bigint").alias("n_total"),
+            F.expr("(1000000 * coalesce(hits, 0)) div 25")
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
+    )
+
+
 def embed_cosine_topk_pandas(spark: SparkSession, sf: str) -> DataFrame:
     """Arrow/numpy twin of embed_cosine_topk (same oracle): per-batch
     BLAS matrix product instead of per-pair F.aggregate folds."""
@@ -2627,6 +2681,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_semdedup_trained": embed_semdedup_trained,
     "embed_knn_audit_trained": embed_knn_audit_trained,
     "embed_cosine_topk": embed_cosine_topk,
+    "embed_ann_recall_matrix": embed_ann_recall_matrix,
     "embed_mmr_select": embed_mmr_select,
     "embed_cosine_topk_pandas": embed_cosine_topk_pandas,
     "user_trend_slope": user_trend_slope,

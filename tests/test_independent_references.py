@@ -1416,3 +1416,76 @@ def test_kmeans_cluster_stats_against_reference(spark, sf_smoke):
         for r in TDQ["kmeans_cluster_stats"](spark, sf_smoke).collect()
     }
     assert got == expect
+
+
+def test_embed_ann_recall_matrix_against_reference(spark, sf_smoke):
+    """Recall matrix recomputed densely: exact brute-force top-5 and
+    every tier's top-5 in numpy + python sorts (reusing this module's
+    tier references), intersected per query — the driver-contract
+    recall row must equal the dense recount exactly."""
+    import numpy as np
+
+    from fsc_etl_spark.plans.oracles_training import _replicated_quantizers
+    from fsc_etl_spark.plans.training_data import (
+        IVF_PINNED_CENTROIDS,
+        LSH_TABLES,
+        PQ_PINNED_CODEBOOKS,
+        QUERIES,
+    )
+
+    ids, V, n = _load_vecs(sf_smoke)
+    idx = {int(ids[i]): i for i in range(len(ids))}
+
+    def topk_pairs(qi, cand_ids):
+        scored = sorted(
+            (-round(float(V[qi] @ V[idx[c]]) / (n[qi] * n[idx[c]]), 6), c)
+            for c in cand_ids
+        )[:5]
+        return {(int(ids[qi]), c) for _, c in scored}
+
+    exact = set()
+    for qi in np.where(ids < 5)[0]:
+        exact |= topk_pairs(qi, [int(i) for i in ids if i != ids[qi]])
+
+    H = np.array(LSH_TABLES)
+    S = (V @ H.reshape(-1, 64).T >= 0).reshape(len(V), H.shape[0], H.shape[1])
+    sigs = (S * (2 ** np.arange(H.shape[1]))).sum(axis=2)
+    lsh_pairs = set()
+    for qi in np.where(ids < 5)[0]:
+        cand = set()
+        for t_ in range(H.shape[0]):
+            cand.update(
+                int(ids[i])
+                for i in np.where(sigs[:, t_] == sigs[qi, t_])[0]
+                if ids[i] != ids[qi]
+            )
+        lsh_pairs |= topk_pairs(qi, cand)
+
+    trained_ivf, trained_pq = _replicated_quantizers(sf_smoke)
+    tiers = {
+        "ivf_pinned": {
+            (q, c) for q, c, _, _ in _ivf_numpy(ids, V, n, IVF_PINNED_CENTROIDS, 5)
+        },
+        "ivf_trained": {
+            (q, c) for q, c, _, _ in _ivf_numpy(ids, V, n, trained_ivf, 4)
+        },
+        "lsh_multitable": lsh_pairs,
+        "pq_pinned": {
+            (q, c) for q, c, _, _ in _pq_numpy(ids, V, n, PQ_PINNED_CODEBOOKS, 200)
+        },
+        "pq_trained": {
+            (q, c) for q, c, _, _ in _pq_numpy(ids, V, n, trained_pq, 200)
+        },
+    }
+    got = {
+        r.tier: r
+        for r in QUERIES["embed_ann_recall_matrix"](spark, sf_smoke).collect()
+    }
+    assert set(got) == set(tiers)
+    for nm, pairs in tiers.items():
+        hits = len(pairs & exact)
+        assert (got[nm].hits, got[nm].n_total, got[nm].recall_ppm) == (
+            hits,
+            25,
+            1_000_000 * hits // 25,
+        ), nm
