@@ -434,18 +434,16 @@ def personalized_pagerank_integer(
         damping_den * n_seeds
     )
     edges_deg = edges.join(deg, "src").repartition(F.col("src")).persist()
-    flagged = nodes.join(
-        seed_nodes.withColumn("__is_seed", F.lit(True)), "node", "left"
-    ).select(
-        "node",
-        F.coalesce(F.col("__is_seed"), F.lit(False)).alias("__is_seed"),
-    ).persist()
-    base = F.when(F.col("__is_seed"), F.lit(base_seed)).otherwise(F.lit(0)).cast("long")
+    seed_flag = seed_nodes.withColumn("__is_seed", F.lit(True))
+    base = F.when(
+        F.coalesce(F.col("__is_seed"), F.lit(False)), F.lit(base_seed)
+    ).otherwise(F.lit(0)).cast("long")
+    flagged = nodes.join(F.broadcast(seed_flag), "node", "left").persist()
     ranks = flagged.select(
         "node",
-        F.when(F.col("__is_seed"), F.lit(init_rank)).otherwise(F.lit(0))
-        .cast("long")
-        .alias("rank"),
+        F.when(
+            F.coalesce(F.col("__is_seed"), F.lit(False)), F.lit(init_rank)
+        ).otherwise(F.lit(0)).cast("long").alias("rank"),
     )
     for _ in range(iters):
         r = ranks.select(F.col("node").alias("__rn"), F.col("rank").alias("__rr"))
@@ -455,15 +453,23 @@ def personalized_pagerank_integer(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = flagged.join(contrib, "node", "left").select(
-            "node",
-            (
-                base
-                + F.expr(
-                    f"({damping_num} * coalesce(inflow, 0L)) div {damping_den}"
-                )
-            ).cast("long").alias("rank"),
-        )
+        damped = (
+            base
+            + F.expr(f"({damping_num} * coalesce(inflow, 0L)) div {damping_den}")
+        ).cast("long")
+        if symmetric:
+            # every node has in-edges (src set == dst set == node
+            # set) and every node holds a rank row, so contrib covers
+            # the full node set each round: the seed flag attaches as
+            # a broadcast map-side join — one fewer node-sized
+            # shuffle join per round than the general path below.
+            ranks = contrib.join(F.broadcast(seed_flag), "node", "left").select(
+                "node", damped.alias("rank")
+            )
+        else:
+            ranks = flagged.join(contrib, "node", "left").select(
+                "node", damped.alias("rank")
+            )
     out = ranks.localCheckpoint(eager=True)
     for df in (edges, nodes, seed_nodes, edges_deg, flagged):
         df.unpersist()
