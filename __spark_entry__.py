@@ -81,17 +81,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(corpus_stats.QUERIES)
 
     priority = [
-        # --- round-8 NEW queries (no driver row yet) ---
+        # --- round-9 NEW queries (no driver row yet) ---
+        "embed_ann_recall_matrix",  # ANN tier recall@5 vs exact, ppm
+        "minhash_jaccard_accuracy",  # MinHash estimator error audit
+        "ngram_novelty_curve",  # per-decile 3-gram novelty ppm
+        "stratified_sample_exact",  # largest-remainder stratified draw
+        "graph_label_propagation",  # deterministic LPA communities
+        # --- round-9: contract changed (rows-only tier retired /
+        # behavior or plan touched) ---
+        "approx_user_stats",  # error-bounded contract, FULL oracle now
+        "hll_daily_users",  # error-bounded contract, FULL oracle now
+        "heaps_law_vocab_growth",  # checkpoint clamped (ADVICE r8)
+        "incremental_lsh_dedup",  # size-guarded pair broadcast
+        "gopher_quality_flags",  # oracle empty-list COALESCE
+        "streaming_quality_gate",  # oracle empty-list COALESCE
+        "embed_covariance_topk",  # runtime int64-headroom guard in plan
+        "ppr_copurchase_seeds",  # broadcast seed flag per round
+        "streaming_segment_dedup",  # per-epoch idempotent state writes
+        # --- round-8 NEW queries (second driver look) ---
         "bm25_topk_docs",  # Okapi BM25 lexical retrieval
         "rrf_fused_topk",  # reciprocal-rank fusion (hybrid retrieval)
-        "gopher_quality_flags",  # Gopher rule set, integer-exact
         "quality_calibration_bins",  # reliability table, scalable deciles
-        "embed_covariance_topk",  # fixed-point covariance screen
         "exact_quantiles_scalable",  # nearest-rank quantiles, no global sort
-        "heaps_law_vocab_growth",  # vocabulary growth checkpoints
         "embed_matryoshka_recall",  # truncated-dim recall@10
         "bm25_prf_expansion",  # pseudo-relevance-feedback terms
-        "streaming_quality_gate",  # stream-static Gopher ingest gate
         "embed_power_iteration",  # integer power-iteration top PC
         "bigram_lm_perplexity",  # CCNet-style LM quality filter
         "retrieval_ndcg_mrr",  # nDCG@10 / MRR ranking eval
@@ -99,9 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_length_drift",  # per-source histogram drift
         "ccnet_ppl_buckets",  # head/middle/tail percentile split
         "tokenizer_fertility_stats",  # per-lang tokenizer fertility
-        "incremental_lsh_dedup",  # new-batch-vs-corpus near-dup
         "streaming_ppl_gate",  # stream-static LM gate
-        # --- round-8: checking contract touched (ADVICE fixes) ---
+        # --- round-8 ADVICE-touched (third look) ---
         "embed_int8_quant_stats",  # s=0 divisor guard (both engines)
         "embed_semdedup_trained",  # oracle now lazily generated
         "embed_knn_audit_trained",  # oracle now lazily generated
@@ -114,32 +126,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_semdedup_prune",  # assign_strategy plumbing (expr default)
         "embed_knn_label_audit",  # assign_strategy plumbing (expr default)
         "embed_pq_pinned_topk",  # pinned-codebook shape validation
-        # --- round-7 NEW queries (second driver look) ---
+        # --- round-7 NEW queries (third driver look) ---
         "embed_hard_negatives",  # contrastive hard-negative mining
         "bpe_pair_counts",  # BPE merge-rule statistics
         "lang_pred_quality",  # lang-ID confusion stats, exact ppm
         "dup_span_trim_stats",  # substring-dedup trim accounting
-        # --- round-6 additions (second driver look) ---
-        "embed_ivf_pinned_topk",
+        # --- long-green sentinels spanning remaining families (TPC-H,
+        # star, dedup/curation, graph, multimodal, streaming-state) ---
         "eval_contamination_flags",
-        "repetition_ngram_quality",
         "training_mix_manifest",
         "cluster_soft_dedup_sample",
-        "dsir_importance_weights",
-        "source_overlap_matrix",
-        "streaming_dsir_gate",
-        "dup_span_stats",
-        # --- r4 late batch (first sampled r6; keep one more round) ---
-        "ppr_copurchase_seeds",  # personalized PageRank, seed cohort
-        "embed_mmr_select",  # MMR diverse top-k
-        "assoc_rules_parts",  # co-occurrence association rules
-        "bucketed_join_rollup",  # zero-exchange bucketed join
-        "token_simpson_quality",  # Simpson diversity quality flags
-        # --- long-green sentinels to fill the ~50-slot window,
-        # spanning every family (TPC-H, star, dedup, sketch, graph,
-        # streaming, multimodal, format, incremental) ---
+        "embed_mmr_select",
         "q1_pricing_summary",
         "multimodal_features",
+        "streaming_dsir_gate",
     ]
     if len(priority) != 50:  # contract check — not an assert: survives python -O
         raise ValueError(f"driver window must be exactly 50, got {len(priority)}")

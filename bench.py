@@ -346,6 +346,20 @@ BENCH_QUERIES = [
     # exclusion class). approx_user_stats / hll_daily_users keep
     # their bench slots with their new error-bounded-contract
     # schemas (each gained one exact aggregate over the same scan).
+    # ngram_novelty_curve IS benched — the corpus-wide (decile, gram)
+    # distinct + gram-keyed min rollup is a heavier shape than
+    # heaps_law's token-level min agg. graph_label_propagation IS
+    # benched — per-round (node,label)-count + struct-argmax double
+    # aggregation is a new iterative shape (PageRank rounds are
+    # join+single-agg). minhash_jaccard_accuracy is OFF-bench: pair
+    # generation + candidate-only exact-Jaccard verify are the
+    # benched incremental_lsh_dedup shapes; the slot-compare join
+    # touches only the candidate pairs. stratified_sample_exact is
+    # OFF-bench: physically the reservoir_sample_per_source shape
+    # (per-group md5-rank window + filter) plus a |strata|-row
+    # allocation.
+    "ngram_novelty_curve",
+    "graph_label_propagation",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -227,6 +227,53 @@ def pagerank_integer(
     return out
 
 
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) in a DETERMINISTIC variant: every node starts with its
+    own id as label; each round it adopts the most frequent label
+    among its neighbors, ties broken toward the LARGEST label —
+    (count, label) is a total order, so fixed rounds are
+    bit-reproducible and the unrolled-CTE oracle hash-matches (the
+    classic random tie-break is what makes textbook LPA
+    non-deterministic; any fixed tie order preserves the algorithm).
+
+    Caller contract: ``edges`` is a SYMMETRISED (undirected) edge
+    list, so src set == dst set == node set and every node hears from
+    at least one neighbor each round.
+
+    Scale shape (the Pregel lowering): per round one join of the
+    label frame against the pre-hashed persisted edge list (only the
+    label side shuffles) + two keyed aggregations ((node, label)
+    counts, then the per-node argmax via one struct-max — no window,
+    no second pass). Work per round is O(edges), rounds are fixed.
+
+    Returns (node, label).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    edges = (
+        edges.select("src", "dst").distinct().repartition(F.col("src")).persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(rounds):
+        lab = labels.select(F.col("node").alias("__n"), F.col("label").alias("__l"))
+        labels = (
+            edges.join(lab, edges["src"] == lab["__n"])
+            .groupBy(F.col("dst").alias("node"), F.col("__l").alias("lab"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("node")
+            .agg(F.max(F.struct(F.col("cnt"), F.col("lab"))).alias("m"))
+            .select("node", F.col("m.lab").alias("label"))
+        )
+    out = labels.localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
+
+
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """Global triangle census of an undirected graph.
 

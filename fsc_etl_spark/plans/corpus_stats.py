@@ -675,6 +675,234 @@ def _incremental_lsh_dedup_impl(
     )
 
 
+def minhash_jaccard_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    """Accuracy audit of the MinHash estimator itself (round 9): for
+    every LSH candidate pair, the sketch's Jaccard ESTIMATE (matching
+    slots / k, the unbiased per-slot collision estimator) next to the
+    EXACT 3-gram Jaccard, plus the absolute error — all integer ppm.
+    This is the missing calibration readout for the dedup tier: the
+    banding thresholds (4x2 at k=8) are chosen from the estimator's
+    S-curve, and this query puts the estimator's measured error on
+    the candidates where it matters into the driver contract.
+
+    Scale shape: signatures and candidate pairs are the audited
+    dedup-tier constructions (one shingle shuffle + band buckets,
+    never all-pairs); exact verification semi-joins shingles down to
+    candidate docs only — the incremental_lsh_dedup posture. The two
+    checkpoints break the 3x/4x subplan re-expansion the consumers
+    would otherwise cause (same audit as incremental_lsh_dedup).
+    """
+    from fsc_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = t(spark, sf, "documents")
+    sigs = minhash_signatures(docs, k=8, shingle_n=3).localCheckpoint()
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).localCheckpoint()
+    a = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(8)
+    )
+    # estimate = matches/8 in ppm; 1e6 div 8 = 125000 exactly, so the
+    # multiply IS the floor division.
+    est = pairs.join(a, "id_a").join(b, "id_b").select(
+        "id_a",
+        "id_b",
+        (matches * 125000).cast("bigint").alias("sig_est_ppm"),
+    )
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select("id_b"))
+        .distinct()
+    )
+    sh = (
+        docs.join(cand_ids, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                shingles_from_tokens(tokens(F.lower(F.col("text"))), 3)
+            ).alias("sh"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("sa")
+        .join(sh.alias("sb"), F.col("sa.sh") == F.col("sb.sh"))
+        .join(
+            F.broadcast(pairs),
+            (F.col("sa.doc_id") == F.col("id_a"))
+            & (F.col("sb.doc_id") == F.col("id_b")),
+            "left_semi",
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("id_a"), F.col("sb.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "sig_est_ppm",
+            F.expr(
+                "(1000000 * coalesce(inter, 0L)) div (sz_a + sz_b - coalesce(inter, 0L))"
+            ).cast("bigint").alias("jacc_ppm"),
+            F.abs(
+                F.col("sig_est_ppm")
+                - F.expr(
+                    "(1000000 * coalesce(inter, 0L)) div (sz_a + sz_b - coalesce(inter, 0L))"
+                )
+            ).cast("bigint").alias("err_ppm"),
+        )
+    )
+
+
+def ngram_novelty_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-growth value curve (round 9): split the corpus into 10
+    contiguous id-range deciles and measure, per decile, how many of
+    its distinct 3-gram shingles are NEW (first seen in that decile)
+    vs merely touched — novelty_ppm = 1e6·new div touched. This is
+    the n-gram-level saturation readout a data buyer reads before
+    paying for the next crawl slice: when novelty flattens, more of
+    the same source stops adding information. Companion to the
+    token-level heaps_law_vocab_growth (vocabulary) — 3-gram novelty
+    decays far slower and tracks phrasal redundancy.
+
+    Integer-exact: decile = least((10·doc_id) div N + 1, 10) (the
+    clamped heaps-law checkpoint rule), one distinct over (decile,
+    gram), one gram-keyed min-agg for first deciles, two 10-row
+    rollups. Zero-filled over the decile grid; cum_new_grams rides a
+    10-row window.
+    """
+    docs = t(spark, sf, "documents")
+    n = docs.count()
+    g = docs.select(
+        F.expr(f"least((10 * doc_id) div {n} + 1, 10)").alias("dec"),
+        F.explode(
+            shingles_from_tokens(tokens(F.lower(F.col("text"))), 3)
+        ).alias("g"),
+    )
+    dg = g.distinct().localCheckpoint()  # (decile, gram) — read by both rollups
+    touched = dg.groupBy("dec").agg(F.count(F.lit(1)).alias("touched_grams"))
+    new = (
+        dg.groupBy("g")
+        .agg(F.min("dec").alias("dec"))
+        .groupBy("dec")
+        .agg(F.count(F.lit(1)).alias("new_grams"))
+    )
+    grid = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.join(touched.withColumnRenamed("dec", "decile"), "decile", "left")
+        .join(new.withColumnRenamed("dec", "decile"), "decile", "left")
+        .select(
+            "decile",
+            F.coalesce("touched_grams", F.lit(0)).cast("bigint").alias(
+                "touched_grams"
+            ),
+            F.coalesce("new_grams", F.lit(0)).cast("bigint").alias("new_grams"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr(
+                "CASE WHEN touched_grams = 0 THEN NULL "
+                "ELSE (1000000 * new_grams) div touched_grams END"
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "cum_new_grams", F.sum("new_grams").over(w).cast("bigint")
+        )
+    )
+
+
+#: Fixed sample budget for the stratified sampler — a CONTRACT
+#: constant (the downstream eval set size), not data-derived.
+STRATIFIED_BUDGET = 200
+
+
+def stratified_sample_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT proportional stratified sampling (round 9): allocate a
+    fixed budget of STRATIFIED_BUDGET docs across (source, lang)
+    strata by the largest-remainder (Hamilton) method — quota =
+    floor(B·n/N) per stratum plus one extra for the strata with the
+    largest remainders (ties: source, lang) until the budget is
+    spent — then take each stratum's quota deterministically by
+    md5 rank (ties impossible: doc_id rides in the sort key). The
+    RNG-free twin of every eval-set / human-review draw a curation
+    pipeline makes; exact allocation beats per-row Bernoulli
+    sampling's variance AND hash-checks bit-for-bit.
+
+    Scale shape: strata stats are a |strata|-row aggregate; the
+    allocation windows run over that bounded frame (aggregate-bounded
+    global windows — the plan-gate-whitelisted class); membership is
+    one broadcast quota join + a per-stratum rank window (partitioned
+    by stratum, never global).
+    """
+    docs = t(spark, sf, "documents")
+    strata = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = strata.agg(F.sum("n_docs").alias("n_total"))
+    b = STRATIFIED_BUDGET
+    alloc = (
+        strata.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            F.expr(f"({b}L * n_docs) div n_total").alias("q_floor"),
+            F.expr(f"({b}L * n_docs) % n_total").alias("rem"),
+        )
+    )
+    wsum = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wrank = Window.orderBy(F.col("rem").desc(), "source", "lang")
+    quotas = (
+        alloc.withColumn("leftover", F.lit(b) - F.sum("q_floor").over(wsum))
+        .withColumn("rrank", F.row_number().over(wrank))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            (
+                F.col("q_floor")
+                + F.when(F.col("rrank") <= F.col("leftover"), 1).otherwise(0)
+            ).cast("bigint").alias("quota"),
+        )
+    )
+    wtake = Window.partitionBy("source", "lang").orderBy(
+        F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        docs.select("doc_id", "source", "lang")
+        .withColumn("samp_rank", F.row_number().over(wtake).cast("int"))
+        .join(F.broadcast(quotas), ["source", "lang"])
+        .filter(F.col("samp_rank") <= F.col("quota"))
+        .select("doc_id", "source", "lang", "samp_rank", "quota")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_lm_perplexity": bigram_lm_perplexity,
     "ccnet_ppl_buckets": ccnet_ppl_buckets,
@@ -683,6 +911,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_length_drift": source_length_drift,
     "tokenizer_fertility_stats": tokenizer_fertility_stats,
     "incremental_lsh_dedup": incremental_lsh_dedup,
+    "minhash_jaccard_accuracy": minhash_jaccard_accuracy,
+    "ngram_novelty_curve": ngram_novelty_curve,
+    "stratified_sample_exact": stratified_sample_exact,
 }
 
 
@@ -988,4 +1219,129 @@ SELECT source,
        CAST(SUM(dev) AS BIGINT) AS l1_ppm,
        CAST(MAX(dev) AS BIGINT) AS max_dev_ppm
 FROM joined GROUP BY source
+"""
+
+
+def _minhash_accuracy_oracle() -> str:
+    """MinHash estimator audit twin: the audited shingle/minhash/band
+    macros (oracles_training) rebuild signatures and candidate pairs;
+    slot-match count · 125000 is the ppm estimate; exact Jaccard from
+    the same distinct-shingle sets."""
+    from fsc_etl_spark.plans.oracles_training import _SHINGLES, _minhash_cols
+
+    match_sum = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(8)
+    )
+    return f"""
+WITH {_SHINGLES},
+sigs AS (
+  SELECT doc_id,
+{_minhash_cols(8)}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_sig FROM sigs
+  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sigs
+  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sigs
+  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig
+  WHERE x.doc_id < y.doc_id
+),
+est AS (
+  SELECT p.id_a, p.id_b,
+         CAST(({match_sum}) * 125000 AS BIGINT) AS sig_est_ppm
+  FROM pairs p
+  JOIN sigs a ON a.doc_id = p.id_a
+  JOIN sigs b ON b.doc_id = p.id_b
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS i
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh
+  GROUP BY 1, 2
+)
+SELECT e.id_a, e.id_b, e.sig_est_ppm,
+       CAST((1000000 * COALESCE(i.i, 0))
+            // (za.sz + zb.sz - COALESCE(i.i, 0)) AS BIGINT) AS jacc_ppm,
+       CAST(ABS(e.sig_est_ppm
+            - (1000000 * COALESCE(i.i, 0))
+              // (za.sz + zb.sz - COALESCE(i.i, 0))) AS BIGINT) AS err_ppm
+FROM est e
+LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+JOIN sizes za ON za.doc_id = e.id_a
+JOIN sizes zb ON zb.doc_id = e.id_b
+"""
+
+
+CORPUS_ORACLES["minhash_jaccard_accuracy"] = _minhash_accuracy_oracle()
+
+CORPUS_ORACLES["ngram_novelty_curve"] = """
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+dg AS (
+  SELECT DISTINCT LEAST((10 * doc_id) // n.n + 1, 10) AS dec, g
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+                  i -> array_to_string(w[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)], ' '))) AS g
+    FROM words WHERE len(w) >= 3
+  ) CROSS JOIN n
+),
+touched AS (SELECT dec, CAST(COUNT(*) AS BIGINT) AS touched_grams FROM dg GROUP BY 1),
+firsts AS (SELECT g, MIN(dec) AS dec FROM dg GROUP BY 1),
+nw AS (SELECT dec, CAST(COUNT(*) AS BIGINT) AS new_grams FROM firsts GROUP BY 1),
+grid AS (SELECT CAST(unnest(range(1, 11)) AS INT) AS decile)
+SELECT grid.decile,
+       CAST(COALESCE(t.touched_grams, 0) AS BIGINT) AS touched_grams,
+       CAST(COALESCE(nw.new_grams, 0) AS BIGINT) AS new_grams,
+       CAST(CASE WHEN COALESCE(t.touched_grams, 0) = 0 THEN NULL
+            ELSE (1000000 * COALESCE(nw.new_grams, 0)) // t.touched_grams
+            END AS BIGINT) AS novelty_ppm,
+       CAST(SUM(COALESCE(nw.new_grams, 0))
+              OVER (ORDER BY grid.decile) AS BIGINT) AS cum_new_grams
+FROM grid
+LEFT JOIN touched t ON t.dec = grid.decile
+LEFT JOIN nw ON nw.dec = grid.decile
+"""
+
+CORPUS_ORACLES["stratified_sample_exact"] = f"""
+WITH strata AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source, lang
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM strata),
+alloc AS (
+  SELECT source, lang, n_docs,
+         ({STRATIFIED_BUDGET} * n_docs) // n_total AS q_floor,
+         ({STRATIFIED_BUDGET} * n_docs) % n_total AS rem
+  FROM strata CROSS JOIN tot
+),
+quotas AS (
+  SELECT source, lang,
+         CAST(q_floor + (CASE WHEN ROW_NUMBER()
+                OVER (ORDER BY rem DESC, source, lang)
+              <= {STRATIFIED_BUDGET} - SUM(q_floor) OVER ()
+              THEN 1 ELSE 0 END) AS BIGINT) AS quota
+  FROM alloc
+),
+ranked AS (
+  SELECT doc_id, source, lang,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source, lang
+               ORDER BY md5('strat:' || doc_id), doc_id) AS INT) AS samp_rank
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.lang, r.samp_rank, q.quota
+FROM ranked r JOIN quotas q USING (source, lang)
+WHERE r.samp_rank <= q.quota
 """

@@ -19,6 +19,7 @@ from fsc_etl_spark.operators.graph import (
     RANK_SCALE,
     bfs_hops,
     kcore_degrees,
+    label_propagation,
     pagerank_integer,
     personalized_pagerank_integer,
     triangle_stats,
@@ -269,6 +270,28 @@ def ppr_copurchase_seeds(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), F.col("node").asc())
         .limit(_TOPK)
     )
+
+
+_LPA_ROUNDS = 3
+
+
+def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Community detection over the symmetrised customer—part
+    co-purchase graph by deterministic synchronous label propagation
+    (operators/graph.label_propagation, 3 fixed rounds): every node
+    with its converged community label and the community's size — the
+    cheap modularity-free community readout a curation pipeline uses
+    to group correlated users/items before per-community sampling.
+    Bit-reproducible (ties to the largest label under string order,
+    identical in both engines for these ASCII node ids), so the
+    3-round unrolled-CTE oracle hash-matches."""
+    edges, cp = _copurchase_edges(spark, sf)
+    labels = label_propagation(edges, rounds=_LPA_ROUNDS)
+    cp.unpersist()  # labels is checkpointed eagerly; the cache is done
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return labels.join(sizes, "label").select("node", "label", "community_size")
 
 
 _KCORE_K = 20
@@ -593,6 +616,7 @@ QUERIES = {
     "pagerank_weighted_copurchase": pagerank_weighted_copurchase,
     "recursive_ancestor_depth": recursive_ancestor_depth,
     "triangle_count_coparts": triangle_count_coparts,
+    "graph_label_propagation": graph_label_propagation,
 }
 
 GRAPH_ORACLES = {
@@ -661,3 +685,52 @@ FROM chain WHERE cur = 0
 GROUP BY depth
 """,
 }
+
+
+def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
+    """Unrolled label-propagation twin: per round, (node, lab) counts
+    over the edge join, argmax by (cnt DESC, lab DESC) via ROW_NUMBER
+    — the same (count, label) struct-max total order the Spark rounds
+    use. Each round MATERIALIZED (l{i} is read by the next round's
+    join; the final one by both the size rollup and the projection)."""
+    chain = [
+        """cp AS MATERIALIZED (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS cnode,
+                  'p' || CAST(l.l_partkey AS VARCHAR) AS pnode
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)""",
+        """edges AS MATERIALIZED (
+  SELECT cnode AS src, pnode AS dst FROM cp
+  UNION ALL
+  SELECT pnode AS src, cnode AS dst FROM cp
+)""",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)",
+    ]
+    for i in range(1, rounds + 1):
+        chain.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT node, lab AS label FROM (
+    SELECT n.node, n.lab,
+           ROW_NUMBER() OVER (PARTITION BY n.node
+                              ORDER BY n.cnt DESC, n.lab DESC) AS rn
+    FROM (SELECT e.dst AS node, l.label AS lab, COUNT(*) AS cnt
+          FROM edges e JOIN l{i - 1} l ON l.node = e.src
+          GROUP BY 1, 2) n
+  ) WHERE rn = 1
+)"""
+        )
+    chain.append(
+        f"""sizes AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+  FROM l{rounds} GROUP BY label
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(chain)
+        + f"\nSELECT l{rounds}.node, l{rounds}.label, sizes.community_size\n"
+        f"FROM l{rounds} JOIN sizes USING (label)"
+    )
+
+
+GRAPH_ORACLES["graph_label_propagation"] = _lpa_oracle()

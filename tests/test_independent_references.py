@@ -1489,3 +1489,156 @@ def test_embed_ann_recall_matrix_against_reference(spark, sf_smoke):
             25,
             1_000_000 * hits // 25,
         ), nm
+
+
+def _shingle_sets(spark, sf_smoke):
+    from fsc_etl_spark.sources.readers import read_parquet_table
+
+    docs = read_parquet_table(spark, sf_smoke, "documents").collect()
+    sh = {}
+    for d in docs:
+        tk = _toks(d.text)
+        s = {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+        if s:
+            sh[d.doc_id] = s
+    return docs, sh
+
+
+def test_minhash_jaccard_accuracy_against_reference(spark, sf_smoke):
+    """MinHash estimator audit recomputed in plain hashlib + dicts:
+    salted-md5 signatures, 4x2 banding, slot-match estimate, exact
+    shingle-set Jaccard — exact ppm agreement required per pair."""
+    import hashlib
+
+    from fsc_etl_spark.plans.corpus_stats import QUERIES
+
+    _, sh = _shingle_sets(spark, sf_smoke)
+    sigs = {}
+    for i, s in sh.items():
+        sig = []
+        for j in range(4):
+            hexes = [hashlib.md5(f"s{j}:{x}".encode()).hexdigest() for x in s]
+            sig.append(min(h[0:16] for h in hexes))
+            sig.append(min(h[16:32] for h in hexes))
+        sigs[i] = sig
+    buckets: dict[tuple, list] = {}
+    for i, sig in sigs.items():
+        for b in range(4):
+            key = (b, hashlib.md5(f"{sig[2*b]}|{sig[2*b+1]}".encode()).hexdigest())
+            buckets.setdefault(key, []).append(i)
+    pairs = set()
+    for ids in buckets.values():
+        for x in ids:
+            for y in ids:
+                if x < y:
+                    pairs.add((x, y))
+    expect = {}
+    for a, b in pairs:
+        m = sum(1 for i in range(8) if sigs[a][i] == sigs[b][i])
+        inter = len(sh[a] & sh[b])
+        jac = (1_000_000 * inter) // (len(sh[a]) + len(sh[b]) - inter)
+        expect[(a, b)] = (m * 125_000, jac, abs(m * 125_000 - jac))
+    got = {
+        (r.id_a, r.id_b): (r.sig_est_ppm, r.jacc_ppm, r.err_ppm)
+        for r in QUERIES["minhash_jaccard_accuracy"](spark, sf_smoke).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_ngram_novelty_curve_against_reference(spark, sf_smoke):
+    from fsc_etl_spark.plans.corpus_stats import QUERIES
+
+    docs, sh3 = _shingle_sets(spark, sf_smoke)
+    n = len(docs)
+    per_dec: dict[int, set] = {d: set() for d in range(1, 11)}
+    for d in docs:
+        dec = min((10 * d.doc_id) // n + 1, 10)
+        per_dec[dec] |= sh3.get(d.doc_id, set())
+    seen: set = set()
+    expect = {}
+    cum = 0
+    for dec in range(1, 11):
+        touched = len(per_dec[dec])
+        new = len(per_dec[dec] - seen)
+        seen |= per_dec[dec]
+        cum += new
+        nov = (1_000_000 * new) // touched if touched else None
+        expect[dec] = (touched, new, nov, cum)
+    got = {
+        r.decile: (r.touched_grams, r.new_grams, r.novelty_ppm, r.cum_new_grams)
+        for r in QUERIES["ngram_novelty_curve"](spark, sf_smoke).collect()
+    }
+    assert got == expect
+
+
+def test_stratified_sample_exact_against_reference(spark, sf_smoke):
+    """Largest-remainder allocation + md5-rank take, recomputed with
+    plain dicts and sorts."""
+    import hashlib
+
+    from fsc_etl_spark.plans.corpus_stats import (
+        QUERIES,
+        STRATIFIED_BUDGET,
+    )
+    from fsc_etl_spark.sources.readers import read_parquet_table
+
+    docs = read_parquet_table(spark, sf_smoke, "documents").collect()
+    strata: dict[tuple, list] = {}
+    for d in docs:
+        strata.setdefault((d.source, d.lang), []).append(d.doc_id)
+    n_total = len(docs)
+    b = STRATIFIED_BUDGET
+    floors = {k: (b * len(v)) // n_total for k, v in strata.items()}
+    rems = sorted(
+        strata, key=lambda k: (-((b * len(strata[k])) % n_total), k[0], k[1])
+    )
+    leftover = b - sum(floors.values())
+    quotas = dict(floors)
+    for k in rems[:leftover]:
+        quotas[k] += 1
+    assert sum(quotas.values()) == b
+    expect = set()
+    for k, ids in strata.items():
+        ranked = sorted(
+            ids, key=lambda i: (hashlib.md5(f"strat:{i}".encode()).hexdigest(), i)
+        )
+        for rk, i in enumerate(ranked[: quotas[k]], start=1):
+            expect.add((i, k[0], k[1], rk, quotas[k]))
+    got = {
+        (r.doc_id, r.source, r.lang, r.samp_rank, r.quota)
+        for r in QUERIES["stratified_sample_exact"](spark, sf_smoke).collect()
+    }
+    assert got == expect and len(got) == b
+
+
+def test_graph_label_propagation_against_reference(spark, sf_smoke):
+    """3-round deterministic LPA recomputed with plain dicts: most
+    frequent neighbor label, ties to the LARGEST label."""
+    import __spark_entry__ as entrymod
+
+    _, cp = _copurchase_pairs(spark, sf_smoke)
+    adj: dict[str, list] = {}
+    for c, p in cp:
+        cn, pn = f"c{c}", f"p{p}"
+        adj.setdefault(cn, []).append(pn)
+        adj.setdefault(pn, []).append(cn)
+    label = {v: v for v in adj}
+    for _ in range(3):
+        nxt = {}
+        for v, neigh in adj.items():
+            cnt: dict[str, int] = {}
+            for u in neigh:
+                cnt[label[u]] = cnt.get(label[u], 0) + 1
+            nxt[v] = max(cnt.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        label = nxt
+    sizes: dict[str, int] = {}
+    for v in label:
+        sizes[label[v]] = sizes.get(label[v], 0) + 1
+    expect = {(v, label[v], sizes[label[v]]) for v in adj}
+    got = {
+        (r.node, r.label, r.community_size)
+        for r in entrymod.queries()["graph_label_propagation"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert got == expect and len(got) > 0
