@@ -163,6 +163,43 @@ PROBE_QUERIES = [
     # excludes the streaming family: micro-batch setup dominates).
 ]
 
+# Round 9 (VERDICT r8 #8): the standing list above remains the curated
+# per-shape set; FULL-surface mode (--full) probes EVERY batch query
+# except the documented exclusions below, so no query can hide a
+# super-linear step behind the curation. Exclusions, each with the
+# reason the 10x ratio would measure an artifact instead of the plan:
+PROBE_EXCLUDE = {
+    # streaming family: AvailableNow micro-batch setup + per-query
+    # checkpoint dirs dominate wall time at both scales.
+    # (handled by prefix filter below)
+    # fixed-k trained-codebook oracles: codebook size is the scale
+    # knob; their _scaled twins (PROBE_EXTRA) grow k with the corpus.
+    "embed_semdedup_trained": "fixed k=16 — probe runs embed_semdedup_scaled",
+    "embed_knn_audit_trained": "fixed k=16 — probe runs embed_knn_audit_scaled",
+    "embed_semdedup_prune": "fixed 8-cell pinned codebook — scaled twin covers",
+    "embed_knn_label_audit": "fixed 8-cell pinned codebook — scaled twin covers",
+    # driver-fixture staging collects: these stage fixture bytes to
+    # local disk on the driver as part of the QUERY (documented fixture
+    # staging, not a distributed stage) — at 10x the staging I/O is
+    # the measurement.
+    "binary_file_ingest": "driver-side fixture staging dominates at 10x",
+    "synth_docs_source": "python datasource generates rows at a fixed rate",
+    # recursive CTE over per-customer chains whose depth is log(key):
+    # key-offset copies DEEPEN the chains (log of 10M-offset keys),
+    # so the ratio measures the offset scheme, not the operator.
+    "recursive_ancestor_depth": "key offsets deepen log-depth chains",
+}
+
+
+def full_probe_list(all_queries) -> list[str]:
+    names = []
+    for n in sorted(all_queries):
+        if n.startswith("streaming_") or n in PROBE_EXCLUDE:
+            continue
+        names.append(n)
+    names += sorted(PROBE_EXTRA)
+    return names
+
 
 def _scaled_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     from fsc_etl_spark.operators.clustering import train_codebook
@@ -304,7 +341,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     # optional subset: python scripts/scale_probe.py name1 name2 ...
-    only = sys.argv[1:] or None
+    # full surface:    python scripts/scale_probe.py --full
+    args = sys.argv[1:]
+    if args == ["--full"]:
+        only = full_probe_list(entrymod.queries())
+    else:
+        only = args or None
     big = build_scaled(spark)
     t1 = time_queries(spark, BASE_SF, only)
     t10 = time_queries(spark, big, only)
