@@ -282,16 +282,44 @@ def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     with its converged community label and the community's size — the
     cheap modularity-free community readout a curation pipeline uses
     to group correlated users/items before per-community sampling.
-    Bit-reproducible (ties to the largest label under string order,
-    identical in both engines for these ASCII node ids), so the
-    3-round unrolled-CTE oracle hash-matches."""
-    edges, cp = _copurchase_edges(spark, sf)
+    Bit-reproducible (ties to the LARGEST label under the integer
+    order), so the 3-round unrolled-CTE oracle hash-matches.
+
+    Nodes iterate as BIGINT (2·custkey / 2·partkey+1 — the kcore
+    lesson: three rounds of shuffling longs, not strings) and render
+    to 'c…'/'p…' labels only in the final projection."""
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_partkey") * 2 + 1).alias("pnode"),
+        )
+        .distinct()
+        .persist()
+    )
+    edges = cp.select(
+        F.col("cnode").alias("src"), F.col("pnode").alias("dst")
+    ).union(cp.select(F.col("pnode").alias("src"), F.col("cnode").alias("dst")))
     labels = label_propagation(edges, rounds=_LPA_ROUNDS)
     cp.unpersist()  # labels is checkpointed eagerly; the cache is done
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("community_size")
     )
-    return labels.join(sizes, "label").select("node", "label", "community_size")
+
+    def render(name: str):
+        c = F.col(name)
+        return F.concat(
+            F.when(c % 2 == 0, F.lit("c")).otherwise(F.lit("p")),
+            F.shiftright(c, 1).cast("string"),
+        )
+
+    return labels.join(sizes, "label").select(
+        render("node").alias("node"),
+        render("label").alias("label"),
+        "community_size",
+    )
 
 
 _KCORE_K = 20
@@ -691,12 +719,13 @@ def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
     """Unrolled label-propagation twin: per round, (node, lab) counts
     over the edge join, argmax by (cnt DESC, lab DESC) via ROW_NUMBER
     — the same (count, label) struct-max total order the Spark rounds
-    use. Each round MATERIALIZED (l{i} is read by the next round's
-    join; the final one by both the size rollup and the projection)."""
+    use, over the same BIGINT node encoding (2·custkey / 2·partkey+1),
+    rendered to 'c…'/'p…' only in the final projection. Each round
+    MATERIALIZED (l{i} is read by the next round's join; the final
+    one by both the size rollup and the projection)."""
     chain = [
         """cp AS MATERIALIZED (
-  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS cnode,
-                  'p' || CAST(l.l_partkey AS VARCHAR) AS pnode
+  SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_partkey * 2 + 1 AS pnode
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 )""",
         """edges AS MATERIALIZED (
@@ -725,10 +754,16 @@ def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
   FROM l{rounds} GROUP BY label
 )"""
     )
+    render = (
+        "(CASE WHEN {0} % 2 = 0 THEN 'c' ELSE 'p' END) "
+        "|| CAST({0} // 2 AS VARCHAR)"
+    )
     return (
         "WITH "
         + ",\n".join(chain)
-        + f"\nSELECT l{rounds}.node, l{rounds}.label, sizes.community_size\n"
+        + f"\nSELECT {render.format(f'l{rounds}.node')} AS node,\n"
+        f"       {render.format(f'l{rounds}.label')} AS label,\n"
+        f"       sizes.community_size\n"
         f"FROM l{rounds} JOIN sizes USING (label)"
     )
 

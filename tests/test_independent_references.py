@@ -1617,24 +1617,28 @@ def test_graph_label_propagation_against_reference(spark, sf_smoke):
     import __spark_entry__ as entrymod
 
     _, cp = _copurchase_pairs(spark, sf_smoke)
-    adj: dict[str, list] = {}
+    adj: dict[int, list] = {}
     for c, p in cp:
-        cn, pn = f"c{c}", f"p{p}"
+        cn, pn = 2 * c, 2 * p + 1  # the BIGINT node encoding
         adj.setdefault(cn, []).append(pn)
         adj.setdefault(pn, []).append(cn)
     label = {v: v for v in adj}
     for _ in range(3):
         nxt = {}
         for v, neigh in adj.items():
-            cnt: dict[str, int] = {}
+            cnt: dict[int, int] = {}
             for u in neigh:
                 cnt[label[u]] = cnt.get(label[u], 0) + 1
             nxt[v] = max(cnt.items(), key=lambda kv: (kv[1], kv[0]))[0]
         label = nxt
-    sizes: dict[str, int] = {}
+    sizes: dict[int, int] = {}
     for v in label:
         sizes[label[v]] = sizes.get(label[v], 0) + 1
-    expect = {(v, label[v], sizes[label[v]]) for v in adj}
+
+    def render(x: int) -> str:
+        return ("c" if x % 2 == 0 else "p") + str(x // 2)
+
+    expect = {(render(v), render(label[v]), sizes[label[v]]) for v in adj}
     got = {
         (r.node, r.label, r.community_size)
         for r in entrymod.queries()["graph_label_propagation"](
