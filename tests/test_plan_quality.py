@@ -44,6 +44,9 @@ PANDAS_OK = {
     # training partial sums
     "embed_semdedup_trained",
     "embed_knn_audit_trained",
+    # r9: composes the five ANN tiers above — inherits their sanctioned
+    # Arrow-matmul signature/encode stages (each identity-gated)
+    "embed_ann_recall_matrix",
 }
 # Streaming queries execute eagerly inside the callable (AvailableNow
 # runs) and return a materialized result — no lazy plan to inspect.
