@@ -50,20 +50,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §2.12.
 
     Ordered so a prefix sample covers the whole surface: the driver
-    checks roughly the first 50 entries. ROUND-8 ROTATION: the window
-    leads with the five round-8 additions (retrieval/quality family:
-    bm25_topk_docs, rrf_fused_topk, gopher_quality_flags,
-    quality_calibration_bins, embed_covariance_topk — no driver row
-    yet), then the queries whose CHECKING CONTRACT was touched by the
-    r7 ADVICE fixes (embed_int8_quant_stats s=0 divisor guard in both
-    engines; embed_semdedup_trained / embed_knn_audit_trained whose
-    oracles are now generated lazily instead of at import), then the
-    round-7 head (winnow fix, trained-tier hash upgrades), the r6/r4
-    batches for continuity, and long-green sentinels spanning every
-    family to fill the 50-slot window. Keep
-    tests/test_entry_contract.py's prefix-pin test in sync: it
-    derives the never-sampled set from committed CORRECTNESS_r0*.json
-    automatically.
+    checks roughly the first 50 entries. ROUND-9 ROTATION: the window
+    leads with the seven round-9 additions (ANN recall matrix,
+    MinHash estimator audit, novelty curve, stratified sampling, LPA
+    communities, lag autocorrelation, IVF cell balance — no driver
+    row yet), then the nine queries whose checking contract, plan, or
+    behavior was touched this round (the retired rows-only pair, the
+    ADVICE r8 fixes, the broadcast guard, the PPR/streaming-dedup
+    reworks), then the round-8/7 batches for continuity, and
+    long-green sentinels spanning the remaining families to fill the
+    50-slot window. Keep tests/test_entry_contract.py's prefix-pin
+    test in sync: it derives the never-sampled set from committed
+    CORRECTNESS_r0*.json automatically.
     """
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     merged.update(analytics.QUERIES)
@@ -87,6 +85,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty_curve",  # per-decile 3-gram novelty ppm
         "stratified_sample_exact",  # largest-remainder stratified draw
         "graph_label_propagation",  # deterministic LPA communities
+        "daily_value_autocorr",  # integer lag autocorrelation
+        "ivf_cell_balance",  # trained-quantizer balance audit
         # --- round-9: contract changed (rows-only tier retired /
         # behavior or plan touched) ---
         "approx_user_stats",  # error-bounded contract, FULL oracle now
@@ -135,8 +135,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # star, dedup/curation, graph, multimodal, streaming-state) ---
         "eval_contamination_flags",
         "training_mix_manifest",
-        "cluster_soft_dedup_sample",
-        "embed_mmr_select",
         "q1_pricing_summary",
         "multimodal_features",
         "streaming_dsir_gate",

@@ -360,6 +360,12 @@ BENCH_QUERIES = [
     # allocation.
     "ngram_novelty_curve",
     "graph_label_propagation",
+    # daily_value_autocorr is OFF-bench: its data-sized stage is the
+    # benched hourly_event_rollup scan+agg shape; the lag join runs
+    # over the |types|x|days| daily frame. ivf_cell_balance is
+    # OFF-bench: composes the benched integer-Lloyd training
+    # (kmeans_cluster_stats shape) with the benched literal-expression
+    # assignment scan (embed_semdedup_prune) and a k-row rollup.
 ]
 
 ALL_QUERIES = entrymod.queries()

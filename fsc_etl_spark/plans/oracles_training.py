@@ -936,12 +936,54 @@ LEFT JOIN h ON h.tier = t.tier
 """
 
 
+def _ivf_cell_balance_oracle(sf_dir: str) -> str:
+    """Cell-balance twin: the replicated-trained codebook inlined as
+    literals, the audited lowest-cell-tie argmax assignment CTE, a
+    k-row population rollup zero-filled over the cell grid."""
+    centers = [
+        list(c) for c in _replicated_train_codebook(sf_dir, k=16, iters=2)
+    ]
+    cents = ",\n  ".join(
+        f"({i}, CAST([{', '.join(repr(float(x)) for x in c)}] AS DOUBLE[]), "
+        f"{sum(x * x for x in c) / 2.0!r})"
+        for i, c in enumerate(centers)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+cent(cell, c, half_sq) AS (VALUES
+  {cents}
+),
+ascore AS (
+  SELECT en.vec_id, cent.cell,
+         list_dot_product(en.v, cent.c) / en.n - cent.half_sq AS s
+  FROM en CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS r
+    FROM ascore) WHERE r = 1
+),
+pops AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM assigned GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM embeddings),
+grid AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS cell)
+SELECT grid.cell,
+       CAST(COALESCE(p.n_vecs, 0) AS BIGINT) AS n_vecs,
+       CAST((1000000 * COALESCE(p.n_vecs, 0)) // tot.t AS BIGINT) AS share_ppm,
+       CAST((16000000 * COALESCE(p.n_vecs, 0)) // tot.t AS BIGINT)
+         AS load_x_uniform_ppm
+FROM grid CROSS JOIN tot LEFT JOIN pops p ON p.cell = grid.cell
+"""
+
+
 SF_ORACLE_GENERATORS: dict[str, _t.Callable[[str], str]] = {
     "embed_ivf_topk": _trained_ivf_oracle,
     "embed_pq_topk": _trained_pq_oracle,
     "embed_semdedup_trained": _trained_semdedup_oracle,
     "embed_knn_audit_trained": _trained_knn_oracle,
     "embed_ann_recall_matrix": _ann_recall_matrix_oracle,
+    "ivf_cell_balance": _ivf_cell_balance_oracle,
 }
 
 #: The driver's correctness-gate fixture. One shared, env-overridable

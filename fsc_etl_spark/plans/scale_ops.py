@@ -510,6 +510,67 @@ def table_checksum_buckets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def daily_value_autocorr(spark: SparkSession, sf: str) -> DataFrame:
+    """Lag-1/2/3 autocorrelation of each event type's DAILY event
+    count — the seasonality/trend readout run before forecasting or
+    anomaly-gating a metric stream, kept hash-exact where a float
+    Pearson could never be: all moments are integer (daily counts),
+    accumulated in DECIMAL(38,0), and the statistic is emitted as the
+    SIGNED SQUARED correlation in ppm — sgn(num) · (10⁶·num²) div
+    (varx·vary) with num = nΣxy − ΣxΣy — so both engines compute
+    identical integers (num² ≈ 1e21 at the 10x probe scale: far past
+    int64, comfortably inside DECIMAL(38,0)).
+
+    Scale shape: one (type, day) count aggregate over the scan, a
+    3-row lag grid broadcast, one self-equi-join on (type, day+lag)
+    — daily frames are |types|·|days| rows, never event-sized — and
+    a |types|·3-row moment aggregate. Constant series (zero variance)
+    emit NULL.
+    """
+    ev = t(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2000-01-01").cast("date")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
+    a = daily.crossJoin(F.broadcast(lags))
+    b = daily.select(
+        F.col("event_type"),
+        F.col("day").alias("day_b"),
+        F.col("y").alias("y_b"),
+    )
+    pairs = a.join(
+        b,
+        (a["event_type"] == b["event_type"]) & (b["day_b"] == a["day"] + a["lag"]),
+    ).select(a["event_type"], "lag", F.col("y").alias("x"), F.col("y_b").alias("z"))
+    d38 = "decimal(38,0)"
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("z").cast(d38)).alias("sz"),
+        F.sum((F.col("x") * F.col("z")).cast(d38)).alias("sxz"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("z") * F.col("z")).cast(d38)).alias("szz"),
+    )
+    num = F.col("n") * F.col("sxz") - F.col("sx") * F.col("sz")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    varz = F.col("n") * F.col("szz") - F.col("sz") * F.col("sz")
+    corr2 = F.when(
+        (varx > 0) & (varz > 0),
+        F.when(num < 0, F.lit(-1)).otherwise(F.lit(1)).cast(d38)
+        * F.expr(
+            "(1000000 * ((n * sxz - sx * sz) * (n * sxz - sx * sz)))"
+            " div ((n * sxx - sx * sx) * (n * szz - sz * sz))"
+        ),
+    )
+    return m.select(
+        "event_type",
+        "lag",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        corr2.cast("bigint").alias("corr2_signed_ppm"),
+    )
+
+
 def ewma_user_value(spark: SparkSession, sf: str) -> DataFrame:
     """Integer-exact EWMA (α = 1/2) of each user's event values in time
     order: s₁ = v₁, sₜ = (sₜ₋₁ + vₜ) >> 1 — a sequential recurrence no
@@ -846,6 +907,7 @@ def hll_merge_halves(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES = {
     "bucketed_join_rollup": bucketed_join_rollup,
+    "daily_value_autocorr": daily_value_autocorr,
     "cms_merge_halves": cms_merge_halves,
     "csv_corrupt_quarantine": csv_corrupt_quarantine,
     "hll_estimate_users": hll_estimate_users,
@@ -959,6 +1021,38 @@ SELECT bucket, CAST(register AS BIGINT) AS register FROM regs
 """
 
 SCALE_ORACLES = {
+    "daily_value_autocorr": """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2000-01-01', CAST(ts AS DATE)) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+lags AS (SELECT CAST(unnest(range(1, 4)) AS INT) AS lag),
+pairs AS (
+  SELECT a.event_type, l.lag, a.y AS x, b.y AS z
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.event_type = a.event_type AND b.day = a.day + l.lag
+),
+m AS (
+  SELECT event_type, lag,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(z AS HUGEINT)) AS HUGEINT) AS sz,
+         CAST(SUM(CAST(x AS HUGEINT) * z) AS HUGEINT) AS sxz,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, lag,
+       CAST(n AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN (n*sxx - sx*sx) > 0 AND (n*szz - sz*sz) > 0 THEN
+         (CASE WHEN (n*sxz - sx*sz) < 0 THEN -1 ELSE 1 END)
+         * ((1000000 * (n*sxz - sx*sz) * (n*sxz - sx*sz))
+            // ((n*sxx - sx*sx) * (n*szz - sz*sz)))
+       END AS BIGINT) AS corr2_signed_ppm
+FROM m
+""",
     "bucketed_join_rollup": """
 SELECT o.o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_items,

@@ -441,6 +441,52 @@ def embed_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5)
 
 
+def ivf_cell_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Index-balance audit of the TRAINED IVF coarse quantizer (round
+    9): per-cell population, corpus share, and load-vs-uniform ratio
+    in exact integer ppm — the health check run before shipping an
+    IVF index (a skewed quantizer concentrates probes on hot cells
+    and silently loses the nprobe pruning ratio; ~uniform cells are
+    what make nprobe/k the cost model).
+
+    Determinism: the codebook is clustering.train_codebook's
+    INTEGER-exact Lloyd (k=16, 2 rounds — bit-replicated in the
+    oracle via oracles_training._replicated_train_codebook, the same
+    identity-pinned recurrence embed_semdedup_trained relies on), and
+    assignment is the audited literal-expression argmax (lowest cell
+    on ties) whose cross-engine margins the ANN margin audit already
+    measures on the identical trained codebook. Counts and trunc-div
+    ppm are pure integers.
+
+    Scale shape: training = 2 linear scans + a k·d driver collect
+    per round; assignment is map-side literal expressions (no join,
+    no shuffle); everything after is a k-row aggregate zero-filled
+    over the cell grid."""
+    from fsc_etl_spark.operators.clustering import train_codebook
+    from fsc_etl_spark.operators.similarity import _argmin_code, _as_double, l2_norm
+
+    emb = t(spark, sf, "embeddings")
+    centers = train_codebook(emb, k=16, iters=2)
+    total = emb.count()
+    assigned = (
+        emb.select(_as_double(F.col("embedding")).alias("v"))
+        .withColumn("n", l2_norm(F.col("v")))
+        .select(_argmin_code(F.col("v"), centers, norm=F.col("n")).alias("cell"))
+    )
+    pops = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    grid = spark.range(0, 16).select(F.col("id").cast("int").alias("cell"))
+    return grid.join(pops, "cell", "left").select(
+        "cell",
+        F.coalesce(F.col("n_vecs"), F.lit(0)).cast("bigint").alias("n_vecs"),
+        F.expr(f"(1000000 * coalesce(n_vecs, 0L)) div {total}")
+        .cast("bigint")
+        .alias("share_ppm"),
+        F.expr(f"(16000000 * coalesce(n_vecs, 0L)) div {total}")
+        .cast("bigint")
+        .alias("load_x_uniform_ppm"),
+    )
+
+
 def embed_ann_recall_matrix(spark: SparkSession, sf: str) -> DataFrame:
     """Recall@5 of every ANN tier against the EXACT brute-force
     ranking, as a driver-checked query (VERDICT r8 #4): one row per
@@ -2682,6 +2728,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_knn_audit_trained": embed_knn_audit_trained,
     "embed_cosine_topk": embed_cosine_topk,
     "embed_ann_recall_matrix": embed_ann_recall_matrix,
+    "ivf_cell_balance": ivf_cell_balance,
     "embed_mmr_select": embed_mmr_select,
     "embed_cosine_topk_pandas": embed_cosine_topk_pandas,
     "user_trend_slope": user_trend_slope,

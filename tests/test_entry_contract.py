@@ -77,28 +77,25 @@ def test_driver_sample_prefix_covers_priority_groups():
     assert not missing, f"never-sampled queries fell out of the driver window: {missing}"
     # Queries whose behavior or checking contract changed recently
     # must sit in the sample window so the driver re-verifies them:
-    # round 8 — the five new retrieval/quality queries plus the three
-    # whose checking contract the ADVICE fixes touched; round 7 —
-    # the winnow fix and the trained-tier hash upgrades.
+    # round 9 — the seven new queries, the retired rows-only pair,
+    # the ADVICE r8 fixes, and the plan/behavior reworks.
     changed_this_round = {
-        "bm25_topk_docs",
-        "exact_quantiles_scalable",
+        "embed_ann_recall_matrix",
+        "minhash_jaccard_accuracy",
+        "ngram_novelty_curve",
+        "stratified_sample_exact",
+        "graph_label_propagation",
+        "daily_value_autocorr",
+        "ivf_cell_balance",
+        "approx_user_stats",
+        "hll_daily_users",
         "heaps_law_vocab_growth",
-        "embed_matryoshka_recall",
-        "bm25_prf_expansion",
-        "streaming_quality_gate",
-        "rrf_fused_topk",
+        "incremental_lsh_dedup",
         "gopher_quality_flags",
-        "quality_calibration_bins",
+        "streaming_quality_gate",
         "embed_covariance_topk",
-        "embed_int8_quant_stats",
-        "embed_semdedup_trained",
-        "embed_knn_audit_trained",
-        "winnow_fingerprints",
-        "pps_token_sample",
-        "embed_lsh_topk",
-        "embed_mmr_select",
-        "embed_ivf_topk",
+        "ppr_copurchase_seeds",
+        "streaming_segment_dedup",
     }
     for must_have in changed_this_round:
         assert must_have in prefix, f"{must_have} fell out of the driver sample"

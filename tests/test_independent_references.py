@@ -1646,3 +1646,82 @@ def test_graph_label_propagation_against_reference(spark, sf_smoke):
         ).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_daily_value_autocorr_against_reference(spark, sf_smoke):
+    """Signed squared lag autocorrelation recomputed with plain dicts
+    and Python big ints (exact: daily counts are integers)."""
+    from fsc_etl_spark.plans.scale_ops import QUERIES as SCALE_QUERIES
+    from fsc_etl_spark.sources.readers import read_parquet_table
+
+    ev = read_parquet_table(spark, sf_smoke, "events").select(
+        "event_type", "ts"
+    ).collect()
+    import datetime as dt
+
+    daily: dict[tuple, int] = {}
+    for r in ev:
+        day = (r.ts.date() - dt.date(2000, 1, 1)).days
+        daily[(r.event_type, day)] = daily.get((r.event_type, day), 0) + 1
+    types = {k[0] for k in daily}
+    expect = {}
+    for et in types:
+        days = {d: y for (t_, d), y in daily.items() if t_ == et}
+        for lag in (1, 2, 3):
+            pairs = [
+                (days[d], days[d + lag]) for d in days if d + lag in days
+            ]
+            n = len(pairs)
+            sx = sum(x for x, _ in pairs)
+            sz = sum(z for _, z in pairs)
+            sxz = sum(x * z for x, z in pairs)
+            sxx = sum(x * x for x, _ in pairs)
+            szz = sum(z * z for _, z in pairs)
+            num = n * sxz - sx * sz
+            vx, vz = n * sxx - sx * sx, n * szz - sz * sz
+            c2 = (
+                (1 if num >= 0 else -1) * ((1_000_000 * num * num) // (vx * vz))
+                if vx > 0 and vz > 0
+                else None
+            )
+            expect[(et, lag)] = (n, c2)
+    got = {
+        (r.event_type, r.lag): (r.n_pairs, r.corr2_signed_ppm)
+        for r in SCALE_QUERIES["daily_value_autocorr"](spark, sf_smoke).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_ivf_cell_balance_against_reference(spark, sf_smoke):
+    """Cell populations recomputed densely: the identity-pinned
+    replicated codebook + numpy argmax assignment (dot/|v| − |c|²/2,
+    lowest cell on ties) + plain counting."""
+    import numpy as np
+
+    from fsc_etl_spark.plans.oracles_training import _replicated_train_codebook
+    from fsc_etl_spark.plans.training_data import QUERIES
+
+    ids, V, n = _load_vecs(sf_smoke)
+    C = np.array(
+        [list(c) for c in _replicated_train_codebook(sf_smoke, k=16, iters=2)]
+    )
+    half = (C * C).sum(axis=1) / 2.0
+    S = V @ C.T / n[:, None] - half[None, :]
+    # lowest cell on ties: argmax returns the first (lowest) index
+    cells = S.argmax(axis=1)
+    pops = {c: 0 for c in range(16)}
+    for c in cells:
+        pops[int(c)] += 1
+    total = len(ids)
+    got = {
+        r.cell: (r.n_vecs, r.share_ppm, r.load_x_uniform_ppm)
+        for r in QUERIES["ivf_cell_balance"](spark, sf_smoke).collect()
+    }
+    assert set(got) == set(range(16))
+    for c in range(16):
+        p = pops[c]
+        assert got[c] == (
+            p,
+            1_000_000 * p // total,
+            16_000_000 * p // total,
+        ), c
