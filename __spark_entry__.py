@@ -79,65 +79,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(corpus_stats.QUERIES)
 
     priority = [
-        # --- round-9 NEW queries (no driver row yet) ---
-        "embed_ann_recall_matrix",  # ANN tier recall@5 vs exact, ppm
-        "minhash_jaccard_accuracy",  # MinHash estimator error audit
-        "ngram_novelty_curve",  # per-decile 3-gram novelty ppm
-        "stratified_sample_exact",  # largest-remainder stratified draw
-        "graph_label_propagation",  # deterministic LPA communities
-        "daily_value_autocorr",  # integer lag autocorrelation
-        "ivf_cell_balance",  # trained-quantizer balance audit
-        # --- round-9: contract changed (rows-only tier retired /
-        # behavior or plan touched) ---
-        "approx_user_stats",  # error-bounded contract, FULL oracle now
-        "hll_daily_users",  # error-bounded contract, FULL oracle now
-        "heaps_law_vocab_growth",  # checkpoint clamped (ADVICE r8)
-        "incremental_lsh_dedup",  # size-guarded pair broadcast
-        "gopher_quality_flags",  # oracle empty-list COALESCE
-        "streaming_quality_gate",  # oracle empty-list COALESCE
-        "embed_covariance_topk",  # runtime int64-headroom guard in plan
-        "ppr_copurchase_seeds",  # broadcast seed flag per round
-        "streaming_segment_dedup",  # per-epoch idempotent state writes
-        # --- round-8 NEW queries (second driver look) ---
-        "bm25_topk_docs",  # Okapi BM25 lexical retrieval
-        "rrf_fused_topk",  # reciprocal-rank fusion (hybrid retrieval)
-        "quality_calibration_bins",  # reliability table, scalable deciles
-        "exact_quantiles_scalable",  # nearest-rank quantiles, no global sort
-        "embed_matryoshka_recall",  # truncated-dim recall@10
-        "bm25_prf_expansion",  # pseudo-relevance-feedback terms
-        "embed_power_iteration",  # integer power-iteration top PC
-        "bigram_lm_perplexity",  # CCNet-style LM quality filter
-        "retrieval_ndcg_mrr",  # nDCG@10 / MRR ranking eval
-        "zipf_rank_frequency",  # rank-frequency slope fit
-        "source_length_drift",  # per-source histogram drift
-        "ccnet_ppl_buckets",  # head/middle/tail percentile split
-        "tokenizer_fertility_stats",  # per-lang tokenizer fertility
-        "streaming_ppl_gate",  # stream-static LM gate
-        # --- round-8 ADVICE-touched (third look) ---
-        "embed_int8_quant_stats",  # s=0 divisor guard (both engines)
-        "embed_semdedup_trained",  # oracle now lazily generated
-        "embed_knn_audit_trained",  # oracle now lazily generated
-        # --- round-7: behavior or checking contract changed ---
-        "winnow_fingerprints",  # frame-mixing FIX + independent oracle
-        "embed_ivf_topk",  # rows-only -> FULL hash (replicated Lloyd)
-        "embed_pq_topk",  # rows-only -> FULL hash (replicated Lloyd)
-        "pps_token_sample",  # driver-pinned one-row control (ADVICE r6)
-        "embed_lsh_topk",  # id-type-agnostic signature schema
-        "embed_semdedup_prune",  # assign_strategy plumbing (expr default)
-        "embed_knn_label_audit",  # assign_strategy plumbing (expr default)
-        "embed_pq_pinned_topk",  # pinned-codebook shape validation
-        # --- round-7 NEW queries (third driver look) ---
-        "embed_hard_negatives",  # contrastive hard-negative mining
-        "bpe_pair_counts",  # BPE merge-rule statistics
-        "lang_pred_quality",  # lang-ID confusion stats, exact ppm
-        "dup_span_trim_stats",  # substring-dedup trim accounting
-        # --- long-green sentinels spanning remaining families (TPC-H,
-        # star, dedup/curation, graph, multimodal, streaming-state) ---
-        "eval_contamination_flags",
-        "training_mix_manifest",
-        "q1_pricing_summary",
-        "multimodal_features",
-        "streaming_dsir_gate",
+        # --- round-10 NEW queries (no driver row yet) ---
+        "ivf_nprobe_recall_curve",  # recall@5 vs nprobe tuning curve
+        "graph_common_neighbors",  # capped common-neighbor link pred
+        "char_trigram_diversity",  # per-source char type-token ppm
+        # --- round-10: contract or plan changed (VERDICT r9 #1/#3 +
+        # ADVICE r9) ---
+        "dedup_embed_neardup",  # re-blocked on trained IVF cells
+        "embed_nn_within_label",  # re-blocked on (cell, label)
+        "ngram_jaccard_pairs",  # distinct-mask m² guard in auto path
+        "minhash_jaccard_accuracy",  # size-guarded pair broadcast
+        "hll_daily_users",  # total bound gains greatest(40,·) floor
+        # --- staleness rotation (VERDICT r9 #7): the r1-vintage tail —
+        # every remaining slot goes to the queries whose latest green
+        # driver row is oldest (42 of the 43 r1 rows; proj_alias, the
+        # trivial projection also pinned by pytest + the covid path,
+        # waits for r11) ---
+        "agg_minmax",
+        "anti_join_orphans",
+        "asof_click_purchase",
+        "cast_manifest_roundtrip",
+        "cdc_snapshot_diff",
+        "correlated_above_avg",
+        "cube_order_stats",
+        "date_funcs_breadth",
+        "dim_join_broadcast",
+        "distinct_dim",
+        "except_all_priorities",
+        "explode_doc_tokens",
+        "filter_date_split",
+        "filter_status",
+        "global_topk_orders",
+        "grouping_sets_priority",
+        "hourly_event_rollup",
+        "intersect_customers",
+        "json_event_props",
+        "median_price_by_status",
+        "merge_upsert_state",
+        "multi_distinct_by_flag",
+        "pivot_event_types",
+        "q10_returned_items",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q3_shipping_priority",
+        "q4_priority_exists",
+        "q5_region_volume",
+        "q6_revenue_forecast",
+        "range_join_recent_views",
+        "scalar_subquery_bigspenders",
+        "semi_join_membership",
+        "sessionize_events",
+        "sliding_window_rollup",
+        "string_funcs_breadth",
+        "surrogate_key_assign",
+        "union_insert_update",
+        "unpivot_lineitem_metrics",
+        "window_lag_delta",
+        "window_running_sum",
+        "window_topk_per_group",
     ]
     if len(priority) != 50:  # contract check — not an assert: survives python -O
         raise ValueError(f"driver window must be exactly 50, got {len(priority)}")

@@ -366,6 +366,21 @@ BENCH_QUERIES = [
     # OFF-bench: composes the benched integer-Lloyd training
     # (kmeans_cluster_stats shape) with the benched literal-expression
     # assignment scan (embed_semdedup_prune) and a k-row rollup.
+    # round-10: graph_common_neighbors IS benched — the fanout-capped
+    # part-blocked pair join + double degree join + heap top-k is a
+    # new physical shape (the other pair benches block on band/cell/
+    # order, none caps per-block fanout then re-joins degrees).
+    # char_trigram_diversity IS benched — the char-gram explode is a
+    # ~3x heavier map-side expansion than any token bench and the
+    # (source, gram) -> source two-level rollup is its own shape.
+    # ivf_nprobe_recall_curve is OFF-bench: five settings of the
+    # BENCHED pinned-IVF pipeline + the benched exact shape, joined
+    # by a 25-row broadcast semi (the embed_ann_recall_matrix
+    # exclusion class). dedup_embed_neardup / embed_nn_within_label
+    # keep their bench slots with the new trained-cell blocking
+    # (their cost now includes the 2-round Lloyd training).
+    "graph_common_neighbors",
+    "char_trigram_diversity",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -181,6 +181,18 @@ def train_codebook(
     return [[c / float(scale) for c in row] for row in cent]
 
 
+def scaled_codebook_size(
+    n_vectors: int, target_cell: int = 512, k_min: int = 8, k_max: int = 1024
+) -> int:
+    """Data-grown codebook size: k = clamp(n/target_cell, k_min, k_max),
+    so per-cell population stays ~``target_cell`` as the corpus grows
+    and any within-cell pairwise step stays LINEAR in the corpus (the
+    way SemDeDup's own paper sizes ~50k clusters for LAION scale).
+    Integer-exact and shared by the driver queries and the scale probe
+    so both grow the same codebook (scripts/scale_probe.py)."""
+    return max(k_min, min(k_max, n_vectors // target_cell))
+
+
 def kmeans_exact(
     emb: DataFrame,
     k: int = 4,

@@ -632,7 +632,11 @@ def cosine_near_dup_pairs(
     if block_col is not None:
         a = emb.select(F.col(block_col), *a_cols).withColumn("na", l2_norm(F.col("va")))
         b = emb.select(F.col(block_col), *b_cols).withColumn("nb", l2_norm(F.col("vb")))
-        pairs = a.join(b, block_col)
+        # shuffle_hash: the block key has few distinct values and both
+        # sides carry array columns — a sort-merge would buffer the
+        # vectors through sort spills (the measured 1g-heap blowup
+        # class) for no benefit.
+        pairs = a.hint("shuffle_hash").join(b, block_col)
     else:
         a = emb.select(*a_cols).withColumn("na", l2_norm(F.col("va")))
         b = emb.select(*b_cols).withColumn("nb", l2_norm(F.col("vb")))
@@ -1287,26 +1291,38 @@ def pq_topk(
 
 def nearest_neighbor_within_group(
     emb: DataFrame,
-    group_col: str = "label",
+    group_col: str | list[str] = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Each vector's single nearest neighbor within its group — the
-    embedding-cosine near-dup primitive (group = blocking key). The
-    self-join shuffles both sides on the group column only."""
+    embedding-cosine near-dup primitive (group = blocking key; pass a
+    LIST to block on a composite key, e.g. ``["cell", "label"]`` for
+    same-label NN bounded to a trained IVF cell). The self-join
+    shuffles both sides on the group columns only; at 100 TB at least
+    one group column must be data-grown (cluster id / LSH bucket) so
+    block sizes stay bounded as the corpus grows."""
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
     # Norms are computed ONCE per row on each side of the join (the
     # shuffle materializes them), not once per pair: per-pair work
     # drops from three interpreted folds (dot + 2 norms) to one, and
     # the value is bit-identical — same expression over the same row,
     # same dot/(sqrt*sqrt) ordering as cosine().
     a = emb.select(
-        F.col(group_col), F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
+        *[F.col(g) for g in groups],
+        F.col(id_col).alias("id_a"),
+        _as_double(F.col(vec_col)).alias("va"),
     ).withColumn("na", l2_norm(F.col("va")))
     b = emb.select(
-        F.col(group_col), F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
+        *[F.col(g) for g in groups],
+        F.col(id_col).alias("id_b"),
+        _as_double(F.col(vec_col)).alias("vb"),
     ).withColumn("nb", l2_norm(F.col("vb")))
     pairs = (
-        a.join(b, group_col)
+        # shuffle_hash: bounded-size blocks carrying array columns —
+        # same rationale as cosine_near_dup_pairs / semdedup_prune.
+        a.hint("shuffle_hash")
+        .join(b, groups)
         .filter(F.col("id_a") != F.col("id_b"))
         .withColumn(
             "cos",
@@ -1320,5 +1336,10 @@ def nearest_neighbor_within_group(
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") == 1)
-        .select(F.col(group_col), F.col("id_a"), F.col("id_b").alias("nn_id"), F.col("cos").alias("nn_cos"))
+        .select(
+            *[F.col(g) for g in groups],
+            F.col("id_a"),
+            F.col("id_b").alias("nn_id"),
+            F.col("cos").alias("nn_cos"),
+        )
     )

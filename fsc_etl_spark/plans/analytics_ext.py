@@ -372,8 +372,13 @@ def hll_daily_users(spark: SparkSession, sf: str) -> DataFrame:
                 <= F.greatest(F.lit(20), F.col("exact_daily"))
             ).alias("daily_within_10pct"),
             (
+                # greatest(40, ...) absolute floor mirrors the daily /
+                # approx_user_stats bounds (ADVICE r9): at small
+                # corpus-wide cardinality ±5% rounds to ~1 distinct,
+                # which would make the TRUE contract sensitive to any
+                # engine-version change in HLL internals.
                 F.abs(F.col("est_total") - F.col("exact_total")) * 20
-                <= F.col("exact_total")
+                <= F.greatest(F.lit(40), F.col("exact_total"))
             ).alias("total_within_5pct"),
         )
     )

@@ -734,11 +734,18 @@ def minhash_jaccard_accuracy(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # ADVICE r9: size-guard the candidate-pair broadcast exactly like
+    # incremental_lsh_dedup's _PAIR_BROADCAST_LIMIT — a skewed band
+    # can make `pairs` arbitrarily large, and pairs is already
+    # localCheckpoint-ed so the count is a cached-frame scan.
+    pairs_for_semi = (
+        F.broadcast(pairs) if pairs.count() <= _PAIR_BROADCAST_LIMIT else pairs
+    )
     inter = (
         sh.alias("sa")
         .join(sh.alias("sb"), F.col("sa.sh") == F.col("sb.sh"))
         .join(
-            F.broadcast(pairs),
+            pairs_for_semi,
             (F.col("sa.doc_id") == F.col("id_a"))
             & (F.col("sb.doc_id") == F.col("id_b")),
             "left_semi",
@@ -907,8 +914,51 @@ def stratified_sample_exact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def char_trigram_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source character-trigram diversity (round 10): total 3-gram
+    occurrences, distinct 3-grams, the hottest single gram's count and
+    the distinct/total ratio in exact integer ppm — the char-level
+    type-token ratio quality filters read beside word-level Zipf/Heaps
+    (low diversity or a dominant gram flags boilerplate, encoding
+    noise, or generative loops). Case-insensitive over lower(text);
+    docs under 3 chars form no gram (the length filter also keeps
+    Spark's DESCENDING sequence(1, 0) trap out of the plan).
+
+    Scale shape: gram expansion is map-side (one length-L int array +
+    substring per doc — O(L) work, never the O(L²) inline-HOF
+    blowup), then ONE (source, gram)-keyed shuffle; the per-source
+    rollup aggregates the gram-keyed frame, so sum/count/max arrive
+    WITHOUT a countDistinct Expand (the measured 6.9-s pitfall class).
+    All integers; trunc div; exact twin."""
+    docs = t(spark, sf, "documents")
+    s = docs.select(
+        "source", F.lower(F.col("text")).alias("txt")
+    ).filter(F.length("txt") >= 3)
+    grams = s.select(
+        "source",
+        F.explode(
+            F.expr("transform(sequence(1, length(txt) - 2), i -> substring(txt, i, 3))")
+        ).alias("g"),
+    )
+    per = grams.groupBy("source", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    return per.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("cnt").cast("bigint").alias("top_gram_n"),
+    ).select(
+        "source",
+        "n_grams",
+        "n_distinct",
+        "top_gram_n",
+        F.expr("(1000000 * n_distinct) div n_grams")
+        .cast("bigint")
+        .alias("diversity_ppm"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_lm_perplexity": bigram_lm_perplexity,
+    "char_trigram_diversity": char_trigram_diversity,
     "ccnet_ppl_buckets": ccnet_ppl_buckets,
     "retrieval_ndcg_mrr": retrieval_ndcg_mrr,
     "zipf_rank_frequency": zipf_rank_frequency,
@@ -1113,6 +1163,30 @@ LEFT JOIN per_new p ON p.id_new = d.doc_id
 
 
 CORPUS_ORACLES["incremental_lsh_dedup"] = _incremental_lsh_oracle()
+
+# range(1, n) is EXCLUSIVE in DuckDB, so range(1, length-1) enumerates
+# the same 1..length-2 starts Spark's inclusive sequence(1, length-2)
+# does; both engines' substring is character-indexed.
+CORPUS_ORACLES["char_trigram_diversity"] = """
+WITH s AS (
+  SELECT source, lower(text) AS txt FROM documents WHERE length(text) >= 3
+),
+g AS (
+  SELECT source,
+         unnest(list_transform(range(1, length(txt) - 1),
+                i -> substring(txt, CAST(i AS INTEGER), 3))) AS g
+  FROM s
+),
+per AS (
+  SELECT source, g, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MAX(cnt) AS BIGINT) AS top_gram_n,
+       CAST((1000000 * COUNT(*)) // SUM(cnt) AS BIGINT) AS diversity_ppm
+FROM per GROUP BY source
+"""
 
 _NDCG_W_SQL = ", ".join(str(w) for w in _NDCG_W)
 _NDCG_P_SQL = ", ".join(str(p) for p in _NDCG_P)

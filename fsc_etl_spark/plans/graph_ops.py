@@ -175,6 +175,80 @@ def triangle_count_coparts(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_stats(pairs)
 
 
+#: Parts bought by more than this many distinct customers are "hub"
+#: parts: they connect everyone to everyone (no link-prediction
+#: signal) and their per-part pair fanout is quadratic — the standard
+#: stop-word filter of co-occurrence mining, which also CAPS the
+#: part-blocked pair join's per-block work at fanout² regardless of
+#: corpus size.
+_CN_MAX_PART_FANOUT = 50
+_CN_TOPK = 50
+
+
+def graph_common_neighbors(spark: SparkSession, sf: str) -> DataFrame:
+    """Common-neighbor link prediction over the customer projection of
+    the co-purchase bipartite graph (round 10): two customers are
+    predicted-linked when their NON-HUB part sets overlap; score =
+    common-part count and exact integer Jaccard ppm over part sets.
+    Top-50 by (jaccard_ppm DESC, common DESC, id_a ASC, id_b ASC) — a
+    total order over integers, so the LIMIT is deterministic and the
+    oracle hash-matches.
+
+    Scale shape: the pair generation is BLOCKED on partkey with the
+    per-part fanout capped at _CN_MAX_PART_FANOUT distinct customers
+    (hub parts excluded up front — the co-occurrence stop-word rule),
+    so per-block pair work is ≤ fanout² no matter how the corpus
+    grows; degrees and common counts are two keyed aggregations and
+    the top-k is a TakeOrdered heap, never a global sort. All
+    integers end to end."""
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    rare = (
+        cp.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .filter(F.col("n_cust") <= _CN_MAX_PART_FANOUT)
+        .select("part")
+    )
+    # the non-hub incidence is read three times (degree build + both
+    # pair-join sides) — persist so the orders⋈lineitem join and the
+    # hub filter run once
+    cpr = cp.join(rare, "part", "left_semi").persist()
+    deg = cpr.groupBy("cust").agg(F.count(F.lit(1)).alias("deg"))
+    a = cpr.select(F.col("part"), F.col("cust").alias("id_a"))
+    b = cpr.select(F.col("part"), F.col("cust").alias("id_b"))
+    common = (
+        a.join(b, "part")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(deg.withColumnRenamed("cust", "id_a").withColumnRenamed("deg", "deg_a"), "id_a")
+        .join(deg.withColumnRenamed("cust", "id_b").withColumnRenamed("deg", "deg_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("common").cast("bigint").alias("common"),
+            F.expr("(1000000 * common) div (deg_a + deg_b - common)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy(
+            F.col("jaccard_ppm").desc(),
+            F.col("common").desc(),
+            F.col("id_a").asc(),
+            F.col("id_b").asc(),
+        )
+        .limit(_CN_TOPK)
+    )
+    return out
+
+
 def bfs_hops_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     """Hop-distance histogram of a 3-round BFS from customer node
     ``c0`` over the co-purchase graph (operators/graph.bfs_hops).
@@ -637,6 +711,7 @@ FROM d GROUP BY core_deg"""
 
 QUERIES = {
     "bfs_hops_copurchase": bfs_hops_copurchase,
+    "graph_common_neighbors": graph_common_neighbors,
     "kcore_copurchase": kcore_copurchase,
     "pagerank_copurchase": pagerank_copurchase,
     "pagerank_dangling_redistribute": pagerank_dangling_redistribute,
@@ -671,6 +746,28 @@ SELECT dist,
        MIN(node) AS min_node,
        MAX(node) AS max_node
 FROM md GROUP BY dist
+""",
+    "graph_common_neighbors": f"""
+WITH cp AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+rare AS (SELECT part FROM cp GROUP BY part HAVING COUNT(*) <= {_CN_MAX_PART_FANOUT}),
+cpr AS MATERIALIZED (SELECT cp.cust, cp.part FROM cp JOIN rare USING (part)),
+deg AS (SELECT cust, CAST(COUNT(*) AS BIGINT) AS deg FROM cpr GROUP BY cust),
+common AS (
+  SELECT a.cust AS id_a, b.cust AS id_b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM cpr a JOIN cpr b ON a.part = b.part AND a.cust < b.cust
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b, c.common,
+       CAST((1000000 * c.common) // (da.deg + db.deg - c.common) AS BIGINT)
+         AS jaccard_ppm
+FROM common c
+JOIN deg da ON da.cust = c.id_a
+JOIN deg db ON db.cust = c.id_b
+ORDER BY jaccard_ppm DESC, c.common DESC, c.id_a ASC, c.id_b ASC
+LIMIT {_CN_TOPK}
 """,
     "kcore_copurchase": _kcore_oracle(),
     "pagerank_copurchase": _pagerank_oracle(),

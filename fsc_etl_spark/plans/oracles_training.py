@@ -297,21 +297,9 @@ ranked AS (
 SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 5
 """
 
-TRAINING_ORACLES["embed_nn_within_label"] = f"""
-WITH e AS (SELECT vec_id, label, {_DV} AS v FROM embeddings),
-pairs AS (
-  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
-         ROUND(list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
-),
-ranked AS (
-  SELECT label, id_a, id_b, cos,
-         ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rn
-  FROM pairs
-)
-SELECT label, id_a, id_b AS nn_id, cos AS nn_cos FROM ranked WHERE rn = 1
-"""
+# embed_nn_within_label / dedup_embed_neardup: per-SF trained-codebook
+# oracles since round 10 — see SF_ORACLE_GENERATORS below (the static
+# label-blocked SQL was retired with the fixed-label blocking).
 
 # Real P6 decode twin: the media is documents_as_ppm_media's 12x8
 # canonical P6 (300 bytes = 12-byte header + 288 cycled text bytes).
@@ -351,17 +339,6 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
        CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_ws
 FROM documents
-"""
-
-TRAINING_ORACLES["dedup_embed_neardup"] = f"""
-WITH e AS (SELECT vec_id, label, {_DV} AS v FROM embeddings),
-pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         ROUND(list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-)
-SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.3
 """
 
 # Composed curation pipeline: quality gate + language agreement +
@@ -531,6 +508,35 @@ SELECT query_id, vec_id, cos, rank FROM (
 
 
 TRAINING_ORACLES["embed_ivf_pinned_topk"] = _ivf_pinned_oracle()
+
+
+def _nprobe_curve_oracle(sweep: tuple[int, ...] = (1, 2, 4, 6, 8)) -> str:
+    """Composed twin of ivf_nprobe_recall_curve (round 10): the pinned
+    IVF pipeline at each sweep cutoff, inner-joined to the exact
+    brute-force top-5 (both sides unique (query_id, vec_id) pairs, so
+    COUNT(*) is the intersection), zero-filled over the sweep grid —
+    the _ann_recall_matrix_oracle shape with nprobe as the axis."""
+    point_sql = "\nUNION ALL\n".join(
+        f"SELECT {n} AS nprobe, query_id, vec_id FROM ({_ivf_pinned_oracle(nprobe=n)})"
+        for n in sweep
+    )
+    exact = TRAINING_ORACLES["embed_cosine_topk"]
+    values = ", ".join(f"({n})" for n in sweep)
+    return f"""
+WITH exact_r AS (SELECT query_id, vec_id FROM ({exact})),
+allp AS ({point_sql}),
+h AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS hits
+      FROM allp JOIN exact_r USING (query_id, vec_id) GROUP BY nprobe)
+SELECT CAST(g.nprobe AS INT) AS nprobe,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       CAST(25 AS BIGINT) AS n_total,
+       CAST((1000000 * COALESCE(h.hits, 0)) // 25 AS BIGINT) AS recall_ppm
+FROM (VALUES {values}) AS g(nprobe)
+LEFT JOIN h ON h.nprobe = g.nprobe
+"""
+
+
+TRAINING_ORACLES["ivf_nprobe_recall_curve"] = _nprobe_curve_oracle()
 
 
 def _semdedup_oracle(
@@ -896,6 +902,98 @@ def _trained_knn_oracle(sf_dir: str) -> str:
     return _knn_label_oracle(k=3, centers=centers)
 
 
+@_functools.lru_cache(maxsize=8)
+def _fixture_vec_count(sf_dir: str) -> int:
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        return con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchone()[0]
+    finally:
+        con.close()
+
+
+def _scaled_trained_centers(sf_dir: str) -> list[list[float]]:
+    """The DATA-GROWN codebook the round-10 cell-blocked queries train
+    (k = clamp(n/512, 8, 1024) — clustering.scaled_codebook_size),
+    bit-replicated from the fixture parquet by the same integer-exact
+    recurrence as the fixed-k trained oracles."""
+    from fsc_etl_spark.operators.clustering import scaled_codebook_size
+
+    k = scaled_codebook_size(_fixture_vec_count(sf_dir))
+    return [list(c) for c in _replicated_train_codebook(sf_dir, k=k, iters=2)]
+
+
+def _cell_assign_ctes(centers: list[list[float]], label: bool = False) -> str:
+    """Shared assignment CTE text for the cell-blocked oracles: inline
+    centroid literals with the SAME Python-float half-norms the Spark
+    broadcast path embeds, score = dot(v,c)/|v| - |c|²/2, first-max
+    (lowest cell) tie rule — identical to assign_cells_pandas /
+    _argmin_code. Ends with a ``cs(vec_id[, label], cell, v, n)``
+    CTE ready for within-cell pair joins."""
+    lab = ", label" if label else ""
+    cents = ",\n  ".join(
+        f"({i}, CAST([{', '.join(repr(float(x)) for x in c)}] AS DOUBLE[]), "
+        f"{sum(x * x for x in c) / 2.0!r})"
+        for i, c in enumerate(centers)
+    )
+    return f"""
+WITH e AS (SELECT vec_id{lab}, {_DV} AS v FROM embeddings),
+en AS (SELECT vec_id{lab}, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+cent(cell, c, half_sq) AS (VALUES
+  {cents}
+),
+ascore AS (
+  SELECT en.vec_id, cent.cell,
+         list_dot_product(en.v, cent.c) / en.n - cent.half_sq AS s
+  FROM en CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS r
+    FROM ascore) WHERE r = 1
+),
+cs AS (
+  SELECT a.vec_id{lab}, a.cell, en.v, en.n
+  FROM assigned a JOIN en USING (vec_id)
+)"""
+
+
+def _neardup_cell_oracle(sf_dir: str) -> str:
+    """Twin of the round-10 dedup_embed_neardup: within-cell pairs at
+    6dp cosine >= 0.3 over the per-SF replicated data-grown codebook."""
+    ctes = _cell_assign_ctes(_scaled_trained_centers(sf_dir))
+    return f"""{ctes}
+SELECT id_a, id_b, cos FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos
+  FROM cs a JOIN cs b ON a.cell = b.cell AND a.vec_id < b.vec_id
+) WHERE cos >= 0.3
+"""
+
+
+def _nn_within_label_cell_oracle(sf_dir: str) -> str:
+    """Twin of the round-10 embed_nn_within_label: nearest same-label
+    neighbor among same-cell candidates, (cos DESC, id ASC) rank-1."""
+    ctes = _cell_assign_ctes(_scaled_trained_centers(sf_dir), label=True)
+    return f"""{ctes},
+ranked AS (
+  SELECT a.cell, a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) DESC,
+                    b.vec_id ASC) AS rn
+  FROM cs a JOIN cs b
+    ON a.cell = b.cell AND a.label = b.label AND a.vec_id <> b.vec_id
+)
+SELECT cell, label, id_a, id_b AS nn_id, cos AS nn_cos FROM ranked WHERE rn = 1
+"""
+
+
 #: Oracles whose SQL depends on the fixture (trained quantizers): the
 #: static TRAINING_ORACLES entries below are generated at the DRIVER's
 #: correctness-gate scale (sf0.01 — the only SF the driver compares
@@ -984,6 +1082,8 @@ SF_ORACLE_GENERATORS: dict[str, _t.Callable[[str], str]] = {
     "embed_knn_audit_trained": _trained_knn_oracle,
     "embed_ann_recall_matrix": _ann_recall_matrix_oracle,
     "ivf_cell_balance": _ivf_cell_balance_oracle,
+    "dedup_embed_neardup": _neardup_cell_oracle,
+    "embed_nn_within_label": _nn_within_label_cell_oracle,
 }
 
 #: The driver's correctness-gate fixture. One shared, env-overridable

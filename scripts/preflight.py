@@ -59,7 +59,10 @@ def source_fingerprint() -> str:
     import hashlib
 
     proc = subprocess.run(
-        ["git", "ls-files", "--cached", "--others", "--exclude-standard", "--"]
+        # -z + NUL split (ADVICE r9): whitespace-splitting stdout would
+        # shred a path containing a space into bogus entries and
+        # silently corrupt the fingerprint the freshness gate compares.
+        ["git", "ls-files", "-z", "--cached", "--others", "--exclude-standard", "--"]
         + list(FUNCTIONAL_PATHS),
         capture_output=True,
         text=True,
@@ -67,13 +70,44 @@ def source_fingerprint() -> str:
         check=True,
     )
     h = hashlib.md5()
-    for rel in sorted(set(proc.stdout.split())):
+    for rel in sorted({p for p in proc.stdout.split("\0") if p}):
         p = REPO_ROOT / rel
         if not p.is_file():
             continue  # tracked but deleted in the worktree
         h.update(rel.encode())
         h.update(hashlib.md5(p.read_bytes()).hexdigest().encode())
     return h.hexdigest()
+
+
+#: Evidence/record files the judge audits: a snapshot commit that
+#: leaves any of these dirty makes the audit trail self-inconsistent
+#: (VERDICT r9 hygiene: bench_full.json was modified-but-uncommitted
+#: at judging time). Globs resolved against the repo root.
+EVIDENCE_GLOBS = (
+    "BENCH_r*.json",
+    "CORRECTNESS_r*.json",
+    "bench_full.json",
+    "BASELINE.md",
+    "PREFLIGHT_PASS.json",
+    "docs/*.md",
+    "docs/*.json",
+)
+
+
+def dirty_evidence_files() -> list[str]:
+    """Tracked evidence files with uncommitted modifications."""
+    proc = subprocess.run(
+        ["git", "status", "--porcelain", "-z", "--"]
+        + [str(g) for g in EVIDENCE_GLOBS],
+        capture_output=True,
+        text=True,
+        cwd=str(REPO_ROOT),
+    )
+    return sorted(
+        entry[3:]
+        for entry in proc.stdout.split("\0")
+        if entry and not entry.startswith("??")
+    )
 
 
 def write_pass_record(quick: bool, sweep_total: int, sf_dir: str) -> None:
@@ -85,6 +119,15 @@ def write_pass_record(quick: bool, sweep_total: int, sf_dir: str) -> None:
         text=True,
         cwd=str(REPO_ROOT),
     ).stdout.strip()
+    dirty = dirty_evidence_files()
+    if dirty:
+        # Warning, not failure: the round's own bench/record refresh is
+        # legitimately uncommitted WHILE the gate runs — the point is
+        # that the snapshot committer sees the list and commits them.
+        print(
+            "[preflight] WARNING dirty evidence files (commit them with "
+            f"the snapshot): {dirty}"
+        )
     record = {
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
         "commit_at_pass": commit,
@@ -92,6 +135,7 @@ def write_pass_record(quick: bool, sweep_total: int, sf_dir: str) -> None:
         "mode": "quick" if quick else "full",
         "sweep_green": sweep_total,
         "sf_dir": sf_dir,
+        "dirty_evidence_at_pass": dirty,
     }
     (REPO_ROOT / "PREFLIGHT_PASS.json").write_text(
         json.dumps(record, indent=1) + "\n"

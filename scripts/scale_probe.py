@@ -202,10 +202,10 @@ def full_probe_list(all_queries) -> list[str]:
 
 
 def _scaled_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
-    from fsc_etl_spark.operators.clustering import train_codebook
+    from fsc_etl_spark.operators.clustering import scaled_codebook_size, train_codebook
 
     emb = read_parquet_table(spark, sf_dir, "embeddings")
-    k = max(8, min(1024, emb.count() // 512))
+    k = scaled_codebook_size(emb.count())
     return train_codebook(emb, k=k, iters=2)
 
 
@@ -225,6 +225,20 @@ def _knn_audit_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_label_agreement(emb, centers, k=3, assign_strategy="pandas")
 
 
+def _ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forced-prefix twin of ngram_jaccard_pairs (VERDICT r9 #2): the
+    auto query's 1x-vs-10x ratio compares DIFFERENT strategies when
+    the vocab probe flips between scales (bitmap at 1x, prefix at 10x
+    measured 68.7x — a strategy-switch artifact, not a regression), so
+    the like-for-like headline ratio row pins strategy="prefix" at
+    both SFs. The auto choice itself is logged per SF in the probe
+    JSON's "adaptive" section."""
+    from fsc_etl_spark.operators.dedup import jaccard_token_pairs
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return jaccard_token_pairs(docs, threshold=0.8, strategy="prefix")
+
+
 #: Probe-only callables: the scale-path twins live here, not in
 #: queries() — their codebook is data-dependent (no static SQL oracle)
 #: and their CORRECTNESS story is the 8-cell identity gate in
@@ -232,7 +246,24 @@ def _knn_audit_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROBE_EXTRA = {
     "embed_semdedup_scaled": _semdedup_scaled,
     "embed_knn_audit_scaled": _knn_audit_scaled,
+    "ngram_jaccard_prefix": _ngram_jaccard_prefix,
 }
+
+
+def adaptive_report(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Per-SF record of every adaptive-strategy / data-grown parameter
+    the probed queries pick at THIS scale (VERDICT r9 #2) — so a ratio
+    that compares different strategies is visible in the JSON instead
+    of reading as a plan regression."""
+    from fsc_etl_spark.operators.clustering import scaled_codebook_size
+    from fsc_etl_spark.operators.dedup import jaccard_chosen_strategy
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    n_vecs = read_parquet_table(spark, sf_dir, "embeddings").count()
+    return {
+        "ngram_jaccard_pairs": jaccard_chosen_strategy(docs),
+        "scaled_codebook_k": str(scaled_codebook_size(n_vecs)),
+    }
 
 
 def _offset(df: DataFrame, keys: list[str], i: int, stride: int = 10_000_000) -> DataFrame:
@@ -351,7 +382,16 @@ def main() -> None:
     t1 = time_queries(spark, BASE_SF, only)
     t10 = time_queries(spark, big, only)
     ratios = {k: round(t10[k] / t1[k], 2) for k in t1}
-    print(json.dumps({"x1": t1, "x10": t10, "ratio": ratios}, indent=2))
+    adaptive = {
+        "x1": adaptive_report(spark, BASE_SF),
+        "x10": adaptive_report(spark, big),
+    }
+    print(
+        json.dumps(
+            {"x1": t1, "x10": t10, "ratio": ratios, "adaptive": adaptive},
+            indent=2,
+        )
+    )
 
 
 if __name__ == "__main__":

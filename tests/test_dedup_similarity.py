@@ -63,6 +63,28 @@ def test_jaccard_exact_similarity(docs):
     assert (1, 5) not in pairs
 
 
+def test_jaccard_bitmap_mask_guard_falls_back(spark, docs):
+    """VERDICT r9 #3: past ``mask_limit`` distinct masks the auto
+    strategy must abandon the m² bitmap pairing for the prefix path —
+    same exact pairs either way — while an explicit strategy="bitmap"
+    is still honored."""
+
+    def plan(df) -> str:
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    def pairs(df):
+        return sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect())
+
+    auto = jaccard_token_pairs(docs, 0.5)  # tiny vocab, few masks: bitmap
+    assert "bit_count" in plan(auto)
+    fallback = jaccard_token_pairs(docs, 0.5, mask_limit=1)
+    assert "bit_count" not in plan(fallback)  # prefix path chosen
+    assert pairs(fallback) == pairs(auto)
+    forced = jaccard_token_pairs(docs, 0.5, strategy="bitmap", mask_limit=1)
+    assert "bit_count" in plan(forced)  # explicit choice wins
+    assert pairs(forced) == pairs(auto)
+
+
 def test_jaccard_max_df_drops_common_tokens(docs):
     # 'the' appears in docs 1-4; max_df=3 removes it from the index.
     unfiltered = jaccard_token_pairs(docs, 0.1).count()

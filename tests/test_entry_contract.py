@@ -77,25 +77,18 @@ def test_driver_sample_prefix_covers_priority_groups():
     assert not missing, f"never-sampled queries fell out of the driver window: {missing}"
     # Queries whose behavior or checking contract changed recently
     # must sit in the sample window so the driver re-verifies them:
-    # round 9 — the seven new queries, the retired rows-only pair,
-    # the ADVICE r8 fixes, and the plan/behavior reworks.
+    # round 10 — the three new queries, the two cell-re-blocked
+    # queries (VERDICT r9 #1), the mask-guarded jaccard auto path
+    # (VERDICT r9 #3), and the two ADVICE r9 contract touches.
     changed_this_round = {
-        "embed_ann_recall_matrix",
+        "ivf_nprobe_recall_curve",
+        "graph_common_neighbors",
+        "char_trigram_diversity",
+        "dedup_embed_neardup",
+        "embed_nn_within_label",
+        "ngram_jaccard_pairs",
         "minhash_jaccard_accuracy",
-        "ngram_novelty_curve",
-        "stratified_sample_exact",
-        "graph_label_propagation",
-        "daily_value_autocorr",
-        "ivf_cell_balance",
-        "approx_user_stats",
         "hll_daily_users",
-        "heaps_law_vocab_growth",
-        "incremental_lsh_dedup",
-        "gopher_quality_flags",
-        "streaming_quality_gate",
-        "embed_covariance_topk",
-        "ppr_copurchase_seeds",
-        "streaming_segment_dedup",
     }
     for must_have in changed_this_round:
         assert must_have in prefix, f"{must_have} fell out of the driver sample"

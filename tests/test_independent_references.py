@@ -1497,7 +1497,11 @@ def _shingle_sets(spark, sf_smoke):
     docs = read_parquet_table(spark, sf_smoke, "documents").collect()
     sh = {}
     for d in docs:
-        tk = _toks(d.text)
+        # lower() matches the audited query's case-insensitive
+        # contract (minhash_signatures tokenizes lower(text)); without
+        # it the reference only agrees on all-lowercase fixtures
+        # (ADVICE r9).
+        tk = _toks(d.text.lower())
         s = {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
         if s:
             sh[d.doc_id] = s
@@ -1725,3 +1729,131 @@ def test_ivf_cell_balance_against_reference(spark, sf_smoke):
             1_000_000 * p // total,
             16_000_000 * p // total,
         ), c
+
+
+def test_ivf_nprobe_recall_curve_against_reference(spark, sf_smoke):
+    """nprobe sweep recomputed densely: exact brute-force top-5 plus
+    the pinned-IVF top-5 at every cutoff via this module's _ivf_numpy,
+    intersected per query — each curve row must equal the dense
+    recount exactly, and the nprobe=8 row must pin recall 1.0."""
+    import numpy as np
+
+    from fsc_etl_spark.plans.training_data import (
+        IVF_PINNED_CENTROIDS,
+        QUERIES,
+        _NPROBE_SWEEP,
+    )
+
+    ids, V, n = _load_vecs(sf_smoke)
+    idx = {int(ids[i]): i for i in range(len(ids))}
+
+    exact = set()
+    for qi in np.where(ids < 5)[0]:
+        scored = sorted(
+            (
+                -round(float(V[qi] @ V[idx[c]]) / (n[qi] * n[idx[c]]), 6),
+                c,
+            )
+            for c in (int(i) for i in ids)
+            if c != ids[qi]
+        )[:5]
+        exact |= {(int(ids[qi]), c) for _, c in scored}
+
+    got = {
+        r.nprobe: r
+        for r in QUERIES["ivf_nprobe_recall_curve"](spark, sf_smoke).collect()
+    }
+    assert set(got) == set(_NPROBE_SWEEP)
+    for np_ in _NPROBE_SWEEP:
+        pairs = {
+            (q, c) for q, c, _, _ in _ivf_numpy(ids, V, n, IVF_PINNED_CENTROIDS, np_)
+        }
+        hits = len(pairs & exact)
+        assert (got[np_].hits, got[np_].n_total, got[np_].recall_ppm) == (
+            hits,
+            25,
+            1_000_000 * hits // 25,
+        ), np_
+    assert got[8].recall_ppm == 1_000_000  # all cells probed == exact
+
+
+def test_graph_common_neighbors_against_reference(spark, sf_smoke):
+    """Common-neighbor link prediction recomputed with plain dicts:
+    distinct (cust, part) incidence, hub parts (fanout > 50) dropped,
+    pair commons accumulated part-by-part, integer Jaccard ppm, the
+    same (jacc DESC, common DESC, id_a, id_b) top-50."""
+    from fsc_etl_spark.plans.graph_ops import (
+        QUERIES,
+        _CN_MAX_PART_FANOUT,
+        _CN_TOPK,
+    )
+
+    o = read_parquet_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).collect()
+    li = read_parquet_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    cust_of_order = {r.o_orderkey: r.o_custkey for r in o}
+    part_custs: dict[int, set[int]] = {}
+    for r in li:
+        c = cust_of_order.get(r.l_orderkey)
+        if c is not None:
+            part_custs.setdefault(r.l_partkey, set()).add(c)
+    deg: dict[int, int] = {}
+    common: dict[tuple[int, int], int] = {}
+    for custs in part_custs.values():
+        if len(custs) > _CN_MAX_PART_FANOUT:
+            continue
+        for c in custs:
+            deg[c] = deg.get(c, 0) + 1
+        cl = sorted(custs)
+        for i in range(len(cl)):
+            for j in range(i + 1, len(cl)):
+                k = (cl[i], cl[j])
+                common[k] = common.get(k, 0) + 1
+    rows = [
+        ((1_000_000 * cm) // (deg[a] + deg[b] - cm), cm, a, b)
+        for (a, b), cm in common.items()
+    ]
+    rows.sort(key=lambda r: (-r[0], -r[1], r[2], r[3]))
+    expect = [(a, b, cm, j) for j, cm, a, b in rows[:_CN_TOPK]]
+    got = [
+        (r.id_a, r.id_b, r.common, r.jaccard_ppm)
+        for r in QUERIES["graph_common_neighbors"](spark, sf_smoke).collect()
+    ]
+    assert got == expect
+
+
+def test_char_trigram_diversity_against_reference(spark, sf_smoke):
+    """Char-trigram stats recomputed with plain dict counting over
+    lower(text) — totals, distincts, hottest gram and trunc-div ppm
+    must match per source exactly."""
+    from fsc_etl_spark.plans.corpus_stats import QUERIES
+
+    docs = read_parquet_table(spark, sf_smoke, "documents").select(
+        "source", "text"
+    ).collect()
+    per: dict[str, dict[str, int]] = {}
+    for d in docs:
+        txt = d.text.lower()
+        if len(txt) < 3:
+            continue
+        cnts = per.setdefault(d.source, {})
+        for i in range(len(txt) - 2):
+            g = txt[i : i + 3]
+            cnts[g] = cnts.get(g, 0) + 1
+    expect = {}
+    for src, cnts in per.items():
+        total = sum(cnts.values())
+        expect[src] = (
+            total,
+            len(cnts),
+            max(cnts.values()),
+            1_000_000 * len(cnts) // total,
+        )
+    got = {
+        r.source: (r.n_grams, r.n_distinct, r.top_gram_n, r.diversity_ppm)
+        for r in QUERIES["char_trigram_diversity"](spark, sf_smoke).collect()
+    }
+    assert got == expect
