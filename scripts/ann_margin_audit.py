@@ -197,6 +197,24 @@ def main() -> int:
         TCB = np.array(_replicated_train_codebook(f"/root/testdata/{sf}", 16, 2))
         tr_tau, tr_loser, tr_boundary = semdedup_margins(TCB)
 
+        # Round-10 DATA-GROWN codebook (k = clamp(n/512, 8, 1024)) —
+        # the blocking key of the re-blocked dedup_embed_neardup /
+        # embed_nn_within_label driver oracles: assignment argmax gap,
+        # tau gap on within-cell pair cosines (threshold 0.30), and
+        # 6dp round-boundary proximity of pair cosines (NN ranking
+        # ties on equal ROUNDED values break on vec_id, so only
+        # boundary proximity can fork engines).
+        from fsc_etl_spark.operators.clustering import scaled_codebook_size
+
+        k_sc = scaled_codebook_size(len(V))
+        SCB = np.array(
+            _replicated_train_codebook(f"/root/testdata/{sf}", k_sc, 2)
+        )
+        sc_S = V @ SCB.T / n[:, None] - (0.5 * (SCB * SCB).sum(axis=1))[None, :]
+        sc_Ss = np.sort(sc_S, axis=1)[:, ::-1]
+        scaled_assign = (sc_Ss[:, 0] - sc_Ss[:, 1]).min()
+        sc_tau, _sc_loser, sc_bnd = semdedup_margins(SCB)
+
         for tier, margin, floor in [
             ("lsh_sign", lsh_margin, FLOOR),
             ("ivf_assign", ivf_assign, FLOOR),
@@ -213,6 +231,9 @@ def main() -> int:
             ("trained_semdedup_tau", tr_tau, FLOOR),
             ("trained_semdedup_loser", tr_loser, FLOOR),
             ("trained_semdedup_round_boundary", tr_boundary, BOUNDARY_FLOOR),
+            (f"scaled_k{k_sc}_assign", scaled_assign, FLOOR),
+            (f"scaled_k{k_sc}_tau", sc_tau, FLOOR),
+            (f"scaled_k{k_sc}_round_boundary", sc_bnd, BOUNDARY_FLOOR),
         ]:
             ok = margin >= floor or margin == np.inf
             print(f"{'PASS' if ok else 'FAIL'} {sf} {tier}: {margin:.3e}")

@@ -288,17 +288,43 @@ _VOWEL_PERMS = [
 ]
 
 
+def _vowel_perm(i: int) -> str:
+    """Distinct vowel bijection per copy index, up to 120 copies: the
+    original hand-picked 10 keep their exact values (the cached x10
+    fixture was built with them), copies 10+ draw from the remaining
+    itertools permutations in lexicographic order (second-decade probe,
+    VERDICT r9 #6)."""
+    if i < len(_VOWEL_PERMS):
+        return _VOWEL_PERMS[i]
+    import itertools
+
+    rest = [
+        "".join(p)
+        for p in itertools.permutations(_VOWELS)
+        if "".join(p) not in _VOWEL_PERMS
+    ]
+    return rest[i - len(_VOWEL_PERMS)]
+
+
 def _perturb_documents(df: DataFrame, i: int) -> DataFrame:
     out = df.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
     if i == 0:
         return out
-    return out.withColumn("text", F.translate(F.col("text"), _VOWELS, _VOWEL_PERMS[i]))
+    return out.withColumn("text", F.translate(F.col("text"), _VOWELS, _vowel_perm(i)))
 
 
 def _perturb_embeddings(df: DataFrame, i: int) -> DataFrame:
     """Copy-specific sign-flip mask (~40% of dims): keeps norms exact
     while de-correlating copies, so cosine near-dup/ANN outputs scale
-    with data instead of quadratically with duplicated vectors."""
+    with data instead of quadratically with duplicated vectors.
+
+    CAVEAT (documented for the --copies second-decade mode): the mask
+    depends on ``i*3 mod 5``, so copies i and i+5 share a mask — at 10
+    copies each vector has exactly one cross-copy identical twin
+    (linear extra output, harmless); past ~20 copies the twin count
+    per vector grows with copies and EMBEDDING-query ratios would
+    measure that artifact. The 100x probe therefore targets only
+    non-embedding queries (kcore / triangle / jaccard-prefix)."""
     out = df.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
     if i == 0:
         return out
@@ -309,8 +335,8 @@ def _perturb_embeddings(df: DataFrame, i: int) -> DataFrame:
     return out.withColumn("embedding", flipped.cast("array<float>"))
 
 
-def build_scaled(spark: SparkSession) -> str:
-    dest = SCRATCH / f"x{COPIES}"
+def build_scaled(spark: SparkSession, copies: int = COPIES) -> str:
+    dest = SCRATCH / f"x{copies}"
     if dest.exists():
         return str(dest)
     dest.mkdir(parents=True)
@@ -321,7 +347,7 @@ def build_scaled(spark: SparkSession) -> str:
             # reader (schemas.EVENTS) reads the scaled copy unchanged.
             base = base.withColumn("ts", (F.unix_micros("ts") * 1000).cast("long"))
         scaled = base
-        for i in range(1, COPIES):
+        for i in range(1, copies):
             scaled = scaled.unionByName(_offset(base, keys, i))
         scaled.write.mode("overwrite").parquet(str(dest / f"{tbl}.parquet"))
     for tbl in COPY_AS_IS:
@@ -329,7 +355,7 @@ def build_scaled(spark: SparkSession) -> str:
     for tbl, perturb in (("documents", _perturb_documents), ("embeddings", _perturb_embeddings)):
         base = read_parquet_table(spark, BASE_SF, tbl)
         scaled = perturb(base, 0)
-        for i in range(1, COPIES):
+        for i in range(1, copies):
             scaled = scaled.unionByName(perturb(base, i))
         scaled.write.mode("overwrite").parquet(str(dest / f"{tbl}.parquet"))
     return str(dest)
@@ -373,22 +399,35 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # optional subset: python scripts/scale_probe.py name1 name2 ...
     # full surface:    python scripts/scale_probe.py --full
+    # second decade:   python scripts/scale_probe.py --copies=100 name...
+    #                  (non-embedding queries only — see the
+    #                  _perturb_embeddings mask caveat)
     args = sys.argv[1:]
+    copies = COPIES
+    for a in list(args):
+        if a.startswith("--copies="):
+            copies = int(a.split("=", 1)[1])
+            args.remove(a)
     if args == ["--full"]:
         only = full_probe_list(entrymod.queries())
     else:
         only = args or None
-    big = build_scaled(spark)
+    big = build_scaled(spark, copies)
     t1 = time_queries(spark, BASE_SF, only)
-    t10 = time_queries(spark, big, only)
-    ratios = {k: round(t10[k] / t1[k], 2) for k in t1}
+    tn = time_queries(spark, big, only)
+    ratios = {k: round(tn[k] / t1[k], 2) for k in t1}
     adaptive = {
         "x1": adaptive_report(spark, BASE_SF),
-        "x10": adaptive_report(spark, big),
+        f"x{copies}": adaptive_report(spark, big),
     }
     print(
         json.dumps(
-            {"x1": t1, "x10": t10, "ratio": ratios, "adaptive": adaptive},
+            {
+                "x1": t1,
+                f"x{copies}": tn,
+                "ratio": ratios,
+                "adaptive": adaptive,
+            },
             indent=2,
         )
     )
