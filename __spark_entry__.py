@@ -50,18 +50,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §2.12.
 
     Ordered so a prefix sample covers the whole surface: the driver
-    checks roughly the first 50 entries. ROUND-9 ROTATION: the window
-    leads with the seven round-9 additions (ANN recall matrix,
-    MinHash estimator audit, novelty curve, stratified sampling, LPA
-    communities, lag autocorrelation, IVF cell balance — no driver
-    row yet), then the nine queries whose checking contract, plan, or
-    behavior was touched this round (the retired rows-only pair, the
-    ADVICE r8 fixes, the broadcast guard, the PPR/streaming-dedup
-    reworks), then the round-8/7 batches for continuity, and
-    long-green sentinels spanning the remaining families to fill the
-    50-slot window. Keep tests/test_entry_contract.py's prefix-pin
-    test in sync: it derives the never-sampled set from committed
-    CORRECTNESS_r0*.json automatically.
+    checks roughly the first 50 entries. ROUND-10 ROTATION: the window
+    leads with the eight round-10 additions (HITS, assortativity,
+    k-center coreset, batch + streaming Misra–Gries, nprobe recall
+    curve, common-neighbor link prediction, char-trigram diversity —
+    no driver row yet), then the five queries whose checking contract
+    or plan changed this round (the VERDICT r9 #1 cell re-blocks, the
+    #3 mask guard, the two ADVICE r9 bound/broadcast fixes), then the
+    staleness rotation: the r1-vintage rows whose latest green driver
+    row is oldest (VERDICT r9 #7). Keep
+    tests/test_entry_contract.py's prefix-pin test in sync: it
+    derives the never-sampled set from committed CORRECTNESS_r0*.json
+    automatically.
     """
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     merged.update(analytics.QUERIES)
@@ -80,6 +80,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     priority = [
         # --- round-10 NEW queries (no driver row yet) ---
+        "hits_copurchase",  # integer HITS hubs/authorities
+        "graph_assortativity",  # exact-ppm degree assortativity
+        "embed_kcenter_coreset",  # greedy k-center selection curve
+        "mg_frequent_tokens",  # Misra–Gries mergeable summary
+        "streaming_mg_heavy_tokens",  # MG summary folded over a stream
         "ivf_nprobe_recall_curve",  # recall@5 vs nprobe tuning curve
         "graph_common_neighbors",  # capped common-neighbor link pred
         "char_trigram_diversity",  # per-source char type-token ppm
@@ -130,14 +135,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_membership",
         "sessionize_events",
         "sliding_window_rollup",
-        "string_funcs_breadth",
         "surrogate_key_assign",
         "union_insert_update",
-        "unpivot_lineitem_metrics",
-        "window_lag_delta",
-        "window_running_sum",
-        "window_topk_per_group",
     ]
+    # (5 r1-vintage rows — string_funcs_breadth,
+    # unpivot_lineitem_metrics, window_lag_delta, window_running_sum,
+    # window_topk_per_group — rotated out to make room for the
+    # round-10 batch-2 additions; they lead the r11 staleness
+    # rotation together with proj_alias.)
     if len(priority) != 50:  # contract check — not an assert: survives python -O
         raise ValueError(f"driver window must be exactly 50, got {len(priority)}")
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

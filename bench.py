@@ -381,6 +381,21 @@ BENCH_QUERIES = [
     # (their cost now includes the 2-round Lloyd training).
     "graph_common_neighbors",
     "char_trigram_diversity",
+    # round-10 batch 2: hits_copurchase IS benched — alternating
+    # authority/hub rounds each with an L1-total scalar broadcast +
+    # renormalize projection are a new iterative shape (PageRank
+    # rounds have no per-round scalar stage). graph_assortativity IS
+    # benched — the full-edge-list double degree-attach join + scalar
+    # moment agg (common_neighbors caps fanout first; this doesn't).
+    # mg_frequent_tokens IS benched — shard-partitioned window prunes
+    # over (shard, token) counts + the exact-count audit join is a
+    # new two-level-summary shape. embed_kcenter_coreset is OFF-bench:
+    # physically the embed_mmr_select class (k driver-paced
+    # TakeOrdered rounds over literal-fold scores, corpus-linear per
+    # round).
+    "hits_copurchase",
+    "graph_assortativity",
+    "mg_frequent_tokens",
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -219,3 +219,60 @@ def kmeans_exact(
             F.sum("dist").alias("total_dist"),
         )
     )
+
+
+def kcenter_greedy(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 127,
+) -> DataFrame:
+    """Deterministic greedy k-center coreset (Gonzalez 1985): pick the
+    lowest-id vector, then ``k-1`` times the point FARTHEST from the
+    chosen set (squared L2, ties to the lowest id) — the classic
+    2-approximation to the k-center cover and the standard diverse-
+    coreset selector for training-data subset curation (Sener &
+    Savarese 2018 use exactly this rule for active-learning coresets).
+
+    Same exact-arithmetic discipline as :func:`train_codebook`:
+    vectors quantize to int64 (``floor(x·scale)``), every distance is
+    an exact int64 fold, the argmax is a (dist DESC, id ASC) total
+    order — a pure function of the data, so an unrolled SQL twin
+    matches bit-for-bit.
+
+    Scale shape: the running min-distance column updates map-side
+    against each new center literal (one ``zip_with`` fold — no join,
+    no shuffle), the argmax is one TakeOrdered reduction per round,
+    and per-round state is eagerly checkpointed so the plan stays
+    linear in ``k``. Driver state is k rows of (id, vector) — the
+    broadcast-the-model shape; nothing scales with the corpus but the
+    k linear passes.
+
+    Returns (sel_round, center_id, sel_dist_sq): the selection curve —
+    row r's distance is the exact coverage radius of the first r-1
+    centers, so the curve is the coreset's quality readout.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = emb.sparkSession
+    q = emb.select(F.col(id_col).alias("__id"), quantize(F.col(vec_col), scale).alias("q"))
+    seed_rows = q.orderBy("__id").limit(1).collect()  # bounded: 1 row
+    if not seed_rows:
+        raise ValueError("kcenter_greedy: empty input")
+    seed = seed_rows[0]
+    picked: list[tuple[int, int, int]] = [(1, seed["__id"], 0)]
+    state = q.withColumn(
+        "md", _dist_to(F.col("q"), list(seed["q"]))
+    ).localCheckpoint(eager=True)
+    for r in range(2, k + 1):
+        far = state.orderBy(
+            F.col("md").desc(), F.col("__id").asc()
+        ).limit(1).collect()[0]  # bounded: 1 row
+        picked.append((r, far["__id"], far["md"]))
+        state = state.withColumn(
+            "md", F.least(F.col("md"), _dist_to(F.col("q"), list(far["q"])))
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        picked, schema="sel_round int, center_id bigint, sel_dist_sq bigint"
+    )

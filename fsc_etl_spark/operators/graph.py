@@ -644,3 +644,80 @@ def skyline_2d(
         swept.filter(F.col("__dom").isNull() | (F.col(maximize_col) > F.col("__dom")))
         .select(minimize_col, maximize_col)
     )
+
+
+def hits_integer(
+    edges: DataFrame,
+    iters: int = 2,
+    scale: int = RANK_SCALE,
+) -> tuple[DataFrame, DataFrame]:
+    """Fixed-iteration integer HITS (Kleinberg 1999) over directed
+    ``(src, dst)``: hubs live on the src side, authorities on the dst
+    side. Per iteration ``a_raw(v) = sum_{u->v} h(u)`` then
+    ``h_raw(u) = sum_{u->v} a(v)``, each L1-renormalized to total mass
+    ``scale`` in pure integer arithmetic —
+    ``x' = (x_raw · scale) div sum(x_raw)`` computed over
+    DECIMAL(38,0) so the product never wraps (x_raw <= deg·scale ~
+    1e15; times scale ~ 1e24, far inside 38 digits; the BIGINT `div`
+    result is <= scale). Floor-division mass loss is the documented
+    fixed-point trade (same contract as :func:`pagerank_integer`);
+    everything is bit-reproducible, so an unrolled-CTE oracle using
+    HUGEINT `//` matches exactly (both are floor-on-positive).
+
+    Classic HITS normalizes by L2 — an inherently float operation; L1
+    keeps the eigenvector direction under power iteration while
+    staying integer-exact, which is what the hash-parity contract
+    needs (any positive rescaling per step preserves the ordering and
+    the limit direction).
+
+    Scale shape: per iteration one join of the (node, score) frame
+    against a pre-hashed persisted edge copy keyed on the join side
+    (only the score side shuffles) + one keyed aggregation + one
+    scalar total (tree-aggregated, broadcast back). Raw-score frames
+    are eagerly checkpointed because two branches (the total and the
+    normalize) read them — without the cut the logical plan doubles
+    per iteration.
+
+    Returns ``(authorities, hubs)``: (node, auth) over the dst set and
+    (node, hub) over the src set, both BIGINT in ``scale`` units.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    edges = edges.select("src", "dst").distinct().persist()
+    e_by_src = edges.repartition(F.col("src")).persist()
+    e_by_dst = edges.repartition(F.col("dst")).persist()
+
+    def _normalize(raw: DataFrame) -> DataFrame:
+        raw = raw.localCheckpoint(eager=True)  # read by total AND join
+        tot = raw.agg(
+            F.sum(F.col("raw").cast("decimal(38,0)")).alias("__tot")
+        )
+        return raw.crossJoin(F.broadcast(tot)).select(
+            "node",
+            F.expr(
+                f"CAST((CAST(raw AS DECIMAL(38,0)) * {scale}) div __tot AS BIGINT)"
+            ).alias("score"),
+        )
+
+    hubs = e_by_src.select(F.col("src").alias("node")).distinct().withColumn(
+        "score", F.lit(scale).cast("long")
+    )
+    auth = None
+    for _ in range(iters):
+        h = hubs.select(F.col("node").alias("__hn"), F.col("score").alias("__hs"))
+        auth = _normalize(
+            e_by_src.join(h, e_by_src["src"] == h["__hn"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("__hs").alias("raw"))
+        )
+        a = auth.select(F.col("node").alias("__an"), F.col("score").alias("__as"))
+        hubs = _normalize(
+            e_by_dst.join(a, e_by_dst["dst"] == a["__an"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("__as").alias("raw"))
+        )
+    out_a = auth.withColumnRenamed("score", "auth").localCheckpoint(eager=True)
+    out_h = hubs.withColumnRenamed("score", "hub").localCheckpoint(eager=True)
+    for df in (edges, e_by_src, e_by_dst):
+        df.unpersist()
+    return out_a, out_h

@@ -222,3 +222,119 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
         "harmonic_sum",
         (alpha * m * m / F.col("harmonic_sum")).alias("hll_estimate"),
     )
+
+
+def mg_prune(
+    counts: DataFrame,
+    k: int,
+    group_cols: tuple[str, ...] = (),
+    key_col: str = "key",
+    count_col: str = "cnt",
+) -> DataFrame:
+    """One Misra–Gries prune step: within each ``group_cols`` group,
+    reduce a (key, count) table to at most ``k`` surviving keys by
+    subtracting the (k+1)-th largest count from every key and dropping
+    the non-positive remainder.
+
+    This is the merge operation of the MERGEABLE frequent-items
+    summary (Agarwal et al. 2012, "Mergeable Summaries"): pruning
+    exact counts to k items removes total weight L >= (k+1)·t (the
+    top k+1 keys each lose the full t), while any single key loses at
+    most t <= L/(k+1) — so across any tree of prunes the cumulative
+    undercount of a key is bounded by n/(k+1), n the total stream
+    weight. Unlike the classic streaming Misra–Gries loop, this
+    formulation is ORDER-INDEPENDENT: the input is an exact count
+    table and t is a value (the count at row_number k+1 under the
+    total order (count DESC, key ASC)), so the surviving summary is a
+    pure function of the multiset — bit-reproducible across engines,
+    partitionings, and task retries, which is what lets a DuckDB
+    oracle replay it exactly.
+
+    Scale shape: one window over each group's count table (the window
+    is partitioned by ``group_cols``; per-group width is bounded by
+    the group's distinct-key count) + a map-side subtract/filter. No
+    all-pairs, no driver state.
+
+    Returns ``group_cols + (key_col, count_col)`` with the pruned
+    (undercounted) estimates.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    # The ungrouped prune runs a deliberately UNPARTITIONED window: its
+    # input is always a prior aggregate (<= n_shards·k rows), which the
+    # plan gate (tests/test_plan_quality.py path-bounded walk) verifies
+    # — partitioning by a literal would funnel identically while
+    # evading that audit.
+    part = Window.partitionBy(*group_cols) if group_cols else Window
+    w = part.orderBy(F.col(count_col).desc(), F.col(key_col).asc())
+    rn = F.row_number().over(w)
+    thresh = counts.withColumn("__rn", rn).filter(F.col("__rn") == k + 1)
+    t_frame = thresh.select(
+        *group_cols, F.col(count_col).alias("__t")
+    )
+    if group_cols:
+        joined = counts.join(F.broadcast(t_frame), list(group_cols), "left")
+    else:
+        # left join on a constant key, NOT a crossJoin: with fewer than
+        # k+1 distinct keys the threshold frame is EMPTY, and a cross
+        # join against an empty frame would drop every row instead of
+        # applying t = 0.
+        joined = counts.withColumn("__j", F.lit(0)).join(
+            F.broadcast(t_frame.select(F.lit(0).alias("__j"), "__t")),
+            "__j",
+            "left",
+        )
+    est = (F.col(count_col) - F.coalesce(F.col("__t"), F.lit(0))).cast("long")
+    return (
+        joined.select(*group_cols, key_col, est.alias(count_col))
+        .filter(F.col(count_col) > 0)
+    )
+
+
+def mg_frequent(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    shard_col: str,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Distributed Misra–Gries frequent-items summary over
+    ``df[key_col]``: shard rows deterministically by
+    ``md5(shard_col) mod n_shards``, build exact per-shard counts
+    (map-side partial aggregate + one keyed shuffle), prune each shard
+    to k items (:func:`mg_prune`), then merge the <= n_shards·k
+    surviving rows by summed count and prune once more globally.
+
+    Guarantee (mergeable-summaries bound): the returned estimate
+    undercounts every key by at most n/(k+1) total stream weight, and
+    every key with true count > n/(k+1) survives. Deterministic end
+    to end — the shard function is a hash of data (not
+    spark_partition_id), and each prune is order-independent — so the
+    summary itself hash-matches an ANSI-SQL replay.
+
+    Returns (key_col, mg_est) with at most k rows.
+    """
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mg:"), F.col(shard_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    ).alias("__shard")
+    per_shard = (
+        df.select(shard, F.col(key_col).alias("key"))
+        .groupBy("__shard", "key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pruned = mg_prune(per_shard, k, group_cols=("__shard",))
+    merged = pruned.groupBy("key").agg(F.sum("cnt").alias("cnt"))
+    return mg_prune(merged, k).select(
+        F.col("key").alias(key_col), F.col("cnt").alias("mg_est")
+    )

@@ -956,6 +956,62 @@ def char_trigram_diversity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: Misra–Gries summary size for mg_frequent_tokens: undercount bound
+#: is n/(MG_K+1) of the total token stream.
+MG_K = 32
+
+
+def mg_frequent_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Misra–Gries frequent-tokens summary (round 10): the classic
+    bounded-state heavy-hitters sketch over the exploded token stream
+    (operators/sketches.mg_frequent) — 16 deterministic md5 shards of
+    exact counts, each pruned to MG_K=32 survivors by the mergeable-
+    summaries subtract-(k+1)th rule, merged and pruned once more. The
+    one-pass counterpart to the exact pigeonhole heavy hitters
+    (heavy_hitter_users): state is k counters per shard no matter the
+    stream length, the shape that survives a 100 TB token stream.
+
+    Output joins the summary against exact counts: per surviving
+    token, the MG estimate, the exact count, the undercount, and the
+    published bound check undercount·(k+1) <= n — deterministically
+    TRUE by the Agarwal et al. 2012 merge argument. UNLIKE the
+    engine-internal sketches (approx_user_stats), this summary is a
+    pure function of the token multiset (value-based prunes, hash
+    shards — no arrival-order dependence), so every column full-hash
+    oracles.
+
+    Scale shape: one (shard, tok) keyed shuffle bounded by
+    shards·vocab, per-shard window prunes over shard vocab, a <= 512-
+    row merge, plus the exact-count shuffle for the audit join. No
+    driver state beyond the plan.
+    """
+    from fsc_etl_spark.operators.sketches import mg_frequent
+
+    docs = t(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    summ = mg_frequent(tok, "tok", MG_K, shard_col="doc_id", n_shards=16)
+    exact = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    n = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        summ.join(exact, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok",
+            F.col("mg_est").cast("bigint").alias("mg_est"),
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            (F.col("exact_cnt") - F.col("mg_est"))
+            .cast("bigint")
+            .alias("undercount"),
+            (
+                (F.col("exact_cnt") - F.col("mg_est")) * (MG_K + 1)
+                <= F.col("n_total")
+            ).alias("within_bound"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_lm_perplexity": bigram_lm_perplexity,
     "char_trigram_diversity": char_trigram_diversity,
@@ -968,6 +1024,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_jaccard_accuracy": minhash_jaccard_accuracy,
     "ngram_novelty_curve": ngram_novelty_curve,
     "stratified_sample_exact": stratified_sample_exact,
+    "mg_frequent_tokens": mg_frequent_tokens,
 }
 
 
@@ -1422,4 +1479,56 @@ ranked AS (
 SELECT r.doc_id, r.source, r.lang, r.samp_rank, q.quota
 FROM ranked r JOIN quotas q USING (source, lang)
 WHERE r.samp_rank <= q.quota
+"""
+
+# Misra–Gries frequent tokens: full replay of the two-level prune —
+# same md5 shards, same value-based subtract-(k+1)th rule under the
+# same (cnt DESC, tok ASC) total order, so the summary itself (not
+# just its guarantee booleans) hash-matches.
+CORPUS_ORACLES["mg_frequent_tokens"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_LT}) AS tok FROM documents
+),
+sharded AS (
+  SELECT CAST(('0x' || substr(md5('mg:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 16 AS shard,
+         tok
+  FROM tok
+),
+pc AS (
+  SELECT shard, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM sharded GROUP BY shard, tok
+),
+pt AS (
+  SELECT shard, cnt AS t FROM (
+    SELECT shard, cnt,
+           ROW_NUMBER() OVER (PARTITION BY shard
+                              ORDER BY cnt DESC, tok ASC) AS rn
+    FROM pc
+  ) WHERE rn = {MG_K + 1}
+),
+ps AS (
+  SELECT pc.tok, pc.cnt - COALESCE(pt.t, 0) AS est
+  FROM pc LEFT JOIN pt USING (shard)
+  WHERE pc.cnt - COALESCE(pt.t, 0) > 0
+),
+mg AS (SELECT tok, CAST(SUM(est) AS BIGINT) AS cnt FROM ps GROUP BY tok),
+gt AS (
+  SELECT cnt AS t FROM (
+    SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rn FROM mg
+  ) WHERE rn = {MG_K + 1}
+),
+summ AS (
+  SELECT tok, cnt - COALESCE((SELECT t FROM gt), 0) AS mg_est
+  FROM mg
+  WHERE cnt - COALESCE((SELECT t FROM gt), 0) > 0
+),
+exact AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM tok GROUP BY tok),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tok)
+SELECT s.tok,
+       CAST(s.mg_est AS BIGINT) AS mg_est,
+       e.exact_cnt,
+       CAST(e.exact_cnt - s.mg_est AS BIGINT) AS undercount,
+       ((e.exact_cnt - s.mg_est) * {MG_K + 1} <= n.n_total) AS within_bound
+FROM summ s JOIN exact e USING (tok) CROSS JOIN n
 """

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from fsc_etl_spark.operators.graph import (
     RANK_SCALE,
     bfs_hops,
+    hits_integer,
     kcore_degrees,
     label_propagation,
     pagerank_integer,
@@ -709,8 +710,116 @@ FROM d GROUP BY core_deg"""
     )
 
 
+_HITS_ITERS = 2
+_HITS_TOPK = 10
+
+
+def hits_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 hub customers and top-10 authority parts of the directed
+    customer→part purchase graph by 2-iteration integer HITS
+    (operators/graph.hits_integer, L1-renormalized fixed-point BIGINT)
+    — the classic complement to PageRank on a bipartite incidence:
+    good hubs buy many good authorities, good authorities are bought
+    by many good hubs. 20 rows (kind, node, score), ordered inside
+    each kind by (score DESC, label ASC) exactly as the unrolled
+    HUGEINT CTE oracle replays.
+
+    Nodes travel as BIGINT (2·custkey / 2·partkey+1 — the two TPC-H
+    key spaces overlap, and a general-graph operator must see them as
+    distinct nodes) and render to 'c…'/'p…' labels only in the final
+    20-row projection.
+    """
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+    )
+    auth, hubs = hits_integer(edges, iters=_HITS_ITERS)
+    plabel = F.concat(F.lit("p"), F.expr("(node - 1) div 2").cast("string"))
+    clabel = F.concat(F.lit("c"), F.expr("node div 2").cast("string"))
+    top_a = (
+        auth.select(F.lit("auth").alias("kind"), plabel.alias("node"),
+                    F.col("auth").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("node").asc())
+        .limit(_HITS_TOPK)
+    )
+    top_h = (
+        hubs.select(F.lit("hub").alias("kind"), clabel.alias("node"),
+                    F.col("hub").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("node").asc())
+        .limit(_HITS_TOPK)
+    )
+    return top_a.unionAll(top_h)
+
+
+def graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree-assortativity readout of the symmetrised customer—part
+    co-purchase graph: over every directed edge, x = deg(src) and
+    y = deg(dst); one row of exact DECIMAL(38,0) moments (m, Σx, Σx²,
+    Σxy) plus the Pearson correlation in exact ppm. Because the edge
+    list is symmetric, both marginals are identical, so the usual
+    sqrt in Pearson's denominator cancels:
+    r = (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²) — a pure integer ratio,
+    emitted as r_ppm = (10⁶·num) div den (truncating div; the oracle
+    CASE-spells DuckDB's flooring // for the possibly-negative
+    numerator). Bipartite incidence graphs are strongly
+    DISASSORTATIVE (hubs attach to leaves), so r_ppm < 0 is the
+    expected signal.
+
+    Scale shape: one orders⋈lineitem shuffle for the edge list, one
+    degree aggregate, two keyed joins attaching deg to each endpoint
+    (each shuffles on its key), one scalar moment aggregate. Nothing
+    super-linear, no windows.
+    """
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_partkey") * 2 + 1).alias("pnode"),
+        )
+        .distinct()
+        .persist()
+    )
+    edges = cp.select(F.col("cnode").alias("src"), F.col("pnode").alias("dst")).union(
+        cp.select(F.col("pnode").alias("src"), F.col("cnode").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ds = deg.select(F.col("src").alias("__s"), F.col("d").alias("dx"))
+    dd = deg.select(F.col("src").alias("__d"), F.col("d").alias("dy"))
+    m = (
+        edges.join(ds, edges["src"] == ds["__s"])
+        .join(dd, edges["dst"] == dd["__d"])
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+            F.sum(F.col("dx").cast("decimal(38,0)")).alias("sum_x"),
+            F.sum((F.col("dx") * F.col("dx")).cast("decimal(38,0)")).alias("sum_xx"),
+            F.sum((F.col("dx") * F.col("dy")).cast("decimal(38,0)")).alias("sum_xy"),
+        )
+    )
+    out = m.select(
+        "m",
+        "sum_x",
+        "sum_xx",
+        "sum_xy",
+        F.expr(
+            "CAST((1000000 * (m * sum_xy - sum_x * sum_x))"
+            " div (m * sum_xx - sum_x * sum_x) AS BIGINT)"
+        ).alias("r_ppm"),
+    ).localCheckpoint(eager=True)
+    cp.unpersist()
+    return out
+
+
 QUERIES = {
     "bfs_hops_copurchase": bfs_hops_copurchase,
+    "hits_copurchase": hits_copurchase,
+    "graph_assortativity": graph_assortativity,
     "graph_common_neighbors": graph_common_neighbors,
     "kcore_copurchase": kcore_copurchase,
     "pagerank_copurchase": pagerank_copurchase,
@@ -866,3 +975,98 @@ def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
 
 
 GRAPH_ORACLES["graph_label_propagation"] = _lpa_oracle()
+
+
+def _hits_oracle(iters: int = _HITS_ITERS, topk: int = _HITS_TOPK) -> str:
+    """Unrolled HUGEINT CTE chain mirroring hits_integer: per round
+    a_raw = SUM(h) over in-edges then L1 renormalize to RANK_SCALE via
+    flooring //, then the hub step symmetric — every operand positive,
+    so DuckDB's flooring // equals Spark's truncating div."""
+    s = RANK_SCALE
+    chain = [
+        """e AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)""",
+        f"h0 AS (SELECT DISTINCT c, CAST({s} AS HUGEINT) AS v FROM e)",
+    ]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        chain.append(
+            f"""a{i}r AS (
+  SELECT e.p, SUM({prev_h}.v) AS raw
+  FROM e JOIN {prev_h} ON e.c = {prev_h}.c GROUP BY e.p
+)"""
+        )
+        chain.append(
+            f"""a{i} AS (
+  SELECT p, CAST((CAST(raw AS HUGEINT) * {s})
+                 // (SELECT SUM(raw) FROM a{i}r) AS BIGINT) AS v
+  FROM a{i}r
+)"""
+        )
+        chain.append(
+            f"""h{i}r AS (
+  SELECT e.c, SUM(CAST(a{i}.v AS HUGEINT)) AS raw
+  FROM e JOIN a{i} ON e.p = a{i}.p GROUP BY e.c
+)"""
+        )
+        chain.append(
+            f"""h{i} AS (
+  SELECT c, CAST((CAST(raw AS HUGEINT) * {s})
+                 // (SELECT SUM(raw) FROM h{i}r) AS BIGINT) AS v
+  FROM h{i}r
+)"""
+        )
+        prev_h = f"h{i}"
+    return (
+        "WITH "
+        + ",\n".join(chain)
+        + f"""
+SELECT * FROM (
+  SELECT 'auth' AS kind, 'p' || CAST(p AS VARCHAR) AS node, v AS score
+  FROM a{iters} ORDER BY v DESC, node ASC LIMIT {topk}
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'hub' AS kind, 'c' || CAST(c AS VARCHAR) AS node, v AS score
+  FROM h{iters} ORDER BY v DESC, node ASC LIMIT {topk}
+)"""
+    )
+
+
+GRAPH_ORACLES["hits_copurchase"] = _hits_oracle()
+
+# Degree-assortativity moments + exact-ppm Pearson over the symmetric
+# copurchase edge list; the numerator can be negative, so Spark's
+# truncating div is CASE-spelled over DuckDB's flooring //.
+GRAPH_ORACLES["graph_assortativity"] = """
+WITH cp AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_partkey * 2 + 1 AS pnode
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+  SELECT cnode AS src, pnode AS dst FROM cp
+  UNION ALL
+  SELECT pnode AS src, cnode AS dst FROM cp
+),
+deg AS (SELECT src, CAST(COUNT(*) AS HUGEINT) AS d FROM edges GROUP BY src),
+mom AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+         SUM(dx.d) AS sum_x,
+         SUM(dx.d * dx.d) AS sum_xx,
+         SUM(dx.d * dy.d) AS sum_xy
+  FROM edges e JOIN deg dx ON e.src = dx.src JOIN deg dy ON e.dst = dy.src
+)
+SELECT CAST(m AS DECIMAL(38,0)) AS m,
+       CAST(sum_x AS DECIMAL(38,0)) AS sum_x,
+       CAST(sum_xx AS DECIMAL(38,0)) AS sum_xx,
+       CAST(sum_xy AS DECIMAL(38,0)) AS sum_xy,
+       CAST(CASE WHEN 1000000 * (m * sum_xy - sum_x * sum_x) >= 0
+                 THEN (1000000 * (m * sum_xy - sum_x * sum_x))
+                      // (m * sum_xx - sum_x * sum_x)
+                 ELSE -((-(1000000 * (m * sum_xy - sum_x * sum_x)))
+                        // (m * sum_xx - sum_x * sum_x))
+            END AS BIGINT) AS r_ppm
+FROM mom
+"""

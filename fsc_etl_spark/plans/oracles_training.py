@@ -2480,3 +2480,53 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
        CAST((SUM(n) * 10000) // (bucket * COUNT(*)) AS BIGINT) AS utilization_bp
 FROM b GROUP BY bucket
 """
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """Unrolled greedy k-center twin (clustering.kcenter_greedy):
+    same floor(x*127) grid, same exact squared-L2 via the dot-product
+    identity (every list_dot_product operand is an integer-valued
+    double below 2^53, so the arithmetic is exact), same
+    (md DESC, vec_id ASC) argmax. Static SQL — nothing is trained, so
+    no per-SF replication is needed."""
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"CAST(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}) AS BIGINT)"
+        )
+
+    chain = [
+        """q AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS qv
+  FROM embeddings
+)""",
+        "c1 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1)",
+        "d1 AS MATERIALIZED (SELECT q.vec_id, q.qv, "
+        + dist("q.qv", "c1.qv")
+        + " AS md FROM q, c1)",
+    ]
+    selects = [
+        "SELECT CAST(1 AS INT) AS sel_round, c1.vec_id AS center_id,"
+        " CAST(0 AS BIGINT) AS sel_dist_sq FROM c1"
+    ]
+    for r in range(2, k + 1):
+        chain.append(
+            f"p{r} AS (SELECT vec_id, qv, md FROM d{r - 1}"
+            " ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        if r < k:
+            chain.append(
+                f"d{r} AS MATERIALIZED (SELECT d.vec_id, d.qv,"
+                f" LEAST(d.md, {dist('d.qv', f'p{r}.qv')}) AS md"
+                f" FROM d{r - 1} d, p{r})"
+            )
+        selects.append(
+            f"SELECT CAST({r} AS INT), p{r}.vec_id,"
+            f" CAST(p{r}.md AS BIGINT) FROM p{r}"
+        )
+    return "WITH " + ",\n".join(chain) + "\n" + "\nUNION ALL ".join(selects)
+
+
+TRAINING_ORACLES["embed_kcenter_coreset"] = _kcenter_oracle()

@@ -582,8 +582,155 @@ def streaming_media_ingest(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def mg_batch_handler(
+    spark: SparkSession,
+    state_dir: str,
+    batch_sizes: list[int],
+    k: int,
+    crash_hook=None,
+):
+    """foreachBatch handler maintaining a Misra–Gries frequent-tokens
+    summary incrementally: per epoch, the batch's own two-level shard
+    summary (operators/sketches.mg_frequent — so the batch-vocab
+    prune is shard-partitioned, never a corpus-vocab global window)
+    sum-merges with the <= k-row prior summary and prunes once more
+    (mergeable-summaries fold; cumulative undercount stays <=
+    n/(k+1) for any merge tree). EXACTLY-ONCE per epoch, the
+    segment_dedup_batch_handler mechanics: the full new summary is
+    written batch_id-keyed with mode=overwrite and the prior read
+    filters epoch < batch_id, then takes the LATEST epoch — an epoch
+    replay after a crash in the at-least-once window overwrites its
+    own partial summary and re-reads the same predecessor.
+    ``crash_hook(batch_id, phase)`` mirrors the dedup handler's
+    injection points."""
+    from fsc_etl_spark.functions.text import tokens
+    from fsc_etl_spark.operators.sketches import mg_frequent, mg_prune
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        batch_sizes.append(n)
+        if n == 0:
+            return
+        if crash_hook is not None:
+            crash_hook(batch_id, "pre")
+        prior = (
+            spark.read.schema("tok string, cnt long, epoch long")
+            .parquet(f"{state_dir}/*")
+            .filter(F.col("epoch") < batch_id)
+            .localCheckpoint()  # writes must not re-list the state dir
+        )
+        latest = prior.agg(F.max("epoch").alias("e")).first()["e"]
+        prior_summ = (
+            prior.filter(F.col("epoch") == latest).select("tok", "cnt")
+            if latest is not None
+            else spark.createDataFrame([], "tok string, cnt long")
+        )
+        batch_summ = mg_frequent(
+            batch_df.select(
+                "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+            ),
+            "tok",
+            k,
+            shard_col="doc_id",
+        ).select("tok", F.col("mg_est").alias("cnt"))
+        merged = (
+            prior_summ.unionByName(batch_summ)
+            .groupBy("tok")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        (
+            mg_prune(merged, k, key_col="tok")
+            .withColumn("epoch", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .parquet(f"{state_dir}/b{batch_id}")
+        )
+        if crash_hook is not None:
+            crash_hook(batch_id, "post")
+
+    return handle
+
+
+def init_mg_state_dir(spark: SparkSession) -> str:
+    """Empty epoch=-1 seed so the state glob always matches."""
+    state_dir = f"{tempfile.mkdtemp(prefix='fsc_mgstream_')}/summ"
+    spark.createDataFrame([], "tok string, cnt long, epoch long").write.parquet(
+        f"{state_dir}/init"
+    )
+    return state_dir
+
+
+def streaming_mg_heavy_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Misra–Gries frequent tokens over a LIVE corpus stream: the
+    <= k-row summary folds forward across 4 doc_id-ordered
+    micro-batches (mg_batch_handler — per-epoch merge+prune with
+    exactly-once batch_id-keyed state), the bounded-state streaming
+    heavy-hitters a 100 TB token firehose actually supports (the
+    exact streaming_heavy_hitters keeps per-key state; this keeps k
+    counters, period). The left-fold merge tree differs from the
+    batch query's one-shot shard merge, so the estimates differ —
+    but both satisfy the same n/(k+1) undercount bound, and because
+    batch composition (doc_id ranges) and every prune are
+    deterministic, the fold REPLAYS exactly in SQL: the oracle
+    unrolls batch-summary → merge → prune per epoch. Final summary
+    joins corpus-exact counts with the bound booleans, the
+    mg_frequent_tokens schema. Raises unless >= 2 non-empty batches
+    ran."""
+    from fsc_etl_spark.functions.text import tokens
+    from fsc_etl_spark.plans.corpus_stats import MG_K
+    from fsc_etl_spark.sources.readers import read_parquet_table
+    from fsc_etl_spark.streaming.pipeline import run_foreach_batch
+    from fsc_etl_spark.streaming.sources import (
+        stage_documents_as_files,
+        stream_parquet_dir,
+    )
+
+    staged = stage_documents_as_files(spark, sf, n_files=4)
+    docs = stream_parquet_dir(
+        spark, staged, schemas.DOCUMENTS, max_files_per_trigger=1
+    ).select("doc_id", "text")
+    state_dir = init_mg_state_dir(spark)
+    batch_sizes: list[int] = []
+    run_foreach_batch(
+        docs, mg_batch_handler(spark, state_dir, batch_sizes, MG_K),
+        output_mode="append",
+    )
+    if len([b for b in batch_sizes if b > 0]) < 2:
+        raise RuntimeError(
+            f"expected >=2 non-empty micro-batches, saw {batch_sizes!r}"
+        )
+    state = spark.read.schema("tok string, cnt long, epoch long").parquet(
+        f"{state_dir}/*"
+    )
+    last = state.agg(F.max("epoch").alias("e")).first()["e"]
+    summ = state.filter(F.col("epoch") == last).select(
+        "tok", F.col("cnt").alias("mg_est")
+    )
+    tok = read_parquet_table(spark, sf, "documents").select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    exact = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    n = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        summ.join(exact, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok",
+            F.col("mg_est").cast("bigint").alias("mg_est"),
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            (F.col("exact_cnt") - F.col("mg_est"))
+            .cast("bigint")
+            .alias("undercount"),
+            (
+                (F.col("exact_cnt") - F.col("mg_est")) * (MG_K + 1)
+                <= F.col("n_total")
+            ).alias("within_bound"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_multibatch_sessionize": streaming_multibatch_sessionize,
+    "streaming_mg_heavy_tokens": streaming_mg_heavy_tokens,
     "streaming_hourly_rollup": streaming_hourly_rollup,
     "streaming_click_purchase_join": streaming_click_purchase_join,
     "streaming_sessionize": streaming_sessionize,
@@ -835,3 +982,120 @@ FROM m GROUP BY source
 from fsc_etl_spark.plans.corpus_stats import CORPUS_ORACLES as _C  # noqa: E402
 
 STREAMING_ORACLES["streaming_ppl_gate"] = _C["bigram_lm_perplexity"]
+
+
+def _streaming_mg_oracle(n_batches: int = 4) -> str:
+    """Unrolled left-fold replay of mg_batch_handler: per epoch the
+    batch's two-level shard summary (the mg_frequent_tokens oracle
+    block over that doc_id range), sum-merged with the prior epoch's
+    summary and pruned once more. Batch membership replays the
+    staging rule exactly: (doc_id - lo) // step with
+    step = (hi - lo) // n + 1. Every prune is the value-based
+    subtract-(k+1)th under (cnt DESC, tok ASC) — deterministic, so
+    the fold is a pure function of the fixture."""
+    from fsc_etl_spark.plans.corpus_stats import _LT, MG_K
+
+    kp1 = MG_K + 1
+    chain = [
+        """bounds AS (
+  SELECT MIN(doc_id) AS lo,
+         (MAX(doc_id) - MIN(doc_id)) // %d + 1 AS step
+  FROM documents
+)"""
+        % n_batches,
+        f"""alltok AS MATERIALIZED (
+  SELECT d.doc_id, (d.doc_id - b.lo) // b.step AS batch, unnest({_LT}) AS tok
+  FROM documents d, bounds b
+)""",
+    ]
+    prev = None
+    for i in range(n_batches):
+        chain.append(
+            f"""pc{i} AS (
+  SELECT CAST(('0x' || substr(md5('mg:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 16 AS shard,
+         tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM alltok WHERE batch = {i} GROUP BY shard, tok
+)"""
+        )
+        chain.append(
+            f"""pt{i} AS (
+  SELECT shard, cnt AS t FROM (
+    SELECT shard, cnt,
+           ROW_NUMBER() OVER (PARTITION BY shard
+                              ORDER BY cnt DESC, tok ASC) AS rn
+    FROM pc{i}
+  ) WHERE rn = {kp1}
+)"""
+        )
+        chain.append(
+            f"""bs{i} AS (
+  SELECT tok, CAST(SUM(est) AS BIGINT) AS cnt FROM (
+    SELECT pc{i}.tok, pc{i}.cnt - COALESCE(pt{i}.t, 0) AS est
+    FROM pc{i} LEFT JOIN pt{i} USING (shard)
+    WHERE pc{i}.cnt - COALESCE(pt{i}.t, 0) > 0
+  ) GROUP BY tok
+)"""
+        )
+        chain.append(
+            f"""bgt{i} AS (
+  SELECT cnt AS t FROM (
+    SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rn
+    FROM bs{i}
+  ) WHERE rn = {kp1}
+)"""
+        )
+        chain.append(
+            f"""bsum{i} AS (
+  SELECT tok, cnt - COALESCE((SELECT t FROM bgt{i}), 0) AS cnt
+  FROM bs{i}
+  WHERE cnt - COALESCE((SELECT t FROM bgt{i}), 0) > 0
+)"""
+        )
+        if prev is None:
+            chain.append(f"s{i} AS (SELECT tok, cnt FROM bsum{i})")
+        else:
+            chain.append(
+                f"""mg{i} AS (
+  SELECT tok, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+    SELECT tok, cnt FROM {prev} UNION ALL SELECT tok, cnt FROM bsum{i}
+  ) GROUP BY tok
+)"""
+            )
+            chain.append(
+                f"""gt{i} AS (
+  SELECT cnt AS t FROM (
+    SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rn
+    FROM mg{i}
+  ) WHERE rn = {kp1}
+)"""
+            )
+            chain.append(
+                f"""s{i} AS (
+  SELECT tok, cnt - COALESCE((SELECT t FROM gt{i}), 0) AS cnt
+  FROM mg{i}
+  WHERE cnt - COALESCE((SELECT t FROM gt{i}), 0) > 0
+)"""
+            )
+        prev = f"s{i}"
+    chain.append(
+        "exact AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt"
+        " FROM alltok GROUP BY tok)"
+    )
+    chain.append(
+        "ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM alltok)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(chain)
+        + f"""
+SELECT s.tok,
+       CAST(s.cnt AS BIGINT) AS mg_est,
+       e.exact_cnt,
+       CAST(e.exact_cnt - s.cnt AS BIGINT) AS undercount,
+       ((e.exact_cnt - s.cnt) * {kp1} <= ntot.n_total) AS within_bound
+FROM {prev} s JOIN exact e USING (tok) CROSS JOIN ntot"""
+    )
+
+
+STREAMING_ORACLES["streaming_mg_heavy_tokens"] = _streaming_mg_oracle()

@@ -1764,6 +1764,26 @@ def embed_int8_quant_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def embed_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy k-center coreset selection curve (round 10,
+    operators/clustering.kcenter_greedy): 8 maximally-spread exemplar
+    vectors — seed at the lowest vec_id, then 7 farthest-point picks
+    under exact quantized squared-L2 with (dist DESC, id ASC)
+    tie-break. Row r's sel_dist_sq is the EXACT coverage radius of the
+    first r-1 centers, so the 8-row curve is both the selected diverse
+    subset and its k-center quality certificate — the Sener-Savarese
+    coreset selector a curation pipeline runs to pick annotation /
+    eval exemplars from an embedding pool.
+
+    Integer-exact end to end (floor(x·127) grid, int64 folds), so the
+    unrolled 8-round SQL twin matches bit-for-bit — no margin
+    argument needed, unlike the cosine tiers.
+    """
+    from fsc_etl_spark.operators.clustering import kcenter_greedy
+
+    return kcenter_greedy(t(spark, sf, "embeddings"), k=8)
+
+
 def embed_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label embedding L2-norm profile — the sanity check every
     embedding pipeline runs before similarity search (unnormalized
@@ -2880,6 +2900,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_norm_stats": embed_norm_stats,
     "embed_truncate_norms": embed_truncate_norms,
     "embed_int8_quant_stats": embed_int8_quant_stats,
+    "embed_kcenter_coreset": embed_kcenter_coreset,
     "user_funnel": user_funnel,
     "contamination_overlap": contamination_overlap,
     "doc_repetition_stats": doc_repetition_stats,

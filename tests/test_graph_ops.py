@@ -578,3 +578,64 @@ def test_ppr_symmetric_fast_path_matches_general(spark):
         ).collect()
     }
     assert slow == fast
+
+
+def test_hits_integer_tiny_graph(spark):
+    """Hand-computed 2-iteration integer HITS on a 3-edge bipartite
+    graph: h0=1e9 on {u1,u2}; a_raw = {v1: 2e9 (u1+u2), v2: 1e9 (u2)};
+    L1-normalized a = {v1: 666666666, v2: 333333333}; h_raw =
+    {u1: 666666666, u2: 999999999}; h = {u1: 399999999, u2: 600000000}
+    (floor divisions) — then one more round."""
+    from fsc_etl_spark.operators.graph import hits_integer
+
+    edges = _edges(spark, [("u1", "v1"), ("u2", "v1"), ("u2", "v2")])
+    S = 10**9
+
+    h = {"u1": S, "u2": S}
+    for _ in range(2):
+        a_raw = {"v1": h["u1"] + h["u2"], "v2": h["u2"]}
+        tot = sum(a_raw.values())
+        a = {k: v * S // tot for k, v in a_raw.items()}
+        h_raw = {"u1": a["v1"], "u2": a["v1"] + a["v2"]}
+        tot = sum(h_raw.values())
+        h = {k: v * S // tot for k, v in h_raw.items()}
+
+    auth, hubs = hits_integer(edges, iters=2)
+    assert {r["node"]: r["auth"] for r in auth.collect()} == a
+    assert {r["node"]: r["hub"] for r in hubs.collect()} == h
+
+
+def test_hits_integer_rejects_bad_iters(spark):
+    import pytest
+
+    from fsc_etl_spark.operators.graph import hits_integer
+
+    with pytest.raises(ValueError, match="iters"):
+        hits_integer(_edges(spark, [("a", "b")]), iters=0)
+
+
+def test_kcenter_greedy_hand_case(spark):
+    """Four 1-D points 0, 0.1, 0.5, 1.0 (quantized 0, 12, 63, 127):
+    seed = id 0; farthest is 127 (id 3, d=127²); then 63 (id 2,
+    d=min(63², 64²)=3969); then 12 (id 1, d=144)."""
+    from fsc_etl_spark.operators.clustering import kcenter_greedy
+
+    emb = spark.createDataFrame(
+        [(0, [0.0]), (1, [0.1]), (2, [0.5]), (3, [1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = [
+        (r.sel_round, r.center_id, r.sel_dist_sq)
+        for r in kcenter_greedy(emb, k=4).orderBy("sel_round").collect()
+    ]
+    assert got == [(1, 0, 0), (2, 3, 127 * 127), (3, 2, 63 * 63), (4, 1, 12 * 12)]
+
+
+def test_kcenter_greedy_rejects_empty(spark):
+    import pytest
+
+    from fsc_etl_spark.operators.clustering import kcenter_greedy
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        kcenter_greedy(empty, k=2)

@@ -1857,3 +1857,239 @@ def test_char_trigram_diversity_against_reference(spark, sf_smoke):
         for r in QUERIES["char_trigram_diversity"](spark, sf_smoke).collect()
     }
     assert got == expect
+
+
+def test_hits_copurchase_against_reference(spark, sf_smoke):
+    """Integer HITS recomputed with plain dicts: distinct (cust, part)
+    incidence, h0 = scale on every customer, per round a_raw = sum of
+    h over in-edges then L1-renormalize via floor division, symmetric
+    for hubs — then the same (score DESC, label ASC) top-10 per kind."""
+    from fsc_etl_spark.operators.graph import RANK_SCALE
+    from fsc_etl_spark.plans.graph_ops import _HITS_ITERS, _HITS_TOPK, QUERIES
+
+    o = read_parquet_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).collect()
+    li = read_parquet_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    cust_of_order = {r.o_orderkey: r.o_custkey for r in o}
+    edges = set()
+    for r in li:
+        c = cust_of_order.get(r.l_orderkey)
+        if c is not None:
+            edges.add((c, r.l_partkey))
+    h = {c: RANK_SCALE for c, _ in edges}
+    a: dict[int, int] = {}
+    for _ in range(_HITS_ITERS):
+        a = {}
+        for c, p in edges:
+            a[p] = a.get(p, 0) + h[c]
+        tot = sum(a.values())
+        a = {p: (v * RANK_SCALE) // tot for p, v in a.items()}
+        h = {}
+        for c, p in edges:
+            h[c] = h.get(c, 0) + a[p]
+        tot = sum(h.values())
+        h = {c: (v * RANK_SCALE) // tot for c, v in h.items()}
+    top_a = sorted(
+        (("auth", f"p{p}", v) for p, v in a.items()),
+        key=lambda r: (-r[2], r[1]),
+    )[:_HITS_TOPK]
+    top_h = sorted(
+        (("hub", f"c{c}", v) for c, v in h.items()),
+        key=lambda r: (-r[2], r[1]),
+    )[:_HITS_TOPK]
+    got = [
+        (r.kind, r.node, r.score)
+        for r in QUERIES["hits_copurchase"](spark, sf_smoke).collect()
+    ]
+    assert got == top_a + top_h
+
+
+def test_graph_assortativity_against_reference(spark, sf_smoke):
+    """Degree-assortativity moments recomputed with plain dicts over
+    the symmetrised copurchase edge list, r_ppm via trunc division."""
+    from fsc_etl_spark.plans.graph_ops import QUERIES
+
+    o = read_parquet_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).collect()
+    li = read_parquet_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    cust_of_order = {r.o_orderkey: r.o_custkey for r in o}
+    und = set()
+    for r in li:
+        c = cust_of_order.get(r.l_orderkey)
+        if c is not None:
+            und.add((2 * c, 2 * r.l_partkey + 1))
+    edges = [(s, d) for s, d in und] + [(d, s) for s, d in und]
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    m = len(edges)
+    sx = sum(deg[s] for s, _ in edges)
+    sxx = sum(deg[s] * deg[s] for s, _ in edges)
+    sxy = sum(deg[s] * deg[d] for s, d in edges)
+    num = 1_000_000 * (m * sxy - sx * sx)
+    den = m * sxx - sx * sx
+    r_ppm = abs(num) // den * (1 if num >= 0 else -1)
+    row = QUERIES["graph_assortativity"](spark, sf_smoke).collect()[0]
+    assert (
+        int(row.m),
+        int(row.sum_x),
+        int(row.sum_xx),
+        int(row.sum_xy),
+        row.r_ppm,
+    ) == (m, sx, sxx, sxy, r_ppm)
+
+
+def test_embed_kcenter_coreset_against_reference(spark, sf_smoke):
+    """Greedy k-center recomputed with numpy int64: floor(x*127) grid,
+    exact squared-L2, farthest-point loop with (dist DESC, id ASC)
+    tie-break."""
+    import math
+
+    import numpy as np
+
+    from fsc_etl_spark.plans.training_data import QUERIES
+
+    rows = read_parquet_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    rows.sort(key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows], dtype="int64")
+    Q = np.array(
+        [[math.floor(float(x) * 127) for x in r.embedding] for r in rows],
+        dtype="int64",
+    )
+    expect = [(1, int(ids[0]), 0)]
+    md = ((Q - Q[0]) ** 2).sum(axis=1)
+    for r in range(2, 9):
+        best = md.max()
+        i = int(np.nonzero(md == best)[0][0])  # rows are id-sorted
+        expect.append((r, int(ids[i]), int(best)))
+        md = np.minimum(md, ((Q - Q[i]) ** 2).sum(axis=1))
+    got = [
+        (r.sel_round, r.center_id, r.sel_dist_sq)
+        for r in QUERIES["embed_kcenter_coreset"](spark, sf_smoke)
+        .orderBy("sel_round")
+        .collect()
+    ]
+    assert got == expect
+
+
+def test_mg_frequent_tokens_against_reference(spark, sf_smoke):
+    """Two-level Misra–Gries recomputed with plain dicts: md5 shards,
+    exact per-shard counts, value-based subtract-(k+1)th prunes under
+    (cnt DESC, tok ASC), merge, final prune, exact-count audit — and
+    the published undercount bound re-proved on the result."""
+    from fsc_etl_spark.plans.corpus_stats import MG_K, QUERIES
+
+    docs = read_parquet_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    shard_counts: dict[int, dict[str, int]] = {}
+    exact: dict[str, int] = {}
+    n_total = 0
+    for d in docs:
+        sh = (
+            int(hashlib.md5(f"mg:{d.doc_id}".encode()).hexdigest()[:15], 16)
+            % 16
+        )
+        for tok in _toks(d.text.lower()):
+            shard_counts.setdefault(sh, {})[tok] = (
+                shard_counts.get(sh, {}).get(tok, 0) + 1
+            )
+            exact[tok] = exact.get(tok, 0) + 1
+            n_total += 1
+
+    def prune(counts: dict[str, int]) -> dict[str, int]:
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        t = ranked[MG_K][1] if len(ranked) > MG_K else 0
+        return {k: v - t for k, v in counts.items() if v - t > 0}
+
+    merged: dict[str, int] = {}
+    for counts in shard_counts.values():
+        for tok, v in prune(counts).items():
+            merged[tok] = merged.get(tok, 0) + v
+    summ = prune(merged)
+    expect = sorted(
+        (tok, est, exact[tok], exact[tok] - est,
+         (exact[tok] - est) * (MG_K + 1) <= n_total)
+        for tok, est in summ.items()
+    )
+    got = sorted(
+        (r.tok, r.mg_est, r.exact_cnt, r.undercount, r.within_bound)
+        for r in QUERIES["mg_frequent_tokens"](spark, sf_smoke).collect()
+    )
+    assert got == expect
+    assert len(expect) <= MG_K
+    # the mergeable-summaries guarantee, re-proved on the data: every
+    # token above the n/(k+1) threshold survives with a bounded
+    # undercount
+    for tok, cnt in exact.items():
+        if cnt > n_total // (MG_K + 1):
+            assert tok in summ and cnt - summ[tok] <= n_total // (MG_K + 1)
+
+
+def test_streaming_mg_heavy_tokens_against_reference(spark, sf_smoke):
+    """The streaming left-fold replayed in plain Python: doc_id-range
+    batches (the staging rule), per-batch two-level shard summary,
+    sequential merge + prune — then the same exact-count audit."""
+    from fsc_etl_spark.plans.corpus_stats import MG_K
+    from fsc_etl_spark.plans.streaming_queries import QUERIES
+
+    docs = read_parquet_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    lo = min(d.doc_id for d in docs)
+    hi = max(d.doc_id for d in docs)
+    step = (hi - lo) // 4 + 1
+
+    def prune(counts: dict[str, int]) -> dict[str, int]:
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        t = ranked[MG_K][1] if len(ranked) > MG_K else 0
+        return {k: v - t for k, v in counts.items() if v - t > 0}
+
+    exact: dict[str, int] = {}
+    n_total = 0
+    summ: dict[str, int] = {}
+    for i in range(4):
+        shard_counts: dict[int, dict[str, int]] = {}
+        for d in docs:
+            if (d.doc_id - lo) // step != i:
+                continue
+            sh = (
+                int(hashlib.md5(f"mg:{d.doc_id}".encode()).hexdigest()[:15], 16)
+                % 16
+            )
+            for tok in _toks(d.text.lower()):
+                shard_counts.setdefault(sh, {})[tok] = (
+                    shard_counts.get(sh, {}).get(tok, 0) + 1
+                )
+                exact[tok] = exact.get(tok, 0) + 1
+                n_total += 1
+        merged_shards: dict[str, int] = {}
+        for counts in shard_counts.values():
+            for tok, v in prune(counts).items():
+                merged_shards[tok] = merged_shards.get(tok, 0) + v
+        batch_summ = prune(merged_shards)
+        if not batch_summ:
+            continue
+        folded = dict(summ)
+        for tok, v in batch_summ.items():
+            folded[tok] = folded.get(tok, 0) + v
+        summ = prune(folded)
+
+    expect = sorted(
+        (tok, est, exact[tok], exact[tok] - est,
+         (exact[tok] - est) * (MG_K + 1) <= n_total)
+        for tok, est in summ.items()
+    )
+    got = sorted(
+        (r.tok, r.mg_est, r.exact_cnt, r.undercount, r.within_bound)
+        for r in QUERIES["streaming_mg_heavy_tokens"](spark, sf_smoke).collect()
+    )
+    assert got == expect

@@ -47,6 +47,11 @@ PANDAS_OK = {
     # r9: composes the five ANN tiers above — inherits their sanctioned
     # Arrow-matmul signature/encode stages (each identity-gated)
     "embed_ann_recall_matrix",
+    # r10: re-blocked on trained-codebook IVF cells (VERDICT r9 #1) —
+    # the same sanctioned broadcast-codebook Arrow assignment +
+    # Arrow-matmul Lloyd partial sums as embed_semdedup_trained
+    "dedup_embed_neardup",
+    "embed_nn_within_label",
 }
 # Streaming queries execute eagerly inside the callable (AvailableNow
 # runs) and return a materialized result — no lazy plan to inspect.

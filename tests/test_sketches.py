@@ -200,3 +200,56 @@ def test_cms_merge_requires_input():
 
     with pytest.raises(ValueError, match="at least one"):
         cms_merge()
+
+
+def test_mg_prune_fewer_than_k_keys_is_exact(spark):
+    """With <= k distinct keys the threshold frame is EMPTY and the
+    prune must be the identity (the left-join-on-constant guard: a
+    cross join against the empty threshold would drop every row)."""
+    from fsc_etl_spark.operators.sketches import mg_prune
+
+    counts = spark.createDataFrame(
+        [("a", 5), ("b", 3)], "key string, cnt long"
+    )
+    got = sorted((r.key, r.cnt) for r in mg_prune(counts, k=32).collect())
+    assert got == [("a", 5), ("b", 3)]
+
+
+def test_mg_prune_subtracts_k_plus_first_value(spark):
+    """k=2 over counts 5,4,3,1: t = 3 (3rd largest), survivors are
+    5-3=2 and 4-3=1; the 3 and 1 die."""
+    from fsc_etl_spark.operators.sketches import mg_prune
+
+    counts = spark.createDataFrame(
+        [("a", 5), ("b", 4), ("c", 3), ("d", 1)], "key string, cnt long"
+    )
+    got = sorted((r.key, r.cnt) for r in mg_prune(counts, k=2).collect())
+    assert got == [("a", 2), ("b", 1)]
+
+
+def test_mg_frequent_bound_and_determinism(spark):
+    """The merged summary undercounts every key by at most n/(k+1),
+    keeps every key above that threshold, and is a pure function of
+    the multiset (same result under a different partitioning)."""
+    from fsc_etl_spark.operators.sketches import mg_frequent
+
+    rows = [(i, "hot") for i in range(60)] + [
+        (100 + i, f"cold{i % 17}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tok string")
+    k = 4
+    got = {
+        r.tok: r.mg_est
+        for r in mg_frequent(df, "tok", k, shard_col="doc_id").collect()
+    }
+    n = len(rows)
+    assert "hot" in got  # 60 > 100/5
+    assert 0 < got["hot"] <= 60
+    assert 60 - got["hot"] <= n // (k + 1)
+    got2 = {
+        r.tok: r.mg_est
+        for r in mg_frequent(
+            df.repartition(7), "tok", k, shard_col="doc_id"
+        ).collect()
+    }
+    assert got == got2
