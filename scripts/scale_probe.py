@@ -337,8 +337,13 @@ def _perturb_embeddings(df: DataFrame, i: int) -> DataFrame:
 
 def build_scaled(spark: SparkSession, copies: int = COPIES) -> str:
     dest = SCRATCH / f"x{copies}"
-    if dest.exists():
+    done = dest / "_BUILD_COMPLETE"
+    # Reuse only a COMPLETE build: a killed probe leaves a partial
+    # table set behind, and the bare exists() check would then feed
+    # the timed queries a fixture with missing tables.
+    if done.exists():
         return str(dest)
+    shutil.rmtree(dest, ignore_errors=True)
     dest.mkdir(parents=True)
     for tbl, keys in KEYED_TABLES.items():
         base = read_parquet_table(spark, BASE_SF, tbl)
@@ -358,6 +363,7 @@ def build_scaled(spark: SparkSession, copies: int = COPIES) -> str:
         for i in range(1, copies):
             scaled = scaled.unionByName(perturb(base, i))
         scaled.write.mode("overwrite").parquet(str(dest / f"{tbl}.parquet"))
+    done.touch()
     return str(dest)
 
 
