@@ -99,10 +99,9 @@ def pagerank_integer(
         edges = edges.select(
             "src", "dst", F.col(weight_col).cast("long").alias("__w")
         )
-    # distinct/weighted edges persist: the degree build, the edge-
-    # degree join, and (general path) the nodes union all re-read this
+    # distinct/weighted edges persist: the edge-degree build and
+    # (general path) the nodes union re-read this
     edges = edges.persist()
-    deg = edges.groupBy("src").agg(F.sum("__w").alias("deg"))
 
     if weight_col is not None and validate:
         chk = edges.agg(
@@ -126,18 +125,30 @@ def pagerank_integer(
                 "rescale weights or init_rank, or cast the rank chain to decimal"
             )
 
-    # Built once, reused by every iteration — and pre-hashed on src so
-    # the per-iteration rank join only shuffles the (small) rank side:
-    # the cached InMemoryRelation's HashPartitioning(src) satisfies the
+    # Built once, reused by every iteration — pre-hashed on src so the
+    # per-iteration rank join only shuffles the (small) rank side: the
+    # cached InMemoryRelation's HashPartitioning(src) satisfies the
     # join's distribution requirement, so no edge re-shuffle per round.
-    edges_deg = edges.join(deg, "src").repartition(F.col("src")).persist()
+    # Degree attaches via a src-partitioned window over the SAME
+    # exchange (measured round-10, hash-identical): the former
+    # groupBy+join+repartition build cost two edge-sized exchanges —
+    # and at cluster scale the degree side of that join is node-sized,
+    # NOT broadcastable, so it would shuffle too; one exchange + an
+    # in-partition sort replaces all of it.
+    from pyspark.sql import Window as _W
+
+    edges_deg = (
+        edges.repartition(F.col("src"))
+        .withColumn("deg", F.sum("__w").over(_W.partitionBy("src")))
+        .persist()
+    )
 
     dangling_nodes = None
     n_nodes = None
     if every_node_has_inflow:
         # symmetrised contract: src set == dst set == node set, so the
         # out-edge owners ARE the nodes and dangling is impossible.
-        nodes = deg.select(F.col("src").alias("node"))
+        nodes = edges_deg.select(F.col("src").alias("node")).distinct()
     else:
         nodes = (
             edges.select(F.col("src").alias("node"))
@@ -146,7 +157,7 @@ def pagerank_integer(
             .persist()
         )
         dangling_nodes = nodes.join(
-            deg.select(F.col("src").alias("node")), "node", "left_anti"
+            edges_deg.select(F.col("src").alias("node")), "node", "left_anti"
         ).persist()
         if dangling != "drop":
             n_dangling = dangling_nodes.count()
@@ -448,10 +459,22 @@ def personalized_pagerank_integer(
 
     Returns (node, rank), rank BIGINT.
     """
+    from pyspark.sql import Window as _W
+
     edges = edges.select("src", "dst").distinct().persist()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # Degree attaches via a src-partitioned window over the one
+    # pre-hash exchange (round-10; see pagerank_integer — the former
+    # groupBy+join+repartition build cost two edge-sized exchanges
+    # and a node-sized join side that can't broadcast at scale).
+    edges_deg = (
+        edges.repartition(F.col("src"))
+        .withColumn(
+            "deg", F.count(F.lit(1)).over(_W.partitionBy("src")).cast("long")
+        )
+        .persist()
+    )
     if symmetric:
-        nodes = deg.select(F.col("src").alias("node")).persist()
+        nodes = edges_deg.select(F.col("src").alias("node")).distinct().persist()
     else:
         nodes = (
             edges.select(F.col("src").alias("node"))
@@ -460,10 +483,11 @@ def personalized_pagerank_integer(
             .persist()
         )
         n_dangling = nodes.join(
-            deg.select(F.col("src").alias("node")), "node", "left_anti"
+            edges_deg.select(F.col("src").alias("node")), "node", "left_anti"
         ).count()
         if n_dangling:
             edges.unpersist()
+            edges_deg.unpersist()
             nodes.unpersist()
             raise ValueError(
                 f"{n_dangling} node(s) have no out-edge; personalized PageRank "
@@ -474,13 +498,13 @@ def personalized_pagerank_integer(
     n_seeds = seed_nodes.count()
     if n_seeds == 0:
         edges.unpersist()
+        edges_deg.unpersist()
         nodes.unpersist()
         seed_nodes.unpersist()
         raise ValueError("no seed intersects the graph's node set")
     base_seed = ((damping_den - damping_num) * init_rank * n_nodes) // (
         damping_den * n_seeds
     )
-    edges_deg = edges.join(deg, "src").repartition(F.col("src")).persist()
     seed_flag = seed_nodes.withColumn("__is_seed", F.lit(True))
     base = F.when(
         F.coalesce(F.col("__is_seed"), F.lit(False)), F.lit(base_seed)
