@@ -51,10 +51,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordered so a prefix sample covers the whole surface: the driver
     checks roughly the first 50 entries. ROUND-10 ROTATION: the window
-    leads with the eight round-10 additions (HITS, assortativity,
-    k-center coreset, batch + streaming Misra–Gries, nprobe recall
-    curve, common-neighbor link prediction, char-trigram diversity —
-    no driver row yet), then the five queries whose checking contract
+    leads with the ten round-10 additions (HITS, assortativity,
+    k-center coreset, batch + streaming Misra–Gries, seed ball sizes,
+    PSI drift, nprobe recall curve, common-neighbor link prediction,
+    char-trigram diversity — no driver row yet), then the five
+    queries whose checking contract
     or plan changed this round (the VERDICT r9 #1 cell re-blocks, the
     #3 mask guard, the two ADVICE r9 bound/broadcast fixes), then the
     staleness rotation: the r1-vintage rows whose latest green driver
@@ -85,6 +86,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_kcenter_coreset",  # greedy k-center selection curve
         "mg_frequent_tokens",  # Misra–Gries mergeable summary
         "streaming_mg_heavy_tokens",  # MG summary folded over a stream
+        "graph_seed_ball_sizes",  # exact per-seed neighborhood curve
+        "psi_value_drift",  # micro-nat PSI drift score
         "ivf_nprobe_recall_curve",  # recall@5 vs nprobe tuning curve
         "graph_common_neighbors",  # capped common-neighbor link pred
         "char_trigram_diversity",  # per-source char type-token ppm
@@ -133,16 +136,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_recent_views",
         "scalar_subquery_bigspenders",
         "semi_join_membership",
-        "sessionize_events",
-        "sliding_window_rollup",
         "surrogate_key_assign",
         "union_insert_update",
     ]
-    # (5 r1-vintage rows — string_funcs_breadth,
-    # unpivot_lineitem_metrics, window_lag_delta, window_running_sum,
-    # window_topk_per_group — rotated out to make room for the
-    # round-10 batch-2 additions; they lead the r11 staleness
-    # rotation together with proj_alias.)
+    # (7 r1-vintage rows — sessionize_events, sliding_window_rollup,
+    # string_funcs_breadth, unpivot_lineitem_metrics, window_lag_delta,
+    # window_running_sum, window_topk_per_group — rotated out to make
+    # room for the round-10 batch-2 additions; they lead the r11
+    # staleness rotation together with proj_alias.)
     if len(priority) != 50:  # contract check — not an assert: survives python -O
         raise ValueError(f"driver window must be exactly 50, got {len(priority)}")
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -162,7 +162,7 @@ def pagerank_integer(
         if dangling != "drop":
             n_dangling = dangling_nodes.count()
             if n_dangling and dangling == "error":
-                for df in (edges, nodes, dangling_nodes):
+                for df in (edges, edges_deg, nodes, dangling_nodes):
                     df.unpersist()
                 raise ValueError(
                     f"{n_dangling} node(s) have no out-edge; their rank mass "
@@ -745,3 +745,58 @@ def hits_integer(
     for df in (edges, e_by_src, e_by_dst):
         df.unpersist()
     return out_a, out_h
+
+
+def multi_source_ball_sizes(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Exact per-seed neighborhood function: for every seed and hop
+    h = 0..max_hops, the number of nodes at distance exactly h — the
+    exact small-cohort form of the neighborhood-function estimators
+    (ANF/HyperBall) used to read graph reach and effective diameter;
+    over a co-purchase graph it is the seed cohort's influence-growth
+    curve. ``seeds`` is a one-column ``node`` frame (keep it BOUNDED —
+    state is the labeled visited set, Σ_seeds |ball(seed, h)| rows,
+    linear in seeds x reach by construction).
+
+    Pregel-shaped labeled BFS on the composite (seed, node) key:
+    each round joins ONLY the new frontier against the edge list
+    (shuffle keyed on node=src), dedups, then anti-joins the visited
+    set on (seed, node) — a node is labeled per seed the first round
+    it is reached, which IS its distance from that seed. Integer
+    arithmetic only; per-round frontiers are persisted (each feeds
+    both the anti join and the union, the bfs_hops discipline).
+
+    Returns (seed, dist, n_nodes), zero rows for hops past exhaustion.
+    """
+    edges = edges.select("src", "dst").persist()  # scanned once per round
+    visited = (
+        seeds.select("node")
+        .distinct()
+        .select(F.col("node").alias("seed"), F.col("node"), F.lit(0).cast("long").alias("dist"))
+    )
+    frontier = visited.select("seed", "node")
+    frontiers: list[DataFrame] = []
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
+            .withColumn("dist", F.lit(h).cast("long"))
+            .persist()
+        )
+        frontiers.append(nxt)
+        visited = visited.union(nxt)
+        frontier = nxt.select("seed", "node")
+    out = (
+        visited.groupBy("seed", "dist")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist()
+    for f in frontiers:
+        f.unpersist()
+    return out

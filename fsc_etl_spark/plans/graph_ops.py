@@ -816,10 +816,62 @@ def graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+_BALL_SEEDS = 20
+_BALL_HOPS = 3
+
+
+def graph_seed_ball_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-seed neighborhood growth over the symmetrised
+    co-purchase graph (operators/graph.multi_source_ball_sizes): for
+    the 20 lowest customer keys, the number of nodes at distance
+    exactly 0..3 — the exact small-cohort neighborhood function
+    (the readout ANF/HyperBall approximate at full-graph scale),
+    i.e. each seed customer's influence-growth curve through the
+    retail incidence. Labeled Pregel BFS on the (seed, node) key:
+    per round one frontier-keyed join + distinct + (seed, node) anti
+    join; state is Σ ball sizes — linear in the bounded seed count.
+
+    Nodes travel as BIGINT (2·custkey / 2·partkey+1); seeds render
+    back to 'c…' labels in the bounded final rollup. WITH RECURSIVE
+    twin carries the seed through the recursion and min-reduces
+    distance per (seed, node).
+    """
+    from fsc_etl_spark.operators.graph import multi_source_ball_sizes
+
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_partkey") * 2 + 1).alias("pnode"),
+        )
+        .distinct()
+        .persist()
+    )
+    edges = cp.select(F.col("cnode").alias("src"), F.col("pnode").alias("dst")).union(
+        cp.select(F.col("pnode").alias("src"), F.col("cnode").alias("dst"))
+    )
+    seeds = (
+        t(spark, sf, "customer")
+        .select((F.col("c_custkey") * 2).alias("node"))
+        .orderBy("node")
+        .limit(_BALL_SEEDS)
+    )
+    balls = multi_source_ball_sizes(edges, seeds, max_hops=_BALL_HOPS)
+    cp.unpersist()
+    return balls.select(
+        F.concat(F.lit("c"), F.expr("(seed div 2)").cast("string")).alias("seed"),
+        F.col("dist").cast("bigint").alias("dist"),
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+    )
+
+
 QUERIES = {
     "bfs_hops_copurchase": bfs_hops_copurchase,
     "hits_copurchase": hits_copurchase,
     "graph_assortativity": graph_assortativity,
+    "graph_seed_ball_sizes": graph_seed_ball_sizes,
     "graph_common_neighbors": graph_common_neighbors,
     "kcore_copurchase": kcore_copurchase,
     "pagerank_copurchase": pagerank_copurchase,
@@ -1069,4 +1121,36 @@ SELECT CAST(m AS DECIMAL(38,0)) AS m,
                         // (m * sum_xx - sum_x * sum_x))
             END AS BIGINT) AS r_ppm
 FROM mom
+"""
+
+
+# Per-seed exact neighborhood function: the recursion carries the
+# seed; a (seed, node) MIN-reduce gives the distance and the rollup
+# counts nodes per (seed, dist). The customer seed set is the same
+# bounded ORDER BY/LIMIT selection on both engines.
+GRAPH_ORACLES["graph_seed_ball_sizes"] = f"""
+WITH RECURSIVE cp AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_partkey * 2 + 1 AS pnode
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+  SELECT cnode AS src, pnode AS dst FROM cp
+  UNION ALL
+  SELECT pnode AS src, cnode AS dst FROM cp
+),
+seeds AS (
+  SELECT c_custkey * 2 AS node FROM customer ORDER BY node LIMIT {_BALL_SEEDS}
+),
+bfs AS (
+  SELECT node AS seed, node, CAST(0 AS BIGINT) AS d FROM seeds
+  UNION ALL
+  SELECT b.seed, e.dst, CAST(b.d + 1 AS BIGINT)
+  FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.d < {_BALL_HOPS}
+),
+md AS (SELECT seed, node, MIN(d) AS dist FROM bfs GROUP BY seed, node)
+SELECT 'c' || CAST(seed // 2 AS VARCHAR) AS seed,
+       dist,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM md GROUP BY seed, dist
 """

@@ -382,6 +382,95 @@ def value_drift_buckets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: PSI buckets (fixed cent boundaries over value*100) and Laplace +1.
+_PSI_BOUNDS = [250, 500, 1000, 1500, 2000, 3000, 4000, 6000, 8000]
+_PSI_B = len(_PSI_BOUNDS) + 1
+
+
+def psi_value_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index per event type vs the corpus-wide
+    value distribution — THE industry drift score (banking model
+    monitoring; PSI < 0.1 stable / > 0.25 shifted), complementing
+    value_drift_buckets' log-free flag with the standard magnitude.
+    PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over 10 fixed value buckets,
+    Laplace-smoothed (+1 per cell, the dsir_importance_weights
+    discipline).
+
+    Exactness (the dsir/bigram micro-nat idiom): with
+    num = (h_b+1)(M+B) and den = (g_b+1)(N+B), p/q = num/den exactly;
+    ln(num/den) is quantized ONCE per (type, bucket) row — bounded
+    |types|·B rows, never per event — to micro-nats by floor, then
+    PSI·(N+B)(M+B)·1e6 = Σ (num − den)·lnq is pure DECIMAL(38,0)
+    arithmetic and psi_micro comes out by one truncating div (the
+    oracle CASE-spells DuckDB's flooring //; quantized terms can dip
+    epsilon-negative). num/den are integer-valued doubles below 2^53,
+    so the single ln per row sees bit-identical arguments on both
+    engines; the independent reference test measures every quantized
+    value's distance from its floor boundary.
+
+    Scale shape: bucketing is a map-side CASE; (type, bucket) counts
+    collapse map-side to <= |types|·B rows per task; everything after
+    the one keyed aggregate runs on broadcast-sized frames.
+    """
+    ev = t(spark, sf, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("vc"),
+    )
+    bucket = F.when(F.col("vc") < _PSI_BOUNDS[0], 0)
+    for i, bound in enumerate(_PSI_BOUNDS[1:], start=1):
+        bucket = bucket.when(F.col("vc") < bound, i)
+    bucket = bucket.otherwise(len(_PSI_BOUNDS))
+    counts = (
+        ev.select("event_type", bucket.alias("b"))
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    corpus = counts.groupBy("b").agg(F.sum("h").alias("g"))
+    ntot = counts.groupBy("event_type").agg(F.sum("h").alias("n_events"))
+    mtot = corpus.agg(F.sum("g").alias("m_total"))
+    grid = ntot.crossJoin(
+        F.broadcast(
+            spark.range(_PSI_B).select(F.col("id").cast("int").alias("b"))
+        )
+    )
+    full = (
+        grid.join(counts, ["event_type", "b"], "left")
+        .join(F.broadcast(corpus), "b", "left")
+        .crossJoin(F.broadcast(mtot))
+        .select(
+            "event_type",
+            "n_events",
+            "m_total",
+            (F.coalesce(F.col("h"), F.lit(0)) + 1).alias("hp"),
+            (F.coalesce(F.col("g"), F.lit(0)) + 1).alias("gp"),
+        )
+    )
+    num = F.col("hp") * (F.col("m_total") + _PSI_B)
+    den = F.col("gp") * (F.col("n_events") + _PSI_B)
+    lnq = F.floor(
+        F.lit(1e6) * F.log(num.cast("double") / den.cast("double"))
+    ).cast("long")
+    dec = "decimal(38,0)"
+    terms = full.select(
+        "event_type",
+        "n_events",
+        "m_total",
+        ((num.cast(dec) - den.cast(dec)) * lnq.cast(dec)).alias("term"),
+    )
+    return (
+        terms.groupBy("event_type", "n_events", "m_total")
+        .agg(F.sum("term").alias("psi_num"))
+        .select(
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.expr(
+                f"psi_num div (CAST(n_events + {_PSI_B} AS DECIMAL(38,0))"
+                f" * CAST(m_total + {_PSI_B} AS DECIMAL(38,0)))"
+            ).cast("bigint").alias("psi_micro"),
+        )
+    )
+
+
 def k_anonymity_audit(spark: SparkSession, sf: str) -> DataFrame:
     """k-anonymity audit over the (mktsegment, nationkey) quasi-
     identifier pair: every equivalence class with its population and
@@ -930,6 +1019,7 @@ QUERIES = {
     "skyline_orders": skyline_orders,
     "value_anomaly_events": value_anomaly_events,
     "value_drift_buckets": value_drift_buckets,
+    "psi_value_drift": psi_value_drift,
     "table_profile_stats": table_profile_stats,
     "zorder_key_demo": zorder_key_demo,
 }
@@ -1368,3 +1458,69 @@ SELECT event_id,
 FROM bins
 """,
 }
+
+
+def _psi_oracle() -> str:
+    """PSI twin: same fixed bucket CASE, same Laplace +1, same one
+    micro-nat floor-quantized ln per (type, bucket) row, HUGEINT term
+    accumulation, truncating div CASE-spelled over //."""
+    b_case = "CASE " + " ".join(
+        f"WHEN vc < {bound} THEN {i}"
+        for i, bound in enumerate(_PSI_BOUNDS)
+    ) + f" ELSE {len(_PSI_BOUNDS)} END"
+    B = _PSI_B
+    return f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+  FROM events
+),
+bc AS (SELECT event_type, {b_case} AS b FROM ev),
+counts AS (
+  SELECT event_type, b, CAST(COUNT(*) AS BIGINT) AS h
+  FROM bc GROUP BY event_type, b
+),
+corpus AS (SELECT b, CAST(SUM(h) AS BIGINT) AS g FROM counts GROUP BY b),
+ntot AS (SELECT event_type, CAST(SUM(h) AS BIGINT) AS n_events
+         FROM counts GROUP BY event_type),
+mtot AS (SELECT CAST(SUM(g) AS BIGINT) AS m_total FROM corpus),
+grid AS (
+  SELECT n.event_type, n.n_events, CAST(r.b AS INTEGER) AS b
+  FROM ntot n, (SELECT unnest(range({B})) AS b) r
+),
+f AS (
+  SELECT grid.event_type, grid.n_events, m.m_total,
+         COALESCE(c.h, 0) + 1 AS hp,
+         COALESCE(co.g, 0) + 1 AS gp
+  FROM grid
+  LEFT JOIN counts c ON c.event_type = grid.event_type AND c.b = grid.b
+  LEFT JOIN corpus co ON co.b = grid.b
+  CROSS JOIN mtot m
+),
+terms AS (
+  SELECT event_type, n_events, m_total,
+         CAST(hp * (m_total + {B}) AS HUGEINT) AS num,
+         CAST(gp * (n_events + {B}) AS HUGEINT) AS den,
+         CAST(FLOOR(1e6 * ln(CAST(hp * (m_total + {B}) AS DOUBLE)
+                             / CAST(gp * (n_events + {B}) AS DOUBLE)))
+              AS BIGINT) AS lnq
+  FROM f
+),
+agg AS (
+  SELECT event_type, n_events, m_total,
+         SUM((num - den) * lnq) AS psi_num
+  FROM terms GROUP BY event_type, n_events, m_total
+)
+SELECT event_type,
+       n_events,
+       CAST(CASE WHEN psi_num >= 0
+                 THEN psi_num // (CAST(n_events + {B} AS HUGEINT)
+                                  * CAST(m_total + {B} AS HUGEINT))
+                 ELSE -((-psi_num) // (CAST(n_events + {B} AS HUGEINT)
+                                       * CAST(m_total + {B} AS HUGEINT)))
+            END AS BIGINT) AS psi_micro
+FROM agg
+"""
+
+
+SCALE_ORACLES["psi_value_drift"] = _psi_oracle()

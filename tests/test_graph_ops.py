@@ -639,3 +639,21 @@ def test_kcenter_greedy_rejects_empty(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty"):
         kcenter_greedy(empty, k=2)
+
+
+def test_multi_source_ball_sizes_tiny_graph(spark):
+    """Path graph a—b—c—d (symmetrised), seeds {a, c}: hand-counted
+    per-seed distance histogram at max_hops=2."""
+    from fsc_etl_spark.operators.graph import multi_source_ball_sizes
+
+    und = [("a", "b"), ("b", "c"), ("c", "d")]
+    edges = _edges(spark, und + [(y, x) for x, y in und])
+    seeds = spark.createDataFrame([("a",), ("c",)], "node string")
+    got = {
+        (r.seed, r.dist): r.n_nodes
+        for r in multi_source_ball_sizes(edges, seeds, max_hops=2).collect()
+    }
+    assert got == {
+        ("a", 0): 1, ("a", 1): 1, ("a", 2): 1,   # a; b; c
+        ("c", 0): 1, ("c", 1): 2, ("c", 2): 1,   # c; b,d; a
+    }

@@ -2093,3 +2093,108 @@ def test_streaming_mg_heavy_tokens_against_reference(spark, sf_smoke):
         for r in QUERIES["streaming_mg_heavy_tokens"](spark, sf_smoke).collect()
     )
     assert got == expect
+
+
+def test_graph_seed_ball_sizes_against_reference(spark, sf_smoke):
+    """Per-seed exact neighborhood function recomputed with a plain
+    adjacency-dict BFS over the symmetrised copurchase graph."""
+    from fsc_etl_spark.plans.graph_ops import _BALL_HOPS, _BALL_SEEDS, QUERIES
+
+    o = read_parquet_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).collect()
+    li = read_parquet_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    custs = sorted(
+        r.c_custkey
+        for r in read_parquet_table(spark, sf_smoke, "customer")
+        .select("c_custkey")
+        .collect()
+    )[:_BALL_SEEDS]
+    cust_of_order = {r.o_orderkey: r.o_custkey for r in o}
+    adj: dict[int, set[int]] = {}
+    for r in li:
+        c = cust_of_order.get(r.l_orderkey)
+        if c is None:
+            continue
+        cn, pn = 2 * c, 2 * r.l_partkey + 1
+        adj.setdefault(cn, set()).add(pn)
+        adj.setdefault(pn, set()).add(cn)
+    expect: dict[tuple[str, int], int] = {}
+    for c in custs:
+        seed = 2 * c
+        dist = {seed: 0}
+        frontier = {seed}
+        for h in range(1, _BALL_HOPS + 1):
+            nxt = set()
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = h
+                        nxt.add(v)
+            frontier = nxt
+        for h in range(_BALL_HOPS + 1):
+            n = sum(1 for d in dist.values() if d == h)
+            if n:
+                expect[(f"c{c}", h)] = n
+    got = {
+        (r.seed, r.dist): r.n_nodes
+        for r in QUERIES["graph_seed_ball_sizes"](spark, sf_smoke).collect()
+    }
+    assert got == expect
+
+
+def test_psi_value_drift_against_reference(spark, sf_smoke):
+    """PSI recomputed with plain Python (decimal cents, dict counts,
+    math.log) — plus the floor-boundary margin audit the micro-nat
+    idiom requires: every quantized ln must sit far enough from its
+    floor boundary that cross-engine ulp noise cannot flip it."""
+    import math
+    from decimal import Decimal
+
+    from fsc_etl_spark.plans.scale_ops import _PSI_B, _PSI_BOUNDS, QUERIES
+
+    ev = read_parquet_table(spark, sf_smoke, "events").select(
+        "event_type", "value"
+    ).collect()
+    counts: dict[tuple[str, int], int] = {}
+    ntot: dict[str, int] = {}
+    for r in ev:
+        vc = int(
+            Decimal(str(r.value)).quantize(Decimal("0.01")) * 100
+        )
+        b = _PSI_B - 1
+        for i, bound in enumerate(_PSI_BOUNDS):
+            if vc < bound:
+                b = i
+                break
+        counts[(r.event_type, b)] = counts.get((r.event_type, b), 0) + 1
+        ntot[r.event_type] = ntot.get(r.event_type, 0) + 1
+    corpus = {b: 0 for b in range(_PSI_B)}
+    for (_, b), h in counts.items():
+        corpus[b] += h
+    m_total = sum(corpus.values())
+    expect = {}
+    min_margin = 1.0
+    for et, n in ntot.items():
+        psi_num = 0
+        for b in range(_PSI_B):
+            num = (counts.get((et, b), 0) + 1) * (m_total + _PSI_B)
+            den = (corpus[b] + 1) * (n + _PSI_B)
+            x = 1e6 * math.log(num / den)
+            lnq = math.floor(x)
+            min_margin = min(min_margin, abs(x - lnq), abs(lnq + 1 - x))
+            psi_num += (num - den) * lnq
+        denom = (n + _PSI_B) * (m_total + _PSI_B)
+        expect[et] = (n, abs(psi_num) // denom * (1 if psi_num >= 0 else -1))
+    got = {
+        r.event_type: (r.n_events, r.psi_micro)
+        for r in QUERIES["psi_value_drift"](spark, sf_smoke).collect()
+    }
+    assert got == expect
+    # the dsir precedent's bound (test_dsir_floor_distance_margins):
+    # |1e6·ln(ratio)| <= ~2e6 at 1e-16 relative puts cross-engine ulp
+    # noise at ~1e-3 micro-nats; require the margin above it (measured
+    # 1.2e-2 at sf0.001 — an order of magnitude of headroom)
+    assert min_margin > 1e-3, f"quantization margin too thin: {min_margin}"
