@@ -435,3 +435,86 @@ def test_segment_dedup_crash_recovery(spark, sf_smoke):
         for r in streaming_segment_dedup(spark, sf_smoke).collect()
     )
     assert got == clean and len(got) > 0
+
+
+def test_mg_fold_crash_recovery(spark, sf_smoke):
+    """Exactly-once evidence for the Misra–Gries fold
+    (mg_batch_handler): same two kill sites as the segment-dedup
+    proof — between micro-batches and inside the at-least-once window
+    (after epoch 2's summary overwrite, before its checkpoint commit)
+    — restart from the same checkpoint, require the converged summary
+    to equal an uninterrupted run exactly. The post-write replay is
+    the one a plain append-based state layout fails: the replayed
+    epoch would merge with ITS OWN partial summary (epoch <= batch_id
+    would double the fold); the batch_id-keyed overwrite + latest
+    epoch < batch_id read makes it idempotent."""
+    import tempfile
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    from fsc_etl_spark import schemas
+    from fsc_etl_spark.plans.corpus_stats import MG_K
+    from fsc_etl_spark.plans.streaming_queries import (
+        init_mg_state_dir,
+        mg_batch_handler,
+        streaming_mg_heavy_tokens,
+    )
+    from fsc_etl_spark.streaming.pipeline import run_foreach_batch
+    from fsc_etl_spark.streaming.sources import (
+        stage_documents_as_files,
+        stream_parquet_dir,
+    )
+
+    staged = stage_documents_as_files(
+        spark, sf_smoke, n_files=4, out_dir=tempfile.mkdtemp(prefix="fsc_mgcrash_")
+    )
+
+    def docs():
+        return stream_parquet_dir(
+            spark, staged, schemas.DOCUMENTS, max_files_per_trigger=1
+        ).select("doc_id", "text")
+
+    state_dir = init_mg_state_dir(spark)
+    ckpt = tempfile.mkdtemp(prefix="fsc_mgcrash_ckpt_")
+    sizes: list[int] = []
+    crashed = {"pre": False, "post": False}
+
+    def crash_once(batch_id: int, phase: str) -> None:
+        if batch_id == 1 and phase == "pre" and not crashed["pre"]:
+            crashed["pre"] = True
+            raise RuntimeError("injected crash between micro-batches")
+        if batch_id == 2 and phase == "post" and not crashed["post"]:
+            crashed["post"] = True
+            raise RuntimeError("injected crash after state write, before commit")
+
+    handler = mg_batch_handler(
+        spark, state_dir, sizes, MG_K, crash_hook=crash_once
+    )
+    attempts = 0
+    while True:
+        attempts += 1
+        assert attempts <= 4, "stream kept failing past the injected crashes"
+        try:
+            run_foreach_batch(
+                docs(), handler, output_mode="append", checkpoint_dir=ckpt
+            )
+            break
+        except StreamingQueryException:
+            continue  # simulated crash — restart from the same checkpoint
+    assert crashed["pre"] and crashed["post"], "both crash sites must have fired"
+    assert attempts == 3
+
+    state = spark.read.schema("tok string, cnt long, epoch long").parquet(
+        f"{state_dir}/*"
+    )
+    last = state.agg(F.max("epoch").alias("e")).first()["e"]
+    got = sorted(
+        (r.tok, r.cnt)
+        for r in state.filter(F.col("epoch") == last).collect()
+    )
+    clean = sorted(
+        (r.tok, r.mg_est)
+        for r in streaming_mg_heavy_tokens(spark, sf_smoke).collect()
+    )
+    assert got == clean and 0 < len(got) <= MG_K
