@@ -1,8 +1,9 @@
-"""Deterministic mergeable sketches: count-min and HyperLogLog
-registers, built from an md5 hash family so every counter/register is
-integer-exact and bit-reproducible — the same construction an ANSI-SQL
-oracle can replay, which upgrades the sketch family from rows-only
-checks to full hash parity.
+"""Deterministic mergeable sketches: count-min, HyperLogLog
+registers, and a Misra–Gries frequent-items summary, built from an
+md5 hash family (and, for Misra–Gries, value-based prunes) so every
+counter/register/estimate is integer-exact and bit-reproducible — the
+same constructions an ANSI-SQL oracle can replay, which upgrades the
+sketch family from rows-only checks to full hash parity.
 
 No reference twin: the reference engine (a single-notebook Databricks
 ETL, /root/reference/main.py) has no sketch surface; these extend

@@ -1,13 +1,17 @@
-"""Graph analytics queries: PageRank authority, triangle census,
-recursive reachability — driver-checkable with exact oracles.
+"""Graph analytics queries over the customer—part co-purchase graph:
+PageRank (uniform / weighted / dangling-redistribute / personalized),
+HITS hubs-authorities, triangle census, k-core, label-propagation
+communities, common-neighbor link prediction, degree assortativity,
+bounded BFS + per-seed neighborhood curves, recursive reachability —
+all driver-checkable with exact oracles.
 
 No reference twin: the reference engine (single-notebook Databricks
 ETL, /root/reference/main.py) has no graph surface; these extend
-SURVEY.md §2.12. All three are integer-exact by construction (see
-operators/graph.py), so the DuckDB oracles hash-match bit-for-bit:
-PageRank uses fixed-point BIGINT ranks with floor division, the
-triangle census is pure counting, and the recursive chain is integer
-halving — no floats anywhere.
+SURVEY.md §2.12. Everything is integer-exact by construction (see
+operators/graph.py): fixed-point BIGINT scores with floor division,
+pure counting censuses, integer ppm ratios — no floats anywhere, so
+the unrolled-CTE / WITH RECURSIVE DuckDB oracles hash-match
+bit-for-bit.
 """
 
 from __future__ import annotations
