@@ -50,18 +50,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §2.12.
 
     Ordered so a prefix sample covers the whole surface: the driver
-    checks roughly the first 50 entries. ROUND-10 ROTATION: the window
-    leads with the ten round-10 additions (HITS, assortativity,
-    k-center coreset, batch + streaming Misra–Gries, seed ball sizes,
-    PSI drift, nprobe recall curve, common-neighbor link prediction,
-    char-trigram diversity — no driver row yet), then the five
-    queries whose checking contract
-    or plan changed this round (the VERDICT r9 #1 cell re-blocks, the
-    #3 mask guard, the two ADVICE r9 bound/broadcast fixes), then the
-    staleness rotation: the r1-vintage rows whose latest green driver
-    row is oldest (VERDICT r9 #7). Keep
+    checks roughly the first 50 entries. ROUND-11 ROTATION: the window
+    leads with `graph_assortativity` — r10's single red row (hash
+    mismatch on bit-identical values; root-caused to the DECIMAL(38,0)
+    final schema, now BIGINT on both engines, VERDICT r10 #1) — then
+    `psi_value_drift` (plan changed: ADVICE r10 2^53 exactness guard +
+    bounded-counts checkpoint), then the staleness rotation (VERDICT
+    r10 #3): the 8 remaining r1-vintage rows (proj_alias + the 7
+    rotated out in r10), then every r2-vintage row (40 — the whole
+    remaining oldest-green generation fits exactly). Keep
     tests/test_entry_contract.py's prefix-pin test in sync: it
-    derives the never-sampled set from committed CORRECTNESS_r0*.json
+    derives the never-sampled set from committed CORRECTNESS_r*.json
     automatically.
     """
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -80,70 +79,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(corpus_stats.QUERIES)
 
     priority = [
-        # --- round-10 NEW queries (no driver row yet) ---
-        "hits_copurchase",  # integer HITS hubs/authorities
-        "graph_assortativity",  # exact-ppm degree assortativity
-        "embed_kcenter_coreset",  # greedy k-center selection curve
-        "mg_frequent_tokens",  # Misra–Gries mergeable summary
-        "streaming_mg_heavy_tokens",  # MG summary folded over a stream
-        "graph_seed_ball_sizes",  # exact per-seed neighborhood curve
-        "psi_value_drift",  # micro-nat PSI drift score
-        "ivf_nprobe_recall_curve",  # recall@5 vs nprobe tuning curve
-        "graph_common_neighbors",  # capped common-neighbor link pred
-        "char_trigram_diversity",  # per-source char type-token ppm
-        # --- round-10: contract or plan changed (VERDICT r9 #1/#3 +
-        # ADVICE r9) ---
-        "dedup_embed_neardup",  # re-blocked on trained IVF cells
-        "embed_nn_within_label",  # re-blocked on (cell, label)
-        "ngram_jaccard_pairs",  # distinct-mask m² guard in auto path
-        "minhash_jaccard_accuracy",  # size-guarded pair broadcast
-        "hll_daily_users",  # total bound gains greatest(40,·) floor
-        # --- staleness rotation (VERDICT r9 #7): the r1-vintage tail —
-        # every remaining slot goes to the queries whose latest green
-        # driver row is oldest (42 of the 43 r1 rows; proj_alias, the
-        # trivial projection also pinned by pytest + the covid path,
-        # waits for r11) ---
-        "agg_minmax",
-        "anti_join_orphans",
-        "asof_click_purchase",
-        "cast_manifest_roundtrip",
-        "cdc_snapshot_diff",
-        "correlated_above_avg",
-        "cube_order_stats",
-        "date_funcs_breadth",
-        "dim_join_broadcast",
-        "distinct_dim",
-        "except_all_priorities",
-        "explode_doc_tokens",
-        "filter_date_split",
-        "filter_status",
-        "global_topk_orders",
-        "grouping_sets_priority",
-        "hourly_event_rollup",
-        "intersect_customers",
-        "json_event_props",
-        "median_price_by_status",
-        "merge_upsert_state",
-        "multi_distinct_by_flag",
-        "pivot_event_types",
-        "q10_returned_items",
-        "q14_promo_revenue",
-        "q15_top_supplier",
-        "q3_shipping_priority",
-        "q4_priority_exists",
-        "q5_region_volume",
-        "q6_revenue_forecast",
-        "range_join_recent_views",
-        "scalar_subquery_bigspenders",
-        "semi_join_membership",
-        "surrogate_key_assign",
-        "union_insert_update",
+        # --- r10 red-row fix: DECIMAL(38,0) final schema -> BIGINT
+        # (VERDICT r10 #1); pinned first ---
+        "graph_assortativity",
+        # --- plan changed this round (ADVICE r10 exactness guard) ---
+        "psi_value_drift",
+        # --- staleness rotation (VERDICT r10 #3): the last 8 r1-vintage
+        # rows ---
+        "proj_alias",
+        "sessionize_events",
+        "sliding_window_rollup",
+        "string_funcs_breadth",
+        "unpivot_lineitem_metrics",
+        "window_lag_delta",
+        "window_running_sum",
+        "window_topk_per_group",
+        # --- staleness rotation: the full r2-vintage generation (40 rows,
+        # latest green driver row is round 2) ---
+        "array_agg_cust_years",
+        "array_funcs_breadth",
+        "bloom_pruned_join",
+        "dedup_cluster_assign",
+        "dedup_exact_groups",
+        "doc_fingerprint",
+        "embed_cosine_topk",
+        "embed_cosine_topk_pandas",
+        "heavy_hitter_users",
+        "lang_id_heuristic",
+        "map_funcs_breadth",
+        "q11_important_stock",
+        "q12_priority_by_status",
+        "q13_customer_distribution",
+        "q16_supplier_count",
+        "q17_small_quantity_revenue",
+        "q18_large_volume_customer",
+        "q19_disjunctive_predicates",
+        "q20_excess_stock_suppliers",
+        "q21_waiting_supplier",
+        "q22_idle_customers",
+        "q2_min_cost_supplier",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "reservoir_sample_per_source",
+        "simhash_neardup_pairs",
+        "streaming_blocklist_dedup",
+        "streaming_click_purchase_join",
+        "streaming_dedup_events",
+        "streaming_enrich_dim",
+        "streaming_heavy_hitters",
+        "streaming_hourly_rollup",
+        "streaming_multibatch_sessionize",
+        "streaming_sessionize",
+        "streaming_upsert_latest",
+        "streaming_user_state",
+        "text_bpe_tokens",
+        "text_quality",
+        "text_token_stats",
+        "user_trend_slope",
     ]
-    # (7 r1-vintage rows — sessionize_events, sliding_window_rollup,
-    # string_funcs_breadth, unpivot_lineitem_metrics, window_lag_delta,
-    # window_running_sum, window_topk_per_group — rotated out to make
-    # room for the round-10 batch-2 additions; they lead the r11
-    # staleness rotation together with proj_alias.)
+    # (After r11 every row's latest green is r3+; the r3 generation —
+    # 47 rows — leads the r12 staleness rotation.)
     if len(priority) != 50:  # contract check — not an assert: survives python -O
         raise ValueError(f"driver window must be exactly 50, got {len(priority)}")
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

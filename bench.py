@@ -411,6 +411,7 @@ def run_query(spark, name: str, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    load_start = round(os.getloadavg()[0], 1)
     spark = get_spark(app_name="fsc_etl_spark_bench")
 
     # One warmup pass of the cheapest query amortizes JVM/codegen
@@ -434,6 +435,10 @@ def main() -> None:
     # sub-second) and write the complete per-query dict to
     # bench_full.json beside this script for the repo record.
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:40])
+    # Host 1-min loadavg at start and end of the run: the r10 driver
+    # bench regressed +18% purely from host load (BASELINE §c10), so
+    # every recorded total carries its noise context (VERDICT r10 #6).
+    load_end = round(os.getloadavg()[0], 1)
     line = json.dumps(
         {
             "metric": "headline_queries_total",
@@ -442,6 +447,7 @@ def main() -> None:
             "queries": {k: round(v, 2) for k, v in slowest.items()},
             "sf": sf,
             "n_queries": len(timings),
+            "load1": [load_start, load_end],
         },
         separators=(",", ":"),
     )
@@ -449,7 +455,7 @@ def main() -> None:
     with open(full_path, "w") as f:
         json.dump(
             {"metric": "headline_queries_total", "value": total, "unit": "sec",
-             "queries": timings, "sf": sf},
+             "queries": timings, "sf": sf, "load1": [load_start, load_end]},
             f,
             indent=1,
             sort_keys=True,

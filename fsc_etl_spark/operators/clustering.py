@@ -257,6 +257,14 @@ def kcenter_greedy(
         raise ValueError(f"k must be >= 1, got {k}")
     spark = emb.sparkSession
     q = emb.select(F.col(id_col).alias("__id"), quantize(F.col(vec_col), scale).alias("q"))
+    # k must not exceed the input row count: once every point is a
+    # center all residual distances are 0 and the (md DESC, id ASC)
+    # argmax would silently re-pick the lowest-id point each remaining
+    # round, returning duplicate centers (ADVICE r10). One bounded
+    # count — the operator already does k driver-side argmax rounds.
+    n = q.count()
+    if k > n:
+        raise ValueError(f"kcenter_greedy: k={k} exceeds input rows n={n}")
     seed_rows = q.orderBy("__id").limit(1).collect()  # bounded: 1 row
     if not seed_rows:
         raise ValueError("kcenter_greedy: empty input")

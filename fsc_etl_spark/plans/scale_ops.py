@@ -424,10 +424,33 @@ def psi_value_drift(spark: SparkSession, sf: str) -> DataFrame:
         ev.select("event_type", bucket.alias("b"))
         .groupBy("event_type", "b")
         .agg(F.count(F.lit(1)).alias("h"))
+        .localCheckpoint(eager=True)  # bounded: <= |types|*B rows
     )
     corpus = counts.groupBy("b").agg(F.sum("h").alias("g"))
     ntot = counts.groupBy("event_type").agg(F.sum("h").alias("n_events"))
     mtot = corpus.agg(F.sum("g").alias("m_total"))
+    # Validate the documented exactness precondition instead of
+    # assuming it (ADVICE r10, same style as weighted PageRank's
+    # overflow check in operators/graph.py): the shared ln argument is
+    # only bit-identical across engines while num = hp*(m_total+B) and
+    # den = gp*(n_events+B) are integer-exact as doubles, i.e. < 2^53.
+    # One 1-row collect over the already-checkpointed bounded counts.
+    chk = (
+        counts.agg(F.max("h").alias("hmax"))
+        .crossJoin(corpus.agg(F.max("g").alias("gmax"), F.sum("g").alias("mt")))
+        .crossJoin(ntot.agg(F.max("n_events").alias("nmax")))
+        .first()
+    )
+    if chk["mt"] is not None and max(
+        (chk["hmax"] + 1) * (chk["mt"] + _PSI_B),
+        (chk["gmax"] + 1) * (chk["nmax"] + _PSI_B),
+    ) >= 2**53:
+        raise ValueError(
+            "psi_value_drift: hp*(m_total+B) or gp*(n_events+B) exceeds "
+            f"2^53 (m_total={chk['mt']}) — the micro-nat ln quantization "
+            "is no longer cross-engine exact; pre-aggregate per shard or "
+            "rescale counts before calling"
+        )
     grid = ntot.crossJoin(
         F.broadcast(
             spark.range(_PSI_B).select(F.col("id").cast("int").alias("b"))

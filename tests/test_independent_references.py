@@ -2161,9 +2161,11 @@ def test_psi_value_drift_against_reference(spark, sf_smoke):
     counts: dict[tuple[str, int], int] = {}
     ntot: dict[str, int] = {}
     for r in ev:
-        vc = int(
-            Decimal(str(r.value)).quantize(Decimal("0.01")) * 100
-        )
+        # _cents (line ~252) exists for exactly this: Spark's
+        # cast(double as decimal(18,2)) rounds HALF_UP, while
+        # Decimal.quantize defaults to HALF_EVEN — a half-cent fixture
+        # value would flake under the default (ADVICE r10).
+        vc = _cents(r.value)
         b = _PSI_B - 1
         for i, bound in enumerate(_PSI_BOUNDS):
             if vc < bound:

@@ -551,3 +551,41 @@ def test_global_windows_only_over_bounded_inputs(spark, sf_smoke, name):
                 "unreduced scan path — a corpus-sized global window "
                 "(single-partition funnel) at scale"
             )
+
+
+# ---------------------------------------------------------------------------
+# Final-schema type gate (VERDICT r10 #2). Three rounds were lost to
+# final output types the driver's value-canonicalization path had never
+# seen (r4 HUGEINT, r6 Arrow Decimal fetch, r10 DECIMAL(38,0) — the
+# sole red row of that round despite bit-identical values). Encode the
+# lesson once: every final column of every queries() entry must use a
+# type class with a prior driver-green precedent. Exact/decimal
+# arithmetic stays INTERNAL — cast to one of these before the final
+# select.
+PROVEN_FINAL_TYPES = {
+    "bigint",
+    "int",
+    "double",
+    "string",
+    "boolean",
+    "date",
+    "timestamp",
+}
+
+
+def test_final_schemas_use_only_proven_types(spark, sf_smoke):
+    """One pass over all queries() (streaming included — those return
+    materialized frames whose schema is equally driver-hashed):
+    collect every (query, column, type) outside the proven surface and
+    fail with the full list, so a regression names every offender."""
+    offenders: list[str] = []
+    for name, fn in entrymod.queries().items():
+        sch = fn(spark, sf_smoke).schema
+        for f in sch.fields:
+            ty = f.dataType.simpleString()
+            if ty not in PROVEN_FINAL_TYPES:
+                offenders.append(f"{name}.{f.name}: {ty}")
+    assert not offenders, (
+        "final output columns outside the proven driver type surface "
+        f"(cast before the final select): {offenders}"
+    )
