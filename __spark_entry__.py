@@ -55,10 +55,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     mismatch on bit-identical values; root-caused to the DECIMAL(38,0)
     final schema, now BIGINT on both engines, VERDICT r10 #1) — then
     `psi_value_drift` (plan changed: ADVICE r10 2^53 exactness guard +
-    bounded-counts checkpoint), then the staleness rotation (VERDICT
-    r10 #3): the 8 remaining r1-vintage rows (proj_alias + the 7
-    rotated out in r10), then every r2-vintage row (40 — the whole
-    remaining oldest-green generation fits exactly). Keep
+    bounded-counts checkpoint), then the three round-11 debuts
+    (Adamic–Adar link prediction, market-basket 2-itemset mining,
+    exact rolling-distinct lowering — no driver row yet), then the
+    staleness rotation (VERDICT r10 #3): the 8 remaining r1-vintage
+    rows (proj_alias + the 7 rotated out in r10), then the r2-vintage
+    generation (37 of 40 fit; the displaced 3 lead r12). Keep
     tests/test_entry_contract.py's prefix-pin test in sync: it
     derives the never-sampled set from committed CORRECTNESS_r*.json
     automatically.
@@ -84,6 +86,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity",
         # --- plan changed this round (ADVICE r10 exactness guard) ---
         "psi_value_drift",
+        # --- round-11 NEW queries (no driver row yet) ---
+        "graph_adamic_adar",  # pinned-weight AA link prediction
+        "basket_pair_support",  # A-Priori 2-itemset support + lift
+        "rolling_distinct_users",  # exact trailing-7d distinct lowering
         # --- staleness rotation (VERDICT r10 #3): the last 8 r1-vintage
         # rows ---
         "proj_alias",
@@ -133,12 +139,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_upsert_latest",
         "streaming_user_state",
         "text_bpe_tokens",
-        "text_quality",
-        "text_token_stats",
-        "user_trend_slope",
     ]
-    # (After r11 every row's latest green is r3+; the r3 generation —
-    # 47 rows — leads the r12 staleness rotation.)
+    # (text_quality, text_token_stats and user_trend_slope — displaced
+    # from the r2 generation by the three round-11 debuts — plus the
+    # r3 generation (47 rows) lead the r12 staleness rotation.)
     if len(priority) != 50:  # contract check — not an assert: survives python -O
         raise ValueError(f"driver window must be exactly 50, got {len(priority)}")
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

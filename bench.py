@@ -396,6 +396,18 @@ BENCH_QUERIES = [
     "hits_copurchase",
     "graph_assortativity",
     "mg_frequent_tokens",
+    # round-11: basket_pair_support IS benched — the basket-blocked
+    # pair expansion feeds THREE keyed aggregations (item counts, pair
+    # supports, n_baskets scalar) and two count-attach joins, a wider
+    # shape than the graph pair queries. rolling_distinct_users IS
+    # benched — bounded contribution-expansion explode + double
+    # distinct is a new sliding-distinct shape (no window, no range
+    # join). graph_adamic_adar is OFF-bench: physically identical to
+    # the benched graph_common_neighbors (part-blocked pair expansion
+    # + keyed agg + TakeOrdered heap) with a map-side literal-array
+    # weight lookup added.
+    "basket_pair_support",
+    "rolling_distinct_users",
 ]
 
 ALL_QUERIES = entrymod.queries()

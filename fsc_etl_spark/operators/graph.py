@@ -280,6 +280,12 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
             .agg(F.max(F.struct(F.col("cnt"), F.col("lab"))).alias("m"))
             .select("node", F.col("m.lab").alias("label"))
         )
+    # NOTE (r11): per-round eager localCheckpoint — the cadence that
+    # pays off for pagerank/kcore/bfs — was measured SLOWER here
+    # (isolated warm floors 5.45 s vs 4.63 s at sf0.1): at 3 rounds
+    # the lazy plan is shallow enough that one end-to-end execution
+    # beats three materialization barriers. Re-evaluate if rounds
+    # ever grows past ~5 (plan depth is 3 stages/round).
     out = labels.localCheckpoint(eager=True)
     edges.unpersist()
     return out

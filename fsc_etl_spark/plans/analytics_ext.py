@@ -384,6 +384,45 @@ def hll_daily_users(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_ROLLING_DAYS = 7
+
+
+def rolling_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact trailing-7-day distinct users per day (round 11) — the
+    sliding COUNT(DISTINCT) every product-metrics pipeline needs
+    (rolling WAU), which has NO native partial-agg or window form:
+    a naive day-range self-join re-deduplicates the whole window per
+    day, and windowed approx sketches change the answer. The scalable
+    exact lowering is CONTRIBUTION EXPANSION: dedup events to (user,
+    day) once, explode each row to the ≤7 target days it can serve
+    (a map-side bounded fanout — sequence() of fixed length, the
+    sliding_window_rollup idiom), dedup (user, target_day), and count
+    per day. Work is O(events + 7·active_user_days) with two hash
+    aggregations — no window, no day×day join, no global sort; at
+    1000 executors every stage shuffles on high-cardinality keys.
+    Days with no events contribute no row (inner join with observed
+    days), matching the oracle's day list."""
+    ev = t(spark, sf, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    ud = ev.distinct()  # (day, user) — one row per active user-day
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), _ROLLING_DAYS - 1))
+        ).alias("tday"),
+    ).distinct()
+    roll = contrib.groupBy("tday").agg(
+        F.count(F.lit(1)).cast("bigint").alias("users_7d")
+    )
+    daily = ud.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("users_1d")
+    )
+    return daily.join(roll, daily["day"] == roll["tday"]).select(
+        "day", "users_1d", "users_7d"
+    )
+
+
 def event_pattern_match(spark: SparkSession, sf: str) -> DataFrame:
     """MATCH_RECOGNIZE-style sequence detection without a native
     operator: each user's events collapse into one ordered code string
@@ -659,6 +698,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_orders_report": dq_orders_report,
     "rollup_incremental_merge": rollup_incremental_merge,
     "hll_daily_users": hll_daily_users,
+    "rolling_distinct_users": rolling_distinct_users,
 }
 
 
@@ -684,6 +724,21 @@ SELECT CAST(ts AS DATE) AS day,
        TRUE AS daily_within_10pct,
        TRUE AS total_within_5pct
 FROM events GROUP BY 1
+"""
+
+# The oracle states the SPEC (distinct users in [day-6, day] per
+# observed day) with a range join — fine at gate scale; the Spark
+# plan is the scalable contribution-expansion lowering of the same.
+EXT_ORACLES["rolling_distinct_users"] = f"""
+WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+daily AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS users_1d FROM ud GROUP BY day
+)
+SELECT d.day, d.users_1d,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS users_7d
+FROM daily d
+JOIN ud u ON u.day BETWEEN d.day - {_ROLLING_DAYS - 1} AND d.day
+GROUP BY d.day, d.users_1d
 """
 
 EXT_ORACLES["json_roundtrip_stats"] = """

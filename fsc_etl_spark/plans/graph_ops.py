@@ -16,7 +16,7 @@ bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fsc_etl_spark.operators.graph import (
@@ -203,9 +203,10 @@ def graph_common_neighbors(spark: SparkSession, sf: str) -> DataFrame:
     per-part fanout capped at _CN_MAX_PART_FANOUT distinct customers
     (hub parts excluded up front — the co-occurrence stop-word rule),
     so per-block pair work is ≤ fanout² no matter how the corpus
-    grows; degrees and common counts are two keyed aggregations and
-    the top-k is a TakeOrdered heap, never a global sort. All
-    integers end to end."""
+    grows; degrees and common counts are two keyed aggregations, the
+    degree table joins the count-REDUCED pair aggregate (not the raw
+    pair stream — see the r11 probe note below), and the top-k is a
+    TakeOrdered heap, never a global sort. All integers end to end."""
     o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
     li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     cp = (
@@ -213,6 +214,15 @@ def graph_common_neighbors(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
     )
+    # NOTE (r11): a window-attach variant (hub filter + degree as two
+    # partitioned windows, degrees replicated into the pair rows and
+    # min-reduced with the count) measured FASTER at sf0.1 (2.0-3.2 s
+    # vs 3.97) but 2.2x SLOWER at the 10x probe (26.1 s vs 11.7):
+    # replicating deg_a/deg_b doubles the width of the pair-expansion
+    # shuffle — the one stage that grows with data — while this shape
+    # joins the count-REDUCED pair aggregate against the node-sized
+    # degree table. Keep the scale-optimal plan; the x1 delta is
+    # fixed-stage overhead (docs/scale_probe_r11_additions.json).
     rare = (
         cp.groupBy("part")
         .agg(F.count(F.lit(1)).alias("n_cust"))
@@ -233,8 +243,14 @@ def graph_common_neighbors(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("common"))
     )
     out = (
-        common.join(deg.withColumnRenamed("cust", "id_a").withColumnRenamed("deg", "deg_a"), "id_a")
-        .join(deg.withColumnRenamed("cust", "id_b").withColumnRenamed("deg", "deg_b"), "id_b")
+        common.join(
+            deg.withColumnRenamed("cust", "id_a").withColumnRenamed("deg", "deg_a"),
+            "id_a",
+        )
+        .join(
+            deg.withColumnRenamed("cust", "id_b").withColumnRenamed("deg", "deg_b"),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",
@@ -250,6 +266,95 @@ def graph_common_neighbors(spark: SparkSession, sf: str) -> DataFrame:
             F.col("id_b").asc(),
         )
         .limit(_CN_TOPK)
+    )
+    return out
+
+
+# Adamic–Adar weights as PINNED INTEGER LITERALS (the pinned-codebook
+# idiom): w(n) = floor(1e6 / ln(n)) for n = 2.._CN_MAX_PART_FANOUT,
+# computed once here with math.log and consumed as the SAME integer
+# literals by both engines — so no cross-engine ln/float parity is at
+# stake anywhere in the query (contrast the PSI micro-nat path, which
+# must quantize a data-dependent ln and carries a floor-margin audit).
+# The independent reference test recomputes the table and audits every
+# value's distance from its floor boundary.
+def _aa_weight_table(cap: int) -> list[int]:
+    import math
+
+    return [int(1_000_000 / math.log(n)) for n in range(2, cap + 1)]
+
+
+_AA_WEIGHTS = _aa_weight_table(_CN_MAX_PART_FANOUT)
+_AA_TOPK = 50
+
+
+def graph_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
+    """Adamic–Adar link prediction over the customer projection of the
+    co-purchase bipartite graph (round 11 — completes the
+    link-prediction family next to `graph_common_neighbors`'s
+    count/Jaccard scores): for customers a, b the score is
+    Σ_z 1/ln(|customers of z|) over shared parts z — rare shared
+    parts count for more (Adamic & Adar 2003, "Friends and neighbors
+    on the web"). Emitted micro-scaled as aa_micro = Σ w(n_z) with
+    w(n) = floor(1e6/ln n) from the pinned table above; top-50 by
+    (aa_micro DESC, common DESC, id_a ASC, id_b ASC) — a total order
+    over integers, so the LIMIT is deterministic and hash-stable.
+
+    Scale shape: identical to graph_common_neighbors — pair
+    generation BLOCKED on partkey with per-part fanout capped at
+    _CN_MAX_PART_FANOUT distinct customers (parts below 2 customers
+    generate no pairs and are pruned by the same predicate), so
+    per-block pair work is ≤ fanout² regardless of corpus growth; the
+    fanout count and weight attach via a part-partitioned window over
+    the incidence's own exchange (one shuffle — no count-agg + join
+    back), the weight itself is a map-side lookup into a 49-literal
+    array, the score is one keyed SUM, and the top-k is a TakeOrdered
+    heap. All integers end to end."""
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    warr = F.array(*[F.lit(w) for w in _AA_WEIGHTS])
+    # fanout + weight attach via a part-partitioned window over the
+    # distinct's own exchange — one shuffle total, where a count-agg +
+    # join back would re-shuffle the same key twice (the r10 PageRank
+    # degree-attach rework); the incidence is read twice (both pair
+    # sides) — persist
+    cpr = (
+        cp.withColumn(
+            "n_cust", F.count(F.lit(1)).over(Window.partitionBy("part"))
+        )
+        .filter(
+            (F.col("n_cust") >= 2) & (F.col("n_cust") <= _CN_MAX_PART_FANOUT)
+        )
+        .select(
+            "part",
+            "cust",
+            F.element_at(warr, (F.col("n_cust") - 1).cast("int")).alias("w"),
+        )
+        .persist()
+    )
+    a = cpr.select("part", F.col("cust").alias("id_a"), "w")
+    b = cpr.select("part", F.col("cust").alias("id_b"))
+    out = (
+        a.join(b, "part")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum("w").cast("bigint").alias("aa_micro"),
+            F.count(F.lit(1)).cast("bigint").alias("common"),
+        )
+        .select("id_a", "id_b", "common", "aa_micro")
+        .orderBy(
+            F.col("aa_micro").desc(),
+            F.col("common").desc(),
+            F.col("id_a").asc(),
+            F.col("id_b").asc(),
+        )
+        .limit(_AA_TOPK)
     )
     return out
 
@@ -892,6 +997,7 @@ QUERIES = {
     "graph_assortativity": graph_assortativity,
     "graph_seed_ball_sizes": graph_seed_ball_sizes,
     "graph_common_neighbors": graph_common_neighbors,
+    "graph_adamic_adar": graph_adamic_adar,
     "kcore_copurchase": kcore_copurchase,
     "pagerank_copurchase": pagerank_copurchase,
     "pagerank_dangling_redistribute": pagerank_dangling_redistribute,
@@ -948,6 +1054,29 @@ JOIN deg da ON da.cust = c.id_a
 JOIN deg db ON db.cust = c.id_b
 ORDER BY jaccard_ppm DESC, c.common DESC, c.id_a ASC, c.id_b ASC
 LIMIT {_CN_TOPK}
+""",
+    # Same blocked pair expansion; the Adamic–Adar weight is a lookup
+    # into the SAME pinned integer-literal table the Spark plan uses
+    # (1-based list index n_cust-1 == element_at(arr, n_cust-1)), so
+    # no ln/float crosses engines.
+    "graph_adamic_adar": f"""
+WITH cp AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+nzw AS (
+  SELECT part, ({list(_AA_WEIGHTS)})[COUNT(*) - 1] AS w
+  FROM cp GROUP BY part
+  HAVING COUNT(*) BETWEEN 2 AND {_CN_MAX_PART_FANOUT}
+),
+cpr AS MATERIALIZED (SELECT cp.cust, cp.part, nzw.w FROM cp JOIN nzw USING (part))
+SELECT a.cust AS id_a, b.cust AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS common,
+       CAST(SUM(a.w) AS BIGINT) AS aa_micro
+FROM cpr a JOIN cpr b ON a.part = b.part AND a.cust < b.cust
+GROUP BY 1, 2
+ORDER BY aa_micro DESC, common DESC, id_a ASC, id_b ASC
+LIMIT {_AA_TOPK}
 """,
     "kcore_copurchase": _kcore_oracle(),
     "pagerank_copurchase": _pagerank_oracle(),

@@ -345,8 +345,86 @@ def q22_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_BASKET_MAX_ITEMS = 32
+_BASKET_TOPK = 100
+
+
+def basket_pair_support(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket 2-itemset mining (the A-Priori candidate pass,
+    Agrawal & Srikant 1994): each order is a basket of distinct parts;
+    emit the top-100 part pairs by co-occurrence support, with exact
+    integer lift in ppm — lift(a,b) = P(a,b)/(P(a)·P(b)) =
+    support·n_baskets / (cnt_a·cnt_b), emitted as lift_ppm =
+    (10⁶·support·n_baskets) div (cnt_a·cnt_b), accumulated in
+    DECIMAL(38,0) so the product can never overflow LONG at any
+    corpus size, then cast to the proven BIGINT surface. Top-k by
+    (support DESC, part_a ASC, part_b ASC) — a total integer order,
+    so the LIMIT is deterministic and hash-stable.
+
+    Scale shape: pair generation is blocked on the BASKET (orderkey)
+    with baskets over _BASKET_MAX_ITEMS distinct parts excluded up
+    front (the same stop-word rule as the co-purchase hub cap;
+    TPC-H baskets are ≤ 7 lines so the cap is inert at gate scale,
+    but a real catalog has mega-baskets) — per-basket pair work is
+    ≤ cap², so the expansion is linear in orders. Item counts and
+    pair supports are two keyed aggregations; n_baskets is a 1-row
+    broadcast; the top-k is a TakeOrdered heap, never a global
+    sort."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    basket = li.distinct()
+    # the cap attaches via a basket-partitioned window over the
+    # distinct's own exchange — one shuffle total, where a count-agg +
+    # semi join back would re-shuffle the same key twice (the same
+    # one-exchange degree-attach rework that paid off for the
+    # PageRank family in r10)
+    bk = (
+        basket.withColumn(
+            "n_items",
+            F.count(F.lit(1)).over(Window.partitionBy("l_orderkey")),
+        )
+        .filter(F.col("n_items") <= _BASKET_MAX_ITEMS)
+        .drop("n_items")
+        .persist()  # read four times: n_baskets, item counts, both pair sides
+    )
+    nb = bk.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
+    item = bk.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a = bk.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = bk.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    sup = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    dec = "decimal(38,0)"
+    return (
+        sup.join(
+            item.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a")),
+            "part_a",
+        )
+        .join(
+            item.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("support").cast("bigint").alias("support"),
+            F.expr(
+                f"CAST((CAST(1000000 AS {dec}) * CAST(support AS {dec})"
+                f" * CAST(n_baskets AS {dec}))"
+                f" div (CAST(cnt_a AS {dec}) * CAST(cnt_b AS {dec})) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("support").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(_BASKET_TOPK)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q7_volume_shipping": q7_volume_shipping,
+    "basket_pair_support": basket_pair_support,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
     "q13_customer_distribution": q13_customer_distribution,
@@ -364,6 +442,37 @@ _DISC_PRICE_SQL = (
 )
 
 TPCH_ORACLES: dict[str, str] = {}
+
+# HUGEINT accumulation internal (positive throughout, so DuckDB's
+# flooring // equals Spark's truncating decimal div), BIGINT finals.
+TPCH_ORACLES["basket_pair_support"] = f"""
+WITH b0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+small AS (
+  SELECT l_orderkey FROM b0 GROUP BY l_orderkey
+  HAVING COUNT(*) <= {_BASKET_MAX_ITEMS}
+),
+bk AS MATERIALIZED (SELECT b0.* FROM b0 JOIN small USING (l_orderkey)),
+nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS HUGEINT) AS n_baskets FROM bk),
+item AS (
+  SELECT l_partkey, CAST(COUNT(*) AS HUGEINT) AS cnt FROM bk GROUP BY l_partkey
+),
+sup AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS HUGEINT) AS support
+  FROM bk a JOIN bk b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT s.part_a, s.part_b, CAST(s.support AS BIGINT) AS support,
+       CAST((1000000 * s.support * nb.n_baskets) // (ia.cnt * ib.cnt)
+            AS BIGINT) AS lift_ppm
+FROM sup s
+JOIN item ia ON ia.l_partkey = s.part_a
+JOIN item ib ON ib.l_partkey = s.part_b
+CROSS JOIN nb
+ORDER BY support DESC, part_a ASC, part_b ASC
+LIMIT {_BASKET_TOPK}
+"""
 
 TPCH_ORACLES["q7_volume_shipping"] = f"""
 SELECT n_s.n_name AS supp_nation,

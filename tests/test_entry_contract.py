@@ -110,6 +110,10 @@ def test_driver_sample_prefix_covers_priority_groups():
     changed_this_round = {
         "graph_assortativity",
         "psi_value_drift",
+        # round-11 debuts (also caught by the never-sampled rule)
+        "graph_adamic_adar",
+        "basket_pair_support",
+        "rolling_distinct_users",
     }
     for must_have in changed_this_round:
         assert must_have in prefix, f"{must_have} fell out of the driver sample"

@@ -2200,3 +2200,126 @@ def test_psi_value_drift_against_reference(spark, sf_smoke):
     # noise at ~1e-3 micro-nats; require the margin above it (measured
     # 1.2e-2 at sf0.001 — an order of magnitude of headroom)
     assert min_margin > 1e-3, f"quantization margin too thin: {min_margin}"
+
+
+def test_graph_adamic_adar_against_reference(spark, sf_smoke):
+    """Adamic–Adar recomputed with plain dicts: incidence sets, the
+    pinned weight table regenerated from math.log, per-pair weighted
+    sums, top-50 under the same (aa DESC, common DESC, a, b) order.
+    Also audits that the pinned table matches floor(1e6/ln n) exactly
+    and that each 1e6/ln(n) sits far from its floor boundary (the
+    table is generated once in one interpreter, so this is a
+    generation-stability check, not a cross-engine one)."""
+    import math
+
+    from fsc_etl_spark.plans.graph_ops import (
+        _AA_TOPK,
+        _AA_WEIGHTS,
+        _CN_MAX_PART_FANOUT,
+        QUERIES,
+    )
+
+    for i, w in enumerate(_AA_WEIGHTS):
+        n = i + 2
+        exact = 1_000_000 / math.log(n)
+        assert w == int(exact)
+        # distance from both floor boundaries ≫ any libm ulp spread
+        assert min(exact - w, w + 1 - exact) > 1e-4
+
+    o = read_parquet_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).collect()
+    li = read_parquet_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    cust_of_order = {r.o_orderkey: r.o_custkey for r in o}
+    members: dict[int, set[int]] = {}
+    for r in li:
+        c = cust_of_order.get(r.l_orderkey)
+        if c is not None:
+            members.setdefault(r.l_partkey, set()).add(c)
+    scores: dict[tuple[int, int], int] = {}
+    common: dict[tuple[int, int], int] = {}
+    for custs in members.values():
+        if not (2 <= len(custs) <= _CN_MAX_PART_FANOUT):
+            continue
+        w = _AA_WEIGHTS[len(custs) - 2]
+        cl = sorted(custs)
+        for i, ca in enumerate(cl):
+            for cb in cl[i + 1:]:
+                scores[(ca, cb)] = scores.get((ca, cb), 0) + w
+                common[(ca, cb)] = common.get((ca, cb), 0) + 1
+    expect = sorted(
+        ((aa, common[p], p[0], p[1]) for p, aa in scores.items()),
+        key=lambda t: (-t[0], -t[1], t[2], t[3]),
+    )[:_AA_TOPK]
+    got = [
+        (r.aa_micro, r.common, r.id_a, r.id_b)
+        for r in QUERIES["graph_adamic_adar"](spark, sf_smoke).collect()
+    ]
+    assert got == expect and len(got) > 0
+
+
+def test_basket_pair_support_against_reference(spark, sf_smoke):
+    """A-Priori 2-itemset pass recomputed with plain dicts: distinct
+    baskets, the ≤32-item cap, pair supports, exact integer lift via
+    Python bigints (no overflow by construction), top-100 under the
+    same (support DESC, a, b) order."""
+    from fsc_etl_spark.plans.tpch_more import (
+        _BASKET_MAX_ITEMS,
+        _BASKET_TOPK,
+        QUERIES,
+    )
+
+    li = read_parquet_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets: dict[int, set[int]] = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    baskets = {k: v for k, v in baskets.items() if len(v) <= _BASKET_MAX_ITEMS}
+    nb = len(baskets)
+    cnt: dict[int, int] = {}
+    sup: dict[tuple[int, int], int] = {}
+    for parts in baskets.values():
+        pl = sorted(parts)
+        for i, pa in enumerate(pl):
+            cnt[pa] = cnt.get(pa, 0) + 1
+            for pb in pl[i + 1:]:
+                sup[(pa, pb)] = sup.get((pa, pb), 0) + 1
+    top = sorted(sup.items(), key=lambda kv: (-kv[1], kv[0]))[:_BASKET_TOPK]
+    expect = [
+        (pa, pb, s, (1_000_000 * s * nb) // (cnt[pa] * cnt[pb]))
+        for (pa, pb), s in top
+    ]
+    got = [
+        (r.part_a, r.part_b, r.support, r.lift_ppm)
+        for r in QUERIES["basket_pair_support"](spark, sf_smoke).collect()
+    ]
+    assert got == expect and len(got) > 0
+
+
+def test_rolling_distinct_users_against_reference(spark, sf_smoke):
+    """Trailing-7-day distinct users recomputed with plain sets: per
+    observed day, the union of active-user sets over [day-6, day]."""
+    import datetime
+
+    from fsc_etl_spark.plans.analytics_ext import _ROLLING_DAYS, QUERIES
+
+    ev = read_parquet_table(spark, sf_smoke, "events").select(
+        "ts", "user_id"
+    ).collect()
+    by_day: dict[datetime.date, set[int]] = {}
+    for r in ev:
+        by_day.setdefault(r.ts.date(), set()).add(r.user_id)
+    expect = {}
+    for d, users in by_day.items():
+        win: set[int] = set()
+        for k in range(_ROLLING_DAYS):
+            win |= by_day.get(d - datetime.timedelta(days=k), set())
+        expect[d] = (len(users), len(win))
+    got = {
+        r.day: (r.users_1d, r.users_7d)
+        for r in QUERIES["rolling_distinct_users"](spark, sf_smoke).collect()
+    }
+    assert got == expect and len(got) > 0
