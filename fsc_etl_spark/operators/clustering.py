@@ -263,11 +263,11 @@ def kcenter_greedy(
     # round, returning duplicate centers (ADVICE r10). One bounded
     # count — the operator already does k driver-side argmax rounds.
     n = q.count()
+    if n == 0:
+        raise ValueError("kcenter_greedy: empty input")
     if k > n:
         raise ValueError(f"kcenter_greedy: k={k} exceeds input rows n={n}")
     seed_rows = q.orderBy("__id").limit(1).collect()  # bounded: 1 row
-    if not seed_rows:
-        raise ValueError("kcenter_greedy: empty input")
     seed = seed_rows[0]
     picked: list[tuple[int, int, int]] = [(1, seed["__id"], 0)]
     state = q.withColumn(

@@ -641,6 +641,21 @@ def test_kcenter_greedy_rejects_empty(spark):
         kcenter_greedy(empty, k=2)
 
 
+def test_kcenter_greedy_rejects_k_exceeding_rows(spark):
+    """ADVICE r10: once every point is a center all residual distances
+    are 0 and the argmax would re-pick the lowest id as a duplicate —
+    k > n must raise instead."""
+    import pytest
+
+    from fsc_etl_spark.operators.clustering import kcenter_greedy
+
+    two = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="exceeds input rows"):
+        kcenter_greedy(two, k=3)
+
+
 def test_multi_source_ball_sizes_tiny_graph(spark):
     """Path graph a—b—c—d (symmetrised), seeds {a, c}: hand-counted
     per-seed distance histogram at max_hops=2."""
