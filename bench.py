@@ -408,6 +408,11 @@ BENCH_QUERIES = [
     # weight lookup added.
     "basket_pair_support",
     "rolling_distinct_users",
+    # ktruss_coparts is OFF-bench: 8 peel rounds x the benched
+    # triangle enumeration shape = ~73 s at sf0.1 — a deliberately
+    # heavy cohesive-subgraph operator whose cost IS round-count x
+    # the already-benched triangle stage; benching it would only
+    # re-measure triangle_count_coparts eight times.
 ]
 
 ALL_QUERIES = entrymod.queries()

@@ -378,6 +378,109 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     return out
 
 
+def ktruss_support(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
+    """k-truss of an undirected graph (Cohen 2008): the maximal
+    subgraph where every edge participates in >= k-2 triangles, found
+    by fixed-round support peeling — drop every edge whose current
+    triangle support is below k-2, recompute, repeat. The cohesive-
+    subgraph step past :func:`kcore_degrees` (every k-truss is inside
+    the (k-1)-core but strictly tighter) and the standard community
+    scaffold at billion-edge scale (Cohen's original motivation).
+
+    ``edges`` is any (src, dst) pair list; canonicalised to distinct
+    ``lo < hi`` pairs (self-loops dropped). Same convergence contract
+    as ``kcore_degrees``: early exit the first round with no
+    under-support edge; peeling is monotone (removing edges only
+    lowers support), so a fixed ``rounds``-deep SQL unroll computes
+    the SAME fixpoint whenever convergence happens within ``rounds``
+    — which is what lets the oracle mirror the computation
+    CTE-for-CTE. If the loop exhausts ``rounds`` unconverged, raise —
+    a caller can never mistake a partial peel for the truss.
+
+    Scale shape: per round, support comes from degree-ORIENTED
+    triangle enumeration (the triangle_stats orientation — forward
+    adjacency bounded O(sqrt m) under hubs, so wedge work is O(m^1.5)
+    not sum-of-degree-squares), each found triangle exploding to its
+    3 member edges and sum-reducing on the canonical edge key; the
+    peel is one left join + filter. Survivors are eagerly
+    checkpointed per round (the round reads its predecessor many
+    times). Integer-only, bit-reproducible.
+
+    Returns (lo, hi, sup): every truss edge with its within-truss
+    support (BIGINT). Empty frame if the k-truss is empty.
+    """
+    if k < 3:
+        raise ValueError(f"k must be >= 3, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    cur = (
+        edges.select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sup_frame = None
+    converged = False
+    for _ in range(rounds):
+        und = cur.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            cur.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        ud = (
+            und.join(deg, "u")
+            .join(
+                deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v"
+            )
+        )
+        fwd = ud.filter(
+            (F.col("d") < F.col("dv"))
+            | ((F.col("d") == F.col("dv")) & (F.col("u") < F.col("v")))
+        ).select("u", "v")
+        adj = fwd.groupBy("u").agg(F.array_sort(F.collect_list("v")).alias("nb"))
+        tri = (
+            fwd.join(adj.select(F.col("u"), F.col("nb").alias("nb_u")), "u")
+            .join(
+                adj.select(F.col("u").alias("v"), F.col("nb").alias("nb_v")), "v"
+            )
+            .select(
+                "u",
+                "v",
+                F.explode(F.array_intersect("nb_u", "nb_v")).alias("w"),
+            )
+        )
+        contrib = (
+            tri.select(F.col("u").alias("x"), F.col("v").alias("y"))
+            .union(tri.select(F.col("u").alias("x"), F.col("w").alias("y")))
+            .union(tri.select(F.col("v").alias("x"), F.col("w").alias("y")))
+        )
+        s = (
+            contrib.select(
+                F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi")
+            )
+            .groupBy("lo", "hi")
+            .agg(F.count(F.lit(1)).alias("sup"))
+        )
+        e = cur.join(s, ["lo", "hi"], "left").select(
+            "lo",
+            "hi",
+            F.coalesce(F.col("sup"), F.lit(0)).cast("long").alias("sup"),
+        ).localCheckpoint(eager=True)
+        sup_frame = e
+        if e.filter(F.col("sup") < k - 2).count() == 0:
+            converged = True
+            break
+        cur = e.filter(F.col("sup") >= k - 2).select("lo", "hi").localCheckpoint(
+            eager=True
+        )
+    if not converged:
+        raise ValueError(
+            f"k-truss peel did not converge in {rounds} rounds; increase rounds"
+        )
+    return sup_frame
+
+
 def bfs_hops(
     edges: DataFrame,
     sources: DataFrame,

@@ -24,6 +24,7 @@ from fsc_etl_spark.operators.graph import (
     bfs_hops,
     hits_integer,
     kcore_degrees,
+    ktruss_support,
     label_propagation,
     pagerank_integer,
     personalized_pagerank_integer,
@@ -178,6 +179,48 @@ def triangle_count_coparts(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     return triangle_stats(pairs)
+
+
+_KTRUSS_K = 4
+_KTRUSS_ROUNDS = 10
+
+
+def ktruss_coparts(spark: SparkSession, sf: str) -> DataFrame:
+    """4-truss of the part co-occurrence graph (round 11 —
+    operators/graph.ktruss_support): the maximal subgraph where every
+    edge sits in >= 2 triangles, by fixed-round support peeling with
+    early exit (Cohen 2008) — the cohesive-community step past the
+    k-core (every k-truss nests inside the (k-1)-core but is strictly
+    tighter). Readout: the within-truss support histogram — one row
+    per surviving support value with its edge count and an edge-key
+    range — so the oracle hashes the full peel without shipping ~1e5
+    edge rows.
+
+    Scale shape: per round one degree-oriented triangle enumeration
+    (forward adjacency O(sqrt m) under hubs — the triangle_stats
+    orientation, so wedge work is O(m^1.5)), one 3-way edge-explode +
+    keyed sum, one left-join peel; survivors checkpoint eagerly.
+    Converges in 3 rounds at sf0.01 but 8 at sf0.1 (the sparser
+    co-parts graph has a long peel tail), so the fixed unroll is 10
+    rounds — rounds past the fixpoint are no-ops (monotone peeling —
+    see ktruss_support), which is what lets one oracle serve every
+    SF.
+    """
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    li2 = li.select(
+        F.col("l_orderkey").alias("r_orderkey"), F.col("l_partkey").alias("r_partkey")
+    )
+    pairs = (
+        li.join(li2, (li["l_orderkey"] == li2["r_orderkey"]) & (li["l_partkey"] < li2["r_partkey"]))
+        .select(F.col("l_partkey").alias("src"), F.col("r_partkey").alias("dst"))
+        .distinct()
+    )
+    truss = ktruss_support(pairs, k=_KTRUSS_K, rounds=_KTRUSS_ROUNDS)
+    return truss.groupBy("sup").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.min("lo").cast("bigint").alias("min_lo"),
+        F.max("hi").cast("bigint").alias("max_hi"),
+    ).select(F.col("sup").cast("bigint").alias("sup"), "n_edges", "min_lo", "max_hi")
 
 
 #: Parts bought by more than this many distinct customers are "hub"
@@ -1005,6 +1048,7 @@ QUERIES = {
     "pagerank_weighted_copurchase": pagerank_weighted_copurchase,
     "recursive_ancestor_depth": recursive_ancestor_depth,
     "triangle_count_coparts": triangle_count_coparts,
+    "ktruss_coparts": ktruss_coparts,
     "graph_label_propagation": graph_label_propagation,
 }
 
@@ -1306,3 +1350,64 @@ SELECT 'c' || CAST(seed // 2 AS VARCHAR) AS seed,
        CAST(COUNT(*) AS BIGINT) AS n_nodes
 FROM md GROUP BY seed, dist
 """
+
+
+def _ktruss_oracle(k: int = _KTRUSS_K, rounds: int = _KTRUSS_ROUNDS) -> str:
+    """Unrolled CTE chain mirroring ktruss_support round-for-round:
+    per round, per-edge support = common-neighbor count via the
+    unoriented wedge join (the oracle states the DEFINITION; the
+    Spark side computes the same number through degree-oriented
+    triangle enumeration — genuinely different mechanism), then drop
+    every edge below k-2. Rounds past the fixpoint are no-ops
+    (monotone peeling), matching the Spark side's fixed unroll +
+    convergence contract. Every per-round CTE is MATERIALIZED (the
+    kcore-oracle lesson: each round is referenced multiple times and
+    default inlining would grow the tree exponentially)."""
+    chain = [
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+)""",
+    ]
+    for i in range(rounds):
+        chain.append(
+            f"""u{i} AS MATERIALIZED (
+  SELECT lo AS u, hi AS v FROM e{i}
+  UNION ALL
+  SELECT hi AS u, lo AS v FROM e{i}
+)"""
+        )
+        chain.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT e.lo, e.hi, CAST(COUNT(*) AS BIGINT) AS sup
+  FROM e{i} e
+  JOIN u{i} n1 ON n1.u = e.lo
+  JOIN u{i} n2 ON n2.u = e.hi AND n2.v = n1.v
+  GROUP BY e.lo, e.hi
+)"""
+        )
+        chain.append(
+            f"""f{i} AS MATERIALIZED (
+  SELECT e.lo, e.hi, COALESCE(s.sup, 0) AS sup
+  FROM e{i} e LEFT JOIN s{i} s ON s.lo = e.lo AND s.hi = e.hi
+)"""
+        )
+        chain.append(
+            f"e{i + 1} AS MATERIALIZED "
+            f"(SELECT lo, hi FROM f{i} WHERE sup >= {k - 2})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(chain)
+        + f"""
+SELECT CAST(sup AS BIGINT) AS sup,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(MIN(lo) AS BIGINT) AS min_lo,
+       CAST(MAX(hi) AS BIGINT) AS max_hi
+FROM f{rounds - 1} GROUP BY sup"""
+    )
+
+
+GRAPH_ORACLES["ktruss_coparts"] = _ktruss_oracle()

@@ -114,6 +114,7 @@ def test_driver_sample_prefix_covers_priority_groups():
         "graph_adamic_adar",
         "basket_pair_support",
         "rolling_distinct_users",
+        "ktruss_coparts",
     }
     for must_have in changed_this_round:
         assert must_have in prefix, f"{must_have} fell out of the driver sample"

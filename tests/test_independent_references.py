@@ -2323,3 +2323,46 @@ def test_rolling_distinct_users_against_reference(spark, sf_smoke):
         for r in QUERIES["rolling_distinct_users"](spark, sf_smoke).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_ktruss_coparts_against_reference(spark, sf_smoke):
+    """k-truss recomputed with plain sets: adjacency dicts, per-edge
+    common-neighbor counts, literal peel loop to the fixpoint (no
+    round cap — the reference iterates until stable), then the same
+    support histogram."""
+    from fsc_etl_spark.plans.graph_ops import _KTRUSS_K, QUERIES
+
+    li = read_parquet_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    by_order: dict[int, set[int]] = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    edges: set[tuple[int, int]] = set()
+    for parts in by_order.values():
+        pl = sorted(parts)
+        for i, x in enumerate(pl):
+            for y in pl[i + 1:]:
+                edges.add((x, y))
+    while True:
+        nb: dict[int, set[int]] = {}
+        for x, y in edges:
+            nb.setdefault(x, set()).add(y)
+            nb.setdefault(y, set()).add(x)
+        sup = {e: len(nb[e[0]] & nb[e[1]]) for e in edges}
+        bad = {e for e, s in sup.items() if s < _KTRUSS_K - 2}
+        if not bad:
+            break
+        edges -= bad
+    hist: dict[int, list[int]] = {}
+    for (x, y), s in sup.items():
+        h = hist.setdefault(s, [0, x, y])
+        h[0] += 1
+        h[1] = min(h[1], x)
+        h[2] = max(h[2], y)
+    expect = {s: tuple(v) for s, v in hist.items()}
+    got = {
+        r.sup: (r.n_edges, r.min_lo, r.max_hi)
+        for r in QUERIES["ktruss_coparts"](spark, sf_smoke).collect()
+    }
+    assert got == expect and len(got) > 0
