@@ -55,13 +55,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     mismatch on bit-identical values; root-caused to the DECIMAL(38,0)
     final schema, now BIGINT on both engines, VERDICT r10 #1) — then
     `psi_value_drift` (plan changed: ADVICE r10 2^53 exactness guard +
-    bounded-counts checkpoint), then the four round-11 debuts
+    bounded-counts checkpoint), then the five round-11 debuts
     (Adamic–Adar link prediction, market-basket 2-itemset mining,
-    exact rolling-distinct lowering, 4-truss support peel — no driver
-    row yet), then the
+    exact rolling-distinct lowering, 4-truss support peel, integer
+    CUSUM changepoint — no driver row yet), then the
     staleness rotation (VERDICT r10 #3): the 8 remaining r1-vintage
     rows (proj_alias + the 7 rotated out in r10), then the r2-vintage
-    generation (36 of 40 fit; the displaced 4 lead r12). Keep
+    generation (35 of 40 fit; the displaced 5 lead r12). Keep
     tests/test_entry_contract.py's prefix-pin test in sync: it
     derives the never-sampled set from committed CORRECTNESS_r*.json
     automatically.
@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_pair_support",  # A-Priori 2-itemset support + lift
         "rolling_distinct_users",  # exact trailing-7d distinct lowering
         "ktruss_coparts",  # 4-truss support-peel histogram
+        "cusum_changepoint",  # integer CUSUM drift walk per type
         # --- staleness rotation (VERDICT r10 #3): the last 8 r1-vintage
         # rows ---
         "proj_alias",
@@ -102,7 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag_delta",
         "window_running_sum",
         "window_topk_per_group",
-        # --- staleness rotation: the r2-vintage generation (36 of the
+        # --- staleness rotation: the r2-vintage generation (35 of the
         # 40 rows whose latest green driver row is round 2) ---
         "array_agg_cust_years",
         "array_funcs_breadth",
@@ -139,12 +140,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_multibatch_sessionize",
         "streaming_sessionize",
         "streaming_upsert_latest",
-        "streaming_user_state",
     ]
-    # (text_bpe_tokens, text_quality, text_token_stats and
-    # user_trend_slope — displaced from the r2 generation by the four
-    # round-11 debuts — plus the r3 generation (47 rows) lead the r12
-    # staleness rotation.)
+    # (streaming_user_state, text_bpe_tokens, text_quality,
+    # text_token_stats and user_trend_slope — displaced from the r2
+    # generation by the five round-11 debuts — plus the r3 generation
+    # (47 rows) lead the r12 staleness rotation.)
     if len(priority) != 50:  # contract check — not an assert: survives python -O
         raise ValueError(f"driver window must be exactly 50, got {len(priority)}")
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

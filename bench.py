@@ -408,6 +408,10 @@ BENCH_QUERIES = [
     # weight lookup added.
     "basket_pair_support",
     "rolling_distinct_users",
+    # cusum_changepoint IS benched — the type-partitioned scaled-CUSUM
+    # walk over the bounded daily frame is a new drift shape (psi is a
+    # keyed-agg score; this is an ordered prefix walk + argmax pick).
+    "cusum_changepoint",
     # ktruss_coparts is OFF-bench: 8 peel rounds x the benched
     # triangle enumeration shape = ~73 s at sf0.1 — a deliberately
     # heavy cohesive-subgraph operator whose cost IS round-count x

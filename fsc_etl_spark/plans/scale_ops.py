@@ -494,6 +494,63 @@ def psi_value_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_CUSUM_EPOCH = "2000-01-01"
+
+
+def cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer CUSUM changepoint detection per event type (Page 1954
+    — the classic sequential drift statistic, completing the drift
+    family beside value_drift_buckets' flag and psi_value_drift's
+    score): over each type's DAILY count series, the cumulative sum
+    of deviations from the series mean. To stay integer-exact the
+    deviations are scaled by n_days — dev_d = n_days·c_d − total, so
+    Σ dev over all days is exactly 0 and S_i = Σ_{d≤i} dev_d is the
+    scaled CUSUM walk. Readout per type: the walk's range
+    (max S − min S, the drift magnitude) and the changepoint estimate
+    = the day maximizing |S_i| (ties to the EARLIEST day), with the
+    walk value there — all BIGINT, plus the day as DATE.
+
+    Scale shape: one (type, day) keyed aggregation collapses events
+    map-side; everything after runs on the bounded |types|·|days|
+    frame — a type-partitioned ordered window for the prefix sum and
+    one keyed agg for range/argmax. S is bounded by n_days·total
+    (≈ 2e11 at the 100x probe — BIGINT headroom ~7 orders; at true
+    100 TB pre-aggregate per shard or rescale the day grid).
+    """
+    c = (
+        t(spark, sf, "events")
+        .select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = c.groupBy("event_type").agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    s = (
+        c.join(tot, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "day",
+            F.sum(F.col("n_days") * F.col("cnt") - F.col("total")).over(w).alias("s"),
+        )
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.col("day").asc()
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(pick))
+        .groupBy("event_type")
+        .agg(
+            F.max("n_days").cast("bigint").alias("n_days"),
+            (F.max("s") - F.min("s")).cast("bigint").alias("cusum_range"),
+            F.max(F.when(F.col("rn") == 1, F.col("day"))).alias("cp_day"),
+            F.max(F.when(F.col("rn") == 1, F.col("s"))).cast("bigint").alias("s_at_cp"),
+        )
+    )
+
+
 def k_anonymity_audit(spark: SparkSession, sf: str) -> DataFrame:
     """k-anonymity audit over the (mktsegment, nationkey) quasi-
     identifier pair: every equivalence class with its population and
@@ -1043,6 +1100,7 @@ QUERIES = {
     "value_anomaly_events": value_anomaly_events,
     "value_drift_buckets": value_drift_buckets,
     "psi_value_drift": psi_value_drift,
+    "cusum_changepoint": cusum_changepoint,
     "table_profile_stats": table_profile_stats,
     "zorder_key_demo": zorder_key_demo,
 }
@@ -1547,3 +1605,35 @@ FROM agg
 
 
 SCALE_ORACLES["psi_value_drift"] = _psi_oracle()
+
+# CUSUM over bounded per-type daily counts; DuckDB's windowed
+# SUM(BIGINT) yields HUGEINT internally — finals cast BIGINT.
+SCALE_ORACLES["cusum_changepoint"] = """
+WITH c AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+tt AS (
+  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM c GROUP BY 1
+),
+s AS (
+  SELECT c.event_type, tt.n_days, c.day,
+         CAST(SUM(tt.n_days * c.cnt - tt.total)
+              OVER (PARTITION BY c.event_type ORDER BY c.day) AS BIGINT) AS s
+  FROM c JOIN tt USING (event_type)
+),
+r AS (
+  SELECT event_type, n_days, day, s,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ABS(s) DESC, day ASC) AS rn
+  FROM s
+)
+SELECT event_type,
+       CAST(MAX(n_days) AS BIGINT) AS n_days,
+       CAST(MAX(s) - MIN(s) AS BIGINT) AS cusum_range,
+       MAX(CASE WHEN rn = 1 THEN day END) AS cp_day,
+       CAST(MAX(CASE WHEN rn = 1 THEN s END) AS BIGINT) AS s_at_cp
+FROM r GROUP BY event_type
+"""

@@ -115,6 +115,7 @@ def test_driver_sample_prefix_covers_priority_groups():
         "basket_pair_support",
         "rolling_distinct_users",
         "ktruss_coparts",
+        "cusum_changepoint",
     }
     for must_have in changed_this_round:
         assert must_have in prefix, f"{must_have} fell out of the driver sample"

@@ -2366,3 +2366,38 @@ def test_ktruss_coparts_against_reference(spark, sf_smoke):
         for r in QUERIES["ktruss_coparts"](spark, sf_smoke).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_cusum_changepoint_against_reference(spark, sf_smoke):
+    """Page's CUSUM recomputed with plain dicts: per-type daily
+    counts, n_days-scaled deviations (so the walk is integer and ends
+    at exactly 0), running-sum walk, range and earliest-argmax-|S|
+    changepoint."""
+    from fsc_etl_spark.plans.scale_ops import QUERIES
+
+    ev = read_parquet_table(spark, sf_smoke, "events").select(
+        "event_type", "ts"
+    ).collect()
+    daily: dict[str, dict] = {}
+    for r in ev:
+        d = daily.setdefault(r.event_type, {})
+        day = r.ts.date()
+        d[day] = d.get(day, 0) + 1
+    expect = {}
+    for et, d in daily.items():
+        days = sorted(d)
+        n, total = len(days), sum(d.values())
+        s = 0
+        walk = []
+        for day in days:
+            s += n * d[day] - total
+            walk.append((day, s))
+        assert walk[-1][1] == 0  # the scaled walk must close exactly
+        rng = max(v for _, v in walk) - min(v for _, v in walk)
+        cp_day, cp_s = min(walk, key=lambda t: (-abs(t[1]), t[0]))
+        expect[et] = (n, rng, cp_day, cp_s)
+    got = {
+        r.event_type: (r.n_days, r.cusum_range, r.cp_day, r.s_at_cp)
+        for r in QUERIES["cusum_changepoint"](spark, sf_smoke).collect()
+    }
+    assert got == expect and len(got) > 0
