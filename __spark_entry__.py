@@ -50,21 +50,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §2.12.
 
     Ordered so a prefix sample covers the whole surface: the driver
-    checks roughly the first 50 entries. ROUND-11 ROTATION: the window
-    leads with `graph_assortativity` — r10's single red row (hash
-    mismatch on bit-identical values; root-caused to the DECIMAL(38,0)
-    final schema, now BIGINT on both engines, VERDICT r10 #1) — then
-    `psi_value_drift` (plan changed: ADVICE r10 2^53 exactness guard +
-    bounded-counts checkpoint), then the five round-11 debuts
-    (Adamic–Adar link prediction, market-basket 2-itemset mining,
-    exact rolling-distinct lowering, 4-truss support peel, integer
-    CUSUM changepoint — no driver row yet), then the
-    staleness rotation (VERDICT r10 #3): the 8 remaining r1-vintage
-    rows (proj_alias + the 7 rotated out in r10), then the r2-vintage
-    generation (35 of 40 fit; the displaced 5 lead r12). Keep
-    tests/test_entry_contract.py's prefix-pin test in sync: it
-    derives the never-sampled set from committed CORRECTNESS_r*.json
-    automatically.
+    checks roughly the first 50 entries. ROUND-12 ROTATION (VERDICT
+    r11 #1): the window leads with the three queries whose plan or
+    checking contract changed this round — `ktruss_coparts` (unroll
+    10 -> 16 + oracle convergence-error guard), `basket_pair_support`
+    and `graph_adamic_adar` (eager-checkpoint-then-unpersist cache
+    lifecycle, ADVICE r11; results unchanged) — then the staleness
+    backlog: the 5 r2-vintage rows displaced by the r11 debuts
+    (streaming_user_state, text_bpe_tokens, text_quality,
+    text_token_stats, user_trend_slope) and 42 of the 47 r3-vintage
+    rows in alphabetical order. The alphabetical tail
+    (token_vocab_topk, user_funnel, user_trend_slope_pandas,
+    window_frames_breadth, zorder_key_demo) leads the r13 window —
+    after r12 the oldest driver row anywhere is r3-vintage for
+    exactly those 5 queries. Keep tests/test_entry_contract.py's
+    prefix-pin test in sync: it derives the never-sampled set from
+    committed CORRECTNESS_r*.json automatically.
     """
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     merged.update(analytics.QUERIES)
@@ -82,64 +83,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(corpus_stats.QUERIES)
 
     priority = [
-        # --- r10 red-row fix: DECIMAL(38,0) final schema -> BIGINT
-        # (VERDICT r10 #1); pinned first ---
-        "graph_assortativity",
-        # --- plan changed this round (ADVICE r10 exactness guard) ---
-        "psi_value_drift",
-        # --- round-11 NEW queries (no driver row yet) ---
-        "graph_adamic_adar",  # pinned-weight AA link prediction
-        "basket_pair_support",  # A-Priori 2-itemset support + lift
-        "rolling_distinct_users",  # exact trailing-7d distinct lowering
-        "ktruss_coparts",  # 4-truss support-peel histogram
-        "cusum_changepoint",  # integer CUSUM drift walk per type
-        # --- staleness rotation (VERDICT r10 #3): the last 8 r1-vintage
-        # rows ---
-        "proj_alias",
-        "sessionize_events",
-        "sliding_window_rollup",
-        "string_funcs_breadth",
-        "unpivot_lineitem_metrics",
-        "window_lag_delta",
-        "window_running_sum",
-        "window_topk_per_group",
-        # --- staleness rotation: the r2-vintage generation (35 of the
-        # 40 rows whose latest green driver row is round 2) ---
-        "array_agg_cust_years",
-        "array_funcs_breadth",
-        "bloom_pruned_join",
-        "dedup_cluster_assign",
-        "dedup_exact_groups",
-        "doc_fingerprint",
-        "embed_cosine_topk",
-        "embed_cosine_topk_pandas",
-        "heavy_hitter_users",
-        "lang_id_heuristic",
-        "map_funcs_breadth",
-        "q11_important_stock",
-        "q12_priority_by_status",
-        "q13_customer_distribution",
-        "q16_supplier_count",
-        "q17_small_quantity_revenue",
-        "q18_large_volume_customer",
-        "q19_disjunctive_predicates",
-        "q20_excess_stock_suppliers",
-        "q21_waiting_supplier",
-        "q22_idle_customers",
-        "q2_min_cost_supplier",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "reservoir_sample_per_source",
-        "simhash_neardup_pairs",
-        "streaming_blocklist_dedup",
-        "streaming_click_purchase_join",
-        "streaming_dedup_events",
-        "streaming_enrich_dim",
-        "streaming_heavy_hitters",
-        "streaming_hourly_rollup",
-        "streaming_multibatch_sessionize",
-        "streaming_sessionize",
-        "streaming_upsert_latest",
+        # --- plan/oracle changed this round (r12): ktruss unroll
+        # 10 -> 16 + oracle convergence-error guard (VERDICT r11 #2 /
+        # ADVICE r11); basket + adamic-adar gained the eager-checkpoint-
+        # then-unpersist lifecycle (ADVICE r11) — results unchanged,
+        # re-verified here anyway ---
+        "ktruss_coparts",
+        "basket_pair_support",
+        "graph_adamic_adar",
+        # --- staleness rotation (VERDICT r11 #1): the 5 r2-vintage rows
+        # displaced by the r11 debuts ---
+        "streaming_user_state",
+        "text_bpe_tokens",
+        "text_quality",
+        "text_token_stats",
+        "user_trend_slope",
+        # --- staleness rotation: the r3-vintage generation, alphabetical;
+        # 42 of 47 fit — the alphabetical tail (token_vocab_topk,
+        # user_funnel, user_trend_slope_pandas, window_frames_breadth,
+        # zorder_key_demo) leads the r13 window ---
+        "bigram_topk",
+        "cluster_canonical_doc",
+        "cohort_retention",
+        "containment_pairs",
+        "contamination_overlap",
+        "corpus_curation",
+        "decile_bucket_scalable",
+        "doc_repetition_stats",
+        "domain_mix_weights",
+        "dq_orders_report",
+        "embed_norm_stats",
+        "embed_quantize_stats",
+        "embed_truncate_norms",
+        "event_burst_islands",
+        "event_pattern_match",
+        "event_transition_matrix",
+        "full_outer_reconcile",
+        "fuzzy_name_match",
+        "hash_split_counts",
+        "hash_stratified_sample",
+        "histogram_price_buckets",
+        "length_quantile_filter",
+        "minhash_jaccard_estimate",
+        "mixture_resample_to_min",
+        "multimodal_frame_decode",
+        "multimodal_frame_sample",
+        "multimodal_resize",
+        "multimodal_resize_codec",
+        "pack_chunks_by_source",
+        "pii_redact_stats",
+        "q9_product_profit",
+        "regex_null_funcs_breadth",
+        "rollup_incremental_merge",
+        "salted_source_stats",
+        "scd2_user_value_history",
+        "source_doc_stats",
+        "sql_direct_q6",
+        "stats_moments_breadth",
+        "synth_docs_source",
+        "tfidf_top_terms",
+        "timeseries_gapfill",
+        "timeseries_locf",
     ]
     # (streaming_user_state, text_bpe_tokens, text_quality,
     # text_token_stats and user_trend_slope — displaced from the r2

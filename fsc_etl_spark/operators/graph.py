@@ -378,7 +378,9 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     return out
 
 
-def ktruss_support(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
+def ktruss_support(
+    edges: DataFrame, k: int, rounds: int = 4, stats: dict | None = None
+) -> DataFrame:
     """k-truss of an undirected graph (Cohen 2008): the maximal
     subgraph where every edge participates in >= k-2 triangles, found
     by fixed-round support peeling — drop every edge whose current
@@ -408,6 +410,11 @@ def ktruss_support(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
 
     Returns (lo, hi, sup): every truss edge with its within-truss
     support (BIGINT). Empty frame if the k-truss is empty.
+
+    ``stats``, when given, receives ``{"rounds": <executed support
+    rounds including the converging one>}`` after the peel — probe
+    instrumentation only (scripts/ktruss_probe.py), no effect on the
+    result.
     """
     if k < 3:
         raise ValueError(f"k must be >= 3, got {k}")
@@ -423,7 +430,9 @@ def ktruss_support(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
     )
     sup_frame = None
     converged = False
+    executed_rounds = 0
     for _ in range(rounds):
+        executed_rounds += 1
         und = cur.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
             cur.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
         )
@@ -474,6 +483,8 @@ def ktruss_support(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
         cur = e.filter(F.col("sup") >= k - 2).select("lo", "hi").localCheckpoint(
             eager=True
         )
+    if stats is not None:
+        stats["rounds"] = executed_rounds
     if not converged:
         raise ValueError(
             f"k-truss peel did not converge in {rounds} rounds; increase rounds"

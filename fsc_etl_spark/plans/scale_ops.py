@@ -392,6 +392,15 @@ def psi_value_drift(spark: SparkSession, sf: str) -> DataFrame:
     value distribution — THE industry drift score (banking model
     monitoring; PSI < 0.1 stable / > 0.25 shifted), complementing
     value_drift_buckets' log-free flag with the standard magnitude.
+
+    EAGER BUILDER (ADVICE r11): unlike most plan builders this one
+    runs Spark jobs at construction time — the bounded (type, bucket)
+    counts are localCheckpoint'ed and a 1-row ``.first()`` validates
+    the 2^53 exactness precondition below — so schema-only callers
+    (e.g. the final-schema gate) pay one full execution of the
+    bounded-counts aggregate. Deliberate: the guard must run before
+    the returned plan can be trusted, and the checkpoint caps the
+    guard's cost at one scan + one <= |types|·B-row aggregate.
     PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over 10 fixed value buckets,
     Laplace-smoothed (+1 per cell, the dsir_importance_weights
     discipline).
@@ -492,9 +501,6 @@ def psi_value_drift(spark: SparkSession, sf: str) -> DataFrame:
             ).cast("bigint").alias("psi_micro"),
         )
     )
-
-
-_CUSUM_EPOCH = "2000-01-01"
 
 
 def cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:

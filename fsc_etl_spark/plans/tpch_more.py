@@ -397,7 +397,7 @@ def basket_pair_support(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
     )
     dec = "decimal(38,0)"
-    return (
+    out = (
         sup.join(
             item.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a")),
             "part_a",
@@ -419,7 +419,14 @@ def basket_pair_support(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.col("support").desc(), F.col("part_a").asc(), F.col("part_b").asc())
         .limit(_BASKET_TOPK)
+        # eager-checkpoint-then-unpersist (the assortativity pattern,
+        # ADVICE r11): the top-k is tiny, so materialising it here
+        # lets the basket cache release immediately instead of leaking
+        # in a long driver session that never clearCache()s
+        .localCheckpoint(eager=True)
     )
+    bk.unpersist()
+    return out
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

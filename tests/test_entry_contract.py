@@ -62,7 +62,11 @@ def test_oracle_columns_use_only_proven_types(sf_smoke):
     whose type lacks a driver-green precedent — HUGEINT from uncast
     integer aggregates, DECIMAL(38,0) from exact-arithmetic finals,
     or anything else new. Exact accumulation stays internal; the final
-    SELECT casts to the proven surface."""
+    SELECT casts to the proven surface. EXTENDING the surface
+    (VERDICT r11 #6): a new type must first debut ALONE as a minimal
+    probe query in the driver window and come back green before a
+    real operator rides it (rule mirrored at
+    tests/test_plan_quality.py::PROVEN_FINAL_TYPES)."""
     from fsc_etl_spark.testing import duckdb_connection
 
     con = duckdb_connection(sf_smoke)
@@ -105,17 +109,14 @@ def test_driver_sample_prefix_covers_priority_groups():
     assert not missing, f"never-sampled queries fell out of the driver window: {missing}"
     # Queries whose behavior or checking contract changed recently
     # must sit in the sample window so the driver re-verifies them:
-    # round 11 — the r10 red-row fix (DECIMAL(38,0) final schema ->
-    # BIGINT, VERDICT r10 #1) and the ADVICE r10 PSI exactness guard.
+    # round 12 — the ktruss unroll raise (10 -> 16) + oracle
+    # convergence-error guard (VERDICT r11 #2 / ADVICE r11), and the
+    # eager-checkpoint-then-unpersist cache lifecycle on the two r11
+    # pair queries (ADVICE r11; results unchanged).
     changed_this_round = {
-        "graph_assortativity",
-        "psi_value_drift",
-        # round-11 debuts (also caught by the never-sampled rule)
-        "graph_adamic_adar",
-        "basket_pair_support",
-        "rolling_distinct_users",
         "ktruss_coparts",
-        "cusum_changepoint",
+        "basket_pair_support",
+        "graph_adamic_adar",
     }
     for must_have in changed_this_round:
         assert must_have in prefix, f"{must_have} fell out of the driver sample"

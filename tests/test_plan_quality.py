@@ -562,6 +562,12 @@ def test_global_windows_only_over_bounded_inputs(spark, sf_smoke, name):
 # type class with a prior driver-green precedent. Exact/decimal
 # arithmetic stays INTERNAL — cast to one of these before the final
 # select.
+#
+# EXTENDING this surface (VERDICT r11 #6): a new final type (array,
+# interval, decimal, ...) must FIRST debut alone — a minimal probe
+# query emitting just that type, placed in the driver's 50-slot
+# window for one round — before any real operator rides it. Only
+# after its driver row comes back green does the type join this set.
 PROVEN_FINAL_TYPES = {
     "bigint",
     "int",
