@@ -286,6 +286,17 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     # the lazy plan is shallow enough that one end-to-end execution
     # beats three materialization barriers. Re-evaluate if rounds
     # ever grows past ~5 (plan depth is 3 stages/round).
+    # NOTE (r12, VERDICT r11 #3): a converged-frontier early exit —
+    # oracle-safe only at a FIXPOINT (labels_{r+1} == labels_r) — can
+    # NEVER fire on the co-purchase graph: synchronous LPA oscillates
+    # on (near-)bipartite structure, and the sf0.1 probe
+    # (scripts/lpa_convergence_probe.py) measured a CONSTANT 34,999
+    # changed labels in every one of 6 rounds — no fixpoint inside or
+    # anywhere near the 3-round contract. The per-round changed-count
+    # check (a join + count materializing each round) would be pure
+    # added cost, so the fixed unroll stands. kcore/ktruss/bfs keep
+    # their early exits (their peels/frontiers are monotone; LPA is
+    # not).
     out = labels.localCheckpoint(eager=True)
     edges.unpersist()
     return out
