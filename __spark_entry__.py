@@ -58,12 +58,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lifecycle, ADVICE r11; results unchanged) — then the staleness
     backlog: the 5 r2-vintage rows displaced by the r11 debuts
     (streaming_user_state, text_bpe_tokens, text_quality,
-    text_token_stats, user_trend_slope) and 42 of the 47 r3-vintage
-    rows in alphabetical order. The alphabetical tail
-    (token_vocab_topk, user_funnel, user_trend_slope_pandas,
+    text_token_stats, user_trend_slope) and 41 of the 47 r3-vintage
+    rows in alphabetical order, after the round-12 debut
+    (cluster_leakage_split). The alphabetical tail (timeseries_locf,
+    token_vocab_topk, user_funnel, user_trend_slope_pandas,
     window_frames_breadth, zorder_key_demo) leads the r13 window —
     after r12 the oldest driver row anywhere is r3-vintage for
-    exactly those 5 queries. Keep tests/test_entry_contract.py's
+    exactly those 6 queries. Keep tests/test_entry_contract.py's
     prefix-pin test in sync: it derives the never-sampled set from
     committed CORRECTNESS_r*.json automatically.
     """
@@ -91,6 +92,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_coparts",
         "basket_pair_support",
         "graph_adamic_adar",
+        # --- round-12 debut (no driver row yet): leakage-safe
+        # cluster-aware train/val/test split with moved/torn audits ---
+        "cluster_leakage_split",
         # --- staleness rotation (VERDICT r11 #1): the 5 r2-vintage rows
         # displaced by the r11 debuts ---
         "streaming_user_state",
@@ -99,9 +103,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats",
         "user_trend_slope",
         # --- staleness rotation: the r3-vintage generation, alphabetical;
-        # 42 of 47 fit — the alphabetical tail (token_vocab_topk,
-        # user_funnel, user_trend_slope_pandas, window_frames_breadth,
-        # zorder_key_demo) leads the r13 window ---
+        # 41 of 47 fit — the alphabetical tail (timeseries_locf,
+        # token_vocab_topk, user_funnel, user_trend_slope_pandas,
+        # window_frames_breadth, zorder_key_demo) leads the r13
+        # window ---
         "bigram_topk",
         "cluster_canonical_doc",
         "cohort_retention",
@@ -143,12 +148,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synth_docs_source",
         "tfidf_top_terms",
         "timeseries_gapfill",
-        "timeseries_locf",
     ]
-    # (streaming_user_state, text_bpe_tokens, text_quality,
-    # text_token_stats and user_trend_slope — displaced from the r2
-    # generation by the five round-11 debuts — plus the r3 generation
-    # (47 rows) lead the r12 staleness rotation.)
+    # (timeseries_locf, token_vocab_topk, user_funnel,
+    # user_trend_slope_pandas, window_frames_breadth and
+    # zorder_key_demo — the r3-vintage alphabetical tail that didn't
+    # fit — lead the r13 rotation; every other query then has a
+    # driver row from r4 or later.)
     if len(priority) != 50:  # contract check — not an assert: survives python -O
         raise ValueError(f"driver window must be exactly 50, got {len(priority)}")
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -417,6 +417,13 @@ BENCH_QUERIES = [
     # heavy cohesive-subgraph operator whose cost IS round-count x
     # the already-benched triangle stage; benching it would only
     # re-measure triangle_count_coparts eight times.
+    # round-12: cluster_leakage_split IS benched — the star-CC cluster
+    # build (dedup_cluster_assign shape) plus a doc-keyed token-count
+    # attach join and a two-level (cluster_root -> split) audit
+    # rollup is a new composed survivorship/routing shape (canonical
+    # doc picks a row per cluster via a window; this aggregates
+    # per-cluster audits into |splits| rows with no window).
+    "cluster_leakage_split",
 ]
 
 ALL_QUERIES = entrymod.queries()

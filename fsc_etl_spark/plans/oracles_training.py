@@ -278,6 +278,42 @@ SELECT c.doc_id, c.cluster_root, s.cluster_size,
 FROM clusters c JOIN sizes s USING (cluster_root)
 """
 
+# Leakage-safe cluster-aware split: the clusters CTE + the
+# hash_split_counts md5-bucket rule applied to the CLUSTER root, with
+# the per-doc rule kept alongside for the moved/torn audit columns.
+_SPLIT_OF = (
+    "CASE WHEN substr(md5(CAST({k} AS VARCHAR)), 1, 2) < 'cd' THEN 'train'"
+    " WHEN substr(md5(CAST({k} AS VARCHAR)), 1, 2) < 'e6' THEN 'val'"
+    " ELSE 'test' END"
+)
+
+TRAINING_ORACLES["cluster_leakage_split"] = f"""
+WITH RECURSIVE {_CLUSTERS_CTE},
+member AS (
+  SELECT c.cluster_root,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         {_SPLIT_OF.format(k="c.cluster_root")} AS split,
+         {_SPLIT_OF.format(k="c.doc_id")} AS doc_split
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+),
+per_cluster AS (
+  SELECT cluster_root, split,
+         COUNT(*) AS c_docs,
+         SUM(n_tokens) AS c_tokens,
+         SUM(CASE WHEN doc_split <> split THEN 1 ELSE 0 END) AS c_moved,
+         COUNT(DISTINCT doc_split) AS c_splits
+  FROM member GROUP BY cluster_root, split
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(c_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(c_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(c_moved) AS BIGINT) AS docs_moved,
+       CAST(SUM(CASE WHEN c_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS torn_clusters
+FROM per_cluster GROUP BY split
+"""
+
 _DV = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
 TRAINING_ORACLES["embed_cosine_topk"] = f"""

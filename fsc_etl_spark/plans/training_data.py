@@ -254,6 +254,75 @@ def cluster_soft_dedup_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def cluster_leakage_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test split (round 12): route every
+    near-dup CLUSTER — not every doc — to one split, so no pair of
+    near-duplicate documents ever straddles the train/eval boundary.
+    Per-doc hash splits leak: Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better") measure >1% of
+    validation perplexity tokens duplicated in train on C4/RealNews.
+    The group-aware fix is standard (GroupKFold; scaffold splits in
+    molecule ML): hash the CLUSTER id with the same md5-bucket rule
+    as hash_split_counts (205/256 ≈ 80% train, 230/256 ≈ 90% val) —
+    deterministic, RNG-free, identical on any partitioning or rerun.
+
+    Clusters are the MinHash-LSH + large-star/small-star components
+    of dedup_cluster_assign_star. Readout per split: cluster/doc/
+    token totals plus two audit columns — ``docs_moved`` (docs whose
+    per-doc hash split differs from their cluster's split: exactly
+    the docs a naive split would have leaked or displaced) and
+    ``torn_clusters`` (clusters the per-doc rule would have split
+    across boundaries — every one of these is a leak the
+    cluster-aware route prevents; the cluster route itself tears
+    zero, by construction, since the split is a function of
+    cluster_root).
+
+    Scale shape: banded LSH pairs (never all-pairs) + O(log n)-round
+    star components, ONE doc-keyed join to attach token counts, one
+    (cluster_root)-keyed aggregate, one |splits|-row aggregate — all
+    linear, no window, no global sort.
+    """
+    docs = t(spark, sf, "documents")
+    sigs = minhash_signatures(docs, k=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    clusters = connected_components_star(docs.select("doc_id"), pairs)
+
+    def _split(col):
+        h2 = F.substring(F.md5(col.cast("string")), 1, 2)
+        return (
+            F.when(h2 < "cd", F.lit("train"))
+            .when(h2 < "e6", F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    member = clusters.join(
+        docs.select("doc_id", token_count(F.col("text")).alias("n_tokens")),
+        "doc_id",
+    ).select(
+        "cluster_root",
+        "n_tokens",
+        _split(F.col("cluster_root")).alias("split"),
+        _split(F.col("doc_id")).alias("doc_split"),
+    )
+    # split is a function of cluster_root; keyed on both so the split
+    # label rides the aggregate instead of a re-join.
+    per_cluster = member.groupBy("cluster_root", "split").agg(
+        F.count(F.lit(1)).alias("c_docs"),
+        F.sum("n_tokens").alias("c_tokens"),
+        F.sum((F.col("doc_split") != F.col("split")).cast("long")).alias("c_moved"),
+        F.count_distinct("doc_split").alias("c_splits"),
+    )
+    return per_cluster.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("c_docs").cast("bigint").alias("n_docs"),
+        F.sum("c_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("c_moved").cast("bigint").alias("docs_moved"),
+        F.sum((F.col("c_splits") > 1).cast("long")).cast("bigint").alias(
+            "torn_clusters"
+        ),
+    )
+
+
 def text_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """Subword-proxy token counts (BPE-ish regex pre-tokenizer)."""
     docs = t(spark, sf, "documents")
@@ -2911,6 +2980,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_quantile_filter": length_quantile_filter,
     "cluster_canonical_doc": cluster_canonical_doc,
     "cluster_soft_dedup_sample": cluster_soft_dedup_sample,
+    "cluster_leakage_split": cluster_leakage_split,
     "dup_span_stats": dup_span_stats,
     "winnow_fingerprints": winnow_fingerprints,
     "tfidf_top_terms": tfidf_top_terms,

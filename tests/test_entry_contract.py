@@ -117,6 +117,8 @@ def test_driver_sample_prefix_covers_priority_groups():
         "ktruss_coparts",
         "basket_pair_support",
         "graph_adamic_adar",
+        # round-12 debut (also caught by the never-sampled rule)
+        "cluster_leakage_split",
     }
     for must_have in changed_this_round:
         assert must_have in prefix, f"{must_have} fell out of the driver sample"

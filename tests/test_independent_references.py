@@ -1065,6 +1065,71 @@ def test_cluster_soft_dedup_sample_against_reference(spark, sf_smoke):
     assert got == expect
 
 
+def test_cluster_leakage_split_against_reference(spark, sf_smoke):
+    """Leakage-safe split recomputed with union-find clusters (over
+    the shared Python minhash/LSH pair replication), Python md5
+    routing of BOTH the cluster root and the raw doc id, and plain
+    dict aggregation — including the moved/torn audit columns and the
+    structural invariant that the cluster route never tears a
+    cluster."""
+    docs = read_parquet_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    parent = {d.doc_id: d.doc_id for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in _minhash_lsh_pairs_python(docs):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    def split_of(key: int) -> str:
+        h2 = hashlib.md5(str(key).encode()).hexdigest()[:2]
+        return "train" if h2 < "cd" else ("val" if h2 < "e6" else "test")
+
+    per_cluster: dict[int, dict] = {}
+    for d in docs:
+        root = find(d.doc_id)
+        c = per_cluster.setdefault(
+            root, {"docs": 0, "tokens": 0, "moved": 0, "doc_splits": set()}
+        )
+        c["docs"] += 1
+        c["tokens"] += len([t for t in re.split(r"\s+", d.text.strip()) if t])
+        ds = split_of(d.doc_id)
+        c["doc_splits"].add(ds)
+        if ds != split_of(root):
+            c["moved"] += 1
+    expect: dict[str, list[int]] = {}
+    for root, c in per_cluster.items():
+        agg = expect.setdefault(split_of(root), [0, 0, 0, 0, 0])
+        agg[0] += 1
+        agg[1] += c["docs"]
+        agg[2] += c["tokens"]
+        agg[3] += c["moved"]
+        agg[4] += 1 if len(c["doc_splits"]) > 1 else 0
+    got = {
+        r.split: [
+            r.n_clusters,
+            r.n_docs,
+            r.total_tokens,
+            r.docs_moved,
+            r.torn_clusters,
+        ]
+        for r in TD_QUERIES["cluster_leakage_split"](spark, sf_smoke).collect()
+    }
+    assert got == expect
+    # the whole point: the cluster route assigns each cluster to
+    # exactly ONE split (split is a function of cluster_root), so
+    # total docs/clusters are partitioned, never duplicated
+    assert sum(v[1] for v in got.values()) == len(docs)
+    assert sum(v[0] for v in got.values()) == len(per_cluster)
+
+
 def test_source_overlap_matrix_against_reference(spark, sf_smoke):
     """Cross-source overlap recomputed with plain Python set algebra:
     per-source distinct 3-gram md5 sets, pairwise intersections,

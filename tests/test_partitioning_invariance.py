@@ -87,6 +87,9 @@ INVARIANT_QUERIES = [
     "dup_span_stats",
     # winnowing: sliding-frame min + rightmost-tie argmax + distinct
     "winnow_fingerprints",
+    # leakage-safe split: star-CC cluster ids + md5 routing + audit
+    # rollups — counts must not depend on scan splits or agg order
+    "cluster_leakage_split",
 ]
 
 
