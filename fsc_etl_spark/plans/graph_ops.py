@@ -287,7 +287,13 @@ def graph_common_neighbors(spark: SparkSession, sf: str) -> DataFrame:
     )
     # the non-hub incidence is read three times (degree build + both
     # pair-join sides) — persist so the orders⋈lineitem join and the
-    # hub filter run once
+    # hub filter run once.
+    # r13 TODO (ADVICE r11 follow-through): this cache leaks like the
+    # two r11 pair queries did before their r12 fix — apply the same
+    # eager-checkpoint-then-unpersist tail and re-window the query
+    # (held out of r12: the window was committed to the staleness
+    # rotation, and a plan change without a driver row is the bigger
+    # risk than one more round of the accepted convention).
     cpr = cp.join(rare, "part", "left_semi").persist()
     deg = cpr.groupBy("cust").agg(F.count(F.lit(1)).alias("deg"))
     a = cpr.select(F.col("part"), F.col("cust").alias("id_a"))
