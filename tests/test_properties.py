@@ -393,3 +393,100 @@ def test_vacuum_older_than_time_retention(spark, tmp_path):
     assert t.vacuum_older_than(0) == 2
     assert [e["available"] for e in t.history()] == [False, False, True]
     assert _state(t.read()) == {1: (12, 3)}
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe cluster-aware split (round 12): invariants over
+# hypothesis-generated corpora — adversarial cluster topologies
+# (chains via shared shingles, singletons, sub-3-token docs that get
+# no signature) the fixture reference test can't reach.
+
+_SPLIT_VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+_docs_corpus = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=60),
+        st.lists(st.sampled_from(_SPLIT_VOCAB), min_size=1, max_size=8),
+    ),
+    min_size=1,
+    max_size=18,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(corpus=_docs_corpus)
+@settings(**PROP_SETTINGS)
+def test_cluster_leakage_split_partitions_and_audits(spark, corpus):
+    """For ANY corpus: (a) per-split doc/cluster totals PARTITION the
+    corpus (nothing lost, nothing duplicated — the leakage guarantee:
+    a cluster lands in exactly one split); (b) docs_moved and
+    torn_clusters match a plain union-find + md5 recomputation over
+    the shared Python LSH pair replication."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from test_independent_references import _minhash_lsh_pairs_python
+
+    from fsc_etl_spark.plans.training_data import cluster_leakage_split
+
+    rows = [Row(doc_id=i, text=" ".join(words)) for i, words in corpus]
+    tmp = tempfile.mkdtemp(prefix="cls_prop_")
+    try:
+        spark.createDataFrame(rows).write.mode("overwrite").parquet(
+            f"{tmp}/documents.parquet"
+        )
+        got = {
+            r.split: (
+                r.n_clusters,
+                r.n_docs,
+                r.total_tokens,
+                r.docs_moved,
+                r.torn_clusters,
+            )
+            for r in cluster_leakage_split(spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    parent = {r.doc_id: r.doc_id for r in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in _minhash_lsh_pairs_python(rows):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    def split_of(key: int) -> str:
+        h2 = hashlib.md5(str(key).encode()).hexdigest()[:2]
+        return "train" if h2 < "cd" else ("val" if h2 < "e6" else "test")
+
+    per_cluster: dict[int, dict] = {}
+    for r in rows:
+        root = find(r.doc_id)
+        c = per_cluster.setdefault(
+            root, {"docs": 0, "tokens": 0, "moved": 0, "splits": set()}
+        )
+        c["docs"] += 1
+        c["tokens"] += len(r.text.split())
+        ds = split_of(r.doc_id)
+        c["splits"].add(ds)
+        if ds != split_of(root):
+            c["moved"] += 1
+    expect: dict[str, list[int]] = {}
+    for root, c in per_cluster.items():
+        agg = expect.setdefault(split_of(root), [0, 0, 0, 0, 0])
+        agg[0] += 1
+        agg[1] += c["docs"]
+        agg[2] += c["tokens"]
+        agg[3] += c["moved"]
+        agg[4] += 1 if len(c["splits"]) > 1 else 0
+    assert got == {k: tuple(v) for k, v in expect.items()}
+    # partition law — the leakage guarantee in aggregate form
+    assert sum(v[1] for v in got.values()) == len(rows)
+    assert sum(v[0] for v in got.values()) == len(per_cluster)
