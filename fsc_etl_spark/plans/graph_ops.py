@@ -30,6 +30,7 @@ from fsc_etl_spark.operators.graph import (
     personalized_pagerank_integer,
     triangle_stats,
 )
+from fsc_etl_spark import planfp
 from fsc_etl_spark.sources.readers import read_parquet_table as t
 
 _PR_ITERS = 5
@@ -287,13 +288,9 @@ def graph_common_neighbors(spark: SparkSession, sf: str) -> DataFrame:
     )
     # the non-hub incidence is read three times (degree build + both
     # pair-join sides) — persist so the orders⋈lineitem join and the
-    # hub filter run once.
-    # r13 TODO (ADVICE r11 follow-through): this cache leaks like the
-    # two r11 pair queries did before their r12 fix — apply the same
-    # eager-checkpoint-then-unpersist tail and re-window the query
-    # (held out of r12: the window was committed to the staleness
-    # rotation, and a plan change without a driver row is the bigger
-    # risk than one more round of the accepted convention).
+    # hub filter run once; released via the eager-checkpoint-then-
+    # unpersist tail below (r13, ADVICE r11 follow-through — the same
+    # lifecycle basket_pair_support and graph_adamic_adar got in r12).
     cpr = cp.join(rare, "part", "left_semi").persist()
     deg = cpr.groupBy("cust").agg(F.count(F.lit(1)).alias("deg"))
     a = cpr.select(F.col("part"), F.col("cust").alias("id_a"))
@@ -329,6 +326,16 @@ def graph_common_neighbors(spark: SparkSession, sf: str) -> DataFrame:
         )
         .limit(_CN_TOPK)
     )
+    if planfp.plan_only_mode():
+        return out  # expose the real plan to the fingerprint gate (ADVICE r12)
+    # eager-checkpoint-then-unpersist (the assortativity pattern,
+    # ADVICE r11): the top-50 is tiny, so materialising it here
+    # lets the incidence cache release immediately instead of
+    # leaking in a long driver session that never clearCache()s —
+    # the in-session inflation that flagged CN 19.9x in the r12
+    # full-surface probe before isolated rechecks refuted it.
+    out = out.localCheckpoint(eager=True)
+    cpr.unpersist()
     return out
 
 
@@ -417,12 +424,14 @@ def graph_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
             F.col("id_b").asc(),
         )
         .limit(_AA_TOPK)
-        # eager-checkpoint-then-unpersist (the assortativity pattern,
-        # ADVICE r11): the top-50 is tiny, so materialising it here
-        # lets the incidence cache release immediately instead of
-        # leaking in a long driver session that never clearCache()s
-        .localCheckpoint(eager=True)
     )
+    if planfp.plan_only_mode():
+        return out  # expose the real plan to the fingerprint gate (ADVICE r12)
+    # eager-checkpoint-then-unpersist (the assortativity pattern,
+    # ADVICE r11): the top-50 is tiny, so materialising it here
+    # lets the incidence cache release immediately instead of
+    # leaking in a long driver session that never clearCache()s
+    out = out.localCheckpoint(eager=True)
     cpr.unpersist()
     return out
 
@@ -1003,7 +1012,10 @@ def graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
             " ELSE CAST((1000000 * (m * sum_xy - sum_x * sum_x))"
             " div (m * sum_xx - sum_x * sum_x) AS BIGINT) END"
         ).alias("r_ppm"),
-    ).localCheckpoint(eager=True)
+    )
+    if planfp.plan_only_mode():
+        return out  # expose the real plan to the fingerprint gate (ADVICE r12)
+    out = out.localCheckpoint(eager=True)
     cp.unpersist()
     return out
 

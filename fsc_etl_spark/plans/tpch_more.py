@@ -31,6 +31,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fsc_etl_spark import planfp
 from fsc_etl_spark.sources.readers import read_parquet_table as t
 
 
@@ -419,12 +420,14 @@ def basket_pair_support(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.col("support").desc(), F.col("part_a").asc(), F.col("part_b").asc())
         .limit(_BASKET_TOPK)
-        # eager-checkpoint-then-unpersist (the assortativity pattern,
-        # ADVICE r11): the top-k is tiny, so materialising it here
-        # lets the basket cache release immediately instead of leaking
-        # in a long driver session that never clearCache()s
-        .localCheckpoint(eager=True)
     )
+    if planfp.plan_only_mode():
+        return out  # expose the real plan to the fingerprint gate (ADVICE r12)
+    # eager-checkpoint-then-unpersist (the assortativity pattern,
+    # ADVICE r11): the top-k is tiny, so materialising it here
+    # lets the basket cache release immediately instead of leaking
+    # in a long driver session that never clearCache()s
+    out = out.localCheckpoint(eager=True)
     bk.unpersist()
     return out
 

