@@ -54,14 +54,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r12 #1/#2): the window leads with the one query whose runtime
     behavior changed this round — `graph_common_neighbors` (eager-
     checkpoint-then-unpersist cache lifecycle, the builder's own r13
-    TODO; results unchanged) — then the staleness backlog oldest
-    first: the 6 r3-vintage rows (timeseries_locf, token_vocab_topk,
+    TODO; results unchanged) — then the round-13 debut
+    (community_modularity), then the staleness backlog oldest first:
+    the 6 r3-vintage rows (timeseries_locf, token_vocab_topk,
     user_funnel, user_trend_slope_pandas, window_frames_breadth,
     zorder_key_demo — the oldest driver rows anywhere after r12),
     the 35 r5-vintage rows and the 7 r6-vintage rows in alphabetical
-    order, and the first r7-vintage row (cms_merge_halves). After
-    r13 every query's latest driver row is r7-or-later except the
-    remaining 18 r7 rows, which lead the r14 window. (The five
+    order. After r13 every query's latest driver row is r7-or-later;
+    the 19 r7-vintage rows lead the r14 window. (The five
     one-shot eager builders gained a planfp.plan_only branch this
     round — ADVICE r12 — but their DRIVER-context execution is
     byte-identical, so only graph_common_neighbors, whose tail is
@@ -92,6 +92,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # applied to the leaked pair cache (VERDICT r12 #2); results
         # unchanged, re-verified here ---
         "graph_common_neighbors",
+        # --- round-13 debut (no driver row yet): Newman modularity of
+        # the LPA communities over the co-parts graph ---
+        "community_modularity",
         # --- staleness rotation (VERDICT r12 #1): the 6 r3-vintage
         # rows — the oldest driver rows anywhere after r12 ---
         "timeseries_locf",
@@ -146,9 +149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_feature_join",
         "segment_dedup_mask",
         "vocab_coverage_stats",
-        # --- staleness rotation: the first r7-vintage row fills the
-        # 50th slot; the other 18 r7 rows lead the r14 window ---
-        "cms_merge_halves",
+        # (the 19 r7-vintage rows lead the r14 window; cms_merge_halves
+        # ceded the 50th slot to the community_modularity debut)
     ]
     if len(priority) != 50:  # contract check — not an assert: survives python -O
         raise ValueError(f"driver window must be exactly 50, got {len(priority)}")

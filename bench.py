@@ -424,6 +424,13 @@ BENCH_QUERIES = [
     # doc picks a row per cluster via a window; this aggregates
     # per-cluster audits into |splits| rows with no window).
     "cluster_leakage_split",
+    # round-13: community_modularity IS benched — LPA's benched
+    # iterative double-aggregation rounds now run over the CO-PARTS
+    # pair-expansion graph (a different, denser edge build than the
+    # benched bipartite LPA) and feed a new readout: two label-attach
+    # joins over the full edge list + a label-keyed internal-edge
+    # count + degree-mass rollup + 1-row decimal Q reduce.
+    "community_modularity",
 ]
 
 ALL_QUERIES = entrymod.queries()

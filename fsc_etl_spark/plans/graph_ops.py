@@ -583,6 +583,109 @@ def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def community_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Newman modularity readout of the LPA communities over the
+    symmetrised co-parts graph — parts are linked when some order
+    contains both (the `triangle_count_coparts` / `ktruss_coparts`
+    projection) — round 13: the quality-of-partition scalar that
+    tells a curation pipeline whether its community grouping is
+    better than chance before it samples per-community.
+    Q = Σ_c [e_c/2m − (d_c/2m)²] over a 3-round deterministic
+    label_propagation partition, where e_c counts DIRECTED
+    intra-community edges (each undirected internal edge twice), d_c
+    sums member degrees, and 2m is the directed edge count (Newman &
+    Girvan 2004, eq. 5). The co-parts projection, NOT the bipartite
+    customer—part incidence: on a strictly bipartite graph with the
+    parity node encoding, side-alternating LPA labels can never
+    coincide across an edge, so intra-community edges would be
+    structurally zero and the readout degenerate; the co-parts graph
+    is triangle-rich (one clique per basket) and forms real
+    communities. Q can still be ≤ 0 on a bad partition — this is a
+    readout, not a success assert.
+
+    Exactness: one row, all BIGINT — Q is emitted as
+    q_ppm = (10⁶·(2m·Σe_c − Σd_c²)) div (2m)², accumulated in
+    DECIMAL(38,0) (at a 10x probe 10⁶·(2m)² already overflows LONG;
+    decimal carries to ~10³⁸) with Spark's truncating `div`; the
+    DuckDB twin CASE-spells truncation over its flooring `//` for the
+    possibly-negative numerator (the assortativity discipline).
+
+    Scale shape: pair generation is blocked on the BASKET (TPC-H
+    baskets are ≤ 7 lines; a real catalog applies the
+    basket_pair_support item cap upstream, making per-basket pair
+    work ≤ cap² — the same posture triangle/ktruss document); LPA's
+    per-round cost is the documented one edge-shuffle
+    (operators/graph.label_propagation); the modularity readout adds
+    two label-attach joins shuffling on node, one label-keyed count,
+    one degree agg + label-keyed sum, and a 1-row reduce — everything
+    linear in edges, no windows, no sorts. The 1-row result
+    eager-checkpoints so the pair cache releases (the assortativity
+    pattern); planfp sees the lazy readout plan via plan_only
+    (ADVICE r12). Note the fingerprinted plan still ends at LPA's own
+    internal checkpoint — the per-round LPA shape is pinned by its
+    dedicated plan test, not this fingerprint.
+    """
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    lj = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("hi")
+    )
+    cp = (
+        li.join(lj, (li["l_orderkey"] == lj["o"]) & (li["l_partkey"] < lj["hi"]))
+        .select(F.col("l_partkey").alias("lo"), "hi")
+        .distinct()
+        .persist()
+    )
+    edges = cp.select(F.col("lo").alias("src"), F.col("hi").alias("dst")).union(
+        cp.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+    )
+    labels = label_propagation(edges, rounds=_LPA_ROUNDS)  # eager, checkpointed
+    ls = labels.select(F.col("node").alias("src"), F.col("label").alias("ls"))
+    ld = labels.select(F.col("node").alias("dst"), F.col("label").alias("ld"))
+    internal = (
+        edges.join(ls, "src")
+        .join(ld, "dst")
+        .filter(F.col("ls") == F.col("ld"))
+        .groupBy(F.col("ls").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # per-community degree mass; LEFT join internal counts — a
+    # community every member of which points outward has e_c = 0
+    comm = (
+        labels.join(deg, labels["node"] == deg["src"])
+        .groupBy("label")
+        .agg(F.sum(F.col("d").cast("decimal(19,0)")).alias("d_c"))
+        .join(internal, "label", "left")
+    )
+    two_m = edges.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("two_m"))
+    g = (
+        comm.agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n_comm"),
+            F.sum(
+                F.coalesce(F.col("e_c"), F.lit(0)).cast("decimal(38,0)")
+            ).alias("sum_e"),
+            F.sum(F.col("d_c") * F.col("d_c")).alias("sum_d2"),
+        )
+        .crossJoin(F.broadcast(two_m))
+    )
+    out = g.select(
+        F.col("n_comm").cast("bigint").alias("n_communities"),
+        F.col("two_m").cast("bigint").alias("two_m"),
+        F.col("sum_e").cast("bigint").alias("internal_edges"),
+        F.col("sum_d2").cast("bigint").alias("deg_sq_sum"),
+        F.expr(
+            "CASE WHEN two_m = 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * (two_m * sum_e - sum_d2))"
+            " div (two_m * two_m) AS BIGINT) END"
+        ).alias("q_ppm"),
+    )
+    if planfp.plan_only_mode():
+        return out  # lazy readout plan for the fingerprint gate
+    out = out.localCheckpoint(eager=True)
+    cp.unpersist()
+    return out
+
+
 _KCORE_K = 20
 _KCORE_ROUNDS = 8
 
@@ -1087,6 +1190,7 @@ QUERIES = {
     "triangle_count_coparts": triangle_count_coparts,
     "ktruss_coparts": ktruss_coparts,
     "graph_label_propagation": graph_label_propagation,
+    "community_modularity": community_modularity,
 }
 
 GRAPH_ORACLES = {
@@ -1202,26 +1306,48 @@ GROUP BY depth
 }
 
 
-def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
-    """Unrolled label-propagation twin: per round, (node, lab) counts
-    over the edge join, argmax by (cnt DESC, lab DESC) via ROW_NUMBER
-    — the same (count, label) struct-max total order the Spark rounds
-    use, over the same BIGINT node encoding (2·custkey / 2·partkey+1),
-    rendered to 'c…'/'p…' only in the final projection. Each round
-    MATERIALIZED (l{i} is read by the next round's join; the final
-    one by both the size rollup and the projection)."""
-    chain = [
-        """cp AS MATERIALIZED (
+#: Symmetrised bipartite customer—part incidence under the BIGINT
+#: parity node encoding — the graph_label_propagation fixture.
+_LPA_EDGES_COPURCHASE = [
+    """cp AS MATERIALIZED (
   SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_partkey * 2 + 1 AS pnode
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 )""",
-        """edges AS MATERIALIZED (
+    """edges AS MATERIALIZED (
   SELECT cnode AS src, pnode AS dst FROM cp
   UNION ALL
   SELECT pnode AS src, cnode AS dst FROM cp
 )""",
-        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)",
-    ]
+]
+
+#: Symmetrised co-parts projection (parts linked when co-ordered) —
+#: the community_modularity fixture (triangle/ktruss graph).
+_LPA_EDGES_COPARTS = [
+    """canon AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)""",
+    """edges AS MATERIALIZED (
+  SELECT lo AS src, hi AS dst FROM canon
+  UNION ALL
+  SELECT hi AS src, lo AS dst FROM canon
+)""",
+]
+
+
+def _lpa_chain(rounds: int, edge_ctes: list[str] | None = None) -> list[str]:
+    """Shared unrolled label-propagation CTE chain (edge prefix +
+    l0..l{rounds}) used by both the LPA oracle and the modularity
+    oracle: per round, (node, lab) counts over the edge join, argmax
+    by (cnt DESC, lab DESC) via ROW_NUMBER — the same (count, label)
+    struct-max total order the Spark rounds use. ``edge_ctes`` must
+    define an ``edges(src, dst)`` CTE (symmetrised); defaults to the
+    co-purchase bipartite incidence. Each round MATERIALIZED (l{i} is
+    read by the next round's join; the final one by every downstream
+    readout)."""
+    chain = list(edge_ctes if edge_ctes is not None else _LPA_EDGES_COPURCHASE)
+    chain.append("l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)")
     for i in range(1, rounds + 1):
         chain.append(
             f"""l{i} AS MATERIALIZED (
@@ -1235,6 +1361,13 @@ def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
   ) WHERE rn = 1
 )"""
         )
+    return chain
+
+
+def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
+    """Unrolled label-propagation twin over :func:`_lpa_chain`,
+    rendered to 'c…'/'p…' only in the final projection."""
+    chain = _lpa_chain(rounds)
     chain.append(
         f"""sizes AS (
   SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
@@ -1256,6 +1389,63 @@ def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
 
 
 GRAPH_ORACLES["graph_label_propagation"] = _lpa_oracle()
+
+
+def _modularity_oracle(rounds: int = _LPA_ROUNDS) -> str:
+    """Modularity twin over the SAME unrolled LPA chain: directed
+    intra-community edge count per label, per-community degree mass,
+    then the one-row Q readout in HUGEINT with Spark's truncating
+    `div` CASE-spelled over DuckDB's flooring `//` (the assortativity
+    discipline — the numerator can be negative on a bad partition)."""
+    chain = _lpa_chain(rounds, edge_ctes=_LPA_EDGES_COPARTS)
+    chain.append(
+        "deg AS (SELECT src, CAST(COUNT(*) AS HUGEINT) AS d"
+        " FROM edges GROUP BY src)"
+    )
+    chain.append(
+        f"""internal AS (
+  SELECT ls.label AS label, CAST(COUNT(*) AS HUGEINT) AS e_c
+  FROM edges e
+  JOIN l{rounds} ls ON ls.node = e.src
+  JOIN l{rounds} ld ON ld.node = e.dst
+  WHERE ls.label = ld.label
+  GROUP BY 1
+)"""
+    )
+    chain.append(
+        f"""comm AS (
+  SELECT l.label, SUM(deg.d) AS d_c
+  FROM l{rounds} l JOIN deg ON deg.src = l.node
+  GROUP BY 1
+)"""
+    )
+    chain.append(
+        """gmod AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n_comm,
+         SUM(COALESCE(i.e_c, CAST(0 AS HUGEINT))) AS sum_e,
+         SUM(c.d_c * c.d_c) AS sum_d2,
+         (SELECT CAST(COUNT(*) AS HUGEINT) FROM edges) AS two_m
+  FROM comm c LEFT JOIN internal i USING (label)
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(chain)
+        + """
+SELECT CAST(n_comm AS BIGINT) AS n_communities,
+       CAST(two_m AS BIGINT) AS two_m,
+       CAST(sum_e AS BIGINT) AS internal_edges,
+       CAST(sum_d2 AS BIGINT) AS deg_sq_sum,
+       CAST(CASE WHEN two_m = 0 THEN NULL
+                 WHEN 1000000 * (two_m * sum_e - sum_d2) >= 0
+                 THEN (1000000 * (two_m * sum_e - sum_d2)) // (two_m * two_m)
+                 ELSE -((-(1000000 * (two_m * sum_e - sum_d2))) // (two_m * two_m))
+            END AS BIGINT) AS q_ppm
+FROM gmod"""
+    )
+
+
+GRAPH_ORACLES["community_modularity"] = _modularity_oracle()
 
 
 def _hits_oracle(iters: int = _HITS_ITERS, topk: int = _HITS_TOPK) -> str:

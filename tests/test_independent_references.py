@@ -2466,3 +2466,56 @@ def test_cusum_changepoint_against_reference(spark, sf_smoke):
         for r in QUERIES["cusum_changepoint"](spark, sf_smoke).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_community_modularity_against_reference(spark, sf_smoke):
+    """3-round deterministic LPA over the co-parts graph plus Newman
+    modularity recomputed with plain dicts and Python big ints: e_c
+    counts directed intra-community edges, d_c sums member degrees,
+    q_ppm via the same truncating division the Spark `div` uses."""
+    from fsc_etl_spark.plans.graph_ops import QUERIES as GRAPH_QUERIES
+
+    li, _ = _copurchase_pairs(spark, sf_smoke)
+    by_order: dict[int, set] = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    label = {v: v for v in adj}
+    for _ in range(3):
+        nxt = {}
+        for v, neigh in adj.items():
+            cnt: dict[int, int] = {}
+            for u in neigh:
+                cnt[label[u]] = cnt.get(label[u], 0) + 1
+            nxt[v] = max(cnt.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        label = nxt
+    two_m = 2 * len(edges)
+    e_c: dict[int, int] = {}
+    d_c: dict[int, int] = {}
+    for a, b in edges:
+        if label[a] == label[b]:
+            e_c[label[a]] = e_c.get(label[a], 0) + 2
+    for v, neigh in adj.items():
+        d_c[label[v]] = d_c.get(label[v], 0) + len(neigh)
+    sum_e = sum(e_c.values())
+    sum_d2 = sum(d * d for d in d_c.values())
+    num = 1_000_000 * (two_m * sum_e - sum_d2)
+    den = two_m * two_m
+    q = (num // den) if num >= 0 else -((-num) // den)  # Spark-div truncation
+    [r] = GRAPH_QUERIES["community_modularity"](spark, sf_smoke).collect()
+    assert (
+        r.n_communities,
+        r.two_m,
+        r.internal_edges,
+        r.deg_sq_sum,
+        r.q_ppm,
+    ) == (len(d_c), two_m, sum_e, sum_d2, q)

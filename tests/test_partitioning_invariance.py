@@ -90,6 +90,10 @@ INVARIANT_QUERIES = [
     # leakage-safe split: star-CC cluster ids + md5 routing + audit
     # rollups — counts must not depend on scan splits or agg order
     "cluster_leakage_split",
+    # modularity: LPA struct-argmax rounds over the co-parts pair
+    # expansion + decimal Q reduce — label decisions and the signed
+    # truncating division must not depend on partial-agg order
+    "community_modularity",
 ]
 
 
