@@ -54,14 +54,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r12 #1/#2): the window leads with the one query whose runtime
     behavior changed this round — `graph_common_neighbors` (eager-
     checkpoint-then-unpersist cache lifecycle, the builder's own r13
-    TODO; results unchanged) — then the round-13 debut
-    (community_modularity), then the staleness backlog oldest first:
-    the 6 r3-vintage rows (timeseries_locf, token_vocab_topk,
-    user_funnel, user_trend_slope_pandas, window_frames_breadth,
-    zorder_key_demo — the oldest driver rows anywhere after r12),
-    the 35 r5-vintage rows and the 7 r6-vintage rows in alphabetical
-    order. After r13 every query's latest driver row is r7-or-later;
-    the 19 r7-vintage rows lead the r14 window. (The five
+    TODO; results unchanged) — then the two round-13 debuts
+    (community_modularity, weighted_priority_sample), then the
+    staleness backlog oldest first: the 6 r3-vintage rows
+    (timeseries_locf, token_vocab_topk, user_funnel,
+    user_trend_slope_pandas, window_frames_breadth, zorder_key_demo —
+    the oldest driver rows anywhere after r12), the 35 r5-vintage
+    rows and 6 of the 7 r6-vintage rows in alphabetical order. After
+    r13 the oldest driver rows anywhere are vocab_coverage_stats (r6,
+    the displaced alphabetical tail) and the 19 r7-vintage rows —
+    they lead the r14 window. (The five
     one-shot eager builders gained a planfp.plan_only branch this
     round — ADVICE r12 — but their DRIVER-context execution is
     byte-identical, so only graph_common_neighbors, whose tail is
@@ -92,9 +94,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # applied to the leaked pair cache (VERDICT r12 #2); results
         # unchanged, re-verified here ---
         "graph_common_neighbors",
-        # --- round-13 debut (no driver row yet): Newman modularity of
-        # the LPA communities over the co-parts graph ---
+        # --- round-13 debuts (no driver rows yet): Newman modularity
+        # of the LPA communities over the co-parts graph; deterministic
+        # priority sampling (Ohlsson/Duffield weighted top-k draw) ---
         "community_modularity",
+        "weighted_priority_sample",
         # --- staleness rotation (VERDICT r12 #1): the 6 r3-vintage
         # rows — the oldest driver rows anywhere after r12 ---
         "timeseries_locf",
@@ -148,9 +152,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip_stats",
         "pit_feature_join",
         "segment_dedup_mask",
-        "vocab_coverage_stats",
-        # (the 19 r7-vintage rows lead the r14 window; cms_merge_halves
-        # ceded the 50th slot to the community_modularity debut)
+        # (vocab_coverage_stats — the last r6 row alphabetically — and
+        # the 19 r7-vintage rows lead the r14 window; they ceded slots
+        # to the two r13 debuts)
     ]
     if len(priority) != 50:  # contract check — not an assert: survives python -O
         raise ValueError(f"driver window must be exactly 50, got {len(priority)}")

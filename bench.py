@@ -430,6 +430,11 @@ BENCH_QUERIES = [
     # benched bipartite LPA) and feed a new readout: two label-attach
     # joins over the full edge list + a label-keyed internal-edge
     # count + degree-mass rollup + 1-row decimal Q reduce.
+    # weighted_priority_sample is OFF-bench: its data-sized stage is a
+    # pure map-side projection (md5 + whitespace token count + one
+    # integer division) feeding a TakeOrdered heap — physically the
+    # benched global_topk_orders shape over the benched text-scan
+    # projections (hash_stratified_sample / text_token_stats class).
     "community_modularity",
 ]
 

@@ -1251,6 +1251,25 @@ FROM c, s
 WHERE (cb + n_tokens) // stride - cb // stride >= 1
 """
 
+# Priority sampling twin: the same 28-bit md5 pseudo-uniform (+1, so
+# never zero) and the same exact integer floor (w * 2^40) // u in
+# HUGEINT; priorities are non-negative so DuckDB's flooring // equals
+# Spark's truncating div with no CASE spelling needed.
+TRAINING_ORACLES["weighted_priority_sample"] = f"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+              AS HUGEINT) + 1 AS u
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST((CAST(n_tokens AS HUGEINT) * 1099511627776) // u AS BIGINT) AS priority
+FROM w
+ORDER BY priority DESC, doc_id ASC
+LIMIT 50
+"""
+
 # Mirrors token_budget_schedule: exact integer split of the 200k
 # budget by source-name rank, then div/mod epoch decomposition.
 TRAINING_ORACLES["token_budget_schedule"] = f"""

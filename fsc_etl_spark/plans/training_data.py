@@ -1381,6 +1381,60 @@ def pps_token_sample(spark: SparkSession, sf: str) -> DataFrame:
     return picked.select("doc_id", "n_tokens", "n_hits")
 
 
+_PRIORITY_K = 50
+_PRIORITY_SCALE = 2**40
+
+
+def weighted_priority_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic priority sampling — the weight-proportional
+    WITHOUT-replacement draw of a training-data pipeline (Ohlsson 1998
+    sequential Poisson sampling; Duffield, Lund & Thorup 2007 priority
+    sampling): each document gets priority q_i = w_i / u_i with weight
+    w_i = token count and u_i ~ U(0, 1]; the sample is the top-k by
+    priority. Unbiased Horvitz–Thompson weight estimates follow from
+    the (k+1)-th priority as threshold; here the draw itself is the
+    query. RNG-free and integer-exact: u_i is 28 bits of md5(doc_id)
+    plus one (the mixture_resample idiom — never zero), and the
+    priority is the exact integer floor (w_i · 2⁴⁰) div u_i in
+    DECIMAL(38,0), so the drawn set is bit-reproducible across
+    engines, runs, and partitionings. Ties (equal w and u) break by
+    doc_id — a total order, so the LIMIT is deterministic and
+    hash-stable. Complements pps_token_sample (systematic
+    with-multiplicity PPS over a prefix sum): priority sampling needs
+    NO cumulative pass, making it the cheaper draw when k ≪ n.
+
+    Scale shape: one pure map-side projection (md5, whitespace token
+    count, one integer division) feeding a TakeOrdered top-k heap —
+    the corpus never shuffles, no window, no global sort, nothing
+    super-linear anywhere.
+    """
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    dec = "decimal(38,0)"
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10
+        ).cast(dec)
+        + F.lit(1).cast(dec)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n_tokens"),
+            u.alias("u"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(
+                f"CAST((CAST(n_tokens AS {dec})"
+                f" * CAST({_PRIORITY_SCALE} AS {dec})) div u AS BIGINT)"
+            ).alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+        .limit(_PRIORITY_K)
+    )
+
+
 def embed_dim_median_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-DIMENSION embedding statistics (the normalization-prep axis
     orthogonal to embed_norm_stats' per-row norms): posexplode each
@@ -2958,6 +3012,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": corpus_curation,
     "hash_stratified_sample": hash_stratified_sample,
     "pps_token_sample": pps_token_sample,
+    "weighted_priority_sample": weighted_priority_sample,
     "token_vocab_topk": token_vocab_topk,
     "mixture_resample_to_min": mixture_resample_to_min,
     "embed_dim_median_stats": embed_dim_median_stats,

@@ -2519,3 +2519,25 @@ def test_community_modularity_against_reference(spark, sf_smoke):
         r.deg_sq_sum,
         r.q_ppm,
     ) == (len(d_c), two_m, sum_e, sum_d2, q)
+
+
+def test_weighted_priority_sample_against_reference(spark, sf_smoke):
+    """Priority sampling recomputed with hashlib and Python big ints:
+    u = 28 bits of md5(str(doc_id)) + 1, priority = (w << 40) // u
+    (non-negative, so floor == Spark's truncating div), top-50 by
+    (priority DESC, doc_id ASC)."""
+    docs = read_parquet_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    scored = []
+    for d in docs:
+        w = len(_toks(d.text))
+        u = int(hashlib.md5(str(d.doc_id).encode()).hexdigest()[:7], 16) + 1
+        scored.append(((w * (1 << 40)) // u, d.doc_id, w))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    expect = [(doc_id, w, q) for q, doc_id, w in scored[:50]]
+    got = [
+        (r.doc_id, r.n_tokens, r.priority)
+        for r in TD_QUERIES["weighted_priority_sample"](spark, sf_smoke).collect()
+    ]
+    assert got == expect and len(got) == 50

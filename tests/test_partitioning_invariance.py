@@ -94,6 +94,9 @@ INVARIANT_QUERIES = [
     # expansion + decimal Q reduce — label decisions and the signed
     # truncating division must not depend on partial-agg order
     "community_modularity",
+    # priority sample: top-k draw with md5-derived priorities — the
+    # drawn SET must not depend on scan splits (heap merge order)
+    "weighted_priority_sample",
 ]
 
 
