@@ -54,8 +54,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r12 #1/#2): the window leads with the one query whose runtime
     behavior changed this round — `graph_common_neighbors` (eager-
     checkpoint-then-unpersist cache lifecycle, the builder's own r13
-    TODO; results unchanged) — then the two round-13 debuts
-    (community_modularity, weighted_priority_sample), then the
+    TODO; results unchanged) — then the five round-13 debuts
+    (community_modularity, weighted_priority_sample, and the
+    mid-round batch graph_conductance + local_clustering_coeff +
+    sorted_neighborhood_pairs), then the
     staleness backlog oldest first: the 6 r3-vintage rows
     (timeseries_locf, token_vocab_topk, user_funnel,
     user_trend_slope_pandas, window_frames_breadth, zorder_key_demo —
@@ -99,6 +101,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # priority sampling (Ohlsson/Duffield weighted top-k draw) ---
         "community_modularity",
         "weighted_priority_sample",
+        # --- round-13 mid-round debuts: per-community conductance
+        # (the cut-quality twin of modularity over the same LPA
+        # partition) and the local-clustering-coefficient histogram
+        # (node-resolved triangle census) ---
+        "graph_conductance",
+        "local_clustering_coeff",
+        "sorted_neighborhood_pairs",
         # --- staleness rotation (VERDICT r12 #1): the 6 r3-vintage
         # rows — the oldest driver rows anywhere after r12 ---
         "timeseries_locf",
@@ -149,12 +158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dpp_pruned_rollup",
         "incremental_join_maintenance",
         "kmeans_cluster_stats",
-        "orc_roundtrip_stats",
-        "pit_feature_join",
-        "segment_dedup_mask",
-        # (vocab_coverage_stats — the last r6 row alphabetically — and
-        # the 19 r7-vintage rows lead the r14 window; they ceded slots
-        # to the two r13 debuts)
+        # (orc_roundtrip_stats, pit_feature_join, segment_dedup_mask,
+        # vocab_coverage_stats — the last four r6 rows alphabetically —
+        # and the 19 r7-vintage rows lead the r14 window; they ceded
+        # slots to the five r13 debuts)
     ]
     if len(priority) != 50:  # contract check — not an assert: survives python -O
         raise ValueError(f"driver window must be exactly 50, got {len(priority)}")

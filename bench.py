@@ -436,6 +436,25 @@ BENCH_QUERIES = [
     # benched global_topk_orders shape over the benched text-scan
     # projections (hash_stratified_sample / text_token_stats class).
     "community_modularity",
+    # round-13: local_clustering_coeff IS benched — per-node triangle
+    # CREDITS are a new data-sized stage past the benched global
+    # census: the intersection arrays explode to 3·n_triangles credit
+    # rows that shuffle into a per-node SUM before the bucket rollup
+    # (triangle_count_coparts reduces the same intersections to one
+    # scalar map-side).
+    # graph_conductance is OFF-bench: it re-runs community_modularity's
+    # benched skeleton (co-parts pair expansion + LPA rounds + the two
+    # label-attach joins + label-keyed aggs) verbatim — only the final
+    # bounded readout differs (per-community cut arithmetic + a 20-row
+    # TakeOrdered vs the 1-row Q reduce); benching it would re-measure
+    # the modularity row.
+    "local_clustering_coeff",
+    # round-13: sorted_neighborhood_pairs IS benched — a third
+    # blocking-family physical shape: block-partitioned window with
+    # TWO array-typed lead offsets exploded from one struct array,
+    # then array intersect/union Jaccard per candidate pair (no other
+    # benched query windows over array columns).
+    "sorted_neighborhood_pairs",
 ]
 
 ALL_QUERIES = entrymod.queries()

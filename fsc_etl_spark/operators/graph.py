@@ -389,6 +389,105 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     return out
 
 
+def triangle_counts_per_node(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts of an undirected graph —
+    the node-resolved sibling of :func:`triangle_stats` (round 13),
+    feeding local-clustering-coefficient readouts.
+
+    Same compact-forward orientation (orient each edge toward the
+    higher-(degree, id) endpoint, forward degree O(sqrt m)): for an
+    oriented edge (u, v) the sorted-adjacency intersection
+    ``N+(u) ∩ N+(v)`` closes each triangle exactly once, so u and v
+    are credited ``|∩|`` and each common neighbor w is credited 1 via
+    one explode — total exploded rows == 3·n_triangles, linear in the
+    triangle count, never the wedge set.
+
+    Returns ``(node, d, triangles)`` for EVERY node (distinct-neighbor
+    degree; triangles 0 when none), eager-checkpointed with the
+    canon/deg caches released.
+    """
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        canon.select(F.col("lo").alias("node"))
+        .union(canon.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    dl = deg.select(F.col("node").alias("lo"), F.col("d").alias("dlo"))
+    dh = deg.select(F.col("node").alias("hi"), F.col("d").alias("dhi"))
+    lo_first = (F.col("dlo") < F.col("dhi")) | (
+        (F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = (
+        canon.join(dl, "lo")
+        .join(dh, "hi")
+        .select(
+            F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+            F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+        )
+    )
+    adj = oriented.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nb"))
+    a_u = adj.select(F.col("u").alias("__au"), F.col("nb").alias("__nbu"))
+    a_v = adj.select(F.col("u").alias("__av"), F.col("nb").alias("__nbv"))
+    closed = (
+        # shuffle-hash for the same reason triangle_stats documents:
+        # the adjacency build side is one bounded-width row per node;
+        # sort-merge would buffer edge rows WITH O(sqrt m) arrays.
+        oriented.join(a_u.hint("shuffle_hash"), oriented["u"] == a_u["__au"])
+        .join(a_v.hint("shuffle_hash"), oriented["v"] == a_v["__av"])
+        .select("u", "v", F.array_intersect("__nbu", "__nbv").alias("ws"))
+        .filter(F.size("ws") > 0)
+    )
+    # ONE pass over the closed-edge frame: a union of three selects
+    # would recompute the adjacency joins + intersections per branch
+    # (measured 8.75x at the 10x probe vs 3.1x for the global census);
+    # concat the u/v credits with the per-w credits into a single
+    # exploded struct array instead — map-side, joins evaluated once.
+    credits = closed.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("node"), F.size("ws").alias("c")
+                    ),
+                    F.struct(
+                        F.col("v").alias("node"), F.size("ws").alias("c")
+                    ),
+                ),
+                F.transform(
+                    "ws",
+                    lambda w: F.struct(
+                        w.alias("node"), F.lit(1).alias("c")
+                    ),
+                ),
+            )
+        ).alias("x")
+    ).select(F.col("x.node").alias("node"), F.col("x.c").alias("c"))
+    tri = credits.groupBy("node").agg(F.sum("c").cast("long").alias("triangles"))
+    out = (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            F.col("d").cast("long").alias("d"),
+            F.coalesce(F.col("triangles"), F.lit(0).cast("long")).alias(
+                "triangles"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    canon.unpersist()
+    deg.unpersist()
+    return out
+
+
 def ktruss_support(
     edges: DataFrame, k: int, rounds: int = 4, stats: dict | None = None
 ) -> DataFrame:

@@ -28,6 +28,7 @@ from fsc_etl_spark.operators.graph import (
     label_propagation,
     pagerank_integer,
     personalized_pagerank_integer,
+    triangle_counts_per_node,
     triangle_stats,
 )
 from fsc_etl_spark import planfp
@@ -686,6 +687,163 @@ def community_modularity(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+_COND_TOPK = 20
+
+
+def graph_conductance(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-community conductance of the LPA partition over the
+    symmetrised co-parts graph — the cut-quality twin of
+    `community_modularity` (round 13): modularity asks "denser inside
+    than chance?", conductance asks "how leaky is each community's
+    boundary?" — φ(c) = cut(c) / min(vol(c), 2m − vol(c)) (Kannan,
+    Vempala & Vetta 2004). A curation pipeline reads both before
+    trusting per-community sampling: high-modularity partitions can
+    still contain individual high-conductance (leaky) communities.
+
+    Exactness: on the symmetrised directed edge list, vol(c) = Σ_{v∈c}
+    deg(v) counts edge-endpoints in c and e_c counts directed
+    intra-community edges, so cut(c) = vol(c) − e_c counts each
+    crossing undirected edge exactly once (the direction leaving c).
+    φ is emitted as phi_ppm = (10⁶·cut) div min(vol, 2m−vol) in
+    DECIMAL(38,0) (every operand non-negative, so DuckDB's flooring
+    `//` equals Spark's truncating `div` with no sign CASE), NULL for
+    a community spanning the whole graph (denominator 0). Top-20
+    communities by (community_size DESC, label) — a deterministic
+    total order, labels unique per community.
+
+    Scale shape: identical skeleton to community_modularity — basket-
+    blocked pair generation, the documented one-edge-shuffle-per-round
+    LPA, two label-attach joins, then label-keyed aggs; the readout
+    adds only a 20-row TakeOrdered (no global sort). The pair cache
+    releases via the eager-checkpoint-then-unpersist tail; planfp
+    fingerprints the lazy readout via plan_only (ADVICE r12).
+    """
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    lj = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("hi")
+    )
+    cp = (
+        li.join(lj, (li["l_orderkey"] == lj["o"]) & (li["l_partkey"] < lj["hi"]))
+        .select(F.col("l_partkey").alias("lo"), "hi")
+        .distinct()
+        .persist()
+    )
+    edges = cp.select(F.col("lo").alias("src"), F.col("hi").alias("dst")).union(
+        cp.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+    )
+    labels = label_propagation(edges, rounds=_LPA_ROUNDS)  # eager, checkpointed
+    ls = labels.select(F.col("node").alias("src"), F.col("label").alias("ls"))
+    ld = labels.select(F.col("node").alias("dst"), F.col("label").alias("ld"))
+    internal = (
+        edges.join(ls, "src")
+        .join(ld, "dst")
+        .filter(F.col("ls") == F.col("ld"))
+        .groupBy(F.col("ls").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    comm = (
+        labels.join(deg, labels["node"] == deg["src"])
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("community_size"),
+            F.sum(F.col("d").cast("decimal(38,0)")).alias("vol"),
+        )
+        # LEFT join: a community every member of which points outward
+        # has e_c = 0 (cut == vol)
+        .join(internal, "label", "left")
+    )
+    two_m = edges.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("two_m"))
+    out = (
+        comm.crossJoin(F.broadcast(two_m))
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            "community_size",
+            F.col("vol").cast("bigint").alias("vol"),
+            (
+                F.col("vol")
+                - F.coalesce(F.col("e_c"), F.lit(0)).cast("decimal(38,0)")
+            )
+            .cast("bigint")
+            .alias("cut_edges"),
+            F.expr(
+                "CASE WHEN least(vol, two_m - vol) = 0 THEN CAST(NULL AS BIGINT)"
+                " ELSE CAST((CAST(1000000 AS DECIMAL(38,0))"
+                "   * (vol - CAST(coalesce(e_c, 0) AS DECIMAL(38,0))))"
+                "  div least(vol, two_m - vol) AS BIGINT) END"
+            ).alias("phi_ppm"),
+        )
+        .orderBy(F.col("community_size").desc(), "label")
+        .limit(_COND_TOPK)
+    )
+    if planfp.plan_only_mode():
+        return out  # lazy readout plan for the fingerprint gate
+    out = out.localCheckpoint(eager=True)
+    cp.unpersist()
+    return out
+
+
+def local_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
+    """Local-clustering-coefficient histogram of the part co-occurrence
+    graph (round 13 — operators/graph.triangle_counts_per_node): per
+    node lcc = 2·tri(v) / (d(v)·(d(v)−1)) (Watts & Strogatz 1998),
+    the node-resolved companion of `triangle_count_coparts`'s global
+    census — a curation pipeline reads the lcc distribution to
+    separate clique-embedded hub items from incidental co-occurrences
+    before trusting co-occurrence signals.
+
+    Exactness: lcc_ppm = (2·10⁶·tri) div (d·(d−1)) in DECIMAL(38,0)
+    (all operands non-negative — DuckDB flooring `//` == Spark
+    truncating `div`); nodes with d < 2 (lcc undefined) land in
+    bucket −1 with NULL min/max. Buckets: least(lcc_ppm div 10⁵, 9) —
+    ten right-closed deciles, lcc == 1.0 in bucket 9. Per bucket:
+    node count, min/max lcc_ppm, summed triangle participations.
+
+    Scale shape: pair generation is basket-blocked (bounded per-order
+    line counts); the per-node census is the compact-forward
+    orientation — forward degree O(sqrt m), triangle credits explode
+    exactly 3·n_triangles rows (never the wedge set), shuffle-hash
+    adjacency joins; the histogram is one 11-ary keyed agg. The
+    operator's internal eager checkpoint releases its caches, so the
+    fingerprinted plan pins the bucket readout (the LPA-family
+    precedent).
+    """
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    lj = li.select(
+        F.col("l_orderkey").alias("r_orderkey"), F.col("l_partkey").alias("r_partkey")
+    )
+    pairs = (
+        li.join(lj, (li["l_orderkey"] == lj["r_orderkey"]) & (li["l_partkey"] < lj["r_partkey"]))
+        .select(F.col("l_partkey").alias("src"), F.col("r_partkey").alias("dst"))
+        .distinct()
+    )
+    pernode = triangle_counts_per_node(pairs)
+    scored = pernode.select(
+        "node",
+        "triangles",
+        F.expr(
+            "CASE WHEN d < 2 THEN CAST(NULL AS BIGINT)"
+            " ELSE CAST((CAST(2000000 AS DECIMAL(38,0)) * triangles)"
+            "  div (CAST(d AS DECIMAL(38,0)) * (d - 1)) AS BIGINT) END"
+        ).alias("lcc_ppm"),
+    )
+    return (
+        scored.groupBy(
+            F.expr(
+                "coalesce(least(lcc_ppm div 100000, CAST(9 AS BIGINT)),"
+                " CAST(-1 AS BIGINT))"
+            ).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("lcc_ppm").alias("min_lcc_ppm"),
+            F.max("lcc_ppm").alias("max_lcc_ppm"),
+            F.sum("triangles").cast("bigint").alias("sum_triangles"),
+        )
+        .orderBy("bucket")
+    )
+
+
 _KCORE_K = 20
 _KCORE_ROUNDS = 8
 
@@ -1191,6 +1349,8 @@ QUERIES = {
     "ktruss_coparts": ktruss_coparts,
     "graph_label_propagation": graph_label_propagation,
     "community_modularity": community_modularity,
+    "graph_conductance": graph_conductance,
+    "local_clustering_coeff": local_clustering_coeff,
 }
 
 GRAPH_ORACLES = {
@@ -1446,6 +1606,112 @@ FROM gmod"""
 
 
 GRAPH_ORACLES["community_modularity"] = _modularity_oracle()
+
+
+def _conductance_oracle(
+    rounds: int = _LPA_ROUNDS, topk: int = _COND_TOPK
+) -> str:
+    """Conductance twin over the SAME unrolled LPA chain as the
+    modularity oracle: per-label directed internal edges and degree
+    mass, cut = vol − e_c, φ_ppm = (10⁶·cut) // min(vol, 2m−vol) in
+    HUGEINT — every operand non-negative, so DuckDB's flooring `//`
+    equals Spark's truncating `div` with no sign CASE."""
+    chain = _lpa_chain(rounds, edge_ctes=_LPA_EDGES_COPARTS)
+    chain.append(
+        "deg AS (SELECT src, CAST(COUNT(*) AS HUGEINT) AS d"
+        " FROM edges GROUP BY src)"
+    )
+    chain.append(
+        f"""internal AS (
+  SELECT ls.label AS label, CAST(COUNT(*) AS HUGEINT) AS e_c
+  FROM edges e
+  JOIN l{rounds} ls ON ls.node = e.src
+  JOIN l{rounds} ld ON ld.node = e.dst
+  WHERE ls.label = ld.label
+  GROUP BY 1
+)"""
+    )
+    chain.append(
+        f"""comm AS (
+  SELECT l.label, CAST(COUNT(*) AS BIGINT) AS community_size,
+         SUM(deg.d) AS vol
+  FROM l{rounds} l JOIN deg ON deg.src = l.node
+  GROUP BY 1
+)"""
+    )
+    chain.append(
+        """cond AS (
+  SELECT c.label, c.community_size, c.vol,
+         c.vol - COALESCE(i.e_c, CAST(0 AS HUGEINT)) AS cut,
+         (SELECT CAST(COUNT(*) AS HUGEINT) FROM edges) AS two_m
+  FROM comm c LEFT JOIN internal i USING (label)
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(chain)
+        + f"""
+SELECT CAST(label AS BIGINT) AS label,
+       community_size,
+       CAST(vol AS BIGINT) AS vol,
+       CAST(cut AS BIGINT) AS cut_edges,
+       CAST(CASE WHEN LEAST(vol, two_m - vol) = 0 THEN NULL
+                 ELSE (1000000 * cut) // LEAST(vol, two_m - vol)
+            END AS BIGINT) AS phi_ppm
+FROM cond
+ORDER BY community_size DESC, label
+LIMIT {topk}"""
+    )
+
+
+GRAPH_ORACLES["graph_conductance"] = _conductance_oracle()
+
+# Local-clustering-coefficient twin: plain three-way triangle join
+# (each triangle found once at a < b < c), per-node credits via UNION
+# ALL, then the same non-negative HUGEINT lcc arithmetic — flooring //
+# == Spark's truncating div throughout.
+GRAPH_ORACLES["local_clustering_coeff"] = """
+WITH canon AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT lo AS node FROM canon UNION ALL SELECT hi AS node FROM canon)
+  GROUP BY node
+),
+tris AS MATERIALIZED (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM canon e1
+  JOIN canon e2 ON e1.hi = e2.lo
+  JOIN canon e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+),
+credits AS (
+  SELECT a AS node FROM tris
+  UNION ALL SELECT b FROM tris
+  UNION ALL SELECT c FROM tris
+),
+tri AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+        FROM credits GROUP BY node),
+scored AS (
+  SELECT deg.node,
+         COALESCE(tri.triangles, 0) AS triangles,
+         CASE WHEN deg.d < 2 THEN NULL
+              ELSE CAST((CAST(2000000 AS HUGEINT) * COALESCE(tri.triangles, 0))
+                   // (CAST(deg.d AS HUGEINT) * (deg.d - 1)) AS BIGINT)
+         END AS lcc_ppm
+  FROM deg LEFT JOIN tri USING (node)
+)
+SELECT COALESCE(LEAST(lcc_ppm // 100000, 9), -1) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       MIN(lcc_ppm) AS min_lcc_ppm,
+       MAX(lcc_ppm) AS max_lcc_ppm,
+       CAST(SUM(triangles) AS BIGINT) AS sum_triangles
+FROM scored
+GROUP BY 1
+ORDER BY bucket
+"""
 
 
 def _hits_oracle(iters: int = _HITS_ITERS, topk: int = _HITS_TOPK) -> str:

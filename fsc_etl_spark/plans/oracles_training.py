@@ -1270,6 +1270,42 @@ ORDER BY priority DESC, doc_id ASC
 LIMIT 50
 """
 
+# Mirrors sorted_neighborhood_pairs: identical block/window definition
+# (8-char prefix blocks of the 24-char lowercased key, lead offsets 1
+# and 2 ordered by (key, doc_id)) and the same non-negative integer
+# Jaccard-ppm arithmetic — flooring // == Spark's truncating div.
+TRAINING_ORACLES["sorted_neighborhood_pairs"] = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id,
+         substr(lower(trim(text)), 1, 24) AS key,
+         substr(substr(lower(trim(text)), 1, 24), 1, 8) AS block,
+         list_distinct({_TOKS}) AS tok
+  FROM documents
+),
+w AS (
+  SELECT block, doc_id, tok,
+         lead(doc_id, 1) OVER win AS b1, lead(tok, 1) OVER win AS t1,
+         lead(doc_id, 2) OVER win AS b2, lead(tok, 2) OVER win AS t2
+  FROM base WINDOW win AS (PARTITION BY block ORDER BY key, doc_id)
+),
+pairs AS (
+  SELECT block, doc_id AS doc_a, b1 AS doc_b,
+         CAST(len(list_intersect(tok, t1)) AS BIGINT) AS n_inter,
+         CAST(len(list_distinct(list_cat(tok, t1))) AS BIGINT) AS n_union
+  FROM w WHERE b1 IS NOT NULL
+  UNION ALL
+  SELECT block, doc_id, b2,
+         CAST(len(list_intersect(tok, t2)) AS BIGINT),
+         CAST(len(list_distinct(list_cat(tok, t2))) AS BIGINT)
+  FROM w WHERE b2 IS NOT NULL
+)
+SELECT block, doc_a, doc_b,
+       CAST((1000000 * n_inter) // n_union AS BIGINT) AS jaccard_ppm
+FROM pairs WHERE n_union > 0
+ORDER BY jaccard_ppm DESC, doc_a, doc_b
+LIMIT 20
+"""
+
 # Mirrors token_budget_schedule: exact integer split of the 200k
 # budget by source-name rank, then div/mod epoch decomposition.
 TRAINING_ORACLES["token_budget_schedule"] = f"""

@@ -1435,6 +1435,100 @@ def weighted_priority_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SNM_KEY_CHARS = 24
+_SNM_BLOCK_CHARS = 8
+_SNM_OFFSETS = (1, 2)  # window w = 3: each doc pairs with its next 2
+_SNM_TOPK = 20
+
+
+def sorted_neighborhood_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood entity-resolution blocking (Hernández &
+    Stolfo 1995) — the third blocking family beside hash blocking
+    (dedup_exact_groups) and LSH banding (lsh_near_dup_candidates):
+    sort records by a discriminating key and compare only records
+    within a sliding window of the sort order. Candidate pairs get an
+    exact token-set Jaccard readout; top-20 by (jaccard_ppm DESC,
+    doc_a, doc_b) — the audit view a curator reads to set the merge
+    threshold.
+
+    Key = first 24 chars of lower(trim(text)); the distributed
+    lowering is BLOCK-SCOPED SNM: records partition by the key's
+    8-char prefix and the w=3 window slides inside each block (the
+    standard parallel form — a single global sort order would need
+    one total-order partition). Pairs that straddle a block boundary
+    are out of scope BY CONSTRUCTION (not dropped at random), which
+    is the multi-pass SNM posture: production runs add passes with
+    rotated keys, each pass this same query shape. Both engines
+    compute the identical block/window definition, so the result is
+    deterministic and hash-stable.
+
+    Exactness: Jaccard in ppm over DISTINCT whitespace tokens,
+    (10⁶·|∩|) div |∪| — non-negative BIGINTs, flooring == truncating;
+    zero-union pairs (both token sets empty) are filtered, ties break
+    by (doc_a, doc_b).
+
+    Scale shape: one map-side projection (key, token set), ONE
+    shuffle on block for the window, the two lead offsets taken in a
+    SINGLE window pass and exploded from one struct array (the
+    triangle-credits lesson — a union of per-offset selects would
+    re-evaluate the window per branch), then a 20-row TakeOrdered.
+    Work is O(n·w); block sizes are bounded by key-prefix density —
+    a skewed block (shared boilerplate prefix) is exactly the
+    near-duplicate cluster the pass exists to surface, and the
+    per-block window keeps its cost linear in the block, never
+    quadratic.
+    """
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id",
+        F.substring(F.lower(F.trim(F.col("text"))), 1, _SNM_KEY_CHARS).alias(
+            "key"
+        ),
+        F.array_distinct(tokens(F.col("text"))).alias("tok"),
+    ).withColumn("block", F.substring("key", 1, _SNM_BLOCK_CHARS))
+    w = Window.partitionBy("block").orderBy("key", "doc_id")
+    leads = base.select(
+        "block",
+        "doc_id",
+        "tok",
+        F.array(
+            *[
+                F.struct(
+                    F.lead("doc_id", i).over(w).alias("b"),
+                    F.lead("tok", i).over(w).alias("tb"),
+                )
+                for i in _SNM_OFFSETS
+            ]
+        ).alias("nbrs"),
+    )
+    pairs = (
+        leads.select("block", "doc_id", "tok", F.explode("nbrs").alias("x"))
+        .filter(F.col("x.b").isNotNull())
+        .select(
+            "block",
+            F.col("doc_id").alias("doc_a"),
+            F.col("x.b").alias("doc_b"),
+            F.size(F.array_intersect("tok", "x.tb"))
+            .cast("bigint")
+            .alias("n_inter"),
+            F.size(F.array_union("tok", "x.tb")).cast("bigint").alias("n_union"),
+        )
+    )
+    return (
+        pairs.filter(F.col("n_union") > 0)
+        .select(
+            "block",
+            "doc_a",
+            "doc_b",
+            F.expr("CAST((1000000 * n_inter) div n_union AS BIGINT)").alias(
+                "jaccard_ppm"
+            ),
+        )
+        .orderBy(F.col("jaccard_ppm").desc(), "doc_a", "doc_b")
+        .limit(_SNM_TOPK)
+    )
+
+
 def embed_dim_median_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-DIMENSION embedding statistics (the normalization-prep axis
     orthogonal to embed_norm_stats' per-row norms): posexplode each
@@ -3013,6 +3107,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_stratified_sample": hash_stratified_sample,
     "pps_token_sample": pps_token_sample,
     "weighted_priority_sample": weighted_priority_sample,
+    "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
     "token_vocab_topk": token_vocab_topk,
     "mixture_resample_to_min": mixture_resample_to_min,
     "embed_dim_median_stats": embed_dim_median_stats,

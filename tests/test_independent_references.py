@@ -2521,6 +2521,111 @@ def test_community_modularity_against_reference(spark, sf_smoke):
     ) == (len(d_c), two_m, sum_e, sum_d2, q)
 
 
+def test_graph_conductance_against_reference(spark, sf_smoke):
+    """Per-community conductance recomputed with plain dicts and
+    Python big ints over the same 3-round LPA partition: cut = vol −
+    directed-internal, phi_ppm = (10⁶·cut) // min(vol, 2m−vol)
+    (non-negative, floor == Spark's truncating div), NULL when the
+    community spans the whole graph; top-20 by (size DESC, label)."""
+    from fsc_etl_spark.plans.graph_ops import QUERIES as GRAPH_QUERIES
+
+    li, _ = _copurchase_pairs(spark, sf_smoke)
+    by_order: dict[int, set] = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    label = {v: v for v in adj}
+    for _ in range(3):
+        nxt = {}
+        for v, neigh in adj.items():
+            cnt: dict[int, int] = {}
+            for u in neigh:
+                cnt[label[u]] = cnt.get(label[u], 0) + 1
+            nxt[v] = max(cnt.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        label = nxt
+    two_m = 2 * len(edges)
+    size: dict[int, int] = {}
+    vol: dict[int, int] = {}
+    e_c: dict[int, int] = {}
+    for v, neigh in adj.items():
+        size[label[v]] = size.get(label[v], 0) + 1
+        vol[label[v]] = vol.get(label[v], 0) + len(neigh)
+    for a, b in edges:
+        if label[a] == label[b]:
+            e_c[label[a]] = e_c.get(label[a], 0) + 2
+    expected = []
+    for lab in sorted(size, key=lambda c: (-size[c], c))[:20]:
+        cut = vol[lab] - e_c.get(lab, 0)
+        den = min(vol[lab], two_m - vol[lab])
+        phi = (1_000_000 * cut) // den if den > 0 else None
+        expected.append((lab, size[lab], vol[lab], cut, phi))
+    got = [
+        (r.label, r.community_size, r.vol, r.cut_edges, r.phi_ppm)
+        for r in GRAPH_QUERIES["graph_conductance"](spark, sf_smoke).collect()
+    ]
+    assert got == expected
+
+
+def test_local_clustering_coeff_against_reference(spark, sf_smoke):
+    """Per-node lcc recomputed by brute force over neighbor sets
+    (tri(v) = adjacent neighbor pairs), lcc_ppm via Python floor of
+    non-negative big ints, then the same decile bucketing with d < 2
+    in bucket −1."""
+    from fsc_etl_spark.plans.graph_ops import QUERIES as GRAPH_QUERIES
+
+    li, _ = _copurchase_pairs(spark, sf_smoke)
+    by_order: dict[int, set] = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    adj: dict[int, set] = {}
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                adj.setdefault(ps[i], set()).add(ps[j])
+                adj.setdefault(ps[j], set()).add(ps[i])
+    buckets: dict[int, list] = {}
+    for v, neigh in adj.items():
+        nl = sorted(neigh)
+        tri = sum(
+            1
+            for i in range(len(nl))
+            for j in range(i + 1, len(nl))
+            if nl[j] in adj[nl[i]]
+        )
+        d = len(neigh)
+        if d < 2:
+            b, ppm = -1, None
+        else:
+            ppm = (2_000_000 * tri) // (d * (d - 1))
+            b = min(ppm // 100_000, 9)
+        buckets.setdefault(b, []).append((ppm, tri))
+    expected = [
+        (
+            b,
+            len(vals),
+            min((p for p, _ in vals if p is not None), default=None),
+            max((p for p, _ in vals if p is not None), default=None),
+            sum(t for _, t in vals),
+        )
+        for b, vals in sorted(buckets.items())
+    ]
+    got = [
+        (r.bucket, r.n_nodes, r.min_lcc_ppm, r.max_lcc_ppm, r.sum_triangles)
+        for r in GRAPH_QUERIES["local_clustering_coeff"](spark, sf_smoke).collect()
+    ]
+    assert got == expected
+
+
 def test_weighted_priority_sample_against_reference(spark, sf_smoke):
     """Priority sampling recomputed with hashlib and Python big ints:
     u = 28 bits of md5(str(doc_id)) + 1, priority = (w << 40) // u
@@ -2541,3 +2646,42 @@ def test_weighted_priority_sample_against_reference(spark, sf_smoke):
         for r in TD_QUERIES["weighted_priority_sample"](spark, sf_smoke).collect()
     ]
     assert got == expect and len(got) == 50
+
+
+def test_sorted_neighborhood_pairs_against_reference(spark, sf_smoke):
+    """Block-scoped sorted-neighborhood blocking recomputed with plain
+    Python: 24-char lowercased key, 8-char prefix blocks, per-block
+    sort by (key, doc_id), offsets 1-2 pairs, distinct-token Jaccard
+    ppm via non-negative big-int floor; top-20 by the same order."""
+    from fsc_etl_spark.plans.training_data import QUERIES as TD_QUERIES
+
+    docs = read_parquet_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    rows = []
+    for r in docs:
+        key = r.text.strip().lower()[:24]
+        tok = set(t for t in r.text.strip().split() if t)
+        rows.append((key[:8], key, r.doc_id, tok))
+    blocks: dict[str, list] = {}
+    for b, key, did, tok in rows:
+        blocks.setdefault(b, []).append((key, did, tok))
+    pairs = []
+    for b, members in blocks.items():
+        members.sort(key=lambda x: (x[0], x[1]))
+        for i, (_, did, tok) in enumerate(members):
+            for off in (1, 2):
+                if i + off < len(members):
+                    _, did2, tok2 = members[i + off]
+                    nu = len(tok | tok2)
+                    if nu > 0:
+                        pairs.append(
+                            (b, did, did2, (1_000_000 * len(tok & tok2)) // nu)
+                        )
+    pairs.sort(key=lambda p: (-p[3], p[1], p[2]))
+    expect = pairs[:20]
+    got = [
+        (r.block, r.doc_a, r.doc_b, r.jaccard_ppm)
+        for r in TD_QUERIES["sorted_neighborhood_pairs"](spark, sf_smoke).collect()
+    ]
+    assert got == expect
