@@ -455,6 +455,13 @@ BENCH_QUERIES = [
     # then array intersect/union Jaccard per candidate pair (no other
     # benched query windows over array columns).
     "sorted_neighborhood_pairs",
+    # round-13: maxsim_late_interaction IS benched — multi-vector
+    # late-interaction scoring is a new data-sized shape: map-side
+    # subvector posexplode (4x corpus rows), 80 in-task 16-dim folds
+    # per doc against the broadcast query slots, then a two-level
+    # (MAX-then-SUM) keyed agg before the per-query top-k window (no
+    # other benched query aggregates over an exploded subvector axis).
+    "maxsim_late_interaction",
 ]
 
 ALL_QUERIES = entrymod.queries()

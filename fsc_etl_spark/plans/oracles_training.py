@@ -333,6 +333,40 @@ ranked AS (
 SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 5
 """
 
+# Mirrors maxsim_late_interaction: identical subvector slicing
+# (list_slice is 1-based inclusive, matching Spark's slice(start,
+# length)), the same ROUND(cos, 6) per pair, MAX over rounded doubles,
+# micro quantization, then a pure-BIGINT sum over the 4 query slots.
+TRAINING_ORACLES["maxsim_late_interaction"] = f"""
+WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+subs AS (
+  SELECT vec_id, g.i, list_slice(v, g.i * 16 + 1, g.i * 16 + 16) AS sv
+  FROM e, (SELECT unnest(generate_series(0, 3)) AS i) g
+),
+sn AS (SELECT vec_id, i, sv, sqrt(list_dot_product(sv, sv)) AS n FROM subs),
+q AS (SELECT vec_id AS query_id, i AS qi, sv AS qv, n AS qn
+      FROM sn WHERE vec_id < 5),
+best AS (
+  SELECT q.query_id, q.qi, c.vec_id,
+         CAST(ROUND(MAX(ROUND(list_dot_product(q.qv, c.sv) / (q.qn * c.n), 6))
+                    * 1000000, 0) AS BIGINT) AS best_micro
+  FROM sn c, q WHERE c.vec_id <> q.query_id
+  GROUP BY q.query_id, q.qi, c.vec_id
+),
+scores AS (
+  SELECT query_id, vec_id, CAST(SUM(best_micro) AS BIGINT) AS score_micro
+  FROM best GROUP BY query_id, vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score_micro,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score_micro DESC, vec_id ASC)
+              AS INTEGER) AS rank
+  FROM scores
+)
+SELECT query_id, vec_id, score_micro, rank FROM ranked WHERE rank <= 5
+"""
+
 # embed_nn_within_label / dedup_embed_neardup: per-SF trained-codebook
 # oracles since round 10 — see SF_ORACLE_GENERATORS below (the static
 # label-blocked SQL was retired with the fixed-label blocking).

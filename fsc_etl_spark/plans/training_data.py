@@ -705,6 +705,100 @@ def embed_cosine_topk_pandas(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_topk_pandas(emb, queries, k=5)
 
 
+_MAXSIM_SUBS = 4
+_MAXSIM_SUBDIM = 16
+_MAXSIM_K = 5
+
+
+def maxsim_late_interaction(spark: SparkSession, sf: str) -> DataFrame:
+    """Late-interaction MaxSim retrieval scoring (Khattab & Zaharia
+    2020, ColBERT) — the multi-vector member of the retrieval family
+    beside the single-vector embed_cosine_topk and the lexical
+    bm25_topk_docs: each vector is treated as S=4 token-level
+    subvectors (16 dims each — the fixture carries one 64-dim vector
+    per doc, so the slices stand in for per-token embeddings; a real
+    corpus supplies them directly) and
+    score(q, d) = Σ_i max_j cos(q_i, d_j) — every query token scores
+    its best-matching doc token, summed. Queries are vec_id < 5 (the
+    embed_cosine_topk convention, self excluded), top-5 per query.
+
+    Exactness: each pairwise cos is the repo's proven
+    ROUND(dot/(‖q‖·‖d‖), 6); the per-(query, i, doc) MAX compares
+    those rounded doubles exactly, is then quantized to an integer
+    micro score (ROUND(best·10⁶)), and the final Σ over the 4 query
+    slots is pure BIGINT — accumulation-order-proof where a double
+    sum would be ulp-sensitive across engines (the micro-nat
+    discipline). Ties break (score_micro DESC, vec_id ASC).
+
+    Scale shape: the 20 query subvectors broadcast; the corpus
+    explodes map-side to 4 subvector rows per doc and scores 80
+    pairs/doc in-task (one 16-dim fold each); then TWO keyed aggs —
+    (query, slot, doc) MAX with map-side partials, (query, doc) SUM —
+    and the per-query top-k window (the cosine_topk pattern). No
+    corpus self-join, nothing super-linear; at 100 TB the candidate
+    generation upstream would be the IVF/LSH tiers, this is the exact
+    re-rank stage they feed.
+    """
+    from fsc_etl_spark.operators.similarity import (
+        ROUND_DIGITS,
+        _as_double,
+        dot,
+        l2_norm,
+    )
+
+    emb = t(spark, sf, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("v", i * _MAXSIM_SUBDIM + 1, _MAXSIM_SUBDIM)
+                    for i in range(_MAXSIM_SUBS)
+                ]
+            )
+        ).alias("i", "sv"),
+    ).withColumn("n", l2_norm(F.col("sv")))
+    q = subs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("i").alias("qi"),
+        F.col("sv").alias("qv"),
+        F.col("n").alias("qn"),
+    )
+    best = (
+        subs.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("qv"), F.col("sv")) / (F.col("qn") * F.col("n")),
+                ROUND_DIGITS,
+            ),
+        )
+        .groupBy("query_id", "qi", "vec_id")
+        .agg(F.max("cos").alias("best"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr("CAST(ROUND(best * 1000000, 0) AS BIGINT)").alias(
+                "best_micro"
+            ),
+        )
+    )
+    scores = best.groupBy("query_id", "vec_id").agg(
+        F.sum("best_micro").cast("bigint").alias("score_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _MAXSIM_K)
+        .select("query_id", "vec_id", "score_micro", "rank")
+    )
+
+
 def _daily_user_counts(spark: SparkSession, sf: str) -> DataFrame:
     return (
         t(spark, sf, "events")
@@ -3108,6 +3202,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pps_token_sample": pps_token_sample,
     "weighted_priority_sample": weighted_priority_sample,
     "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
+    "maxsim_late_interaction": maxsim_late_interaction,
     "token_vocab_topk": token_vocab_topk,
     "mixture_resample_to_min": mixture_resample_to_min,
     "embed_dim_median_stats": embed_dim_median_stats,

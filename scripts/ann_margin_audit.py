@@ -215,8 +215,29 @@ def main() -> int:
         scaled_assign = (sc_Ss[:, 0] - sc_Ss[:, 1]).min()
         sc_tau, _sc_loser, sc_bnd = semdedup_margins(SCB)
 
+        # Round-13 MaxSim late interaction: every (query subvector,
+        # doc subvector) cosine feeds a 6dp ROUND before the MAX /
+        # micro-sum (both of which act on exact rounded values, so
+        # boundary proximity is the only cross-engine fork risk;
+        # score ties at the top-5 cutoff break on vec_id).
+        subdim = 16
+        maxsim_bnd = np.inf
+        for s in range(4):
+            Qs = V[qmask][:, s * subdim : (s + 1) * subdim]
+            qn_ = np.sqrt((Qs * Qs).sum(axis=1))
+            for s2 in range(4):
+                Cs = V[:, s2 * subdim : (s2 + 1) * subdim]
+                cn_ = np.sqrt((Cs * Cs).sum(axis=1))
+                pc = (Qs @ Cs.T) / np.outer(qn_, cn_)
+                maxsim_bnd = min(
+                    maxsim_bnd,
+                    np.abs(np.abs(pc * 1e6 - np.floor(pc * 1e6)) - 0.5).min()
+                    * 1e-6,
+                )
+
         for tier, margin, floor in [
             ("lsh_sign", lsh_margin, FLOOR),
+            ("maxsim_round_boundary", maxsim_bnd, BOUNDARY_FLOOR),
             ("ivf_assign", ivf_assign, FLOOR),
             ("ivf_probe", ivf_probe, FLOOR),
             ("trained_ivf_assign", trained_ivf_assign, FLOOR),

@@ -2685,3 +2685,50 @@ def test_sorted_neighborhood_pairs_against_reference(spark, sf_smoke):
         for r in TD_QUERIES["sorted_neighborhood_pairs"](spark, sf_smoke).collect()
     ]
     assert got == expect
+
+
+def test_maxsim_late_interaction_against_reference(spark, sf_smoke):
+    """MaxSim recomputed with plain Python floats: 4x16 subvector
+    slices, per-pair cos rounded to 6dp, max per query slot, micro
+    quantization, integer sum, top-5 per query by (score, vec_id)."""
+    import math
+
+    from fsc_etl_spark.plans.training_data import QUERIES as TD_QUERIES
+
+    rows = read_parquet_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    subs = {}
+    for r in rows:
+        v = [float(x) for x in r.embedding]
+        subs[r.vec_id] = [
+            (sv, math.sqrt(sum(x * x for x in sv)))
+            for sv in (v[i * 16 : (i + 1) * 16] for i in range(4))
+        ]
+    scores = {}
+    for qid in [i for i in subs if i < 5]:
+        for cid in subs:
+            if cid == qid:
+                continue
+            total = 0
+            for qv, qn in subs[qid]:
+                best = max(
+                    round(
+                        sum(a * b for a, b in zip(qv, cv)) / (qn * cn), 6
+                    )
+                    for cv, cn in subs[cid]
+                )
+                total += int(round(best * 1_000_000))
+            scores[(qid, cid)] = total
+    expect = []
+    for qid in sorted({q for q, _ in scores}):
+        cand = sorted(
+            ((s, c) for (q, c), s in scores.items() if q == qid),
+            key=lambda x: (-x[0], x[1]),
+        )[:5]
+        expect += [(qid, c, s, i + 1) for i, (s, c) in enumerate(cand)]
+    got = sorted(
+        (r.query_id, r.vec_id, r.score_micro, r.rank)
+        for r in TD_QUERIES["maxsim_late_interaction"](spark, sf_smoke).collect()
+    )
+    assert got == sorted(expect)
