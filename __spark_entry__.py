@@ -54,10 +54,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r12 #1/#2): the window leads with the one query whose runtime
     behavior changed this round — `graph_common_neighbors` (eager-
     checkpoint-then-unpersist cache lifecycle, the builder's own r13
-    TODO; results unchanged) — then the six round-13 debuts
+    TODO; results unchanged) — then the eight round-13 debuts
     (community_modularity, weighted_priority_sample, and the
     mid-round batch graph_conductance + local_clustering_coeff +
-    sorted_neighborhood_pairs + maxsim_late_interaction), then the
+    sorted_neighborhood_pairs + maxsim_late_interaction +
+    basket_triple_support + weak_label_agreement), then the
     staleness backlog oldest first: the 6 r3-vintage rows
     (timeseries_locf, token_vocab_topk, user_funnel,
     user_trend_slope_pandas, window_frames_breadth, zorder_key_demo —
@@ -109,6 +110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_clustering_coeff",
         "sorted_neighborhood_pairs",
         "maxsim_late_interaction",
+        "basket_triple_support",
+        "weak_label_agreement",
         # --- staleness rotation (VERDICT r12 #1): the 6 r3-vintage
         # rows — the oldest driver rows anywhere after r12 ---
         "timeseries_locf",
@@ -156,12 +159,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_roundtrip_stats",
         # --- staleness rotation: the full r6-vintage generation (7),
         # alphabetical ---
-        "dpp_pruned_rollup",
-        "incremental_join_maintenance",
-        # (kmeans_cluster_stats, orc_roundtrip_stats, pit_feature_join,
-        # segment_dedup_mask, vocab_coverage_stats — the last five r6
-        # rows alphabetically — and the 19 r7-vintage rows lead the r14
-        # window; they ceded slots to the six r13 debuts)
+        # (dpp_pruned_rollup, incremental_join_maintenance,
+        # kmeans_cluster_stats, orc_roundtrip_stats, pit_feature_join,
+        # segment_dedup_mask, vocab_coverage_stats — the full r6
+        # generation — and the 19 r7-vintage rows lead the r14 window;
+        # they ceded slots to the eight r13 debuts)
     ]
     if len(priority) != 50:  # contract check — not an assert: survives python -O
         raise ValueError(f"driver window must be exactly 50, got {len(priority)}")

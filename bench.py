@@ -462,6 +462,17 @@ BENCH_QUERIES = [
     # (MAX-then-SUM) keyed agg before the per-query top-k window (no
     # other benched query aggregates over an exploded subvector axis).
     "maxsim_late_interaction",
+    # round-13: basket_triple_support IS benched — the A-Priori C3
+    # expansion is a new data-sized stage past the benched pair pass:
+    # a second within-basket join extends every pair with a third
+    # item (<= cap^3 per basket) before a three-key agg and a triple
+    # item-count attach.
+    # weak_label_agreement is OFF-bench: its data-sized stage is ONE
+    # map-side token-count projection feeding a 1-row global agg —
+    # physically the benched single-scan text class
+    # (text_token_stats / gopher_quality_flags); the 21-row stack is
+    # driver-trivial.
+    "basket_triple_support",
 ]
 
 ALL_QUERIES = entrymod.queries()

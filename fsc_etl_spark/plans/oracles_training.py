@@ -333,6 +333,58 @@ ranked AS (
 SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 5
 """
 
+def _weak_label_oracle() -> str:
+    """Generated twin of weak_label_agreement: the SAME loop order
+    builds the 21 (scope, metric) counters, so scope strings and
+    metric names can never drift between engines."""
+    from fsc_etl_spark.plans.training_data import _WEAK_LFS
+
+    lf_cols = ", ".join(
+        f"CASE WHEN len(list_filter({_TOKS}, x -> x = '{p}'))"
+        f" > len(list_filter({_TOKS}, x -> x = '{n}')) THEN 1"
+        f" WHEN len(list_filter({_TOKS}, x -> x = '{p}'))"
+        f" < len(list_filter({_TOKS}, x -> x = '{n}')) THEN -1"
+        f" ELSE 0 END AS {name}"
+        for name, p, n in _WEAK_LFS
+    )
+    names = [name for name, _, _ in _WEAK_LFS]
+    total = " + ".join(names)
+    counters: list[tuple[str, str, str]] = []
+    for name in names:
+        counters.append((name, "coverage", f"{name} <> 0"))
+        counters.append((name, "n_neg", f"{name} = -1"))
+        counters.append((name, "n_pos", f"{name} = 1"))
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = names[i], names[j]
+            scope = f"{a}|{b}"
+            both = f"{a} <> 0 AND {b} <> 0"
+            counters.append((scope, "n_agree", f"{both} AND {a} = {b}"))
+            counters.append((scope, "n_both", both))
+            counters.append((scope, "n_conflict", f"{both} AND {a} <> {b}"))
+    counters.append(("vote", "n_neg", "vote = -1"))
+    counters.append(("vote", "n_pos", "vote = 1"))
+    counters.append(("vote", "n_zero", "vote = 0"))
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS c{k}"
+        for k, (_, _, cond) in enumerate(counters)
+    )
+    rows = "\nUNION ALL ".join(
+        f"SELECT '{scope}' AS scope, '{metric}' AS metric, c{k} AS value FROM agg"
+        for k, (scope, metric, _) in enumerate(counters)
+    )
+    return f"""
+WITH lab AS (SELECT {lf_cols} FROM documents),
+v AS (SELECT *, CASE WHEN {total} > 0 THEN 1
+                     WHEN {total} < 0 THEN -1 ELSE 0 END AS vote FROM lab),
+agg AS (SELECT {sums} FROM v)
+{rows}
+ORDER BY scope, metric
+"""
+
+
+TRAINING_ORACLES["weak_label_agreement"] = _weak_label_oracle()
+
 # Mirrors maxsim_late_interaction: identical subvector slicing
 # (list_slice is 1-based inclusive, matching Spark's slice(start,
 # length)), the same ROUND(cos, 6) per pair, MAX over rounded doubles,

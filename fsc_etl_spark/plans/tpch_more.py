@@ -432,9 +432,98 @@ def basket_pair_support(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+_TRIPLE_TOPK = 50
+
+
+def basket_triple_support(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket 3-itemset mining (round 13 — the C3 candidate
+    pass of A-Priori, Agrawal & Srikant 1994, extending
+    basket_pair_support's L2): top-50 part triples by co-occurrence
+    support with ALL-CONFIDENCE in ppm (Omiecinski 2003) —
+    all_conf(abc) = support / max(cnt_a, cnt_b, cnt_c), the
+    null-invariant interestingness measure that, unlike triple lift
+    (support·n²/(ca·cb·cc)), needs no n_baskets² product and so stays
+    inside DECIMAL(38,0) at ANY corpus size (10⁶·support ≤ 10⁶·n —
+    triple lift would overflow 38 digits past ~4·10¹⁰ baskets).
+    Non-negative operands throughout: flooring // == truncating div.
+
+    Scale shape: the same basket-capped expansion as the pair pass —
+    baskets over _BASKET_MAX_ITEMS distinct parts excluded by the one
+    window-attach shuffle, so per-basket triple work is ≤ cap³
+    (TPC-H baskets ≤ 7 lines → ≤ 35 triples each); generation is the
+    A-Priori join C3 = L2 ⋈ items (pairs extend with a third item
+    c > b within the basket), two keyed aggs for supports, one
+    broadcast item-count attach per slot, TakeOrdered heap. Top-k by
+    (support DESC, part_a, part_b, part_c) — a total integer order.
+    Eager-checkpoint-then-unpersist tail (the basket_pair_support
+    pattern); planfp sees the lazy plan via plan_only.
+    """
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    basket = li.distinct()
+    bk = (
+        basket.withColumn(
+            "n_items",
+            F.count(F.lit(1)).over(Window.partitionBy("l_orderkey")),
+        )
+        .filter(F.col("n_items") <= _BASKET_MAX_ITEMS)
+        .drop("n_items")
+        .persist()  # read five times: n-counts, items, three join sides
+    )
+    item = bk.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a = bk.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = bk.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    c = bk.select("l_orderkey", F.col("l_partkey").alias("part_c"))
+    sup = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .join(c, "l_orderkey")
+        .filter(F.col("part_b") < F.col("part_c"))
+        .groupBy("part_a", "part_b", "part_c")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    dec = "decimal(38,0)"
+    out = (
+        sup.join(
+            item.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a")),
+            "part_a",
+        )
+        .join(
+            item.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b")),
+            "part_b",
+        )
+        .join(
+            item.select(F.col("l_partkey").alias("part_c"), F.col("cnt").alias("cnt_c")),
+            "part_c",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "part_c",
+            F.col("support").cast("bigint").alias("support"),
+            F.expr(
+                f"CAST((CAST(1000000 AS {dec}) * CAST(support AS {dec}))"
+                f" div CAST(greatest(cnt_a, cnt_b, cnt_c) AS {dec}) AS BIGINT)"
+            ).alias("all_conf_ppm"),
+        )
+        .orderBy(
+            F.col("support").desc(),
+            F.col("part_a").asc(),
+            F.col("part_b").asc(),
+            F.col("part_c").asc(),
+        )
+        .limit(_TRIPLE_TOPK)
+    )
+    if planfp.plan_only_mode():
+        return out  # expose the real plan to the fingerprint gate
+    out = out.localCheckpoint(eager=True)
+    bk.unpersist()
+    return out
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q7_volume_shipping": q7_volume_shipping,
     "basket_pair_support": basket_pair_support,
+    "basket_triple_support": basket_triple_support,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
     "q13_customer_distribution": q13_customer_distribution,
@@ -482,6 +571,38 @@ JOIN item ib ON ib.l_partkey = s.part_b
 CROSS JOIN nb
 ORDER BY support DESC, part_a ASC, part_b ASC
 LIMIT {_BASKET_TOPK}
+"""
+
+# Triple twin: same basket cap, A-Priori triple join, and the
+# overflow-safe all-confidence arithmetic (non-negative HUGEINTs, so
+# flooring // == Spark's truncating div).
+TPCH_ORACLES["basket_triple_support"] = f"""
+WITH b0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+small AS (
+  SELECT l_orderkey FROM b0 GROUP BY l_orderkey
+  HAVING COUNT(*) <= {_BASKET_MAX_ITEMS}
+),
+bk AS MATERIALIZED (SELECT b0.* FROM b0 JOIN small USING (l_orderkey)),
+item AS (
+  SELECT l_partkey, CAST(COUNT(*) AS HUGEINT) AS cnt FROM bk GROUP BY l_partkey
+),
+sup AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, c.l_partkey AS part_c,
+         CAST(COUNT(*) AS HUGEINT) AS support
+  FROM bk a
+  JOIN bk b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN bk c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+  GROUP BY 1, 2, 3
+)
+SELECT s.part_a, s.part_b, s.part_c, CAST(s.support AS BIGINT) AS support,
+       CAST((1000000 * s.support)
+            // GREATEST(ia.cnt, ib.cnt, ic.cnt) AS BIGINT) AS all_conf_ppm
+FROM sup s
+JOIN item ia ON ia.l_partkey = s.part_a
+JOIN item ib ON ib.l_partkey = s.part_b
+JOIN item ic ON ic.l_partkey = s.part_c
+ORDER BY support DESC, part_a ASC, part_b ASC, part_c ASC
+LIMIT {_TRIPLE_TOPK}
 """
 
 TPCH_ORACLES["q7_volume_shipping"] = f"""

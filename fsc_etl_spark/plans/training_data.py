@@ -799,6 +799,87 @@ def maxsim_late_interaction(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: (name, positive token, negative token) — the labeling functions are
+#: DETERMINISTIC pure keyword rules (the driver-brief constraint on
+#: heuristics): label = sign(count(pos) − count(neg)), 0 = abstain.
+_WEAK_LFS = [
+    ("lf_flow", "stream", "batch"),
+    ("lf_size", "big", "small"),
+    ("lf_speed", "fast", "slow"),
+]
+
+
+def weak_label_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Weak-supervision labeling-function audit (Ratner et al. 2017,
+    Snorkel): before training a label model, a pipeline measures each
+    labeling function's coverage/polarity, every pair's
+    agreement/conflict on co-active docs, and the majority-vote class
+    balance. Three deterministic keyword LFs over the corpus (label =
+    sign(count(pos_token) − count(neg_token)) ∈ {−1, 0, +1}, 0 =
+    abstain); vote = sign(Σ labels).
+
+    Output is LONG-format (scope, metric, value) — 21 BIGINT counter
+    rows: per-LF coverage/n_pos/n_neg, per-pair (lexicographic
+    'a|b' scope) n_both/n_agree/n_conflict, and the vote class
+    counts — ordered by (scope, metric), all pure integers.
+
+    Scale shape: the LF evaluation is one map-side projection per doc
+    (three token-count comparisons over one tokenization); ALL 21
+    counters come out of a SINGLE global aggregate (map-side partials
+    → one 1-row reduce) and the long format is a literal 21-row
+    stack over that row — the corpus is scanned once and never
+    shuffled.
+    """
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    tk = docs.select(tokens(F.col("text")).alias("tk"))
+
+    def lf(pos: str, neg: str):
+        p = F.size(F.filter(F.col("tk"), lambda x: x == pos))
+        n = F.size(F.filter(F.col("tk"), lambda x: x == neg))
+        return (
+            F.when(p > n, F.lit(1)).when(p < n, F.lit(-1)).otherwise(F.lit(0))
+        )
+
+    lab = tk.select(
+        *[lf(p, n).alias(name) for name, p, n in _WEAK_LFS]
+    ).withColumn(
+        "vote",
+        F.expr(
+            "CASE WHEN lf_flow + lf_size + lf_speed > 0 THEN 1 "
+            "WHEN lf_flow + lf_size + lf_speed < 0 THEN -1 ELSE 0 END"
+        ),
+    )
+    names = [name for name, _, _ in _WEAK_LFS]
+    aggs = []
+    stack_terms = []
+
+    def counter(scope: str, metric: str, cond):
+        col = f"c{len(aggs)}"
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(col))
+        stack_terms.append(f"'{scope}', '{metric}', {col}")
+
+    for name in names:
+        counter(name, "coverage", F.col(name) != 0)
+        counter(name, "n_neg", F.col(name) == -1)
+        counter(name, "n_pos", F.col(name) == 1)
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b, scope = names[i], names[j], f"{names[i]}|{names[j]}"
+            both = (F.col(a) != 0) & (F.col(b) != 0)
+            counter(scope, "n_agree", both & (F.col(a) == F.col(b)))
+            counter(scope, "n_both", both)
+            counter(scope, "n_conflict", both & (F.col(a) != F.col(b)))
+    counter("vote", "n_neg", F.col("vote") == -1)
+    counter("vote", "n_pos", F.col("vote") == 1)
+    counter("vote", "n_zero", F.col("vote") == 0)
+    wide = lab.agg(*aggs)
+    stack = f"stack({len(stack_terms)}, " + ", ".join(stack_terms) + ")"
+    return (
+        wide.select(F.expr(stack).alias("scope", "metric", "value"))
+        .orderBy("scope", "metric")
+    )
+
+
 def _daily_user_counts(spark: SparkSession, sf: str) -> DataFrame:
     return (
         t(spark, sf, "events")
@@ -3203,6 +3284,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_priority_sample": weighted_priority_sample,
     "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
     "maxsim_late_interaction": maxsim_late_interaction,
+    "weak_label_agreement": weak_label_agreement,
     "token_vocab_topk": token_vocab_topk,
     "mixture_resample_to_min": mixture_resample_to_min,
     "embed_dim_median_stats": embed_dim_median_stats,

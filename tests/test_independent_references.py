@@ -2732,3 +2732,89 @@ def test_maxsim_late_interaction_against_reference(spark, sf_smoke):
         for r in TD_QUERIES["maxsim_late_interaction"](spark, sf_smoke).collect()
     )
     assert got == sorted(expect)
+
+
+def test_basket_triple_support_against_reference(spark, sf_smoke):
+    """A-Priori 3-itemsets recomputed with itertools over per-order
+    distinct-part baskets (cap 32), all-confidence via non-negative
+    big-int floor; top-50 by (support DESC, a, b, c)."""
+    from itertools import combinations
+
+    from fsc_etl_spark.plans.tpch_more import QUERIES as TPCH_QUERIES
+
+    li = read_parquet_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets: dict[int, set] = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    baskets = {k: v for k, v in baskets.items() if len(v) <= 32}
+    cnt: dict[int, int] = {}
+    sup: dict[tuple, int] = {}
+    for parts in baskets.values():
+        for p in parts:
+            cnt[p] = cnt.get(p, 0) + 1
+        for tri in combinations(sorted(parts), 3):
+            sup[tri] = sup.get(tri, 0) + 1
+    rows = sorted(
+        (
+            (-s, a, b, c, s, (1_000_000 * s) // max(cnt[a], cnt[b], cnt[c]))
+            for (a, b, c), s in sup.items()
+        )
+    )[:50]
+    expect = [(a, b, c, s, ac) for _, a, b, c, s, ac in rows]
+    got = [
+        (r.part_a, r.part_b, r.part_c, r.support, r.all_conf_ppm)
+        for r in TPCH_QUERIES["basket_triple_support"](spark, sf_smoke).collect()
+    ]
+    assert got == expect
+
+
+def test_weak_label_agreement_against_reference(spark, sf_smoke):
+    """The 21 weak-supervision counters recomputed with plain Python
+    token counting over the same three keyword labeling functions."""
+    from fsc_etl_spark.plans.training_data import (
+        QUERIES as TD_QUERIES,
+        _WEAK_LFS,
+    )
+
+    docs = read_parquet_table(spark, sf_smoke, "documents").select(
+        "text"
+    ).collect()
+    names = [n for n, _, _ in _WEAK_LFS]
+    labels = []
+    for r in docs:
+        tk = [t for t in r.text.strip().split() if t]
+        lab = {}
+        for name, p, n in _WEAK_LFS:
+            d = tk.count(p) - tk.count(n)
+            lab[name] = (d > 0) - (d < 0)
+        s = sum(lab.values())
+        lab["vote"] = (s > 0) - (s < 0)
+        labels.append(lab)
+    c: dict[tuple, int] = {}
+
+    def add(scope, metric, cond):
+        c[(scope, metric)] = c.get((scope, metric), 0) + (1 if cond else 0)
+
+    for lab in labels:
+        for name in names:
+            add(name, "coverage", lab[name] != 0)
+            add(name, "n_neg", lab[name] == -1)
+            add(name, "n_pos", lab[name] == 1)
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                a, b = names[i], names[j]
+                both = lab[a] != 0 and lab[b] != 0
+                add(f"{a}|{b}", "n_agree", both and lab[a] == lab[b])
+                add(f"{a}|{b}", "n_both", both)
+                add(f"{a}|{b}", "n_conflict", both and lab[a] != lab[b])
+        add("vote", "n_neg", lab["vote"] == -1)
+        add("vote", "n_pos", lab["vote"] == 1)
+        add("vote", "n_zero", lab["vote"] == 0)
+    expect = [(s, m, v) for (s, m), v in sorted(c.items())]
+    got = [
+        (r.scope, r.metric, r.value)
+        for r in TD_QUERIES["weak_label_agreement"](spark, sf_smoke).collect()
+    ]
+    assert got == expect
