@@ -54,11 +54,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r12 #1/#2): the window leads with the one query whose runtime
     behavior changed this round — `graph_common_neighbors` (eager-
     checkpoint-then-unpersist cache lifecycle, the builder's own r13
-    TODO; results unchanged) — then the eight round-13 debuts
+    TODO; results unchanged) — then the nine round-13 debuts
     (community_modularity, weighted_priority_sample, and the
     mid-round batch graph_conductance + local_clustering_coeff +
     sorted_neighborhood_pairs + maxsim_late_interaction +
-    basket_triple_support + weak_label_agreement), then the
+    basket_triple_support + weak_label_agreement +
+    streaming_priority_sample), then the
     staleness backlog oldest first: the 6 r3-vintage rows
     (timeseries_locf, token_vocab_topk, user_funnel,
     user_trend_slope_pandas, window_frames_breadth, zorder_key_demo —
@@ -112,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_late_interaction",
         "basket_triple_support",
         "weak_label_agreement",
+        "streaming_priority_sample",
         # --- staleness rotation (VERDICT r12 #1): the 6 r3-vintage
         # rows — the oldest driver rows anywhere after r12 ---
         "timeseries_locf",
@@ -120,8 +122,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_trend_slope_pandas",
         "window_frames_breadth",
         "zorder_key_demo",
-        # --- staleness rotation: the full r5-vintage generation (35),
-        # alphabetical ---
+        # --- staleness rotation: the r5-vintage generation, oldest
+        # 34 of 35 alphabetically (xml_roundtrip_stats ceded to the
+        # ninth debut) ---
         "audio_clip_stats",
         "audio_downsample_stats",
         "bfs_hops_copurchase",
@@ -156,14 +159,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_anomaly_events",
         "value_drift_buckets",
         "variant_props_stats",
-        "xml_roundtrip_stats",
-        # --- staleness rotation: the full r6-vintage generation (7),
-        # alphabetical ---
-        # (dpp_pruned_rollup, incremental_join_maintenance,
-        # kmeans_cluster_stats, orc_roundtrip_stats, pit_feature_join,
-        # segment_dedup_mask, vocab_coverage_stats — the full r6
-        # generation — and the 19 r7-vintage rows lead the r14 window;
-        # they ceded slots to the eight r13 debuts)
+        # (xml_roundtrip_stats — the last r5 row alphabetically — plus
+        # the full r6 generation (dpp_pruned_rollup,
+        # incremental_join_maintenance, kmeans_cluster_stats,
+        # orc_roundtrip_stats, pit_feature_join, segment_dedup_mask,
+        # vocab_coverage_stats) and the 19 r7-vintage rows lead the
+        # r14 window; they ceded slots to the nine r13 debuts)
     ]
     if len(priority) != 50:  # contract check — not an assert: survives python -O
         raise ValueError(f"driver window must be exactly 50, got {len(priority)}")

@@ -728,8 +728,94 @@ def streaming_mg_heavy_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def streaming_priority_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Priority sampling over a LIVE corpus stream (round 13 — the
+    streaming fold of weighted_priority_sample): top-k-by-priority is
+    a MERGE MONOID — top_k(A ∪ B) = top_k(top_k(A) ∪ top_k(B)) — so
+    the stream keeps exactly k rows of state per epoch: each
+    micro-batch computes its own top-50 (the shared priority_scores
+    projection), merges with the ≤ 50-row prior summary, re-takes the
+    top-50 by the same (priority DESC, doc_id) total order, and
+    writes batch_id-keyed with mode=overwrite (the mg_batch_handler
+    exactly-once mechanics: an epoch replay overwrites its own
+    partial state and re-reads the same predecessor). Because the
+    fold is order-insensitive — unlike Misra–Gries, whose estimates
+    depend on the merge tree — the converged sample is IDENTICAL to
+    the batch draw, and the batch hash oracle applies verbatim.
+
+    Scale shape: per epoch one map-side projection + a 50-row
+    TakeOrdered on the batch + a 100-row driver-side re-rank; state
+    is k rows, period — the bounded-state sampling a 100 TB ingest
+    firehose actually supports. Raises unless >= 2 non-empty
+    micro-batches ran (the mg discipline: a single batch would not
+    exercise the fold).
+    """
+    from fsc_etl_spark.plans.training_data import _PRIORITY_K, priority_scores
+    from fsc_etl_spark.streaming.pipeline import run_foreach_batch
+    from fsc_etl_spark.streaming.sources import (
+        stage_documents_as_files,
+        stream_parquet_dir,
+    )
+
+    staged = stage_documents_as_files(spark, sf, n_files=4)
+    docs = stream_parquet_dir(
+        spark, staged, schemas.DOCUMENTS, max_files_per_trigger=1
+    ).select("doc_id", "text")
+    state_schema = "doc_id long, n_tokens long, priority long, epoch long"
+    state_dir = f"{tempfile.mkdtemp(prefix='fsc_priostream_')}/summ"
+    spark.createDataFrame([], state_schema).write.parquet(f"{state_dir}/init")
+    batch_sizes: list[int] = []
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        batch_sizes.append(n)
+        if n == 0:
+            return
+        prior = (
+            spark.read.schema(state_schema)
+            .parquet(f"{state_dir}/*")
+            .filter(F.col("epoch") < batch_id)
+            .localCheckpoint()  # writes must not re-list the state dir
+        )
+        latest = prior.agg(F.max("epoch").alias("e")).first()["e"]
+        prior_summ = (
+            prior.filter(F.col("epoch") == latest).drop("epoch")
+            if latest is not None
+            else spark.createDataFrame(
+                [], "doc_id long, n_tokens long, priority long"
+            )
+        )
+        batch_summ = (
+            priority_scores(batch_df)
+            .orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+            .limit(_PRIORITY_K)
+        )
+        (
+            prior_summ.unionByName(batch_summ)
+            .orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+            .limit(_PRIORITY_K)
+            .withColumn("epoch", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .parquet(f"{state_dir}/b{batch_id}")
+        )
+
+    run_foreach_batch(docs, handle, output_mode="append")
+    if len([b for b in batch_sizes if b > 0]) < 2:
+        raise RuntimeError(
+            f"expected >=2 non-empty micro-batches, saw {batch_sizes!r}"
+        )
+    state = spark.read.schema(state_schema).parquet(f"{state_dir}/*")
+    last = state.agg(F.max("epoch").alias("e")).first()["e"]
+    return (
+        state.filter(F.col("epoch") == last)
+        .select("doc_id", "n_tokens", "priority")
+        .orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_multibatch_sessionize": streaming_multibatch_sessionize,
+    "streaming_priority_sample": streaming_priority_sample,
     "streaming_mg_heavy_tokens": streaming_mg_heavy_tokens,
     "streaming_hourly_rollup": streaming_hourly_rollup,
     "streaming_click_purchase_join": streaming_click_purchase_join,
@@ -941,6 +1027,10 @@ FROM f GROUP BY bucket
 from fsc_etl_spark.plans.oracles_training import TRAINING_ORACLES as _T
 
 STREAMING_ORACLES["streaming_dsir_gate"] = _T["dsir_importance_weights"]
+
+# Top-k-by-priority is a merge monoid, so the converged streaming fold
+# equals the batch draw EXACTLY — the batch oracle applies verbatim.
+STREAMING_ORACLES["streaming_priority_sample"] = _T["weighted_priority_sample"]
 
 # Converged stream-static Gopher gate == the batch per-source rollup
 # (complete-mode groupBy over the full fixture = one logical pass).

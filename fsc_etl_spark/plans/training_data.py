@@ -1584,6 +1584,17 @@ def weighted_priority_sample(spark: SparkSession, sf: str) -> DataFrame:
     super-linear anywhere.
     """
     docs = t(spark, sf, "documents").select("doc_id", "text")
+    return (
+        priority_scores(docs)
+        .orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+        .limit(_PRIORITY_K)
+    )
+
+
+def priority_scores(docs: DataFrame) -> DataFrame:
+    """Map-side (doc_id, n_tokens, priority) projection shared by the
+    batch draw and its streaming fold — priority = exact integer
+    floor (token_count · 2⁴⁰) div (28 bits of md5(doc_id) + 1)."""
     dec = "decimal(38,0)"
     u = (
         F.conv(
@@ -1591,22 +1602,17 @@ def weighted_priority_sample(spark: SparkSession, sf: str) -> DataFrame:
         ).cast(dec)
         + F.lit(1).cast(dec)
     )
-    return (
-        docs.select(
-            "doc_id",
-            token_count(F.col("text")).alias("n_tokens"),
-            u.alias("u"),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.expr(
-                f"CAST((CAST(n_tokens AS {dec})"
-                f" * CAST({_PRIORITY_SCALE} AS {dec})) div u AS BIGINT)"
-            ).alias("priority"),
-        )
-        .orderBy(F.col("priority").desc(), F.col("doc_id").asc())
-        .limit(_PRIORITY_K)
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        u.alias("u"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            f"CAST((CAST(n_tokens AS {dec})"
+            f" * CAST({_PRIORITY_SCALE} AS {dec})) div u AS BIGINT)"
+        ).alias("priority"),
     )
 
 

@@ -42,6 +42,10 @@ TWIN_PAIRS = [
     # pinned-PQ: Arrow-matmul encode vs the literal-expression encode
     # (round 6; margin argument in oracles_training._pq_pinned_oracle)
     ("pq_enc_pandas@", "pq_enc_expr@", "full"),
+    # batch priority draw vs its streaming merge-monoid fold (round
+    # 13): top-k-by-priority is order-insensitive, so the converged
+    # stream state must equal the batch draw BIT-FOR-BIT
+    ("weighted_priority_sample", "streaming_priority_sample", "full"),
 ]
 
 
