@@ -89,8 +89,43 @@ def _lloyd_codebook(X, k: int, iters: int):
     return [[float(v) for v in row] for row in cent]
 
 
+def _sql_double(v: float) -> str:
+    """Exact SQL double literal: ``repr`` of a Python float is its
+    shortest round-trip decimal, and Spark's parser reads a ``D``
+    literal back to the identical float64 (incl. -0.0/denormals —
+    verified in tests). Non-finite values would not survive the SQL
+    path, so they fail loudly."""
+    f = float(v)
+    if f != f or f in (float("inf"), float("-inf")):
+        raise ValueError(f"literal arrays must be finite, got {v!r}")
+    return repr(f) + "D"
+
+
+def lit_double_array(vals) -> Column:
+    """Literal ARRAY<DOUBLE> built in ONE py4j round trip.
+
+    Value-identical to ``F.array(*[F.lit(float(v)) for v in vals])``
+    (Catalyst folds that CreateArray of literals to the same constant),
+    but the per-element form costs one py4j round trip per element —
+    measured as the dominant cost of plan BUILD time for codebook/
+    hyperplane queries (20k+ round trips ≈ 10 s for the PQ tiers).
+    Parsing one SQL string on the JVM is ~ms."""
+    if not vals:
+        return F.expr("CAST(array() AS ARRAY<DOUBLE>)")
+    return F.expr("array(" + ",".join(_sql_double(v) for v in vals) + ")")
+
+
+def lit_double_matrix(rows) -> Column:
+    """Literal ARRAY<ARRAY<DOUBLE>> in one py4j round trip (see
+    :func:`lit_double_array`)."""
+    inner = ",".join(
+        "array(" + ",".join(_sql_double(v) for v in r) + ")" for r in rows
+    )
+    return F.expr(f"array({inner})")
+
+
 def _pq_lit_arr(vals: list[float]) -> Column:
-    return F.array(*[F.lit(v) for v in vals])
+    return lit_double_array(vals)
 
 
 def _argmin_code(
@@ -114,16 +149,20 @@ def _argmin_code(
     the interpreted higher-order expression then costs O(dim^2) per
     use instead of O(dim)."""
 
-    def lit_arr(vals: list[float]) -> Column:
-        return F.array(*[F.lit(v) for v in vals])
+    # scores as ONE zip_with over (codebook matrix, half-norm) literals:
+    # per-center arithmetic is byte-for-byte the former unrolled form
+    # (same dot fold, same Python-computed |c|^2/2 double), but the
+    # plan builds in O(1) py4j round trips instead of O(k*d) — the
+    # measured driver-side bottleneck for literal-codebook queries.
+    half = lit_double_array([sum(x * x for x in c) / 2.0 for c in centers])
 
-    def score(cent: list[float]) -> Column:
-        d = dot(vec, lit_arr(cent))
+    def score(cent: Column, h: Column) -> Column:
+        d = dot(vec, cent)
         if norm is not None:
             d = d / norm
-        return d - F.lit(sum(x * x for x in cent) / 2.0)
+        return d - h
 
-    scores = F.array(*[score(cent) for cent in centers])
+    scores = F.zip_with(lit_double_matrix(centers), half, score)
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
@@ -274,7 +313,7 @@ def mmr_select(
         raise ValueError(f"k must be >= 1, got {k}")
     lam = F.lit(lam_num) / F.lit(lam_den)
     one_minus = F.lit(lam_den - lam_num) / F.lit(lam_den)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     cand = (
         corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("c_vec"))
         .withColumn("c_n", l2_norm(F.col("c_vec")))
@@ -302,7 +341,7 @@ def mmr_select(
             # identical: the same dot-fold against the same doubles.
             sim_terms = [
                 F.round(
-                    dot(F.col("c_vec"), F.array(*[F.lit(x) for x in p[1]]))
+                    dot(F.col("c_vec"), lit_double_array(p[1]))
                     / (F.col("c_n") * F.lit(p[2])),
                     ROUND_DIGITS,
                 )
@@ -414,7 +453,7 @@ def hyperplane_signature(vec: Column, hyperplanes: list[list[float]]) -> Column:
     """b-bit sign signature: bit i set where dot(vec, H_i) >= 0."""
     sig = F.lit(0).cast("bigint")
     for i, h in enumerate(hyperplanes):
-        d = dot(vec, F.array(*[F.lit(float(x)) for x in h]))
+        d = dot(vec, lit_double_array(h))
         sig = sig + F.when(d >= 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
     return sig
 
@@ -850,18 +889,16 @@ def semdedup_prune(
             "cell", _argmin_code(F.col("v"), centers, norm=F.col("n"))
         )
 
-        def lit_arr(vals: list[float]) -> Column:
-            return F.array(*[F.lit(x) for x in vals])
-
         # cos(v, centers[cell]) with the centroid norm folded as the
         # SAME Python-float literal the oracle embeds — bit-identical
-        # divisor.
-        csims = F.array(
-            *[
-                dot(F.col("v"), lit_arr(c))
-                / (F.col("n") * F.lit(math.sqrt(sum(x * x for x in c))))
-                for c in centers
-            ]
+        # divisor. One zip_with over (matrix, norm) literals: O(1)
+        # py4j round trips instead of O(k*d) (see lit_double_array).
+        csims = F.zip_with(
+            lit_double_matrix(centers),
+            lit_double_array(
+                [math.sqrt(sum(x * x for x in c)) for c in centers]
+            ),
+            lambda c, nc: dot(F.col("v"), c) / (F.col("n") * nc),
         )
         base = base.withColumn(
             "centroid_sim",
@@ -1241,19 +1278,23 @@ def pq_topk(
     q = queries.select(
         F.col(id_col).alias(query_id_col), _as_double(F.col(vec_col)).alias("q_vec")
     ).withColumn("q_n", l2_norm(F.col("q_vec")))
-    # ADC lookup table: lut[s][c] = q_hat_s . codebook[s][c]
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    dot(F.slice("q_vec", s * sub + 1, sub), _pq_lit_arr(cent))
-                    / F.col("q_n")
-                    for cent in codebooks[s]
-                ]
-            )
-            for s in range(n_subspaces)
-        ]
-    )
+    # ADC lookup table: lut[s][c] = q_hat_s . codebook[s][c]. Each
+    # subspace is ONE transform over its literal codebook matrix —
+    # per-center arithmetic identical to the former unrolled
+    # CreateArray (same dot fold / q_n division), but plan build is
+    # O(n_subspaces) py4j round trips instead of O(subspaces*k*dim)
+    # (the measured 9 s of embed_pq_* build time).
+    def _lut_for(s: int) -> Column:
+        # NB: a default-arg lambda (cent, s=s) would be read by
+        # PySpark's HOF arity inspection as the (value, index) form,
+        # silently rebinding s to the center index — bind via closure.
+        return F.transform(
+            lit_double_matrix(codebooks[s]),
+            lambda cent: dot(F.slice("q_vec", s * sub + 1, sub), cent)
+            / F.col("q_n"),
+        )
+
+    lut = F.array(*[_lut_for(s) for s in range(n_subspaces)])
     q_tab = q.select(query_id_col, "q_vec", "q_n", lut.alias("lut"))
 
     cand = (
