@@ -496,7 +496,7 @@ def connected_components_min_label(
     """
     fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    edges = fwd.unionByName(rev).distinct().localCheckpoint()
+    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=False)
     converged = False
     # Propagate only over nodes that touch an edge: near-dup graphs
     # are a sliver of the corpus, so the per-round label table (and
@@ -506,7 +506,7 @@ def connected_components_min_label(
         edges.select(F.col("src").alias(id_col))
         .distinct()
         .select(F.col(id_col), F.col(id_col).alias("root"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iters):
         lbl_src = labels.select(F.col(id_col).alias("src"), F.col("root").alias("src_root"))
@@ -525,7 +525,11 @@ def connected_components_min_label(
                     "__changed"
                 ),
             )
-            .localCheckpoint()
+            # lazy checkpoint: the convergence probe right below is the
+            # materializing action, so round + checkpoint run as ONE
+            # job instead of two (r13 — per-round driver latency was
+            # the measured cost of the CC loops, not task work)
+            .localCheckpoint(eager=False)
         )
         converged = nxt.filter(F.col("__changed")).limit(1).count() == 0
         labels = nxt.drop("__changed")
@@ -592,7 +596,8 @@ def connected_components_star(
         both.filter(F.col("v") < F.col("u"))
         .select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .distinct()
-        .localCheckpoint()
+        # lazy: the first stats_of() probe materializes it (r13)
+        .localCheckpoint(eager=False)
     )
 
     def star_round(e: DataFrame, large: bool) -> DataFrame:
@@ -645,7 +650,11 @@ def connected_components_star(
     prev_stats = stats_of(edges)
     converged = False
     for _ in range(max_iters):
-        after = star_round(star_round(edges, large=True), large=False).localCheckpoint()
+        # lazy checkpoint: stats_of() below is the materializing action
+        # — round + checkpoint run as ONE job instead of two (r13)
+        after = star_round(star_round(edges, large=True), large=False).localCheckpoint(
+            eager=False
+        )
         cur_stats = stats_of(after)
         if cur_stats == prev_stats and after.exceptAll(edges).limit(1).count() == 0:
             edges = after

@@ -40,6 +40,7 @@ def pagerank_integer(
     weight_col: str | None = None,
     dangling: str = "error",
     validate: bool = True,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over directed ``(src, dst)``.
 
@@ -92,9 +93,13 @@ def pagerank_integer(
             "(so there is no mass to redistribute) — drop one of the two flags"
         )
     if weight_col is None:
-        edges = edges.select("src", "dst").distinct().withColumn(
-            "__w", F.lit(1).cast("long")
-        )
+        # assume_distinct: caller guarantees unique (src, dst) pairs
+        # structurally (e.g. distinct canonical pairs + a parity-keyed
+        # symmetrising union) — skips one full edge-sized shuffle.
+        edges = edges.select("src", "dst")
+        if not assume_distinct:
+            edges = edges.distinct()
+        edges = edges.withColumn("__w", F.lit(1).cast("long"))
     else:
         edges = edges.select(
             "src", "dst", F.col(weight_col).cast("long").alias("__w")
@@ -178,17 +183,35 @@ def pagerank_integer(
     redistribute = (
         dangling == "redistribute" and dangling_nodes is not None and n_nodes
     )
-    for _ in range(iters):
-        r = ranks.select(F.col("node").alias("__rn"), F.col("rank").alias("__rr"))
-        contrib = (
-            edges_deg.join(r, edges_deg["src"] == r["__rn"])
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("(__rr * __w) div deg").alias("c"),
+    for it in range(iters):
+        if it == 0:
+            # ROUND 1 collapses algebraically (r13): every node's rank
+            # is the init constant, so the rank join is a no-op —
+            # inline the constant instead of shuffling the node-sized
+            # rank frame. Same floor arithmetic, bit-identical.
+            contrib = (
+                edges_deg.select(
+                    F.col("dst").alias("node"),
+                    F.expr(
+                        f"(CAST({init_rank} AS BIGINT) * __w) div deg"
+                    ).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("inflow"))
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("inflow"))
-        )
+        else:
+            r = ranks.select(
+                F.col("node").alias("__rn"), F.col("rank").alias("__rr")
+            )
+            contrib = (
+                edges_deg.join(r, edges_deg["src"] == r["__rn"])
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("(__rr * __w) div deg").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("inflow"))
+            )
         damped = (
             F.lit(base)
             + F.expr(f"({damping_num} * coalesce(inflow, 0L)) div {damping_den}")
@@ -222,8 +245,9 @@ def pagerank_integer(
         if redistribute:
             # share + next round's contrib each re-read ranks: without
             # a per-round materialisation the lineage doubles per
-            # iteration (2^iters re-evaluation).
-            ranks = ranks.localCheckpoint(eager=True)
+            # iteration (2^iters re-evaluation). Lazy — the next
+            # round's share broadcast materializes it (r13).
+            ranks = ranks.localCheckpoint(eager=False)
     # Materialise the result and release every interned cache so a
     # long-lived session doesn't accumulate executor storage (the
     # returned frame's lineage is truncated, so it no longer needs
@@ -238,7 +262,9 @@ def pagerank_integer(
     return out
 
 
-def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, rounds: int = 3, assume_distinct: bool = False
+) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007) in a DETERMINISTIC variant: every node starts with its
     own id as label; each round it adopts the most frequent label
@@ -258,19 +284,32 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     counts, then the per-node argmax via one struct-max — no window,
     no second pass). Work per round is O(edges), rounds are fixed.
 
+    ``assume_distinct=True`` skips the defensive ``distinct()`` — ONLY
+    safe when the caller constructs unique (src, dst) pairs
+    structurally (e.g. a symmetrising union of a distinct canonical
+    pair list); duplicates would otherwise double-count votes. Saves
+    one full edge-sized shuffle.
+
     Returns (node, label).
     """
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
-    edges = (
-        edges.select("src", "dst").distinct().repartition(F.col("src")).persist()
+    edges = edges.select("src", "dst")
+    if not assume_distinct:
+        edges = edges.distinct()
+    edges = edges.repartition(F.col("src")).persist()
+    # ROUND 1 collapses algebraically (r13): with identity
+    # initialization every neighbor contributes exactly ONE distinct
+    # label (its own id) over the distinct edge list — all counts are
+    # 1, so argmax-by-(count, label) is simply the LARGEST neighbor
+    # id. One max aggregate replaces the join + double aggregation
+    # (and the separate node-distinct label init), with bit-identical
+    # results — the tie order (count, label) is the total order the
+    # docstring pins, and at count==1 it degenerates to max(label).
+    labels = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.max("src").alias("label")
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-    )
-    for _ in range(rounds):
+    for _ in range(rounds - 1):
         lab = labels.select(F.col("node").alias("__n"), F.col("label").alias("__l"))
         labels = (
             edges.join(lab, edges["src"] == lab["__n"])
@@ -585,13 +624,17 @@ def ktruss_support(
             "lo",
             "hi",
             F.coalesce(F.col("sup"), F.lit(0)).cast("long").alias("sup"),
-        ).localCheckpoint(eager=True)
+            # lazy: the under-support probe right below materializes
+            # round + checkpoint in ONE job (r13)
+        ).localCheckpoint(eager=False)
         sup_frame = e
         if e.filter(F.col("sup") < k - 2).count() == 0:
             converged = True
             break
+        # survivors stay lazy too — next round's probe materializes
+        # them off e's already-checkpointed partitions
         cur = e.filter(F.col("sup") >= k - 2).select("lo", "hi").localCheckpoint(
-            eager=True
+            eager=False
         )
     if stats is not None:
         stats["rounds"] = executed_rounds
@@ -659,6 +702,7 @@ def personalized_pagerank_integer(
     damping_den: int = 100,
     init_rank: int = RANK_SCALE,
     symmetric: bool = False,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Personalized PageRank: the teleport mass lands ONLY on the seed
     set, so rank measures proximity to the seeds — the corpus-
@@ -691,7 +735,10 @@ def personalized_pagerank_integer(
     """
     from pyspark.sql import Window as _W
 
-    edges = edges.select("src", "dst").distinct().persist()
+    edges = edges.select("src", "dst")
+    if not assume_distinct:
+        edges = edges.distinct()
+    edges = edges.persist()
     # Degree attaches via a src-partitioned window over the one
     # pre-hash exchange (round-10; see pagerank_integer — the former
     # groupBy+join+repartition build cost two edge-sized exchanges
@@ -746,14 +793,45 @@ def personalized_pagerank_integer(
             F.coalesce(F.col("__is_seed"), F.lit(False)), F.lit(init_rank)
         ).otherwise(F.lit(0)).cast("long").alias("rank"),
     )
-    for _ in range(iters):
-        r = ranks.select(F.col("node").alias("__rn"), F.col("rank").alias("__rr"))
-        contrib = (
-            edges_deg.join(r, edges_deg["src"] == r["__rn"])
-            .select(F.col("dst").alias("node"), F.expr("__rr div deg").alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("inflow"))
-        )
+    for it in range(iters):
+        if it == 0:
+            # ROUND 1 collapses (r13): rank is init on seeds and 0
+            # elsewhere, so the node-sized shuffle join degenerates to
+            # a BROADCAST left join against the contract-small seed
+            # set with the init constant inlined. LEFT (not semi):
+            # every dst must keep its contrib row — the symmetric path
+            # assigns ranks = contrib, and dropping zero-inflow rows
+            # would erase non-seed-adjacent nodes' rank rows (and with
+            # them a seed's teleport base next round).
+            sflag = seed_nodes.select(
+                F.col("node").alias("__rn"), F.lit(True).alias("__s")
+            )
+            contrib = (
+                edges_deg.join(
+                    F.broadcast(sflag), edges_deg["src"] == sflag["__rn"], "left"
+                )
+                .select(
+                    F.col("dst").alias("node"),
+                    F.when(
+                        F.coalesce(F.col("__s"), F.lit(False)),
+                        F.expr(f"CAST({init_rank} AS BIGINT) div deg"),
+                    )
+                    .otherwise(F.lit(0).cast("long"))
+                    .alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("inflow"))
+            )
+        else:
+            r = ranks.select(
+                F.col("node").alias("__rn"), F.col("rank").alias("__rr")
+            )
+            contrib = (
+                edges_deg.join(r, edges_deg["src"] == r["__rn"])
+                .select(F.col("dst").alias("node"), F.expr("__rr div deg").alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("inflow"))
+            )
         damped = (
             base
             + F.expr(f"({damping_num} * coalesce(inflow, 0L)) div {damping_den}")
@@ -831,22 +909,35 @@ def kcore_degrees(
         canon.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
     ).localCheckpoint(eager=True)
     converged = False
+    # The survivor checkpoint is LAZY (r13): the next round's
+    # bad.count() — or the final degree aggregate — is the
+    # materializing action, so peel + checkpoint run as ONE job per
+    # round instead of two. The previous round's `bad` cache must
+    # outlive that materialization (the lazy plan anti-joins it), so
+    # its unpersist is deferred one round.
+    prev_bad = None
     for _ in range(rounds):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         bad = deg.filter(F.col("d") < k).select(F.col("src").alias("__bad")).persist()
-        if bad.count() == 0:
+        n_bad = bad.count()  # materializes the pending lazy checkpoint
+        if prev_bad is not None:
+            prev_bad.unpersist()
+            prev_bad = None
+        if n_bad == 0:
             bad.unpersist()
             converged = True
             break
         cur = (
             cur.join(bad, cur["src"] == bad["__bad"], "left_anti")
             .join(bad, cur["dst"] == bad["__bad"], "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        bad.unpersist()
+        prev_bad = bad
     out = cur.groupBy("src").agg(F.count(F.lit(1)).alias("core_deg")).select(
         F.col("src").alias("node"), F.col("core_deg").cast("long").alias("core_deg")
     ).localCheckpoint(eager=True)
+    if prev_bad is not None:
+        prev_bad.unpersist()
     if not converged:
         low = out.agg(F.min("core_deg").alias("m")).first()["m"]
         if low is not None and low < k:
@@ -942,7 +1033,9 @@ def hits_integer(
     e_by_dst = edges.repartition(F.col("dst")).persist()
 
     def _normalize(raw: DataFrame) -> DataFrame:
-        raw = raw.localCheckpoint(eager=True)  # read by total AND join
+        # read by total AND join; lazy — the total's broadcast build
+        # is the materializing action, one job instead of two (r13)
+        raw = raw.localCheckpoint(eager=False)
         tot = raw.agg(
             F.sum(F.col("raw").cast("decimal(38,0)")).alias("__tot")
         )
@@ -957,13 +1050,26 @@ def hits_integer(
         "score", F.lit(scale).cast("long")
     )
     auth = None
-    for _ in range(iters):
-        h = hubs.select(F.col("node").alias("__hn"), F.col("score").alias("__hs"))
-        auth = _normalize(
-            e_by_src.join(h, e_by_src["src"] == h["__hn"])
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("__hs").alias("raw"))
-        )
+    for it in range(iters):
+        if it == 0:
+            # ROUND 1 collapses (r13): every hub score is the init
+            # constant, so sum(__hs) per dst == in-count * scale —
+            # skip both the hub-init distinct and the join. Same
+            # integer arithmetic, bit-identical.
+            auth = _normalize(
+                e_by_src.groupBy(F.col("dst").alias("node")).agg(
+                    (F.count(F.lit(1)) * F.lit(scale).cast("long")).alias("raw")
+                )
+            )
+        else:
+            h = hubs.select(
+                F.col("node").alias("__hn"), F.col("score").alias("__hs")
+            )
+            auth = _normalize(
+                e_by_src.join(h, e_by_src["src"] == h["__hn"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("__hs").alias("raw"))
+            )
         a = auth.select(F.col("node").alias("__an"), F.col("score").alias("__as"))
         hubs = _normalize(
             e_by_dst.join(a, e_by_dst["dst"] == a["__an"])

@@ -102,8 +102,12 @@ def pagerank_copurchase(spark: SparkSession, sf: str) -> DataFrame:
         cp.select(F.col("pnode").alias("src"), F.col("cnode").alias("dst"))
     )
     # symmetrised graph -> every node has in-edges, so the dense
-    # fast path (no per-iteration nodes join) is exact here
-    ranks = pagerank_integer(edges, iters=_PR_ITERS, every_node_has_inflow=True)
+    # fast path (no per-iteration nodes join) is exact here; the
+    # parity-keyed union of distinct cp pairs is structurally unique,
+    # so the operator's defensive distinct is skipped too
+    ranks = pagerank_integer(
+        edges, iters=_PR_ITERS, every_node_has_inflow=True, assume_distinct=True
+    )
     cp.unpersist()  # ranks is checkpointed eagerly; the cache is done
     label = F.when(
         F.col("node") % 2 == 0,
@@ -477,8 +481,10 @@ def pagerank_dangling_redistribute(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
         F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
     )
+    # one row per customer (c_custkey is the table key), so (src, dst)
+    # is structurally unique — skip the operator's defensive distinct
     ranks = pagerank_integer(
-        edges, iters=_DANGLING_ITERS, dangling="redistribute"
+        edges, iters=_DANGLING_ITERS, dangling="redistribute", assume_distinct=True
     )
     return ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(_TOPK)
 
@@ -520,7 +526,7 @@ def ppr_copurchase_seeds(spark: SparkSession, sf: str) -> DataFrame:
     # symmetrised union -> src set == node set, no dangling possible:
     # the structural fast path skips the union-distinct + check action
     ranks = personalized_pagerank_integer(
-        edges, seeds, iters=_PPR_ITERS, symmetric=True
+        edges, seeds, iters=_PPR_ITERS, symmetric=True, assume_distinct=True
     )
     cp.unpersist()  # ranks is checkpointed eagerly; the cache is done
     label = F.when(
@@ -564,7 +570,9 @@ def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     edges = cp.select(
         F.col("cnode").alias("src"), F.col("pnode").alias("dst")
     ).union(cp.select(F.col("pnode").alias("src"), F.col("cnode").alias("dst")))
-    labels = label_propagation(edges, rounds=_LPA_ROUNDS)
+    # structurally distinct: cp is distinct and the two union branches
+    # can't collide (cnode even, pnode odd) — skip LPA's edge shuffle
+    labels = label_propagation(edges, rounds=_LPA_ROUNDS, assume_distinct=True)
     cp.unpersist()  # labels is checkpointed eagerly; the cache is done
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("community_size")
@@ -639,17 +647,32 @@ def community_modularity(spark: SparkSession, sf: str) -> DataFrame:
     edges = cp.select(F.col("lo").alias("src"), F.col("hi").alias("dst")).union(
         cp.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
     )
-    labels = label_propagation(edges, rounds=_LPA_ROUNDS)  # eager, checkpointed
-    ls = labels.select(F.col("node").alias("src"), F.col("label").alias("ls"))
-    ld = labels.select(F.col("node").alias("dst"), F.col("label").alias("ld"))
+    # structurally distinct (cp is distinct lo<hi; the swap can't
+    # collide) — skip LPA's defensive edge shuffle
+    labels = label_propagation(
+        edges, rounds=_LPA_ROUNDS, assume_distinct=True
+    )  # eager, checkpointed
+    # Readout over the HALF-SIZE canonical pair list instead of the
+    # symmetrised union (r13): every directed quantity is recovered
+    # exactly — e_c counts directed intra-community edges = 2x the
+    # internal lo<hi pairs; deg(v) = #directed edges with src v = v's
+    # appearances across both cp endpoints; 2m = 2·|cp|. Same values,
+    # half the rows through the two label-attach joins.
+    ll = labels.select(F.col("node").alias("lo"), F.col("label").alias("ls"))
+    lh = labels.select(F.col("node").alias("hi"), F.col("label").alias("ld"))
     internal = (
-        edges.join(ls, "src")
-        .join(ld, "dst")
+        cp.join(ll, "lo")
+        .join(lh, "hi")
         .filter(F.col("ls") == F.col("ld"))
         .groupBy(F.col("ls").alias("label"))
-        .agg(F.count(F.lit(1)).alias("e_c"))
+        .agg((2 * F.count(F.lit(1))).alias("e_c"))
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    deg = (
+        cp.select(F.col("lo").alias("src"))
+        .union(cp.select(F.col("hi").alias("src")))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
     # per-community degree mass; LEFT join internal counts — a
     # community every member of which points outward has e_c = 0
     comm = (
@@ -658,7 +681,7 @@ def community_modularity(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum(F.col("d").cast("decimal(19,0)")).alias("d_c"))
         .join(internal, "label", "left")
     )
-    two_m = edges.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("two_m"))
+    two_m = cp.agg((2 * F.count(F.lit(1))).cast("decimal(38,0)").alias("two_m"))
     g = (
         comm.agg(
             F.count(F.lit(1)).cast("decimal(38,0)").alias("n_comm"),
@@ -731,17 +754,30 @@ def graph_conductance(spark: SparkSession, sf: str) -> DataFrame:
     edges = cp.select(F.col("lo").alias("src"), F.col("hi").alias("dst")).union(
         cp.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
     )
-    labels = label_propagation(edges, rounds=_LPA_ROUNDS)  # eager, checkpointed
-    ls = labels.select(F.col("node").alias("src"), F.col("label").alias("ls"))
-    ld = labels.select(F.col("node").alias("dst"), F.col("label").alias("ld"))
+    # structurally distinct (cp is distinct lo<hi; the swap can't
+    # collide) — skip LPA's defensive edge shuffle
+    labels = label_propagation(
+        edges, rounds=_LPA_ROUNDS, assume_distinct=True
+    )  # eager, checkpointed
+    # Readout over the HALF-SIZE canonical pair list (r13, the
+    # community_modularity rewrite): e_c = 2x internal lo<hi pairs,
+    # deg from both cp endpoints, 2m = 2·|cp| — identical values,
+    # half the rows through the two label-attach joins.
+    ll = labels.select(F.col("node").alias("lo"), F.col("label").alias("ls"))
+    lh = labels.select(F.col("node").alias("hi"), F.col("label").alias("ld"))
     internal = (
-        edges.join(ls, "src")
-        .join(ld, "dst")
+        cp.join(ll, "lo")
+        .join(lh, "hi")
         .filter(F.col("ls") == F.col("ld"))
         .groupBy(F.col("ls").alias("label"))
-        .agg(F.count(F.lit(1)).alias("e_c"))
+        .agg((2 * F.count(F.lit(1))).alias("e_c"))
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    deg = (
+        cp.select(F.col("lo").alias("src"))
+        .union(cp.select(F.col("hi").alias("src")))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
     comm = (
         labels.join(deg, labels["node"] == deg["src"])
         .groupBy("label")
@@ -753,7 +789,7 @@ def graph_conductance(spark: SparkSession, sf: str) -> DataFrame:
         # has e_c = 0 (cut == vol)
         .join(internal, "label", "left")
     )
-    two_m = edges.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("two_m"))
+    two_m = cp.agg((2 * F.count(F.lit(1))).cast("decimal(38,0)").alias("two_m"))
     out = (
         comm.crossJoin(F.broadcast(two_m))
         .select(
