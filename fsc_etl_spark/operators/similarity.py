@@ -124,6 +124,12 @@ def lit_double_matrix(rows) -> Column:
     return F.expr(f"array({inner})")
 
 
+def lit_bigint_array(vals) -> Column:
+    """Literal ARRAY<BIGINT> in one py4j round trip (see
+    :func:`lit_double_array`)."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
+
+
 def _pq_lit_arr(vals: list[float]) -> Column:
     return lit_double_array(vals)
 
@@ -451,11 +457,21 @@ def cosine_topk_pandas(
 
 def hyperplane_signature(vec: Column, hyperplanes: list[list[float]]) -> Column:
     """b-bit sign signature: bit i set where dot(vec, H_i) >= 0."""
-    sig = F.lit(0).cast("bigint")
-    for i, h in enumerate(hyperplanes):
-        d = dot(vec, lit_double_array(h))
-        sig = sig + F.when(d >= 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-    return sig
+    # One expression over the literal plane matrix instead of b
+    # unrolled fold-plus-when terms: bit i still weighs 2^i exactly
+    # when dot(vec, H_i) >= 0, and the left-to-right integer sum is
+    # the same chain the unrolled form built — identical values, O(1)
+    # py4j round trips to construct (the unrolled form's ~60 calls per
+    # plane dominated embed_lsh_topk's plan-build time).
+    return F.aggregate(
+        F.zip_with(
+            F.transform(lit_double_matrix(hyperplanes), lambda h: dot(vec, h)),
+            lit_bigint_array([2**i for i in range(len(hyperplanes))]),
+            lambda d, w: F.when(d >= 0, w).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
 
 
 def lsh_bucketed_topk(

@@ -38,41 +38,6 @@ _PR_ITERS = 5
 _TOPK = 20
 
 
-def _copurchase_edges(
-    spark: SparkSession, sf: str
-) -> tuple[DataFrame, DataFrame]:
-    """Symmetrised bipartite customer—part incidence: an edge both ways
-    between a customer and every part they ever ordered. One
-    orders⋈lineitem join (orderkey equi-join), then distinct — at
-    cluster scale both sides shuffle on orderkey once and the distinct
-    reuses the (cust, part) shuffle for the union's two projections.
-
-    Returns ``(edges, cp)`` where ``cp`` is the persisted incidence
-    frame — the caller must ``cp.unpersist()`` once the consuming
-    operator has materialised (the graph operators checkpoint their
-    results eagerly, so this is safe immediately after they return).
-    """
-    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    cp = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cnode"),
-            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("pnode"),
-        )
-        .distinct()
-        # the symmetrising union reads cp twice, and the consumers
-        # (degree build, edge-join, per-round frontier joins) re-read
-        # it again — without this persist the orders⋈lineitem join
-        # re-executes 4-6x and dominates the whole query's wall time
-        .persist()
-    )
-    edges = cp.select(
-        F.col("cnode").alias("src"), F.col("pnode").alias("dst")
-    ).union(cp.select(F.col("pnode").alias("src"), F.col("cnode").alias("dst")))
-    return edges, cp
-
-
 def pagerank_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     """Top-20 authorities of the customer—part co-purchase graph by
     5-iteration integer PageRank (d = 85/100, rank scale 10^9).
@@ -449,15 +414,44 @@ def bfs_hops_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     a first-reach == min-distance guarantee, verified against a
     bounded-depth recursive-CTE oracle that takes MIN(d) over all
     enumerated paths instead.
+
+    Nodes travel as BIGINT (2·custkey / 2·partkey+1 — the pagerank/
+    kcore lesson, applied here in r13: three rounds of shuffling longs
+    instead of formatted strings) and render to 'c…'/'p…' labels
+    BEFORE the final per-distance aggregate, so the min/max node
+    readout keeps its original STRING ordering bit-for-bit.
     """
-    edges, cp = _copurchase_edges(spark, sf)
-    src = spark.range(1).select(F.lit("c0").alias("node"))
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_partkey") * 2 + 1).alias("pnode"),
+        )
+        .distinct()
+        # the symmetrising union reads cp twice and every BFS round
+        # re-joins the edge list — persist so orders⋈lineitem runs once
+        .persist()
+    )
+    edges = cp.select(F.col("cnode").alias("src"), F.col("pnode").alias("dst")).union(
+        cp.select(F.col("pnode").alias("src"), F.col("cnode").alias("dst"))
+    )
+    src = spark.range(1).select(F.lit(0).cast("long").alias("node"))  # 'c0'
     reached = bfs_hops(edges, src, max_hops=3)
     cp.unpersist()  # reached is checkpointed eagerly; the cache is done
-    return reached.groupBy("dist").agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        F.min("node").alias("min_node"),
-        F.max("node").alias("max_node"),
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), F.expr("node div 2").cast("string")),
+    ).otherwise(F.concat(F.lit("p"), F.expr("(node - 1) div 2").cast("string")))
+    return (
+        reached.select(label.alias("node"), "dist")
+        .groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
     )
 
 

@@ -74,17 +74,34 @@ def read_parquet_table(
     return df
 
 
+#: memo of events_ts_is_long by path — the encoding is a property of
+#: the fixture FILE, which never changes mid-process, while dozens of
+#: event-reading queries each paid the footer-inference round trip at
+#: plan-build time (r13: ~0.1 s x every events query in the bench).
+_EVENTS_TS_IS_LONG_CACHE: dict[str, bool] = {}
+
+
 def events_ts_is_long(spark: SparkSession, path: str) -> bool:
     """True when the events fixture at ``path`` encodes ``ts`` as
     TIMESTAMP(NANOS), which Spark scans as a raw long (nanosAsLong).
 
     Footer-only schema inference — no data is read, so this is a cheap
-    per-plan probe even on object storage. On a session without
-    ``spark.sql.legacy.parquet.nanosAsLong`` (the driver's vanilla
-    session), inference over a NANOS file throws PARQUET_TYPE_ILLEGAL —
-    that exception itself identifies the nanos encoding, which the
-    explicit LongType scan schema still reads fine.
+    per-plan probe even on object storage (and memoized per path: the
+    encoding is a generation-time property of the fixture file). On a
+    session without ``spark.sql.legacy.parquet.nanosAsLong`` (the
+    driver's vanilla session), inference over a NANOS file throws
+    PARQUET_TYPE_ILLEGAL — that exception itself identifies the nanos
+    encoding, which the explicit LongType scan schema still reads fine.
     """
+    cached = _EVENTS_TS_IS_LONG_CACHE.get(path)
+    if cached is not None:
+        return cached
+    result = _events_ts_is_long_uncached(spark, path)
+    _EVENTS_TS_IS_LONG_CACHE[path] = result
+    return result
+
+
+def _events_ts_is_long_uncached(spark: SparkSession, path: str) -> bool:
     try:
         inferred = spark.read.parquet(path).schema["ts"].dataType
     except Exception as e:  # noqa: BLE001 — classified below, then re-raised
