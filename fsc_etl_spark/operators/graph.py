@@ -156,8 +156,8 @@ def pagerank_integer(
         nodes = edges_deg.select(F.col("src").alias("node")).distinct()
     else:
         nodes = (
-            edges.select(F.col("src").alias("node"))
-            .union(edges.select(F.col("dst").alias("node")))
+            # both endpoints in one pass over the edge cache (r14)
+            edges.select(F.explode(F.array("src", "dst")).alias("node"))
             .distinct()
             .persist()
         )
@@ -280,9 +280,15 @@ def label_propagation(
 
     Scale shape (the Pregel lowering): per round one join of the
     label frame against the pre-hashed persisted edge list (only the
-    label side shuffles) + two keyed aggregations ((node, label)
-    counts, then the per-node argmax via one struct-max — no window,
-    no second pass). Work per round is O(edges), rounds are fixed.
+    label side shuffles) + ONE exchange of the joined votes on dst —
+    both keyed aggregations ((node, label) counts, then the per-node
+    argmax via one struct-max) run exchange-free on top of it, since
+    HashPartitioning(dst) satisfies both groupings. Work per round is
+    O(edges), rounds are fixed. (r14: the former two-exchange agg
+    chain — partial-agg on (dst, label), exchange, then a second
+    exchange on dst — measured 1.3x slower at sf0.1 and 2.2x slower
+    at the 10x probe than this single raw-vote exchange; the two
+    stage barriers cost more than the partial aggregation saves.)
 
     ``assume_distinct=True`` skips the defensive ``distinct()`` — ONLY
     safe when the caller constructs unique (src, dst) pairs
@@ -313,6 +319,12 @@ def label_propagation(
         lab = labels.select(F.col("node").alias("__n"), F.col("label").alias("__l"))
         labels = (
             edges.join(lab, edges["src"] == lab["__n"])
+            # ONE exchange of the raw votes on dst: HashPartitioning(dst)
+            # satisfies both downstream groupings, so the (node, label)
+            # count and the argmax run exchange-free on top of it (r14 —
+            # measured faster than the partial-agg two-exchange chain at
+            # x1 AND x10; see the docstring's scale-shape note).
+            .repartition(F.col("dst"))
             .groupBy(F.col("dst").alias("node"), F.col("__l").alias("lab"))
             .agg(F.count(F.lit(1)).alias("cnt"))
             .groupBy("node")
@@ -364,8 +376,10 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         .persist()
     )
     deg = (
-        canon.select(F.col("lo").alias("node"))
-        .union(canon.select(F.col("hi").alias("node")))
+        # both endpoints in ONE pass over the canon cache (r14): the
+        # union-of-two-selects form raced 2x tasks against the unbuilt
+        # cache partitions — explode reads each partition once.
+        canon.select(F.explode(F.array("lo", "hi")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
         .persist()
@@ -400,8 +414,18 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
             F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
         )
+        # read three times (adjacency build + both join streams) and
+        # adj itself feeds two differently-keyed exchanges — without
+        # the persists each consumer re-ran the canon⋈deg⋈deg
+        # orientation from scratch (r14, measured ~25 task-s of
+        # duplicate work at sf0.1).
+        .persist()
     )
-    adj = oriented.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nb"))
+    adj = (
+        oriented.groupBy("u")
+        .agg(F.sort_array(F.collect_list("v")).alias("nb"))
+        .persist()
+    )
     a_u = adj.select(F.col("u").alias("__au"), F.col("nb").alias("__nbu"))
     a_v = adj.select(F.col("u").alias("__av"), F.col("nb").alias("__nbv"))
     closed = (
@@ -420,11 +444,11 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     n_tri = closed.agg(
         F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("n_triangles")
     )
-    # One-row result: materialise it and drop the canon/deg caches so
-    # repeated calls in a long-lived session don't leak storage.
+    # One-row result: materialise it and drop the canon/deg/oriented/adj
+    # caches so repeated calls in a long-lived session don't leak storage.
     out = census.crossJoin(n_tri).localCheckpoint(eager=True)
-    canon.unpersist()
-    deg.unpersist()
+    for df in (canon, deg, oriented, adj):
+        df.unpersist()
     return out
 
 
@@ -454,8 +478,9 @@ def triangle_counts_per_node(edges: DataFrame) -> DataFrame:
         .persist()
     )
     deg = (
-        canon.select(F.col("lo").alias("node"))
-        .union(canon.select(F.col("hi").alias("node")))
+        # both endpoints in ONE pass over the canon cache (r14; see
+        # triangle_stats — same union-races-the-unbuilt-cache fix)
+        canon.select(F.explode(F.array("lo", "hi")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
         .persist()
@@ -472,8 +497,17 @@ def triangle_counts_per_node(edges: DataFrame) -> DataFrame:
             F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
             F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
         )
+        # consumed by the adjacency build AND the join stream; adj by
+        # two differently-keyed exchanges — persist both or every
+        # consumer re-runs the orientation joins (r14, triangle_stats
+        # rationale)
+        .persist()
     )
-    adj = oriented.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nb"))
+    adj = (
+        oriented.groupBy("u")
+        .agg(F.sort_array(F.collect_list("v")).alias("nb"))
+        .persist()
+    )
     a_u = adj.select(F.col("u").alias("__au"), F.col("nb").alias("__nbu"))
     a_v = adj.select(F.col("u").alias("__av"), F.col("nb").alias("__nbv"))
     closed = (
@@ -522,8 +556,8 @@ def triangle_counts_per_node(edges: DataFrame) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    canon.unpersist()
-    deg.unpersist()
+    for df in (canon, deg, oriented, adj):
+        df.unpersist()
     return out
 
 
@@ -582,9 +616,16 @@ def ktruss_support(
     executed_rounds = 0
     for _ in range(rounds):
         executed_rounds += 1
-        und = cur.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
-            cur.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
-        )
+        # both directed orientations in ONE pass over the survivor
+        # frame (r14 — the union form scanned it twice)
+        und = cur.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("lo").alias("u"), F.col("hi").alias("v")),
+                    F.struct(F.col("hi").alias("u"), F.col("lo").alias("v")),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
         deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         ud = (
             und.join(deg, "u")
@@ -592,34 +633,42 @@ def ktruss_support(
                 deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v"
             )
         )
+        # fwd feeds the adjacency build AND the triangle join stream;
+        # adj feeds two differently-keyed exchanges — persist both or
+        # each consumer re-runs the degree-orientation joins (r14, the
+        # triangle_stats rationale). Released after the round's probe
+        # (the materializing action) below.
         fwd = ud.filter(
             (F.col("d") < F.col("dv"))
             | ((F.col("d") == F.col("dv")) & (F.col("u") < F.col("v")))
-        ).select("u", "v")
-        adj = fwd.groupBy("u").agg(F.array_sort(F.collect_list("v")).alias("nb"))
-        tri = (
+        ).select("u", "v").persist()
+        adj = (
+            fwd.groupBy("u")
+            .agg(F.array_sort(F.collect_list("v")).alias("nb"))
+            .persist()
+        )
+        # every found triangle (u, v, w ∈ N+(u)∩N+(v)) contributes to
+        # its 3 member edges in ONE explode over the closed-edge rows
+        # (r14): the former tri-then-3-way-union re-ran the adjacency
+        # joins + intersections once per branch.
+        contrib = (
             fwd.join(adj.select(F.col("u"), F.col("nb").alias("nb_u")), "u")
             .join(
                 adj.select(F.col("u").alias("v"), F.col("nb").alias("nb_v")), "v"
             )
             .select(
-                "u",
-                "v",
-                F.explode(F.array_intersect("nb_u", "nb_v")).alias("w"),
+                F.explode(
+                    F.expr(
+                        "flatten(transform(array_intersect(nb_u, nb_v), w ->"
+                        " array(struct(least(u, v) AS lo, greatest(u, v) AS hi),"
+                        "       struct(least(u, w) AS lo, greatest(u, w) AS hi),"
+                        "       struct(least(v, w) AS lo, greatest(v, w) AS hi))))"
+                    )
+                ).alias("p")
             )
+            .select("p.lo", "p.hi")
         )
-        contrib = (
-            tri.select(F.col("u").alias("x"), F.col("v").alias("y"))
-            .union(tri.select(F.col("u").alias("x"), F.col("w").alias("y")))
-            .union(tri.select(F.col("v").alias("x"), F.col("w").alias("y")))
-        )
-        s = (
-            contrib.select(
-                F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi")
-            )
-            .groupBy("lo", "hi")
-            .agg(F.count(F.lit(1)).alias("sup"))
-        )
+        s = contrib.groupBy("lo", "hi").agg(F.count(F.lit(1)).alias("sup"))
         e = cur.join(s, ["lo", "hi"], "left").select(
             "lo",
             "hi",
@@ -628,7 +677,10 @@ def ktruss_support(
             # round + checkpoint in ONE job (r13)
         ).localCheckpoint(eager=False)
         sup_frame = e
-        if e.filter(F.col("sup") < k - 2).count() == 0:
+        n_under = e.filter(F.col("sup") < k - 2).count()
+        fwd.unpersist()
+        adj.unpersist()
+        if n_under == 0:
             converged = True
             break
         # survivors stay lazy too — next round's probe materializes
@@ -663,7 +715,10 @@ def bfs_hops(
 
     Returns (node, dist) for every node within ``max_hops``.
     """
-    edges = edges.select("src", "dst").persist()  # scanned once per round
+    # pre-hashed on src once (r14): each round's frontier join reuses
+    # the cache's HashPartitioning(src), so only the (small) frontier
+    # side shuffles — the edge list never re-exchanges per round
+    edges = edges.select("src", "dst").repartition(F.col("src")).persist()
     visited = sources.select("node").distinct().withColumn(
         "dist", F.lit(0).cast("long")
     )
@@ -754,8 +809,8 @@ def personalized_pagerank_integer(
         nodes = edges_deg.select(F.col("src").alias("node")).distinct().persist()
     else:
         nodes = (
-            edges.select(F.col("src").alias("node"))
-            .union(edges.select(F.col("dst").alias("node")))
+            # both endpoints in one pass over the edge cache (r14)
+            edges.select(F.explode(F.array("src", "dst")).alias("node"))
             .distinct()
             .persist()
         )
@@ -904,10 +959,20 @@ def kcore_degrees(
         .distinct()
     )
     # symmetric directed form: degree(v) == out-degree(v), and removing
-    # a node means dropping rows where it appears on EITHER side.
-    cur = canon.select(F.col("lo").alias("src"), F.col("hi").alias("dst")).union(
-        canon.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
-    ).localCheckpoint(eager=True)
+    # a node means dropping rows where it appears on EITHER side. Both
+    # directions in ONE pass over the canonical list (r14), then
+    # pre-hashed on src ONCE: every peel round's degree aggregate
+    # reuses the checkpoint's HashPartitioning(src) exchange-free, and
+    # the (small) peel sets anti-join as broadcasts that preserve it —
+    # so the per-round exchange disappears entirely.
+    cur = canon.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("lo").alias("src"), F.col("hi").alias("dst")),
+                F.struct(F.col("hi").alias("src"), F.col("lo").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").repartition(F.col("src")).localCheckpoint(eager=True)
     converged = False
     # The survivor checkpoint is LAZY (r13): the next round's
     # bad.count() — or the final degree aggregate — is the
@@ -1107,7 +1172,9 @@ def multi_source_ball_sizes(
 
     Returns (seed, dist, n_nodes), zero rows for hops past exhaustion.
     """
-    edges = edges.select("src", "dst").persist()  # scanned once per round
+    # pre-hashed on src once (r14; the bfs_hops discipline): only the
+    # frontier side shuffles per round
+    edges = edges.select("src", "dst").repartition(F.col("src")).persist()
     visited = (
         seeds.select("node")
         .distinct()

@@ -93,8 +93,10 @@ def _sql_double(v: float) -> str:
     """Exact SQL double literal: ``repr`` of a Python float is its
     shortest round-trip decimal, and Spark's parser reads a ``D``
     literal back to the identical float64 (incl. -0.0/denormals —
-    verified in tests). Non-finite values would not survive the SQL
-    path, so they fail loudly."""
+    pinned by tests/test_dedup_similarity.py::test_sql_double_literal_
+    roundtrip, which round-trips edge doubles through a real parse).
+    Non-finite values would not survive the SQL path, so they fail
+    loudly."""
     f = float(v)
     if f != f or f in (float("inf"), float("-inf")):
         raise ValueError(f"literal arrays must be finite, got {v!r}")
@@ -117,16 +119,30 @@ def lit_double_array(vals) -> Column:
 
 def lit_double_matrix(rows) -> Column:
     """Literal ARRAY<ARRAY<DOUBLE>> in one py4j round trip (see
-    :func:`lit_double_array`)."""
+    :func:`lit_double_array`). Empty input gets the typed-empty guard
+    (ADVICE r13): untyped ``array()`` fails analysis / yields
+    ARRAY<VOID>. Empty inner rows are typed by the sibling rows'
+    elements only when at least one is non-empty, so guard per row too.
+    """
+    rows = list(rows)
+    if not rows:
+        return F.expr("CAST(array() AS ARRAY<ARRAY<DOUBLE>>)")
     inner = ",".join(
-        "array(" + ",".join(_sql_double(v) for v in r) + ")" for r in rows
+        "array(" + ",".join(_sql_double(v) for v in r) + ")"
+        if list(r)
+        else "CAST(array() AS ARRAY<DOUBLE>)"
+        for r in rows
     )
     return F.expr(f"array({inner})")
 
 
 def lit_bigint_array(vals) -> Column:
     """Literal ARRAY<BIGINT> in one py4j round trip (see
-    :func:`lit_double_array`)."""
+    :func:`lit_double_array`). Empty input gets the typed-empty guard
+    (ADVICE r13), mirroring lit_double_array."""
+    vals = list(vals)
+    if not vals:
+        return F.expr("CAST(array() AS ARRAY<BIGINT>)")
     return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
 
 

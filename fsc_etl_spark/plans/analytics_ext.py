@@ -626,30 +626,56 @@ def assoc_rules_parts(spark: SparkSession, sf: str) -> DataFrame:
     builds its co-occurrence edges from.
     """
     li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.distinct()
-    n_orders = baskets.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).cast("long").alias("__n")
+    # Per-basket collect_set over the RAW lineitem stream (r14; the
+    # basket_pair_support rework): set semantics absorb the former
+    # distinct — which, unpersisted, re-ran once per consumer — and
+    # the pair self-join becomes an in-task expansion of the sorted
+    # set. The basket frame is read three times (n_orders, item
+    # supports, pair expansion) — persist, released after the bounded
+    # top-20 materialises below.
+    bsk = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        # full-parallelism cache + expansion (r14; the
+        # basket_pair_support lesson — AQE would coalesce the small
+        # set exchange and pin the cache nearly serial; keyed
+        # repartition would be pruned as redundant with the groupBy)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .persist()
     )
-    r = baskets.select(
-        F.col("l_orderkey").alias("r_orderkey"), F.col("l_partkey").alias("r_partkey")
-    )
+    n_orders = bsk.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     pair_support = (
-        baskets.join(
-            r,
-            (baskets["l_orderkey"] == r["r_orderkey"])
-            & (baskets["l_partkey"] < r["r_partkey"]),
+        bsk.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps) - i - 1), y -> "
+                    "struct(x AS x, y AS y))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("l_partkey").alias("x"), F.col("r_partkey").alias("y")
-        )
+        .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
         .agg(F.count(F.lit(1)).cast("long").alias("s_xy"))
     )
-    item_support = baskets.groupBy(F.col("l_partkey").alias("item")).agg(
-        F.count(F.lit(1)).cast("long").alias("s_item")
+    item_support = (
+        bsk.select(F.explode("ps").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("s_item"))
     )
     rules = (
-        pair_support.select("x", "y", "s_xy")
-        .union(pair_support.select(F.col("y").alias("x"), F.col("x").alias("y"), "s_xy"))
+        # both directed rules in ONE pass over the pair aggregate (the
+        # union form re-ran the whole pair expansion per branch — r14)
+        pair_support.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("x"), F.col("y"), F.col("s_xy")),
+                    F.struct(
+                        F.col("y").alias("x"), F.col("x").alias("y"), F.col("s_xy")
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.x", "r.y", "r.s_xy")
         .join(F.broadcast(item_support.withColumnRenamed("item", "x")
                           .withColumnRenamed("s_item", "s_x")), "x")
         .join(F.broadcast(item_support.withColumnRenamed("item", "y")
@@ -666,12 +692,22 @@ def assoc_rules_parts(spark: SparkSession, sf: str) -> DataFrame:
             .alias("lift_ppm"),
         )
     )
-    return rules.orderBy(
+    out = rules.orderBy(
         F.col("confidence_ppm").desc(),
         F.col("s_xy").desc(),
         F.col("antecedent").asc(),
         F.col("consequent").asc(),
     ).limit(20)
+    from fsc_etl_spark import planfp
+
+    if planfp.plan_only_mode():
+        return out  # expose the real plan to the fingerprint gate
+    # eager-checkpoint-then-unpersist (the basket_pair_support
+    # pattern): the top-20 is tiny, so materialising it here lets the
+    # basket cache release instead of leaking in a long session
+    out = out.localCheckpoint(eager=True)
+    bsk.unpersist()
+    return out
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -38,6 +38,70 @@ _PR_ITERS = 5
 _TOPK = 20
 
 
+def _shuffle_parallelism(df: DataFrame) -> int:
+    """The session's configured shuffle-partition count — the same
+    scale-parameterised knob session.get_spark sizes to the cluster
+    (r14). Used to pin bounded-set expansion stages at full
+    parallelism where AQE's byte-based coalescing would serialise
+    them (set rows are small; their explosion is not)."""
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+
+def _sym_edges(cp: DataFrame, a: str, b: str, w: str | None = None) -> DataFrame:
+    """Symmetrising explode: both edge directions in ONE pass over the
+    (usually persisted) canonical pair list ``cp`` (r14). The former
+    union-of-two-selects form scheduled 2x tasks that raced each other
+    against the still-unbuilt cache partitions — each pass either
+    recomputed the pair build or blocked on the sibling's block lock.
+    Same rows, same structural-uniqueness argument (the two directions
+    cannot collide when a != b per row), so ``assume_distinct``
+    call-site justifications carry over unchanged.
+    """
+    cols = lambda x, y: [F.col(x).alias("src"), F.col(y).alias("dst")] + (
+        [F.col(w).alias("w")] if w else []
+    )
+    return cp.select(
+        F.explode(F.array(F.struct(*cols(a, b)), F.struct(*cols(b, a)))).alias("e")
+    ).select("e.*")
+
+
+def _basket_pairs(df: DataFrame, key: str, item: str) -> DataFrame:
+    """Within-basket co-occurrence pairs ``(lo < hi)`` via per-basket
+    ``collect_set`` + in-task pair expansion (r14, guide §2.4): one
+    keyed aggregation replaces the basket self-join — the explode
+    emits each basket's C(k,2) pairs map-side with intra-basket
+    duplicates already removed by the set semantics. Per-basket work
+    is bounded by the basket size cap (TPC-H baskets are <= 7 lines;
+    a real catalog applies an item cap upstream), so the expansion is
+    never the skew term. Output is NOT globally distinct — callers
+    dedup across baskets exactly as they did after the self-join.
+    """
+    return (
+        df.groupBy(key)
+        .agg(F.array_sort(F.collect_set(item)).alias("ps"))
+        # Round-robin to the session's full shuffle parallelism: AQE
+        # coalesces the small aggregated-set exchange (a few MB) down
+        # to 1-2 partitions, and the C(k,2) explosion — invisible to
+        # AQE's byte estimate — would then run nearly serial (r14:
+        # measured 2-task expansion stages writing 8.7M rows). A keyed
+        # repartition is pruned as redundant with the groupBy
+        # partitioning, so round-robin with the scale-parameterised
+        # partition count is the form that survives the planner; the
+        # extra exchange moves only the bounded set rows.
+        .repartition(_shuffle_parallelism(df))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps) - i - 1), y -> "
+                    "struct(x AS lo, y AS hi))))"
+                )
+            ).alias("p")
+        )
+        .select("p.lo", "p.hi")
+    )
+
+
 def pagerank_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     """Top-20 authorities of the customer—part co-purchase graph by
     5-iteration integer PageRank (d = 85/100, rank scale 10^9).
@@ -63,13 +127,12 @@ def pagerank_copurchase(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .persist()  # the symmetrising union + degree build re-read cp
     )
-    edges = cp.select(F.col("cnode").alias("src"), F.col("pnode").alias("dst")).union(
-        cp.select(F.col("pnode").alias("src"), F.col("cnode").alias("dst"))
-    )
+    edges = _sym_edges(cp, "cnode", "pnode")
     # symmetrised graph -> every node has in-edges, so the dense
     # fast path (no per-iteration nodes join) is exact here; the
-    # parity-keyed union of distinct cp pairs is structurally unique,
-    # so the operator's defensive distinct is skipped too
+    # parity-keyed symmetrising explode of distinct cp pairs is
+    # structurally unique, so the operator's defensive distinct is
+    # skipped too
     ranks = pagerank_integer(
         edges, iters=_PR_ITERS, every_node_has_inflow=True, assume_distinct=True
     )
@@ -104,9 +167,7 @@ def pagerank_weighted_copurchase(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .persist()
     )
-    edges = cp.select(
-        F.col("cnode").alias("src"), F.col("pnode").alias("dst"), "w"
-    ).union(cp.select(F.col("pnode").alias("src"), F.col("cnode").alias("dst"), "w"))
+    edges = _sym_edges(cp, "cnode", "pnode", w="w")
     # validate=False: (src, dst) uniqueness is structural (groupBy
     # above) and weights are bounded lineitem multiplicities, so the
     # validation aggregate would re-prove an invariant the plan
@@ -141,13 +202,11 @@ def triangle_count_coparts(spark: SparkSession, sf: str) -> DataFrame:
     node-iterator algorithm — AQE skew-split handles hub parts.
     """
     li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    li2 = li.select(
-        F.col("l_orderkey").alias("r_orderkey"), F.col("l_partkey").alias("r_partkey")
-    )
-    pairs = (
-        li.join(li2, (li["l_orderkey"] == li2["r_orderkey"]) & (li["l_partkey"] < li2["r_partkey"]))
-        .select(F.col("l_partkey").alias("src"), F.col("r_partkey").alias("dst"))
-        .distinct()
+    # raw basket pairs (lo < hi, intra-basket deduped): triangle_stats
+    # canonicalises + distincts internally, so the former query-side
+    # distinct was a second full pair shuffle for nothing (r14)
+    pairs = _basket_pairs(li, "l_orderkey", "l_partkey").select(
+        F.col("lo").alias("src"), F.col("hi").alias("dst")
     )
     return triangle_stats(pairs)
 
@@ -191,13 +250,11 @@ def ktruss_coparts(spark: SparkSession, sf: str) -> DataFrame:
     convergence guard error()s — loud on both engines.
     """
     li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    li2 = li.select(
-        F.col("l_orderkey").alias("r_orderkey"), F.col("l_partkey").alias("r_partkey")
-    )
-    pairs = (
-        li.join(li2, (li["l_orderkey"] == li2["r_orderkey"]) & (li["l_partkey"] < li2["r_partkey"]))
-        .select(F.col("l_partkey").alias("src"), F.col("r_partkey").alias("dst"))
-        .distinct()
+    # raw basket pairs: ktruss_support canonicalises + distincts
+    # internally (r14 — same double-distinct removal as the triangle
+    # census)
+    pairs = _basket_pairs(li, "l_orderkey", "l_partkey").select(
+        F.col("lo").alias("src"), F.col("hi").alias("dst")
     )
     truss = ktruss_support(pairs, k=_KTRUSS_K, rounds=_KTRUSS_ROUNDS)
     return truss.groupBy("sup").agg(
@@ -236,39 +293,47 @@ def graph_common_neighbors(spark: SparkSession, sf: str) -> DataFrame:
     TakeOrdered heap, never a global sort. All integers end to end."""
     o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
     li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    cp = (
+    # Per-part collect_set over the RAW incidence stream (r14): the set
+    # semantics absorb the former (cust, part) distinct, the fanout cap
+    # becomes a size() filter on the aggregated row (no count-agg +
+    # semi join back), and the a⋈b pair self-join becomes an in-task
+    # expansion of the sorted set — one keyed aggregation replaces
+    # three exchanges + one join. Per-part work stays bounded by the
+    # fanout cap (≤ C(50,2) pairs), the same stop-word posture as
+    # before; the r11 probe note still applies — the degree table joins
+    # the count-REDUCED pair aggregate, never the raw pair stream.
+    parts = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
-        .distinct()
+        .groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.array_sort(F.collect_set("o_custkey")).alias("cs"))
+        .filter(F.size("cs") <= _CN_MAX_PART_FANOUT)
+        # round-robin before persisting: AQE coalesces the small set
+        # exchange to 1-2 partitions, which would pin the CACHE at
+        # that parallelism and run the C(50,2)-per-part expansion
+        # nearly serial (r14, the _basket_pairs lesson — a keyed
+        # repartition is pruned as redundant with the groupBy)
+        .repartition(_shuffle_parallelism(li))
+        # read twice (degree build + pair expansion) — persist so the
+        # orders⋈lineitem aggregation runs once; released via the
+        # eager-checkpoint-then-unpersist tail below.
+        .persist()
     )
-    # NOTE (r11): a window-attach variant (hub filter + degree as two
-    # partitioned windows, degrees replicated into the pair rows and
-    # min-reduced with the count) measured FASTER at sf0.1 (2.0-3.2 s
-    # vs 3.97) but 2.2x SLOWER at the 10x probe (26.1 s vs 11.7):
-    # replicating deg_a/deg_b doubles the width of the pair-expansion
-    # shuffle — the one stage that grows with data — while this shape
-    # joins the count-REDUCED pair aggregate against the node-sized
-    # degree table. Keep the scale-optimal plan; the x1 delta is
-    # fixed-stage overhead (docs/scale_probe_r11_additions.json).
-    rare = (
-        cp.groupBy("part")
-        .agg(F.count(F.lit(1)).alias("n_cust"))
-        .filter(F.col("n_cust") <= _CN_MAX_PART_FANOUT)
-        .select("part")
+    deg = (
+        parts.select(F.explode("cs").alias("cust"))
+        .groupBy("cust")
+        .agg(F.count(F.lit(1)).alias("deg"))
     )
-    # the non-hub incidence is read three times (degree build + both
-    # pair-join sides) — persist so the orders⋈lineitem join and the
-    # hub filter run once; released via the eager-checkpoint-then-
-    # unpersist tail below (r13, ADVICE r11 follow-through — the same
-    # lifecycle basket_pair_support and graph_adamic_adar got in r12).
-    cpr = cp.join(rare, "part", "left_semi").persist()
-    deg = cpr.groupBy("cust").agg(F.count(F.lit(1)).alias("deg"))
-    a = cpr.select(F.col("part"), F.col("cust").alias("id_a"))
-    b = cpr.select(F.col("part"), F.col("cust").alias("id_b"))
     common = (
-        a.join(b, "part")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        parts.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(cs, (x, i) -> "
+                    "transform(slice(cs, i + 2, size(cs) - i - 1), y -> "
+                    "struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
     out = (
@@ -305,7 +370,7 @@ def graph_common_neighbors(spark: SparkSession, sf: str) -> DataFrame:
     # the in-session inflation that flagged CN 19.9x in the r12
     # full-surface probe before isolated rechecks refuted it.
     out = out.localCheckpoint(eager=True)
-    cpr.unpersist()
+    parts.unpersist()
     return out
 
 
@@ -351,37 +416,40 @@ def graph_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
     heap. All integers end to end."""
     o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
     li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    cp = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
-        .distinct()
-    )
     warr = F.array(*[F.lit(w) for w in _AA_WEIGHTS])
-    # fanout + weight attach via a part-partitioned window over the
-    # distinct's own exchange — one shuffle total, where a count-agg +
-    # join back would re-shuffle the same key twice (the r10 PageRank
-    # degree-attach rework); the incidence is read twice (both pair
-    # sides) — persist
-    cpr = (
-        cp.withColumn(
-            "n_cust", F.count(F.lit(1)).over(Window.partitionBy("part"))
-        )
-        .filter(
-            (F.col("n_cust") >= 2) & (F.col("n_cust") <= _CN_MAX_PART_FANOUT)
-        )
+    # Per-part collect_set over the RAW incidence stream (r14; the
+    # graph_common_neighbors rework): set semantics absorb the
+    # (cust, part) distinct, the fanout band becomes a size() filter,
+    # n_cust IS the set size (so the weight lookup stays a map-side
+    # literal-array index), and the a⋈b pair self-join becomes an
+    # in-task expansion of the sorted set — one keyed aggregation
+    # replaces two exchanges + one join. Per-part pair work stays
+    # bounded by the fanout cap; no persist needed — the expansion is
+    # the only consumer.
+    parts = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.array_sort(F.collect_set("o_custkey")).alias("cs"))
+        .filter((F.size("cs") >= 2) & (F.size("cs") <= _CN_MAX_PART_FANOUT))
+        # full-parallelism expansion (r14, the _basket_pairs lesson)
+        .repartition(_shuffle_parallelism(li))
         .select(
-            "part",
-            "cust",
-            F.element_at(warr, (F.col("n_cust") - 1).cast("int")).alias("w"),
+            "cs",
+            F.element_at(warr, (F.size("cs") - 1).cast("int")).alias("w"),
         )
-        .persist()
     )
-    a = cpr.select("part", F.col("cust").alias("id_a"), "w")
-    b = cpr.select("part", F.col("cust").alias("id_b"))
     out = (
-        a.join(b, "part")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        parts.select(
+            "w",
+            F.explode(
+                F.expr(
+                    "flatten(transform(cs, (x, i) -> "
+                    "transform(slice(cs, i + 2, size(cs) - i - 1), y -> "
+                    "struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(
             F.sum("w").cast("bigint").alias("aa_micro"),
             F.count(F.lit(1)).cast("bigint").alias("common"),
@@ -395,14 +463,9 @@ def graph_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
         )
         .limit(_AA_TOPK)
     )
-    if planfp.plan_only_mode():
-        return out  # expose the real plan to the fingerprint gate (ADVICE r12)
-    # eager-checkpoint-then-unpersist (the assortativity pattern,
-    # ADVICE r11): the top-50 is tiny, so materialising it here
-    # lets the incidence cache release immediately instead of
-    # leaking in a long driver session that never clearCache()s
-    out = out.localCheckpoint(eager=True)
-    cpr.unpersist()
+    # nothing persisted (r14): the pair expansion is the aggregated
+    # incidence's only consumer, so the plan runs end to end with no
+    # cache to release — no checkpoint tail needed either.
     return out
 
 
@@ -434,9 +497,7 @@ def bfs_hops_copurchase(spark: SparkSession, sf: str) -> DataFrame:
         # re-joins the edge list — persist so orders⋈lineitem runs once
         .persist()
     )
-    edges = cp.select(F.col("cnode").alias("src"), F.col("pnode").alias("dst")).union(
-        cp.select(F.col("pnode").alias("src"), F.col("cnode").alias("dst"))
-    )
+    edges = _sym_edges(cp, "cnode", "pnode")
     src = spark.range(1).select(F.lit(0).cast("long").alias("node"))  # 'c0'
     reached = bfs_hops(edges, src, max_hops=3)
     cp.unpersist()  # reached is checkpointed eagerly; the cache is done
@@ -509,9 +570,7 @@ def ppr_copurchase_seeds(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    edges = cp.select(F.col("cnode").alias("src"), F.col("pnode").alias("dst")).union(
-        cp.select(F.col("pnode").alias("src"), F.col("cnode").alias("dst"))
-    )
+    edges = _sym_edges(cp, "cnode", "pnode")
     seeds = (
         t(spark, sf, "customer")
         .filter(F.col("c_nationkey") == 0)
@@ -561,9 +620,7 @@ def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    edges = cp.select(
-        F.col("cnode").alias("src"), F.col("pnode").alias("dst")
-    ).union(cp.select(F.col("pnode").alias("src"), F.col("cnode").alias("dst")))
+    edges = _sym_edges(cp, "cnode", "pnode")
     # structurally distinct: cp is distinct and the two union branches
     # can't collide (cnode even, pnode odd) — skip LPA's edge shuffle
     labels = label_propagation(edges, rounds=_LPA_ROUNDS, assume_distinct=True)
@@ -629,18 +686,12 @@ def community_modularity(spark: SparkSession, sf: str) -> DataFrame:
     dedicated plan test, not this fingerprint.
     """
     li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    lj = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("hi")
-    )
-    cp = (
-        li.join(lj, (li["l_orderkey"] == lj["o"]) & (li["l_partkey"] < lj["hi"]))
-        .select(F.col("l_partkey").alias("lo"), "hi")
-        .distinct()
-        .persist()
-    )
-    edges = cp.select(F.col("lo").alias("src"), F.col("hi").alias("dst")).union(
-        cp.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
-    )
+    # per-basket collect_set pair expansion (r14, _basket_pairs): one
+    # keyed aggregation + map-side explode replaces the basket
+    # self-join; the cross-basket distinct stays (LPA's
+    # assume_distinct contract needs unique canonical pairs)
+    cp = _basket_pairs(li, "l_orderkey", "l_partkey").distinct().persist()
+    edges = _sym_edges(cp, "lo", "hi")
     # structurally distinct (cp is distinct lo<hi; the swap can't
     # collide) — skip LPA's defensive edge shuffle
     labels = label_propagation(
@@ -662,8 +713,8 @@ def community_modularity(spark: SparkSession, sf: str) -> DataFrame:
         .agg((2 * F.count(F.lit(1))).alias("e_c"))
     )
     deg = (
-        cp.select(F.col("lo").alias("src"))
-        .union(cp.select(F.col("hi").alias("src")))
+        # both endpoints in ONE pass over the cp cache (r14)
+        cp.select(F.explode(F.array("lo", "hi")).alias("src"))
         .groupBy("src")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -675,16 +726,17 @@ def community_modularity(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum(F.col("d").cast("decimal(19,0)")).alias("d_c"))
         .join(internal, "label", "left")
     )
-    two_m = cp.agg((2 * F.count(F.lit(1))).cast("decimal(38,0)").alias("two_m"))
-    g = (
-        comm.agg(
-            F.count(F.lit(1)).cast("decimal(38,0)").alias("n_comm"),
-            F.sum(
-                F.coalesce(F.col("e_c"), F.lit(0)).cast("decimal(38,0)")
-            ).alias("sum_e"),
-            F.sum(F.col("d_c") * F.col("d_c")).alias("sum_d2"),
-        )
-        .crossJoin(F.broadcast(two_m))
+    # two_m == Σ_c d_c (r14): every node carries exactly one label, so
+    # summing per-community degree mass over all communities counts
+    # every directed edge-endpoint exactly once — the former separate
+    # cp.count() pass + broadcast crossJoin is algebraically free here.
+    g = comm.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_comm"),
+        F.sum(
+            F.coalesce(F.col("e_c"), F.lit(0)).cast("decimal(38,0)")
+        ).alias("sum_e"),
+        F.sum(F.col("d_c") * F.col("d_c")).alias("sum_d2"),
+        F.sum("d_c").cast("decimal(38,0)").alias("two_m"),
     )
     out = g.select(
         F.col("n_comm").cast("bigint").alias("n_communities"),
@@ -736,18 +788,12 @@ def graph_conductance(spark: SparkSession, sf: str) -> DataFrame:
     fingerprints the lazy readout via plan_only (ADVICE r12).
     """
     li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    lj = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("hi")
-    )
-    cp = (
-        li.join(lj, (li["l_orderkey"] == lj["o"]) & (li["l_partkey"] < lj["hi"]))
-        .select(F.col("l_partkey").alias("lo"), "hi")
-        .distinct()
-        .persist()
-    )
-    edges = cp.select(F.col("lo").alias("src"), F.col("hi").alias("dst")).union(
-        cp.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
-    )
+    # per-basket collect_set pair expansion (r14, _basket_pairs): one
+    # keyed aggregation + map-side explode replaces the basket
+    # self-join; the cross-basket distinct stays (LPA's
+    # assume_distinct contract needs unique canonical pairs)
+    cp = _basket_pairs(li, "l_orderkey", "l_partkey").distinct().persist()
+    edges = _sym_edges(cp, "lo", "hi")
     # structurally distinct (cp is distinct lo<hi; the swap can't
     # collide) — skip LPA's defensive edge shuffle
     labels = label_propagation(
@@ -767,8 +813,8 @@ def graph_conductance(spark: SparkSession, sf: str) -> DataFrame:
         .agg((2 * F.count(F.lit(1))).alias("e_c"))
     )
     deg = (
-        cp.select(F.col("lo").alias("src"))
-        .union(cp.select(F.col("hi").alias("src")))
+        # both endpoints in ONE pass over the cp cache (r14)
+        cp.select(F.explode(F.array("lo", "hi")).alias("src"))
         .groupBy("src")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -839,13 +885,10 @@ def local_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
     precedent).
     """
     li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    lj = li.select(
-        F.col("l_orderkey").alias("r_orderkey"), F.col("l_partkey").alias("r_partkey")
-    )
-    pairs = (
-        li.join(lj, (li["l_orderkey"] == lj["r_orderkey"]) & (li["l_partkey"] < lj["r_partkey"]))
-        .select(F.col("l_partkey").alias("src"), F.col("r_partkey").alias("dst"))
-        .distinct()
+    # raw basket pairs: triangle_counts_per_node canonicalises +
+    # distincts internally (r14 — double-distinct removal)
+    pairs = _basket_pairs(li, "l_orderkey", "l_partkey").select(
+        F.col("lo").alias("src"), F.col("hi").alias("dst")
     )
     pernode = triangle_counts_per_node(pairs)
     scored = pernode.select(
@@ -1273,9 +1316,7 @@ def graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    edges = cp.select(F.col("cnode").alias("src"), F.col("pnode").alias("dst")).union(
-        cp.select(F.col("pnode").alias("src"), F.col("cnode").alias("dst"))
-    )
+    edges = _sym_edges(cp, "cnode", "pnode")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     ds = deg.select(F.col("src").alias("__s"), F.col("d").alias("dx"))
     dd = deg.select(F.col("src").alias("__d"), F.col("d").alias("dy"))
@@ -1344,9 +1385,7 @@ def graph_seed_ball_sizes(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    edges = cp.select(F.col("cnode").alias("src"), F.col("pnode").alias("dst")).union(
-        cp.select(F.col("pnode").alias("src"), F.col("cnode").alias("dst"))
-    )
+    edges = _sym_edges(cp, "cnode", "pnode")
     seeds = (
         t(spark, sf, "customer")
         .select((F.col("c_custkey") * 2).alias("node"))

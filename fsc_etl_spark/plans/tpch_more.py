@@ -372,29 +372,40 @@ def basket_pair_support(spark: SparkSession, sf: str) -> DataFrame:
     broadcast; the top-k is a TakeOrdered heap, never a global
     sort."""
     li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    basket = li.distinct()
-    # the cap attaches via a basket-partitioned window over the
-    # distinct's own exchange — one shuffle total, where a count-agg +
-    # semi join back would re-shuffle the same key twice (the same
-    # one-exchange degree-attach rework that paid off for the
-    # PageRank family in r10)
+    # Per-basket collect_set over the RAW lineitem stream (r14): the
+    # set semantics absorb the former distinct, the item cap becomes a
+    # size() filter on the aggregated row (no window re-shuffle), and
+    # the a⋈b pair self-join becomes an in-task expansion of the
+    # sorted set — one keyed aggregation replaces the distinct + cap
+    # window + pair join. Per-basket pair work stays <= cap².
     bk = (
-        basket.withColumn(
-            "n_items",
-            F.count(F.lit(1)).over(Window.partitionBy("l_orderkey")),
-        )
-        .filter(F.col("n_items") <= _BASKET_MAX_ITEMS)
-        .drop("n_items")
-        .persist()  # read four times: n_baskets, item counts, both pair sides
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") <= _BASKET_MAX_ITEMS)
+        # round-robin before persisting: without it AQE coalesces the
+        # small set exchange to a couple of partitions and the cache —
+        # and every expansion over it — runs nearly serial; a keyed
+        # repartition is pruned as redundant with the groupBy (r14)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .persist()  # read three times: n_baskets, item counts, pairs
     )
-    nb = bk.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
-    item = bk.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
-    a = bk.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = bk.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    nb = bk.agg(F.count(F.lit(1)).alias("n_baskets"))
+    item = (
+        bk.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     sup = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
+        bk.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps) - i - 1), y -> "
+                    "struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("support"))
     )
     dec = "decimal(38,0)"
@@ -459,26 +470,40 @@ def basket_triple_support(spark: SparkSession, sf: str) -> DataFrame:
     pattern); planfp sees the lazy plan via plan_only.
     """
     li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    basket = li.distinct()
+    # Per-basket collect_set + in-task triple expansion (r14; the
+    # basket_pair_support rework): one keyed aggregation replaces the
+    # distinct + cap window + two pair-extension joins. The nested
+    # slice expansion emits exactly the i < j < k combinations of the
+    # sorted set, so per-basket work stays <= C(cap, 3).
     bk = (
-        basket.withColumn(
-            "n_items",
-            F.count(F.lit(1)).over(Window.partitionBy("l_orderkey")),
-        )
-        .filter(F.col("n_items") <= _BASKET_MAX_ITEMS)
-        .drop("n_items")
-        .persist()  # read five times: n-counts, items, three join sides
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") <= _BASKET_MAX_ITEMS)
+        # full-parallelism cache + expansion (r14; see pair variant)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .persist()  # read twice: item counts, triple expansion
     )
-    item = bk.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
-    a = bk.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = bk.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    c = bk.select("l_orderkey", F.col("l_partkey").alias("part_c"))
+    item = (
+        bk.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     sup = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .join(c, "l_orderkey")
-        .filter(F.col("part_b") < F.col("part_c"))
-        .groupBy("part_a", "part_b", "part_c")
+        bk.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "flatten(transform(slice(ps, i + 2, size(ps) - i - 1), (y, j) -> "
+                    "transform(slice(ps, i + j + 3, size(ps) - i - j - 2), z -> "
+                    "struct(x AS part_a, y AS part_b, z AS part_c))))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(
+            F.col("p.part_a").alias("part_a"),
+            F.col("p.part_b").alias("part_b"),
+            F.col("p.part_c").alias("part_c"),
+        )
         .agg(F.count(F.lit(1)).alias("support"))
     )
     dec = "decimal(38,0)"

@@ -78,6 +78,11 @@ def read_parquet_table(
 #: the fixture FILE, which never changes mid-process, while dozens of
 #: event-reading queries each paid the footer-inference round trip at
 #: plan-build time (r13: ~0.1 s x every events query in the bench).
+#: INVALIDATION ASSUMPTION (ADVICE r13): fixtures are generated before
+#: the process starts and never rewritten mid-process — true for the
+#: bench/driver/test contracts. If a workflow ever regenerates a
+#: fixture in-process with a different ts encoding, key this by
+#: (path, mtime) or clear the dict.
 _EVENTS_TS_IS_LONG_CACHE: dict[str, bool] = {}
 
 

@@ -521,3 +521,85 @@ def test_multitable_lsh_nonbigint_id(spark, sf_smoke):
         for r in base
     )
     assert got == want and len(got) > 0
+
+
+def test_sql_double_literal_roundtrip(spark):
+    """ADVICE r13: pin the _sql_double contract directly — repr()+D
+    literals round-trip bit-exactly through a REAL Spark parse for the
+    edge doubles (−0.0, denormals, large exponents, ULP neighbours),
+    and non-finite values raise before ever reaching SQL."""
+    import math
+    import struct
+
+    from fsc_etl_spark.operators.similarity import (
+        _sql_double,
+        lit_bigint_array,
+        lit_double_array,
+        lit_double_matrix,
+    )
+
+    edge = [
+        0.0,
+        -0.0,
+        5e-324,           # smallest subnormal
+        -5e-324,
+        2.2250738585072014e-308,  # smallest normal
+        1.7976931348623157e308,   # largest finite
+        -1.7976931348623157e308,
+        1.0,
+        -1.0,
+        1 / 3,
+        math.pi,
+        0.1 + 0.2,        # classic non-representable sum
+        1.5e-300,
+        9.007199254740993e15,  # > 2^53, odd mantissa path
+        float.fromhex("0x1.fffffffffffffp-2"),
+    ]
+    got = (
+        spark.range(1)
+        .select(lit_double_array(edge).alias("a"))
+        .first()["a"]
+    )
+    assert len(got) == len(edge)
+    for want, have in zip(edge, got):
+        # bit-exact, including the -0.0 sign bit
+        assert struct.pack("<d", want) == struct.pack("<d", have), (want, have)
+
+    m = (
+        spark.range(1)
+        .select(lit_double_matrix([edge[:3], edge[3:6]]).alias("m"))
+        .first()["m"]
+    )
+    assert [struct.pack("<d", v) for r in m for v in r] == [
+        struct.pack("<d", v) for v in edge[:6]
+    ]
+
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(ValueError):
+            _sql_double(bad)
+        with pytest.raises(ValueError):
+            lit_double_array([1.0, bad])
+
+    # empty-input guards (ADVICE r13): typed empties, not ARRAY<VOID>
+    row = (
+        spark.range(1)
+        .select(
+            lit_double_array([]).alias("d"),
+            lit_bigint_array([]).alias("b"),
+            lit_double_matrix([]).alias("m"),
+            lit_double_matrix([[], []]).alias("mm"),
+        )
+        .first()
+    )
+    assert row["d"] == [] and row["b"] == [] and row["m"] == []
+    assert row["mm"] == [[], []]
+    df = spark.range(1).select(
+        lit_double_array([]).alias("d"),
+        lit_bigint_array([]).alias("b"),
+        lit_double_matrix([]).alias("m"),
+    )
+    assert dict(df.dtypes) == {
+        "d": "array<double>",
+        "b": "array<bigint>",
+        "m": "array<array<double>>",
+    }

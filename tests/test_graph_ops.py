@@ -672,3 +672,75 @@ def test_multi_source_ball_sizes_tiny_graph(spark):
         ("a", 0): 1, ("a", 1): 1, ("a", 2): 1,   # a; b; c
         ("c", 0): 1, ("c", 1): 2, ("c", 2): 1,   # c; b,d; a
     }
+
+
+# ---------------------------------------------------------------------------
+# assume_distinct guard (VERDICT r13 #8 / ADVICE r13): the flag is an
+# unchecked caller contract — duplicate (src, dst) pairs would silently
+# double LPA votes / PageRank mass. This test re-runs every wired
+# assume_distinct=True call site on the gate fixture with the operator
+# wrapped to VALIDATE the contract first, so removing a .distinct() (or
+# breaking the parity/lo<hi structural-uniqueness argument) in any edge
+# build fails HERE, not rounds later in the rotating oracle window.
+# ---------------------------------------------------------------------------
+
+
+def test_assume_distinct_call_sites_pass_unique_edges(spark, sf_smoke, monkeypatch):
+    import fsc_etl_spark.operators.graph as og
+    import fsc_etl_spark.plans.graph_ops as gops
+
+    checked: list[str] = []
+
+    def _assert_unique(edges, who):
+        chk = edges.select("src", "dst").agg(
+            F.count(F.lit(1)).alias("ne"),
+            F.count_distinct(F.struct("src", "dst")).alias("nd"),
+        ).first()
+        assert chk["ne"] == chk["nd"], (
+            f"{who}: assume_distinct=True edge build has "
+            f"{chk['ne'] - chk['nd']} duplicate pair(s)"
+        )
+        checked.append(who)
+
+    real_lpa = og.label_propagation
+    real_pr = og.pagerank_integer
+    real_ppr = og.personalized_pagerank_integer
+
+    def lpa(edges, *a, **kw):
+        if kw.get("assume_distinct"):
+            _assert_unique(edges, "label_propagation")
+        return real_lpa(edges, *a, **kw)
+
+    def pr(edges, *a, **kw):
+        if kw.get("assume_distinct"):
+            _assert_unique(edges, "pagerank_integer")
+        return real_pr(edges, *a, **kw)
+
+    def ppr(edges, seeds, *a, **kw):
+        if kw.get("assume_distinct"):
+            _assert_unique(edges, "personalized_pagerank_integer")
+        return real_ppr(edges, seeds, *a, **kw)
+
+    # the plans module imported the names directly — patch BOTH the
+    # operator module and the plan module's bindings
+    for mod in (og, gops):
+        monkeypatch.setattr(mod, "label_propagation", lpa, raising=True)
+        monkeypatch.setattr(mod, "pagerank_integer", pr, raising=True)
+        monkeypatch.setattr(
+            mod, "personalized_pagerank_integer", ppr, raising=True
+        )
+
+    wired = [
+        "pagerank_copurchase",
+        "pagerank_dangling_redistribute",
+        "ppr_copurchase_seeds",
+        "graph_label_propagation",
+        "community_modularity",
+        "graph_conductance",
+    ]
+    for name in wired:
+        gops.QUERIES[name](spark, sf_smoke).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    # every wired call site actually exercised the guard
+    assert len(checked) == len(wired), (checked, wired)
