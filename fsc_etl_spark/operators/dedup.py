@@ -86,10 +86,17 @@ def minhash_signatures(
     union them back explicitly.
     """
     text = F.lower(F.col(text_col)) if canonicalize else F.col(text_col)
+    # Under-split scan guard (r14): the gate fixtures are single-row-
+    # group parquet, so the tokenize + shingle + salted-md5 work below
+    # would otherwise run on ONE core (measured 1.94->0.64 s at
+    # sf0.1); a no-op on properly split inputs.
+    from fsc_etl_spark.sources.readers import parallel_scan
+
+    base = parallel_scan(docs.select(F.col(id_col), text.alias("__txt")))
     # Materialize the token array BEFORE shingling: higher-order-
     # function bodies re-evaluate non-lambda subexpressions per
     # element, so shingling over split(text) inline is O(L²) per doc.
-    toked = docs.select(F.col(id_col), tokens(text).alias("__tk"))
+    toked = base.select(F.col(id_col), tokens(F.col("__txt")).alias("__tk"))
     # No per-doc shingle dedup: min() over duplicates equals min() over
     # the distinct set, so the dropDuplicates shuffle this used to pay
     # bought nothing.
@@ -148,13 +155,31 @@ def lsh_candidate_pairs(
     )
     buckets = (
         long.groupBy("band_idx", "band_sig")
-        .agg(F.collect_list(id_col).alias("ids"))
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
+        # round-robin to full shuffle parallelism before the expansion
+        # (r14): AQE coalesces the small bucket aggregate by BYTES and
+        # the quadratic-in-bucket explosion behind it is invisible to
+        # that estimate (the _basket_pairs lesson; a keyed repartition
+        # would be pruned as redundant with the groupBy partitioning)
+        .repartition(
+            int(signatures.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        )
     )
+    # in-task i<j expansion of the SORTED bucket (r14): emits each
+    # bucket's C(k,2) ordered pairs directly — the former two-step
+    # explode materialised all k² combinations and filtered half away
     return (
-        buckets.select(F.explode("ids").alias("id_a"), "ids")
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), y -> "
+                    "struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -236,6 +261,10 @@ def _jaccard_toks(
     """(id, tok) with per-doc token SETS via array_distinct BEFORE the
     explode — the dedup happens map-side inside codegen instead of a
     full (id, tok) distinct shuffle."""
+    from fsc_etl_spark.sources.readers import parallel_scan
+
+    # under-split scan guard (r14; see minhash_signatures)
+    docs = parallel_scan(docs.select(F.col(id_col), F.col(text_col)))
     toks = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
@@ -413,6 +442,12 @@ def simhash_sig(
     portable to the SQL oracle (hex-cast + shifts exist in both).
     """
     assert 1 <= n_bits <= 60, "md5-derived hash provides 60 usable bits"
+    # Under-split scan guard (r14; see minhash_signatures) — the
+    # tokenize + md5 vote work below otherwise runs on one core over
+    # the single-row-group gate fixtures.
+    from fsc_etl_spark.sources.readers import parallel_scan
+
+    docs = parallel_scan(docs.select(F.col(id_col), F.col(text_col)))
     # array_distinct before the explode: per-doc token-set dedup runs
     # map-side in codegen, deleting the (id, tok) distinct shuffle that
     # used to precede the vote aggregation.
@@ -494,9 +529,22 @@ def connected_components_min_label(
     at web scale, swap in :func:`connected_components_star` (O(log n)
     rounds) — same join/groupBy primitives, identical output.
     """
-    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=False)
+    # both directions in ONE pass over the pair subtree (r14): the
+    # union-of-two-selects form re-ran the whole LSH candidate build
+    # once per branch (Catalyst does not reuse it across branches)
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                    F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     converged = False
     # Propagate only over nodes that touch an edge: near-dup graphs
     # are a sliver of the corpus, so the per-round label table (and
@@ -587,14 +635,15 @@ def connected_components_star(
     (doc_id, cluster_root) with root = component min.
     """
     # Canonical directed form: (child src, parent dst), parent < child.
-    # One distinct suffices — the symmetrize + keep-one-orientation
-    # already maps every input pair to a single canonical edge.
-    both = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionByName(
-        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
-    )
+    # greatest/least computes the kept orientation directly in ONE pass
+    # (r14) — the former symmetrize-union + filter re-ran the whole
+    # LSH pair subtree once per branch just to throw half away.
     edges = (
-        both.filter(F.col("v") < F.col("u"))
-        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("src"),
+            F.least("id_a", "id_b").alias("dst"),
+        )
+        .filter(F.col("dst") < F.col("src"))
         .distinct()
         # lazy: the first stats_of() probe materializes it (r13)
         .localCheckpoint(eager=False)
@@ -609,9 +658,18 @@ def connected_components_star(
         # Only the small-star (iteration-final) output is dedup'd:
         # duplicate edges between the sub-rounds cannot change a window
         # MIN, so the large-star distinct would be a wasted shuffle.
-        sym = e.select("src", "dst").unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        # Both adjacency directions via ONE explode (r14): the union
+        # form re-ran this sub-round's INPUT subtree per branch — for
+        # the small-star that input is the whole un-checkpointed
+        # large-star (window included), i.e. the round cost doubled.
+        sym = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
         from pyspark.sql import Window
 
         m = F.least(F.col("src"), F.min("dst").over(Window.partitionBy("src")))
@@ -621,13 +679,23 @@ def connected_components_star(
                 F.col("dst").alias("src"), F.col("m").alias("dst")
             )
             return emitted.filter(F.col("src") != F.col("dst"))
-        smaller = sm.filter(F.col("dst") < F.col("src")).select(
-            F.col("dst").alias("src"), F.col("m").alias("dst")
-        )
-        # self-link (u, m(u)) once per adjacency row — the trailing
-        # distinct collapses the duplicates.
-        selfe = sm.select("src", F.col("m").alias("dst"))
-        emitted = smaller.unionByName(selfe)
+        # smaller-link (dst, m) when dst < src, PLUS the self-link
+        # (src, m) on every adjacency row — one conditional-array
+        # explode instead of a two-branch union that re-ran the window
+        # per branch (r14); the trailing distinct collapses duplicates.
+        emitted = sm.select(
+            F.explode(
+                F.when(
+                    F.col("dst") < F.col("src"),
+                    F.array(
+                        F.struct(F.col("dst").alias("src"), F.col("m").alias("dst")),
+                        F.struct(F.col("src"), F.col("m").alias("dst")),
+                    ),
+                ).otherwise(
+                    F.array(F.struct(F.col("src"), F.col("m").alias("dst")))
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
         return emitted.filter(F.col("src") != F.col("dst")).distinct()
 
     # Convergence protocol (exact, but cheap in the common case): per

@@ -825,9 +825,17 @@ def personalized_pagerank_integer(
                 f"{n_dangling} node(s) have no out-edge; personalized PageRank "
                 "would lose their rank mass — symmetrise the graph or drop sinks"
             )
-    seed_nodes = seeds.select("node").distinct().join(nodes, "node", "left_semi").persist()
-    n_nodes = nodes.count()
-    n_seeds = seed_nodes.count()
+    seed_distinct = seeds.select("node").distinct()
+    seed_nodes = seed_distinct.join(nodes, "node", "left_semi").persist()
+    # n_nodes and n_seeds in ONE action (r14): count every node row and
+    # count the non-null seed flags of the same broadcast left join —
+    # two separate .count() jobs were pure per-query driver latency.
+    counts = nodes.join(
+        F.broadcast(seed_distinct.withColumn("__s", F.lit(True))), "node", "left"
+    ).agg(
+        F.count(F.lit(1)).alias("__nn"), F.count("__s").alias("__ns")
+    ).first()
+    n_nodes, n_seeds = counts["__nn"], counts["__ns"]
     if n_seeds == 0:
         edges.unpersist()
         edges_deg.unpersist()

@@ -207,7 +207,7 @@ def bigram_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     model is count-pruned and broadcast, the join keys here keep it
     shuffle-correct either way.
     """
-    docs = t(spark, sf, "documents")
+    docs = t(spark, sf, "documents", parallel=True)
     mscore, hscore, s0 = lm_model_frames(docs)
     per_doc = lm_per_doc(lm_grams(docs), mscore, hscore, s0)
     return lm_final_shape(docs, per_doc)
@@ -805,7 +805,7 @@ def ngram_novelty_curve(spark: SparkSession, sf: str) -> DataFrame:
     rollups. Zero-filled over the decile grid; cum_new_grams rides a
     10-row window.
     """
-    docs = t(spark, sf, "documents")
+    docs = t(spark, sf, "documents", parallel=True)
     n = docs.count()
     # Materialize the token array BEFORE shingling (the documented
     # HOF pitfall: lambda bodies re-evaluate non-lambda subexpressions
@@ -930,23 +930,55 @@ def char_trigram_diversity(spark: SparkSession, sf: str) -> DataFrame:
     docs under 3 chars form no gram (the length filter also keeps
     Spark's DESCENDING sequence(1, 0) trap out of the plan).
 
-    Scale shape: gram expansion is map-side (one length-L int array +
-    substring per doc — O(L) work, never the O(L²) inline-HOF
-    blowup), then ONE (source, gram)-keyed shuffle; the per-source
-    rollup aggregates the gram-keyed frame, so sum/count/max arrive
-    WITHOUT a countDistinct Expand (the measured 6.9-s pitfall class).
-    All integers; trunc div; exact twin."""
-    docs = t(spark, sf, "documents")
+    Scale shape: gram counting runs in a mapInArrow kernel — one
+    Counter per (task, source) over the batch iterator (r14; measured
+    2.3x faster than the explode+agg at sf0.1 AND at the 10x probe,
+    2.85 s -> 1.18 s: per-gram UTF8String allocation + hash-agg probes
+    cost more than one dict update per gram, and the kernel ships only
+    PARTIAL (source, gram, count) rows to the one (source, gram)-keyed
+    shuffle — same exact integers). Lowercasing stays IN SPARK so
+    text normalisation is engine-side (no Python/JVM Unicode-lowercase
+    parity risk); Python slices and F.length both count code points.
+    The per-source rollup aggregates the gram-keyed frame, so
+    sum/count/max arrive WITHOUT a countDistinct Expand (the measured
+    6.9-s pitfall class). All integers; trunc div; exact twin."""
+    docs = t(spark, sf, "documents", parallel=True)
     s = docs.select(
         "source", F.lower(F.col("text")).alias("txt")
     ).filter(F.length("txt") >= 3)
-    grams = s.select(
-        "source",
-        F.explode(
-            F.expr("transform(sequence(1, length(txt) - 2), i -> substring(txt, i, 3))")
-        ).alias("g"),
+
+    def count_grams(batches):
+        import pyarrow as pa
+        from collections import Counter
+
+        acc: dict = {}
+        for b in batches:
+            for src, txt in zip(
+                b.column("source").to_pylist(), b.column("txt").to_pylist()
+            ):
+                acc.setdefault(src, Counter()).update(
+                    txt[i : i + 3] for i in range(len(txt) - 2)
+                )
+        out_s, out_g, out_c = [], [], []
+        for src, c in acc.items():
+            for g, k in c.items():
+                out_s.append(src)
+                out_g.append(g)
+                out_c.append(k)
+        yield pa.record_batch(
+            [
+                pa.array(out_s, type=pa.string()),
+                pa.array(out_g, type=pa.string()),
+                pa.array(out_c, type=pa.int64()),
+            ],
+            names=["source", "g", "pcnt"],
+        )
+
+    per = (
+        s.mapInArrow(count_grams, "source string, g string, pcnt long")
+        .groupBy("source", "g")
+        .agg(F.sum("pcnt").alias("cnt"))
     )
-    per = grams.groupBy("source", "g").agg(F.count(F.lit(1)).alias("cnt"))
     return per.groupBy("source").agg(
         F.sum("cnt").cast("bigint").alias("n_grams"),
         F.count(F.lit(1)).cast("bigint").alias("n_distinct"),

@@ -367,8 +367,11 @@ def basket_pair_support(spark: SparkSession, sf: str) -> DataFrame:
     front (the same stop-word rule as the co-purchase hub cap;
     TPC-H baskets are ≤ 7 lines so the cap is inert at gate scale,
     but a real catalog has mega-baskets) — per-basket pair work is
-    ≤ cap², so the expansion is linear in orders. Item counts and
-    pair supports are two keyed aggregations; n_baskets is a 1-row
+    ≤ cap², so the expansion is linear in orders. One collect_set
+    aggregation dedups and caps each basket (r14 — the former
+    distinct + cap-window + pair self-join in one exchange); item
+    counts and pair supports are keyed aggregations over in-task
+    explodes of the cached set frame; n_baskets is a 1-row
     broadcast; the top-k is a TakeOrdered heap, never a global
     sort."""
     li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
@@ -459,12 +462,12 @@ def basket_triple_support(spark: SparkSession, sf: str) -> DataFrame:
     Non-negative operands throughout: flooring // == truncating div.
 
     Scale shape: the same basket-capped expansion as the pair pass —
-    baskets over _BASKET_MAX_ITEMS distinct parts excluded by the one
-    window-attach shuffle, so per-basket triple work is ≤ cap³
-    (TPC-H baskets ≤ 7 lines → ≤ 35 triples each); generation is the
-    A-Priori join C3 = L2 ⋈ items (pairs extend with a third item
-    c > b within the basket), two keyed aggs for supports, one
-    broadcast item-count attach per slot, TakeOrdered heap. Top-k by
+    one collect_set aggregation dedups and caps each basket, and the
+    sorted set expands its i < j < k triples in-task (r14; formerly
+    the C3 = L2 ⋈ items pair-extension joins), so per-basket triple
+    work is ≤ C(cap,3) (TPC-H baskets ≤ 7 lines → ≤ 35 triples
+    each); two keyed aggs for supports, one broadcast item-count
+    attach per slot, TakeOrdered heap. Top-k by
     (support DESC, part_a, part_b, part_c) — a total integer order.
     Eager-checkpoint-then-unpersist tail (the basket_pair_support
     pattern); planfp sees the lazy plan via plan_only.

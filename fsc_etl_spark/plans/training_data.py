@@ -387,7 +387,7 @@ def embed_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     DuckDB-verified given the codebook; margins in
     oracles_training._replicated_quantizers. Recall vs the exact path
     is additionally asserted in tests/test_dedup_similarity.py."""
-    emb = t(spark, sf, "embeddings")
+    emb = t(spark, sf, "embeddings", parallel=True)
     queries = emb.filter(F.col("vec_id") < 5)
     return ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=4)
 
@@ -408,7 +408,7 @@ def embed_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     path is additionally asserted in tests/test_dedup_similarity.py."""
     from fsc_etl_spark.operators.similarity import pq_topk
 
-    emb = t(spark, sf, "embeddings")
+    emb = t(spark, sf, "embeddings", parallel=True)
     queries = emb.filter(F.col("vec_id") < 5)
     return pq_topk(emb, queries, k=5, n_subspaces=8, n_codes=16, refine=40)
 
@@ -427,7 +427,7 @@ def embed_ivf_pinned_topk(spark: SparkSession, sf: str) -> DataFrame:
     margins (min gap an accumulation-order ulp would have to beat):
     assignment 2.9e-6, probe boundary 1.3e-4 across all three SFs —
     7+ orders above fold noise."""
-    emb = t(spark, sf, "embeddings")
+    emb = t(spark, sf, "embeddings", parallel=True)
     queries = emb.filter(F.col("vec_id") < 5)
     return ivf_topk(emb, queries, k=5, nprobe=5, codebook=IVF_PINNED_CENTROIDS)
 
@@ -452,7 +452,7 @@ def embed_pq_pinned_topk(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_dedup_similarity.py."""
     from fsc_etl_spark.operators.similarity import pq_topk
 
-    emb = t(spark, sf, "embeddings")
+    emb = t(spark, sf, "embeddings", parallel=True)
     queries = emb.filter(F.col("vec_id") < 5)
     return pq_topk(
         emb,
@@ -483,7 +483,7 @@ def embed_semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
     stay bounded — never all-pairs), one distinct + one keyed join for
     the kept flag."""
     return semdedup_prune(
-        t(spark, sf, "embeddings"), IVF_PINNED_CENTROIDS, threshold=0.30
+        t(spark, sf, "embeddings", parallel=True), IVF_PINNED_CENTROIDS, threshold=0.30
     )
 
 
@@ -499,7 +499,7 @@ def embed_knn_label_audit(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: see operators/similarity.knn_label_agreement — one
     cell-blocked pair join, per-vector windows, two vec-keyed aggs."""
     return knn_label_agreement(
-        t(spark, sf, "embeddings"), IVF_PINNED_CENTROIDS, k=3
+        t(spark, sf, "embeddings", parallel=True), IVF_PINNED_CENTROIDS, k=3
     )
 
 
@@ -521,7 +521,7 @@ def embed_semdedup_trained(spark: SparkSession, sf: str) -> DataFrame:
     as embed_semdedup_prune with cells data-sized instead of pinned."""
     from fsc_etl_spark.operators.clustering import train_codebook
 
-    emb = t(spark, sf, "embeddings")
+    emb = t(spark, sf, "embeddings", parallel=True)
     cb = train_codebook(emb, k=16, iters=2)
     return semdedup_prune(emb, cb, threshold=0.30, assign_strategy="pandas")
 
@@ -534,13 +534,13 @@ def embed_knn_audit_trained(spark: SparkSession, sf: str) -> DataFrame:
     identity-pinned trainer, audited margins)."""
     from fsc_etl_spark.operators.clustering import train_codebook
 
-    emb = t(spark, sf, "embeddings")
+    emb = t(spark, sf, "embeddings", parallel=True)
     cb = train_codebook(emb, k=16, iters=2)
     return knn_label_agreement(emb, cb, k=3, assign_strategy="pandas")
 
 
 def embed_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
-    emb = t(spark, sf, "embeddings")
+    emb = t(spark, sf, "embeddings", parallel=True)
     queries = emb.filter(F.col("vec_id") < 5)
     return cosine_topk(emb, queries, k=5)
 
@@ -672,7 +672,7 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf: str) -> DataFrame:
     one 25-row broadcast semi join, a |sweep|-row aggregate. OFF
     bench: composes the benched pinned tier at five settings, no new
     physical shape."""
-    emb = t(spark, sf, "embeddings")
+    emb = t(spark, sf, "embeddings", parallel=True)
     queries = emb.filter(F.col("vec_id") < 5)
     exact = embed_cosine_topk(spark, sf).select("query_id", "vec_id")
     tagged = None
@@ -746,7 +746,7 @@ def maxsim_late_interaction(spark: SparkSession, sf: str) -> DataFrame:
         l2_norm,
     )
 
-    emb = t(spark, sf, "embeddings").select(
+    emb = t(spark, sf, "embeddings", parallel=True).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
     subs = emb.select(
@@ -961,7 +961,7 @@ def embed_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     pushed before the fold, so at 100 TB the scan prunes to
     label-mismatched rows before any arithmetic. Full hash oracle
     (same rounding/tie-break discipline as the exact ANN tier)."""
-    emb = t(spark, sf, "embeddings")
+    emb = t(spark, sf, "embeddings", parallel=True)
     from fsc_etl_spark.operators.similarity import ROUND_DIGITS, _as_double, dot, l2_norm
 
     q = (
@@ -1056,7 +1056,7 @@ def corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
     canonical fingerprint). One scan, one shuffle (the dedup groupBy);
     the filters run before the shuffle so only survivors move.
     """
-    docs = t(spark, sf, "documents")
+    docs = t(spark, sf, "documents", parallel=True)
     scored = docs.select(
         "doc_id",
         "lang",
@@ -1502,7 +1502,7 @@ def kmeans_cluster_stats(spark: SparkSession, sf: str) -> DataFrame:
     centroid."""
     from fsc_etl_spark.operators.clustering import kmeans_exact
 
-    return kmeans_exact(t(spark, sf, "embeddings"), k=4, iters=2)
+    return kmeans_exact(t(spark, sf, "embeddings", parallel=True), k=4, iters=2)
 
 
 def hash_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
@@ -1529,7 +1529,7 @@ def embed_mmr_select(spark: SparkSession, sf: str) -> DataFrame:
     unrolled greedy hash-matches a round-for-round CTE oracle because
     rel/sim are 6dp-rounded cosines and ties break by vec_id.
     """
-    emb = t(spark, sf, "embeddings")
+    emb = t(spark, sf, "embeddings", parallel=True)
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     corpus = emb.filter(F.col("vec_id") != 0)
     return mmr_select(corpus, [float(x) for x in qv], k=5)
@@ -2044,7 +2044,7 @@ def udtf_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
     from fsc_etl_spark.functions.udtfs import register_udtfs
 
     register_udtfs(spark)
-    t(spark, sf, "documents").createOrReplaceTempView("docs_udtf_v")
+    t(spark, sf, "documents", parallel=True).createOrReplaceTempView("docs_udtf_v")
     return spark.sql(
         """
         SELECT t.ngram AS bigram, COUNT(*) AS freq
@@ -2182,7 +2182,7 @@ def embed_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
     """
     from fsc_etl_spark.operators.clustering import kcenter_greedy
 
-    return kcenter_greedy(t(spark, sf, "embeddings"), k=8)
+    return kcenter_greedy(t(spark, sf, "embeddings", parallel=True), k=8)
 
 
 def embed_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -2780,7 +2780,7 @@ def dup_span_stats(spark: SparkSession, sf: str) -> DataFrame:
     the same key (colocated); the islands window + both per-doc
     aggregations share ONE doc-keyed shuffle. No pairwise anything,
     no global sort."""
-    docs = t(spark, sf, "documents").select("doc_id", "text")
+    docs = t(spark, sf, "documents", parallel=True).select("doc_id", "text")
     segs = segment_hashes(docs)
     cnt = segs.groupBy("seg_hash").agg(F.count(F.lit(1)).alias("n_occ"))
     flagged = segs.join(cnt, "seg_hash").select(
@@ -2906,7 +2906,7 @@ def eval_contamination_flags(spark: SparkSession, sf: str) -> DataFrame:
     never joined unbucketed against raw text. All-integer output —
     no float accumulation anywhere."""
     n = 8
-    docs = t(spark, sf, "documents").select("doc_id", "text")
+    docs = t(spark, sf, "documents", parallel=True).select("doc_id", "text")
     toks = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("tk"))
     grams = toks.filter(F.size("tk") >= n).select(
         "doc_id",
@@ -3032,7 +3032,7 @@ def dsir_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
     sum is ONE shuffle keyed on doc_id; the final flag join back to
     the doc list is doc-keyed. Nothing pairwise, no global sort, no
     driver-side state beyond the B-row literal."""
-    docs = t(spark, sf, "documents").select("doc_id", "lang", "text")
+    docs = t(spark, sf, "documents", parallel=True).select("doc_id", "lang", "text")
     scores = dsir_bucket_scores(docs)
     return dsir_score_docs(dsir_gram_buckets(docs), scores, docs)
 
@@ -3193,7 +3193,7 @@ def bigram_lm_quality(spark: SparkSession, sf: str) -> DataFrame:
     vocab-bounded aggregates; the per-doc join shuffles on bigram —
     two partial-agg shuffles + one keyed join, nothing quadratic.
     """
-    docs = t(spark, sf, "documents").select("doc_id", "text")
+    docs = t(spark, sf, "documents", parallel=True).select("doc_id", "text")
     toks = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("tk"))
     big = toks.select(
         "doc_id",

@@ -50,6 +50,7 @@ def read_parquet_table(
     sf_dir: str,
     name: str,
     columns: Sequence[str] | None = None,
+    parallel: bool = False,
 ) -> DataFrame:
     """Scan one synthetic table (TESTDATA.md) by name from an sf dir.
 
@@ -59,6 +60,14 @@ def read_parquet_table(
     (``events_ts_is_long``) instead of assuming one encoding. The nanos
     form is converted with exact integer division — double math would
     lose precision past 2^53.
+
+    ``parallel=True`` applies :func:`parallel_scan` (r14): opt in at
+    call sites whose heavy per-row work (token/shingle explodes, md5s,
+    per-row array math) runs BEFORE the first exchange — on the
+    single-row-group gate fixtures that work is otherwise serial. A
+    no-op on properly split inputs, and deliberately NOT the default:
+    cheap partial-agg scans lose more to the added exchange than they
+    gain.
     """
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
@@ -71,7 +80,47 @@ def read_parquet_table(
         df = spark.read.schema(schemas.TABLES[name]).parquet(path)
     if columns:
         df = df.select(*columns)
+    if parallel:
+        df = parallel_scan(df, key=path)
     return df
+
+
+#: memo of parallel_scan's under-split probe — scan split count is a
+#: property of the fixture file layout (files x row groups) plus the
+#: session's parallelism target, neither of which changes mid-process
+#: (same invalidation assumption as the footer memo below).
+_SCAN_UNDERSPLIT_CACHE: dict[tuple[str, int], bool] = {}
+
+
+def parallel_scan(df, key: str | None = None):
+    """Round-robin repartition of an UNDER-SPLIT scan to the session's
+    shuffle parallelism (r14, guide §2.5 "input skew: one huge
+    unsplittable file … repartition immediately after the read").
+
+    The gate fixtures are single-file / single-row-group parquet, so
+    every scan plans at most one non-empty split and ALL pre-exchange
+    work — shingle/token explodes, salted md5s, per-row array
+    expressions — runs on one core. This helper fires ONLY when the
+    planned scan parallelism is below half the session's shuffle
+    partitions, so on real multi-file/multi-row-group data it is a
+    no-op and no extra exchange is ever added at scale. Apply it ONLY
+    where heavy per-row compute precedes the first exchange (measured:
+    minhash signatures 1.94→0.64 s, trigram explode 2.25→0.61 s at
+    sf0.1, while cheap partial-agg scans LOSE ~0.2-0.3 s to the added
+    exchange — so it is deliberately not reader-global).
+
+    ``key``: optional memo key (use the table path) — the probe costs
+    one driver-side plan of the scan; layout never changes
+    mid-process.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    memo_key = (key, n) if key is not None else None
+    under = _SCAN_UNDERSPLIT_CACHE.get(memo_key) if memo_key else None
+    if under is None:
+        under = df.rdd.getNumPartitions() * 2 < n
+        if memo_key:
+            _SCAN_UNDERSPLIT_CACHE[memo_key] = under
+    return df.repartition(n) if under else df
 
 
 #: memo of events_ts_is_long by path — the encoding is a property of

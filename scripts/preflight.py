@@ -147,7 +147,11 @@ def run_pytest() -> bool:
     t0 = time.time()
     env = dict(os.environ, SPARK_GRAFT_PREFLIGHT_RUNNING="1")
     proc = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=line"],
+        # -m "": re-include the @pytest.mark.slow set that pytest.ini's
+        # default profile deselects (r14) — the preflight gate runs the
+        # FULL suite; only the round driver's window-bounded run uses
+        # the default profile.
+        [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=line", "-m", ""],
         capture_output=True,
         text=True,
         cwd=str(REPO_ROOT),

@@ -133,6 +133,7 @@ def test_full_mode_matches_golden(spark, pipeline, fixture_dirs):
         con.close()
 
 
+@pytest.mark.slow
 def test_incremental_updates_and_inserts(spark, pipeline, fixture_dirs):
     # Start from yesterday's snapshot as the curated state.
     pipeline.run_full(fixture_dirs["yesterday"], run_ts=RUN_TS)
@@ -157,6 +158,7 @@ def test_incremental_updates_and_inserts(spark, pipeline, fixture_dirs):
     assert after.filter((F.col("Is_updated") == "Y") & (F.col("Date") != F.lit(last_day.isoformat()).cast("date"))).count() > 0
 
 
+@pytest.mark.slow
 def test_incremental_idempotent_when_no_change(spark, pipeline, fixture_dirs):
     # Diffing identical snapshots must change nothing (SURVEY §5 item 4).
     pipeline.run_full(fixture_dirs["today"], run_ts=RUN_TS)
@@ -168,6 +170,7 @@ def test_incremental_idempotent_when_no_change(spark, pipeline, fixture_dirs):
     assert state1 == state2
 
 
+@pytest.mark.slow
 def test_enterprise_load_full_and_incremental(spark, pipeline, fixture_dirs):
     pipeline.run_full(fixture_dirs["yesterday"], run_ts=RUN_TS)
     pipeline.load_enterprise(full_mode=True, run_date=RUN_DATE)
@@ -206,6 +209,7 @@ def test_merge_target_factory_backend_selection(spark, tmp_path):
     assert isinstance(tgt, expected)
 
 
+@pytest.mark.slow
 def test_partitioned_merge_rewrites_only_touched_partitions(spark, tmp_path):
     """Partition-pruned MERGE: the source touches one partition; the
     other partition's files must remain byte-identical on disk, and

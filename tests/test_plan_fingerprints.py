@@ -53,6 +53,7 @@ def test_snapshot_covers_the_full_query_surface():
     )
 
 
+@pytest.mark.slow
 def test_plan_fingerprints_match_snapshot(spark):
     """Rebuild every query's plan at the pinned sf0.001 gate fixture
     under the shared gate config and compare its normalized

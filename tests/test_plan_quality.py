@@ -579,6 +579,7 @@ PROVEN_FINAL_TYPES = {
 }
 
 
+@pytest.mark.slow
 def test_final_schemas_use_only_proven_types(spark, sf_smoke):
     """One pass over all queries() (streaming included — those return
     materialized frames whose schema is equally driver-hashed):

@@ -54,6 +54,7 @@ def _state(df) -> dict:
     return {r["k"]: (r["v"], r["ts"]) for r in df.collect()}
 
 
+@pytest.mark.slow
 @given(target=kv_tables, source=kv_tables)
 @settings(**PROP_SETTINGS)
 def test_merge_is_idempotent(spark, target, source):
@@ -64,6 +65,7 @@ def test_merge_is_idempotent(spark, target, source):
     assert _state(once) == _state(twice)
 
 
+@pytest.mark.slow
 @given(target=kv_tables, s1=kv_tables, s2=kv_tables)
 @settings(**PROP_SETTINGS)
 def test_merge_commutes_on_disjoint_keys(spark, target, s1, s2):
@@ -79,6 +81,7 @@ def test_merge_commutes_on_disjoint_keys(spark, target, s1, s2):
     assert _state(a) == _state(b)
 
 
+@pytest.mark.slow
 @given(target=kv_tables, source=kv_tables)
 @settings(**PROP_SETTINGS)
 def test_merge_delta_col_is_last_writer_wins(spark, target, source):
@@ -121,6 +124,7 @@ def test_snapshot_diff_is_new_or_changed(spark, today, yesterday):
     ),
     run_date=st.dates(dt.date(2024, 1, 2), dt.date(2024, 1, 11)),
 )
+@pytest.mark.slow
 @settings(**PROP_SETTINGS)
 def test_insert_update_split_partitions_rows(spark, rows, run_date):
     """The yesterday split is a partition: every changed row lands in
@@ -145,6 +149,7 @@ def test_insert_update_split_partitions_rows(spark, rows, run_date):
         max_size=10,
     )
 )
+@pytest.mark.slow
 @settings(**PROP_SETTINGS)
 def test_cast_manifest_total_and_null_safe(spark, values):
     """The manifest NEVER throws on malformed strings (silent-null
@@ -414,6 +419,7 @@ _docs_corpus = st.lists(
 )
 
 
+@pytest.mark.slow
 @given(corpus=_docs_corpus)
 @settings(**PROP_SETTINGS)
 def test_cluster_leakage_split_partitions_and_audits(spark, corpus):

@@ -33,6 +33,7 @@ def _py_pps(weights, n_target):
     return out
 
 
+@pytest.mark.slow
 @given(weights=weight_lists, n_target=st.integers(1, 10))
 @settings(**PROP_SETTINGS)
 def test_pps_matches_reference(spark, weights, n_target):

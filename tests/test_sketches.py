@@ -14,6 +14,8 @@ from __future__ import annotations
 import hashlib
 from collections import Counter
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -120,6 +122,7 @@ def test_hll_registers_duplicate_insensitive(spark):
     assert a == b
 
 
+@pytest.mark.slow
 @given(keys=key_lists, split=st.integers(1, 5))
 @settings(**PROP_SETTINGS)
 def test_hll_merge_equals_single_pass(spark, keys, split):
@@ -172,6 +175,7 @@ def test_cms_plan_is_partial_aggregate(spark):
     assert "Exchange" in plan[first_agg:], plan
 
 
+@pytest.mark.slow
 @given(keys=key_lists, split=st.integers(1, 4))
 @settings(**PROP_SETTINGS)
 def test_cms_merge_equals_single_pass(spark, keys, split):

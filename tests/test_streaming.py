@@ -74,6 +74,7 @@ def _run_windowed_pass(spark, in_dir: str, ckpt: str, out: str) -> None:
     q.awaitTermination()
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_data(spark):
     in_dir, ckpt, out = _dirs()
 
@@ -120,6 +121,7 @@ def test_watermark_drops_late_data(spark):
     assert res2[(T0 + dt.timedelta(hours=3), 1)] == 1
 
 
+@pytest.mark.slow
 def test_stateful_operator_survives_restart(spark):
     in_dir, ckpt, _ = _dirs()
     sink: list[tuple] = []
@@ -166,6 +168,7 @@ def test_stateful_operator_survives_restart(spark):
     assert sink.count((8, 1, 2.0)) == 1
 
 
+@pytest.mark.slow
 def test_session_windows_merge_across_batches(spark):
     """Two events 10 min apart arriving in DIFFERENT micro-batches must
     merge into one session in the state store."""
@@ -185,6 +188,7 @@ def test_session_windows_merge_across_batches(spark):
     assert row["session_end"] == T0 + dt.timedelta(minutes=40)
 
 
+@pytest.mark.slow
 def test_multibatch_sessionize_crosses_batches(spark, sf_smoke):
     """The queries() entry itself raises unless >=2 non-empty
     micro-batches ran; here also check the staging preserved every
@@ -269,6 +273,7 @@ def test_tws_twin_matches_apply_in_pandas_with_state(spark, sf_smoke):
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+@pytest.mark.slow
 def test_incremental_segment_dedup_resumes_from_checkpoint(spark, sf_smoke, tmp_path):
     """The foreachBatch seen-hash state pattern must survive a stream
     STOP + RESUME: run the first half of the corpus, tear the query
@@ -361,6 +366,7 @@ def test_streaming_dsir_gate_matches_batch(spark, sf_smoke):
     assert got == want
 
 
+@pytest.mark.slow
 def test_segment_dedup_crash_recovery(spark, sf_smoke):
     """Exactly-once evidence (VERDICT r8 #10): kill the stream TWICE —
     once between micro-batches (before any side effect of epoch 1) and
@@ -437,6 +443,7 @@ def test_segment_dedup_crash_recovery(spark, sf_smoke):
     assert got == clean and len(got) > 0
 
 
+@pytest.mark.slow
 def test_mg_fold_crash_recovery(spark, sf_smoke):
     """Exactly-once evidence for the Misra–Gries fold
     (mg_batch_handler): same two kill sites as the segment-dedup
